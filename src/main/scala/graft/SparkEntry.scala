@@ -1,13 +1,330 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{MarketQueries => M, RelationalQueries => R}
+import graft.ops.{TextDedup, TextAnalysis, Similarity, Multimodal}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
+  * (same column names, same deterministic ordering, same rounding).
+  * Portability conventions shared by both sides:
+  *   - timestamps out as epoch micros (Spark unix_micros / DuckDB epoch_us)
+  *   - dates out as ISO strings
+  *   - accumulating double aggs rounded (3-6 decimals)
+  *   - string hashing via md5 (identical in both engines); 60-bit integer
+  *     hashes = first 15 md5 hex chars parsed as int
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (daily OHLCV, SURVEY §2.5 A3) on sf0.001; driver
+    * smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    M.dailyOhlcv(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- market/tick parity surface (SURVEY §2) --
+    "latest_tick" -> (M.latestTick _),
+    "daily_stats" -> (M.dailyStats _),
+    "token_freshness" -> (M.tokenFreshness _),
+    "latest_prices_topk" -> (M.latestPricesTopK _),
+    "daily_ohlcv" -> (M.dailyOhlcv _),
+    "volume_profile" -> (M.volumeProfile _),
+    "enriched_by_segment" -> (M.enrichedBySegment _),
+    "scaled_projection" -> (M.scaledProjection _),
+    "time_range_scan" -> (M.timeRangeScan _),
+    "token_stats" -> (M.tokenStats _),
+    "mode_conditional" -> (M.modeConditional _),
+    "hourly_bars" -> (M.hourlyBars _),
+    "seq_dedup" -> (M.seqDedup _),
+    // -- relational / TPC-H-ish --
+    "tpch_pricing_summary" -> (R.pricingSummary _),
+    "tpch_top_orders" -> (R.topOrders _),
+    "revenue_by_region" -> (R.revenueByRegion _),
+    // -- dedup family --
+    "dedup_exact" -> (TextDedup.exact _),
+    "dedup_ngram" -> (TextDedup.ngramJaccard _),
+    "dedup_minhash" -> (TextDedup.minhashLsh _),
+    "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
+    "dedup_simhash" -> (TextDedup.simhash _),
+    // -- similarity search --
+    "similarity_topk" -> (Similarity.bruteForceTopK _),
+    "ann_lsh_topk" -> (Similarity.lshTopK _),
+    "embedding_near_dup" -> (Similarity.embeddingNearDup _),
+    "label_centroids" -> (Similarity.labelCentroids _),
+    // -- text analysis --
+    "text_lang_stats" -> (TextAnalysis.langStats _),
+    "text_quality" -> (TextAnalysis.qualityScore _),
+    "text_lang_id" -> (TextAnalysis.langId _),
+    "text_token_counts" -> (TextAnalysis.tokenCounts _),
+    "text_fingerprints" -> (TextAnalysis.fingerprints _),
+    // -- multimodal plumbing --
+    "multimodal_meta" -> (Multimodal.extractFeatures _),
+    "multimodal_format_stats" -> (Multimodal.formatStats _)
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL. Shared fragments:
+
+  /** Lower-cased whitespace words of `text` (mirrors TextHashing.words). */
+  private val WordsSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  /** Word 3-gram shingles (mirrors TextHashing.shingles). */
+  private val ShinglesCte =
+    s"""wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+       |shl AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sharr FROM wrd),
+       |sh AS (SELECT DISTINCT doc_id, unnest(sharr) AS sh FROM shl)""".stripMargin
+
+  /** 60-bit md5 integer hash of an expression (mirrors TextHashing.md5Long). */
+  private def md5LongSql(e: String) =
+    s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  /** Exact pairwise Jaccard >= 0.2 over shared shingles (mirrors
+    * TextHashing.jaccardPairs). */
+  private val JaccardCte =
+    s"""$ShinglesCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b, round(CAST(ni AS DOUBLE)/(sa.n + sb.n - ni), 6) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.2)""".stripMargin
+
+  /** Embeddings cast to double with sign-pattern LSH bucket over dims 1-4
+    * (mirrors Similarity.bucket). */
+  private val EmbBucketCte =
+    """emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bkt AS (SELECT vec_id, label, v,
+      |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+      |   + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt FROM emb)""".stripMargin
+
+  private val centroidCols: String =
+    (0 until 64).map(i => s"round(sum(v[${i + 1}]),3) AS s${"%02d".format(i)}").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "latest_tick" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events
+        |WHERE user_id = 7 ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    "daily_stats" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS trade_date, min(value) AS low_price,
+        |max(value) AS high_price, round(sum(value),3) AS total_value, count(*) AS tick_count
+        |FROM events WHERE user_id = 7 GROUP BY 1 ORDER BY trade_date DESC""".stripMargin,
+
+    "token_freshness" ->
+      """SELECT user_id, epoch_us(max(ts)) AS last_ts_us, count(*) AS tick_count FROM events
+        |WHERE user_id IN (1,7,42,99) GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "latest_prices_topk" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events
+        |WHERE user_id IN (1,7,42,99) ORDER BY ts DESC, event_id DESC LIMIT 10""".stripMargin,
+
+    "daily_ohlcv" ->
+      """WITH e AS (SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) AS trade_date FROM events WHERE user_id = 7),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY trade_date ORDER BY ts, event_id) AS rna,
+        |  row_number() OVER (PARTITION BY trade_date ORDER BY ts DESC, event_id DESC) AS rnd FROM e)
+        |SELECT trade_date, max(CASE WHEN rna = 1 THEN value END) AS open_price, max(value) AS high_price,
+        |  min(value) AS low_price, max(CASE WHEN rnd = 1 THEN value END) AS close_price,
+        |  round(sum(value),3) AS total_value, count(*) AS tick_count
+        |FROM w GROUP BY trade_date ORDER BY trade_date DESC""".stripMargin,
+
+    "volume_profile" ->
+      """SELECT user_id, round(value, 0) AS price_level, count(*) AS tick_count,
+        |round(sum(value),3) AS total_value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 7 DAY
+        |GROUP BY 1, 2 ORDER BY user_id, price_level""".stripMargin,
+
+    "enriched_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS tick_count, round(sum(value),3) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scaled_projection" ->
+      """SELECT event_id, round(value/100.0, 4) AS scaled_value, round(value, 2) AS rounded_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "time_range_scan" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 1 DAY
+        |AND ts < TIMESTAMP '2024-01-31 00:00:00' ORDER BY event_id""".stripMargin,
+
+    "token_stats" ->
+      """SELECT user_id, min(value) AS min_price, max(value) AS max_price,
+        |round(avg(value),4) AS avg_price, round(sum(value),3) AS total_value,
+        |count(*) AS tick_count, epoch_us(max(ts)) AS last_update_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "mode_conditional" ->
+      """SELECT event_id, event_type,
+        |CASE WHEN event_type IN ('purchase','click') THEN round(value, 2) END AS quote_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "hourly_bars" ->
+      """WITH e AS (SELECT *, date_trunc('hour', ts) AS bar_ts FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY bar_ts, event_type ORDER BY ts, event_id) AS rna,
+        |  row_number() OVER (PARTITION BY bar_ts, event_type ORDER BY ts DESC, event_id DESC) AS rnd FROM e)
+        |SELECT epoch_us(bar_ts) AS bar_start_us, event_type,
+        |  max(CASE WHEN rna = 1 THEN value END) AS open_price, max(value) AS high_price,
+        |  min(value) AS low_price, max(CASE WHEN rnd = 1 THEN value END) AS close_price,
+        |  count(*) AS tick_count
+        |FROM w GROUP BY 1, 2 ORDER BY bar_start_us, event_type""".stripMargin,
+
+    "seq_dedup" ->
+      """SELECT user_id, count(DISTINCT event_id) AS tick_count FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "tpch_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),3) AS sum_qty,
+        |round(sum(l_extendedprice),3) AS sum_base_price,
+        |round(sum(l_extendedprice * (1.0 - l_discount)),3) AS sum_disc_price,
+        |round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+        |count(*) AS count_order FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "tpch_top_orders" ->
+      """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        |round(sum(l_extendedprice * (1.0 - l_discount)),3) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "revenue_by_region" ->
+      """SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice),3) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, md5(lower(text)) AS content_hash, count(*) AS n_dups
+        |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH $JaccardCte
+         |SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $JaccardCte,
+         |hsh AS (SELECT doc_id, ${md5LongSql("sh")} % 2147483647 AS hm FROM sh),
+         |mh AS (SELECT doc_id, i, min(((2*i+1)*hm + i*i+7) % 2147483647) AS mh
+         |  FROM hsh CROSS JOIN (SELECT unnest(generate_series(0,31)) AS i) GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, i//4 AS band, string_agg(concat(i%4, ':', mh), ',' ORDER BY i%4) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bt a
+         |  JOIN bt b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |ORDER BY j.doc_a, j.doc_b""".stripMargin,
+
+    "simhash_sigs" ->
+      s"""WITH dw AS (SELECT DISTINCT doc_id, w FROM
+         |  (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
+         |wh AS (SELECT doc_id, ${md5LongSql("w")} AS wh FROM dw),
+         |votes AS (SELECT doc_id, j, sum(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0,47)) AS j) GROUP BY 1, 2)
+         |SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+         |FROM votes GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH dw AS (SELECT DISTINCT doc_id, w FROM
+         |  (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
+         |wh AS (SELECT doc_id, ${md5LongSql("w")} AS wh FROM dw),
+         |votes AS (SELECT doc_id, j, sum(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0,47)) AS j) GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+         |  FROM votes GROUP BY 1),
+         |bands AS (SELECT doc_id, sig, b, (sig >> (b*12)) & 4095 AS band_val
+         |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.sig AS sig_a, y.doc_id AS doc_b, y.sig AS sig_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "similarity_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+        |s AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos_sim
+        |  FROM q JOIN e ON vec_id <> qid),
+        |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+        |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 10 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH $EmbBucketCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, bkt AS qbkt FROM bkt WHERE vec_id IN (0,1,2)),
+         |s AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos_sim
+         |  FROM q JOIN bkt ON bkt = qbkt AND vec_id <> qid),
+         |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+         |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
+
+    "embedding_near_dup" ->
+      s"""WITH $EmbBucketCte
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+         |FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+         |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "label_centroids" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT label, count(*) AS n, $centroidCols FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "text_lang_stats" ->
+      s"""SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars,
+         |min(n_chars) AS min_chars, max(n_chars) AS max_chars, round(avg(n_words),4) AS avg_words
+         |FROM (SELECT lang, n_chars, CAST(len($WordsSql) AS BIGINT) AS n_words FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |  CAST(len($WordsSql) AS BIGINT) AS n_words,
+         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($WordsSql), 4) AS avg_word_len,
+         |  round(CAST(len(list_filter($WordsSql, x -> list_contains(['the','a','of','and','or','in','to'], x))) AS DOUBLE) / len($WordsSql), 4) AS stopword_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_chars_actual, n_words, avg_word_len, stopword_ratio, punct_ratio,
+         |  round(least(CAST(1.0 AS DOUBLE), n_words / 50.0) * (CAST(1.0 AS DOUBLE) - punct_ratio), 4) AS quality_score
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH b AS (SELECT doc_id, lang, list_distinct($WordsSql) AS ws FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  CAST(len(list_intersect(ws, ['der','die','das','und','ist'])) AS BIGINT) AS score_de,
+         |  CAST(len(list_intersect(ws, ['the','a','of','and','is'])) AS BIGINT) AS score_en,
+         |  CAST(len(list_intersect(ws, ['el','la','de','y','es'])) AS BIGINT) AS score_es,
+         |  CAST(len(list_intersect(ws, ['le','la','de','et','est'])) AS BIGINT) AS score_fr FROM b)
+         |SELECT doc_id, lang,
+         |  CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr) AND score_de > 0 THEN 'de'
+         |       WHEN score_en = greatest(score_de, score_en, score_es, score_fr) AND score_en > 0 THEN 'en'
+         |       WHEN score_es = greatest(score_de, score_en, score_es, score_fr) AND score_es > 0 THEN 'es'
+         |       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr) AND score_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS predicted_lang,
+         |  score_de, score_en, score_es, score_fr FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_token_counts" ->
+      s"""SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS ws_tokens,
+         |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens,
+         |CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprints" ->
+      s"""WITH wrd AS (SELECT doc_id, text, $WordsSql AS ws FROM documents),
+         |shl AS (SELECT doc_id, text, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sharr FROM wrd)
+         |SELECT doc_id, md5(lower(text)) AS fp_md5, ${md5LongSql("lower(text)")} AS fp_int,
+         |  list_min(list_transform(sharr, s -> ${md5LongSql("s")} % 2147483647)) AS min_shingle_hash
+         |FROM shl ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
+         |  ${md5LongSql("text")} AS h FROM documents)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, md5(text) AS media_md5,
+         |  CASE nb % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webm' END AS format,
+         |  h % 1280 AS width, (h // 1280) % 720 AS height, CAST(nb % 30 + 1 AS BIGINT) AS n_frames
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "multimodal_format_stats" ->
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb, ${md5LongSql("text")} AS h FROM documents),
+         |f AS (SELECT CASE nb % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webm' END AS format,
+         |  CAST(nb AS BIGINT) AS n_bytes, h % 1280 AS width FROM b)
+         |SELECT format, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |round(avg(width),4) AS avg_width FROM f GROUP BY format ORDER BY format""".stripMargin
+  )
 }

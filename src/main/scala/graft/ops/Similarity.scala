@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (ArrayType(FloatType), 64-dim; /root/testdata/sf* /embeddings.parquet).
+  *
+  * Cosine similarity is computed with codegen'd higher-order functions
+  * (zip_with + aggregate over doubles) — no Scala UDF, stays inside
+  * whole-stage codegen.
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query set and
+  * scans the corpus once — top-k per query via window rank, which AQE keeps
+  * as a partial sort per partition. The LSH path buckets the corpus by
+  * sign-pattern so each query only scans its bucket: at 100 TB the bucket
+  * join replaces the full scan (and more planes => finer buckets).
+  */
+object Similarity {
+
+  val QueryIds = Seq(0, 1, 2)
+  val TopK = 10
+
+  def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  /** dot(a,b) as a sequential left fold — same association order as the
+    * oracle so values match bit-for-bit where possible. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k: broadcast the query vectors, one scan of the
+    * corpus, rank per query. Ranking is on the ROUNDED similarity with
+    * vec_id tie-break so cross-engine last-bit drift can't reorder. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("v")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select("qid", "vec_id", "cos_sim")
+      .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** Sign-pattern LSH bucket over the first `nBits` dimensions — an
+    * axis-aligned random-hyperplane sketch (the dims of a trained embedding
+    * are effectively random directions). Deterministic and oracle-portable.
+    */
+  def bucket(v: Column, nBits: Int): Column =
+    (0 until nBits).map { i =>
+      when(element_at(v, i + 1) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN top-k: candidates share the query's sign bucket, so
+    * the per-query scan is corpus_size / 2^nBits in expectation. Equality
+    * join on the bucket key — shuffle-partitionable, no cross join. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val nBits = 4
+    val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
+    val q = e.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt").as("qbkt"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("v")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "vec_id", "cos_sim")
+      .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket by sign pattern, pair
+    * within bucket, keep cosine >= threshold. (A near-dup pair almost
+    * surely agrees on coarse sign buckets; this is SimHash-for-vectors.) */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val nBits = 4
+    val threshold = 0.35 // fixture embeddings: max pairwise cos ~0.51
+    val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
+    e.as("a").join(e.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Centroid per label — the reduction side of an IVF index build: one
+    * pass, partial aggregation per partition (sums of 64-dim arrays). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val dim = 64
+    val sums = (0 until dim).map(i =>
+      round(sum(element_at(col("v"), i + 1)), 3).as(f"s$i%02d"))
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .orderBy("label")
+  }
+}

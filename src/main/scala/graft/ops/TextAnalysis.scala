@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TextHashing.{md5Long, words, shingles, P}
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting — all single-pass
+  * narrow projections + hash aggregations (no shuffle except the final
+  * groupBy where present), built only from codegen'd built-ins.
+  */
+object TextAnalysis {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Per-language corpus stats. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), col("n_chars"), size(words(col("text"))).cast("long").as("n_words"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        round(avg("n_words"), 4).as("avg_words"))
+      .orderBy("lang")
+
+  private val StopWords = Seq("the", "a", "of", "and", "or", "in", "to")
+
+  /** Per-document quality score: length, word stats, stopword ratio,
+    * punctuation ratio — the cheap heuristics a pretraining filter runs
+    * before anything model-based. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws)
+    val stopHits = size(filter(ws, w => w.isin(StopWords.map(lit): _*)))
+    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    docs(spark, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        nWords.cast("long").as("n_words"),
+        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords, 4).as("avg_word_len"),
+        round(stopHits.cast("double") / nWords, 4).as("stopword_ratio"),
+        round(nPunct.cast("double") / length(col("text")), 4).as("punct_ratio"))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_words") / lit(50.0)) * (lit(1.0) - col("punct_ratio")), 4))
+      .orderBy("doc_id")
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** N-gram-heuristic language ID: count distinct marker-word hits per
+    * language; predict the best-scoring language (ties broken by language
+    * code order), 'und' (undetermined) when nothing hits. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val ws = array_distinct(words(col("text")))
+    val scores = LangMarkers.map { case (code, markers) =>
+      size(array_intersect(ws, array(markers.map(lit): _*))).cast("long").as(s"score_$code")
+    }
+    val best = greatest(LangMarkers.map { case (code, _) => col(s"score_$code") }: _*)
+    val predicted = LangMarkers.foldRight(lit("und"): Column) { case ((code, _), other) =>
+      when(col(s"score_$code") === best && best > 0, lit(code)).otherwise(other)
+    }
+    // foldRight gives de < en < es < fr precedence on ties — deterministic
+    val withScores = docs(spark, dir).select(col("doc_id") +: col("lang") +: scores: _*)
+    withScores
+      .withColumn("predicted_lang", predicted)
+      .select("doc_id", "lang", "predicted_lang", "score_de", "score_en", "score_es", "score_fr")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).cast("long").as("bpe_ish_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: full-content md5, a 60-bit integer fingerprint,
+    * and the min word-3-gram shingle hash (winnowing-lite — equal for any
+    * two docs sharing their rarest shingle window). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+        col("doc_id"),
+        md5(lower(col("text"))).as("fp_md5"),
+        md5Long(lower(col("text"))).as("fp_int"),
+        array_min(transform(shingles(col("text")), s => md5Long(s) % P)).as("min_shingle_hash"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared text-hashing / shingling primitives for the dedup + fingerprint
+  * operators. Everything here is built from engine-portable functions
+  * (md5, substr, integer arithmetic) so the driver's DuckDB oracle can
+  * compute bit-identical values — the correctness gate hash-compares.
+  */
+object TextHashing {
+
+  /** Large prime modulus for the minhash permutation family (fits well
+    * inside Long even after the affine step: a < 2^7, h' < 2^31). */
+  val P: Long = 2147483647L // 2^31 - 1
+
+  /** Portable 60-bit string hash: first 15 hex chars of md5 as an integer.
+    * Identical in DuckDB: cast(concat('0x', substr(md5(s),1,15)) as bigint).
+    */
+  def md5Long(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Lower-cased whitespace words, empties dropped. */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  /** Word 3-gram shingles; a document shorter than 3 words contributes its
+    * whole text as a single shingle so it still participates in dedup. */
+  def shingles(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) < 3, array(concat_ws(" ", ws)))
+      .otherwise(transform(
+        sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+  }
+
+  /** (doc_id, shingle) distinct pairs for a documents table. */
+  def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh")).distinct()
+
+  /** Exact pairwise Jaccard over shared shingles. Complete w.r.t. the
+    * threshold (pairs sharing zero shingles have J=0) yet never all-pairs:
+    * the self-join is on the shingle key, so cost is sum(df^2) per shingle,
+    * not n^2 over documents — the standard inverted-index prefix of
+    * set-similarity joins. At scale, add prefix filtering on rare shingles
+    * to cut hot shingle groups.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docShingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's analytical query surface (SURVEY.md §2), re-expressed
+  * Spark-first over the driver's `events` table — the tick-stream analog
+  * (ts = exchange_timestamp, user_id = token, value = last_traded_price;
+  * TESTDATA.md / FIXTURES.md §4).
+  *
+  * Determinism contract (the driver hash-compares against a DuckDB oracle):
+  *  - every query has a total ordering (ties broken by event_id);
+  *  - accumulating double aggregates (sum/avg) are rounded so the two
+  *    engines' summation order can't flip a hash;
+  *  - timestamps are emitted as epoch microseconds (unix_micros <->
+  *    DuckDB epoch_us) and dates as ISO strings, sidestepping
+  *    tz-awareness mismatches between parquet writers;
+  *  - "now()"-relative predicates (reference README.md:241,254) take a
+  *    pinned as-of timestamp (SURVEY §7.4.3).
+  *
+  * Scale posture: single-pass scans + partial/final hash aggregation;
+  * top-k lowers to TakeOrderedAndProject; the only join broadcasts a tiny
+  * dim. Nothing collects to the driver.
+  */
+object MarketQueries {
+
+  /** Pinned as-of instant; the test events span 2024-01-01 .. 2024-01-30. */
+  val AsOf = "2024-01-31 00:00:00"
+
+  /** Canonical instrument token (reference hardcodes "2885",
+    * /root/reference/main.go:254); user_id=7 exists at every SF. */
+  val Token = 7
+
+  /** Token watch-list for IN-list queries (reference
+    * db/clickhouse.go:191-199 takes a token slice). */
+  val Tokens = Seq(1, 7, 42, 99)
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
+    * reads via the nanosAsLong escape hatch; normalize to TimestampType
+    * (micros, floor — matching DuckDB's ns->us truncation). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  private def tsUs(c: org.apache.spark.sql.Column) = unix_micros(c)
+  private def dateStr(c: org.apache.spark.sql.Column) = to_date(c).cast("string")
+
+  /** S4/O1: latest tick for one token — point lookup
+    * (/root/reference/db/clickhouse.go:123-132). Lowers to
+    * TakeOrderedAndProject: no shuffle, no global sort. */
+  def latestTick(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id") === Token)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1)
+      .select(col("event_id"), tsUs(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+
+  /** A1/O2: daily stats for one token
+    * (/root/reference/db/clickhouse.go:156-169): min/max/sum/count per day. */
+  def dailyStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id") === Token)
+      .groupBy(dateStr(col("ts")).as("trade_date"))
+      .agg(
+        min("value").as("low_price"),
+        max("value").as("high_price"),
+        round(sum("value"), 3).as("total_value"),
+        count(lit(1)).as("tick_count"))
+      .orderBy(col("trade_date").desc)
+
+  /** A2: multi-token freshness check
+    * (/root/reference/db/clickhouse.go:191-199). */
+  def tokenFreshness(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .groupBy("user_id")
+      .agg(tsUs(max(col("ts"))).as("last_ts_us"), count(lit(1)).as("tick_count"))
+      .orderBy("user_id")
+
+  /** O3: latest 10 prices for a token set (/root/reference/README.md:219-227).
+    * TakeOrderedAndProject again — the limit fuses into the sort. */
+  def latestPricesTopK(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(10)
+      .select(col("event_id"), tsUs(col("ts")).as("ts_us"), col("user_id"), col("value"))
+
+  /** A3: daily OHLCV (/root/reference/README.md:231-243). ClickHouse's
+    * first_value/last_value inside GROUP BY are arrival-order-dependent;
+    * the well-defined Spark equivalent is min_by/max_by over (ts, event_id)
+    * (SURVEY §2.5 A3) — one hash aggregation, no window shuffle. */
+  def dailyOhlcv(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id") === Token)
+      .groupBy(dateStr(col("ts")).as("trade_date"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_price"),
+        max("value").as("high_price"),
+        min("value").as("low_price"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_price"),
+        round(sum("value"), 3).as("total_value"),
+        count(lit(1)).as("tick_count"))
+      .orderBy(col("trade_date").desc)
+
+  /** A4: volume profile — group by derived price level over the trailing
+    * 7 days (/root/reference/README.md:247-256), as-of pinned. */
+  def volumeProfile(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("ts") >= to_timestamp(lit(AsOf)) - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id"), round(col("value"), 0).as("price_level"))
+      .agg(count(lit(1)).as("tick_count"), round(sum("value"), 3).as("total_value"))
+      .orderBy(col("user_id"), col("price_level"))
+
+  /** J1/J2: broadcast enrichment join — the dim is tiny (1.5k customers
+    * here, 33 tokens in the reference config/tokens.json), so it must be a
+    * broadcast hash join, never a shuffle (SURVEY §2.4). */
+  def enrichedBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    events(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("tick_count"), round(sum("value"), 3).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** P2/F5/F6: paise÷100 scaling + rounding projection
+    * (/root/reference/parser/binary.go:27-45). Narrow projection —
+    * column pruning reaches the parquet scan. */
+  def scaledProjection(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        round(col("value") / 100.0, 4).as("scaled_value"),
+        round(col("value"), 2).as("rounded_value"))
+      .orderBy("event_id")
+
+  /** P5/F1-F4: pinned time-range filter — trailing 1 day before as-of
+    * (/root/reference/README.md:254). Filter pushes to the parquet scan. */
+  def timeRangeScan(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("ts") >= to_timestamp(lit(AsOf)) - expr("INTERVAL 1 DAYS")
+        && col("ts") < to_timestamp(lit(AsOf)))
+      .select(col("event_id"), tsUs(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  /** A6: per-token stats record (/root/reference/models/stats.go:5-13):
+    * min/max/avg price, total value, tick count, last update. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min("value").as("min_price"),
+        max("value").as("max_price"),
+        round(avg("value"), 4).as("avg_price"),
+        round(sum("value"), 3).as("total_value"),
+        count(lit(1)).as("tick_count"),
+        tsUs(max(col("ts"))).as("last_update_us"))
+      .orderBy("user_id")
+
+  /** P7: mode-conditional projection (/root/reference/parser/binary.go:63-73)
+    * — quote-only fields are null for LTP-mode rows. */
+  def modeConditional(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        when(col("event_type").isin("purchase", "click"), round(col("value"), 2))
+          .otherwise(lit(null)).as("quote_value"))
+      .orderBy("event_id")
+
+  /** T5 batch analog: tumbling 1-hour OHLC bars per event_type via the
+    * window() generator (streaming variant in graft.streaming.Bars). */
+  def hourlyBars(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_price"),
+        max("value").as("high_price"),
+        min("value").as("low_price"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_price"),
+        count(lit(1)).as("tick_count"))
+      .select(tsUs(col("window.start")).as("bar_start_us"), col("event_type"),
+        col("open_price"), col("high_price"), col("low_price"),
+        col("close_price"), col("tick_count"))
+      .orderBy("bar_start_us", "event_type")
+
+  /** T6 batch analog: sequence-number dedup — the stream unioned with
+    * itself (simulating redelivery); exact duplicates collapse. */
+  def seqDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    e.unionAll(e)
+      .dropDuplicates("event_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("tick_count"))
+      .orderBy("user_id")
+  }
+}
