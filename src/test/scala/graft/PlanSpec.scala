@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.{MarketQueries, RelationalQueries}
+import graft.ops.{TextDedup, Similarity}
+
+/** Physical-plan guardrails — the properties that keep these operators
+  * viable at 100 TB (VERDICT round-1 scale constraints):
+  *   - no CartesianProduct anywhere in the dedup/similarity family;
+  *   - tiny dims join via broadcast, not shuffle;
+  *   - top-k lowers to TakeOrderedAndProject, not global sort + limit.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dedup family: no cartesian products, ever") {
+    for (df <- Seq(
+        TextDedup.ngramJaccard(spark, dir),
+        TextDedup.minhashLsh(spark, dir),
+        TextDedup.simhash(spark, dir),
+        Similarity.embeddingNearDup(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+    }
+  }
+
+  test("similarity top-k: query side broadcast, no shuffle of the corpus for the join") {
+    val p = plan(Similarity.bruteForceTopK(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dim enrichment joins are broadcast hash joins") {
+    for (df <- Seq(
+        MarketQueries.enrichedBySegment(spark, dir),
+        RelationalQueries.topOrders(spark, dir),
+        RelationalQueries.revenueByRegion(spark, dir))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    }
+  }
+
+  test("top-k queries lower to TakeOrderedAndProject") {
+    for (df <- Seq(
+        MarketQueries.latestTick(spark, dir),
+        MarketQueries.latestPricesTopK(spark, dir))) {
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"), s"expected top-k fusion:\n$p")
+    }
+  }
+
+  test("point-lookup filter is pushed to the parquet scan") {
+    val p = plan(MarketQueries.latestTick(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]")
+      || p.contains("EqualTo(user_id,7)"), s"filter not pushed:\n$p")
+  }
+
+  test("narrow projection prunes the scan schema") {
+    val p = plan(MarketQueries.scaledProjection(spark, dir))
+    assert(!p.contains("event_type"), s"scan reads pruned column:\n$p")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Schemas.Tick
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Event-time bar semantics (FIXTURES.md §5 scripts 1-3): happy path,
+  * duplicate collapse within watermark, late-data drop. */
+class BarsSpec extends SparkSpec {
+
+  private val T0 = 1704447000000L // 2024-01-05 09:30:00 UTC, minute-aligned
+
+  private def tick(token: String, seq: Long, tsMs: Long, price: Double): Tick =
+    Tick(token, Some("SYM"), 1, 2, seq,
+      new Timestamp(tsMs), new Timestamp(tsMs),
+      price, Some(1L), Some(price), Some(price), Some(price), Some(price),
+      Some(price), Some(100L), Some(1.0), Some(1.0))
+
+  test("1-min bars: OHLC by event time, dup collapse, late rows dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Tick]
+    val bars = Bars.oneMinute(stream.toDF(), watermark = "1 minute")
+    val q = bars.writeStream
+      .format("memory").queryName("bars_test").outputMode("append").start()
+
+    // minute-0 ticks for token A, with one exact redelivery (seq 2 twice)
+    stream.addData(
+      tick("A", 1, T0 + 10000, 100.0),
+      tick("A", 2, T0 + 20000, 105.0),
+      tick("A", 2, T0 + 20000, 105.0), // duplicate (token, seq)
+      tick("A", 3, T0 + 40000, 95.0))
+    q.processAllAvailable()
+
+    // advance the watermark past minute 0: event at +5 min
+    stream.addData(tick("A", 10, T0 + 300000, 110.0))
+    q.processAllAvailable()
+
+    val closed = spark.table("bars_test").collect()
+    assert(closed.length === 1, "exactly the minute-0 bar must have closed")
+    val bar = closed(0)
+    assert(bar.getAs[Timestamp]("bar_start").getTime === T0)
+    assert(bar.getAs[Double]("open_price") === 100.0)
+    assert(bar.getAs[Double]("high_price") === 105.0)
+    assert(bar.getAs[Double]("low_price") === 95.0)
+    assert(bar.getAs[Double]("close_price") === 95.0)
+    assert(bar.getAs[Long]("tick_count") === 3L, "duplicate must collapse")
+
+    // late arrival into the already-closed minute-0 window: dropped
+    stream.addData(tick("A", 4, T0 + 30000, 1.0))
+    // push watermark far ahead so minute-5 also closes
+    stream.addData(tick("A", 11, T0 + 600000, 111.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val after = spark.table("bars_test").collect()
+    val minute0 = after.filter(_.getAs[Timestamp]("bar_start").getTime == T0)
+    assert(minute0.length === 1, "closed window must not re-emit")
+    assert(minute0(0).getAs[Double]("low_price") === 95.0,
+      "late 1.0 tick must not have entered the closed bar")
+    // the +5 min window closed with exactly its one (non-late) tick
+    val minute5 = after.filter(_.getAs[Timestamp]("bar_start").getTime == T0 + 300000)
+    assert(minute5.length === 1 && minute5(0).getAs[Long]("tick_count") === 1L)
+  }
+}
