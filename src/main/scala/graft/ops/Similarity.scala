@@ -21,9 +21,12 @@ object Similarity {
   val QueryIds = Seq(0, 1, 2)
   val TopK = 10
 
+  /** Embeddings as doubles, with the L2 norm precomputed once per vector
+    * — cosine over a pair then costs one fold (the dot), not three. */
   def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("nrm", norm(col("v")))
 
   /** dot(a,b) as a sequential left fold — same association order as the
     * oracle so values match bit-for-bit where possible. */
@@ -40,10 +43,10 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id").isin(QueryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     import org.apache.spark.sql.expressions.Window
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
@@ -67,10 +70,10 @@ object Similarity {
     val nBits = 4
     val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
     val q = e.filter(col("vec_id").isin(QueryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt").as("qbkt"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("bkt").as("qbkt"))
     import org.apache.spark.sql.expressions.Window
     val scored = e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -87,7 +90,7 @@ object Similarity {
     val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
     e.as("a").join(e.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("cos_sim", round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import TextHashing.{md5Long, words, shingles, P}
+import TextHashing.{md5Long, words, shinglesOf, P}
 
 /** Text-analysis operators for the training-data pipeline: language ID,
   * quality scoring, token counting, fingerprinting — all single-pass
@@ -33,11 +33,11 @@ object TextAnalysis {
     * punctuation ratio — the cheap heuristics a pretraining filter runs
     * before anything model-based. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+    val ws = col("ws") // materialized below: referenced 3x, split must run once
     val nWords = size(ws)
     val stopHits = size(filter(ws, w => w.isin(StopWords.map(lit): _*)))
     val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
-    docs(spark, dir).select(
+    docs(spark, dir).withColumn("ws", words(col("text"))).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_actual"),
         nWords.cast("long").as("n_words"),
@@ -59,7 +59,7 @@ object TextAnalysis {
     * language; predict the best-scoring language (ties broken by language
     * code order), 'und' (undetermined) when nothing hits. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val ws = array_distinct(words(col("text")))
+    val ws = col("ws") // materialized below: referenced once per language
     val scores = LangMarkers.map { case (code, markers) =>
       size(array_intersect(ws, array(markers.map(lit): _*))).cast("long").as(s"score_$code")
     }
@@ -68,7 +68,9 @@ object TextAnalysis {
       when(col(s"score_$code") === best && best > 0, lit(code)).otherwise(other)
     }
     // foldRight gives de < en < es < fr precedence on ties — deterministic
-    val withScores = docs(spark, dir).select(col("doc_id") +: col("lang") +: scores: _*)
+    val withScores = docs(spark, dir)
+      .withColumn("ws", array_distinct(words(col("text"))))
+      .select(col("doc_id") +: col("lang") +: scores: _*)
     withScores
       .withColumn("predicted_lang", predicted)
       .select("doc_id", "lang", "predicted_lang", "score_de", "score_en", "score_es", "score_fr")
@@ -89,10 +91,12 @@ object TextAnalysis {
     * and the min word-3-gram shingle hash (winnowing-lite — equal for any
     * two docs sharing their rarest shingle window). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(
         col("doc_id"),
         md5(lower(col("text"))).as("fp_md5"),
         md5Long(lower(col("text"))).as("fp_int"),
-        array_min(transform(shingles(col("text")), s => md5Long(s) % P)).as("min_shingle_hash"))
+        array_min(transform(shinglesOf(col("ws")), s => md5Long(s) % P)).as("min_shingle_hash"))
       .orderBy("doc_id")
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import TextHashing._
 
@@ -10,14 +10,18 @@ import TextHashing._
   *
   * Scale posture: every method is bucketed/banded — candidate pairs come
   * from equality joins on shingle/band/bucket keys, never a cross join.
-  * The physical plans are shuffle-on-key hash joins + hash aggregations,
-  * which scale horizontally; a CartesianProduct anywhere here is a bug.
+  * Signatures (minhash minima, simhash bit votes) are computed as WIDE
+  * AGGREGATES (32/48 agg columns over one row per shingle/word) instead of
+  * exploding an index column — no 32-48x row blowup, one shuffle, and the
+  * whole signature stage stays in whole-stage codegen.
   */
 object TextDedup {
 
   val JaccardThreshold = 0.2
   val NumHashes = 32
   val BandRows = 4 // 8 bands x 4 rows
+  val SimHashBits = 48
+  val SimHashBands = 4 // x 12 bits
 
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -37,62 +41,74 @@ object TextDedup {
     jaccardPairs(docs(spark, dir), JaccardThreshold)
       .orderBy("doc_a", "doc_b")
 
-  /** MinHash signatures: 32 affine permutations h_i(x) = ((2i+1)*x' + i^2+7)
-    * mod p over md5-hashed shingles (x' = x mod p). Returns one row per
-    * (doc_id, band) with the band key — the LSH bucketing table. */
-  private def bandTable(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(docs(spark, dir))
-      .withColumn("h", md5Long(col("sh")) % P)
-    sh.withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(((lit(2) * col("i") + 1) * col("h") + col("i") * col("i") + 7) % P).as("mh"))
-      .withColumn("band", expr(s"i div $BandRows"))
-      // band key = the 4 minima in row order; (i % 4) is a single digit so
-      // lexicographic sort_array reproduces row order deterministically
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",", sort_array(collect_list(concat(col("i") % BandRows, lit(":"), col("mh"))))).as("band_key"))
+  /** MinHash-LSH band table: 32 affine permutations
+    * h_i(x) = ((2i+1)*x' + i^2+7) mod p over md5-hashed shingles
+    * (x' = x mod p), as 32 min-aggregate columns; bands of 4 rows each,
+    * keyed by the concatenated minima. One row per (doc, band). */
+  private def bandTable(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h", md5Long(col("sh")) % P)
+    val minCols = (0 until NumHashes).map { i =>
+      min((lit(2 * i + 1) * col("h") + lit(i * i + 7)) % P).as(s"mh$i")
+    }
+    val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until NumHashes / BandRows).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws(",", (0 until BandRows).map(r =>
+          concat(lit(s"$r:"), col(s"mh${b * BandRows + r}"))): _*).as("band_key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
   }
 
   /** MinHash-LSH near-dedup: candidates = pairs sharing any band key;
-    * survivors = candidates whose exact Jaccard clears the threshold.
-    * Join is on (band, band_key) — cost scales with bucket occupancy, not
-    * corpus size squared. */
+    * survivors = candidates whose exact Jaccard clears the threshold
+    * (verification joins only the candidate docs' shingles, not the full
+    * inverted index). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bt = bandTable(spark, dir)
+    val sh = docShingles(docs(spark, dir))
+    val bt = bandTable(sh)
     val cands = bt.as("a")
       .join(bt.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardPairs(docs(spark, dir), JaccardThreshold)
-      .join(cands, Seq("doc_a", "doc_b")) // verify candidates exactly
+    jaccardFor(sh, JaccardThreshold, restrictTo = Some(cands))
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
   /** 48-bit SimHash signatures over distinct words (md5-hashed): bit j is
     * the sign of the vote sum over words of (+1 / -1 on word-hash bit j).
-    * 48 bits so the signature and all band arithmetic stay well inside
-    * Long. */
-  def simhashSigs(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    * 48 bits keeps the signature and band arithmetic inside Long; votes
+    * are 48 sum-aggregate columns — no row explosion. */
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    val dw = docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
       .distinct()
       .withColumn("wh", md5Long(col("w")))
-      .withColumn("j", explode(sequence(lit(0), lit(47))))
-      .withColumn("vote", when(expr("shiftright(wh, cast(j as int))") % 2 === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("vote")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") >= 0, expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L)).as("sig"))
+    val voteCols = (0 until SimHashBits).map { j =>
+      sum(when(expr(s"shiftright(wh, $j)") % 2 === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val sigExpr = (0 until SimHashBits).map { j =>
+      when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    dw.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), sigExpr.as("sig"))
+  }
 
   /** SimHash near-dup pairs: 4 bands x 12 bits; candidates share a band,
     * survivors have Hamming distance <= 6 over the 48-bit signatures. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(spark, dir)
-    val bands = sigs.withColumn("b", explode(sequence(lit(0), lit(3))))
-      .withColumn("band_val", expr("shiftright(sig, cast(b * 12 as int))") % 4096)
+    val bandStructs = (0 until SimHashBands).map { b =>
+      struct(lit(b).as("b"), (expr(s"shiftright(sig, ${b * 12})") % 4096).as("band_val"))
+    }
+    val bands = sigs.select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.b").as("b"), col("bb.band_val").as("band_val"))
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val")

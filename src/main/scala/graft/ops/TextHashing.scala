@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
   * operators. Everything here is built from engine-portable functions
   * (md5, substr, integer arithmetic) so the driver's DuckDB oracle can
   * compute bit-identical values — the correctness gate hash-compares.
+  *
+  * Performance note: the word array is always materialized into its own
+  * projection (withColumn) before any expression references it more than
+  * once — a lambda body that inlines split() re-evaluates it per array
+  * element, turning shingling quadratic. CollapseProject keeps the
+  * materialized column because split is non-cheap.
   */
 object TextHashing {
 
@@ -24,19 +30,21 @@ object TextHashing {
   def words(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => w =!= "")
 
-  /** Word 3-gram shingles; a document shorter than 3 words contributes its
-    * whole text as a single shingle so it still participates in dedup. */
-  def shingles(text: Column): Column = {
-    val ws = words(text)
+  /** Word 3-gram shingles from an ALREADY-MATERIALIZED words column
+    * (pass an attribute, not an expression — see class note). A document
+    * shorter than 3 words contributes its whole text as one shingle. */
+  def shinglesOf(ws: Column): Column =
     when(size(ws) < 3, array(concat_ws(" ", ws)))
       .otherwise(transform(
         sequence(lit(1), size(ws) - 2),
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
-  }
 
   /** (doc_id, shingle) distinct pairs for a documents table. */
   def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh")).distinct()
+    docs
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), explode(shinglesOf(col("ws"))).as("sh"))
+      .distinct()
 
   /** Exact pairwise Jaccard over shared shingles. Complete w.r.t. the
     * threshold (pairs sharing zero shingles have J=0) yet never all-pairs:
@@ -45,14 +53,28 @@ object TextHashing {
     * set-similarity joins. At scale, add prefix filtering on rare shingles
     * to cut hot shingle groups.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docShingles(docs)
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardFor(docShingles(docs), threshold, restrictTo = None)
+
+  /** Jaccard over a prepared (doc_id, sh) table; when `restrictTo` is a
+    * (doc_a, doc_b) candidate table, intersections are only computed for
+    * those pairs (the LSH verify path — candidate count is tiny, so this
+    * is two semi-joins instead of the full inverted-index join). */
+  def jaccardFor(sh: DataFrame, threshold: Double,
+                 restrictTo: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val joined = restrictTo match {
+      case None =>
+        a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      case Some(cand) =>
+        cand.join(a, col("a.doc_id") === col("doc_a"))
+          .join(b, col("b.doc_id") === col("doc_b") && col("a.sh") === col("b.sh"))
+          .select(col("doc_a"), col("doc_b"))
+    }
+    val inter = joined.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
