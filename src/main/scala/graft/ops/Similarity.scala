@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (ArrayType(FloatType), 64-dim; /root/testdata/sf* /embeddings.parquet).
@@ -46,7 +47,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     import org.apache.spark.sql.expressions.Window
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("cos_sim", round(GraftExtensions.cosine(col("qv"), col("v")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
@@ -73,7 +74,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("bkt").as("qbkt"))
     import org.apache.spark.sql.expressions.Window
     val scored = e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("cos_sim", round(GraftExtensions.cosine(col("qv"), col("v")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -90,7 +91,7 @@ object Similarity {
     val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
     e.as("a").join(e.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim", round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+      .withColumn("cos_sim", round(GraftExtensions.cosine(col("a.v"), col("b.v")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")

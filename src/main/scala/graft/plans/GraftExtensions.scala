@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("SELECT graft_cosine(a,b)")`
+  * works next to the DataFrame API.
+  *
+  * Install with
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * or programmatically via `SparkSession.builder.withExtensions(new
+  * GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineDesc)
+    ext.injectFunction(GraftExtensions.decodeDesc)
+  }
+}
+
+object GraftExtensions {
+
+  private[plans] val cosineDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_cosine(arr, arr) takes 2 arguments")
+      CosineSimilarityExpr(children.head, children(1))
+    })
+
+  private[plans] val decodeDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_decode_frame"),
+    new ExpressionInfo(classOf[DecodeTickFrameExpr].getName, "graft_decode_frame"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_decode_frame(binary) takes 1 argument")
+      DecodeTickFrameExpr(children.head)
+    })
+
+  /** Column-API access without requiring session extensions. */
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarityExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def decodeFrame(payload: Column): Column =
+    Bridge.column(DecodeTickFrameExpr(Bridge.expression(payload)))
+}
