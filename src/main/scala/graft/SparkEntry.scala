@@ -35,6 +35,7 @@ object SparkEntry {
     "time_range_scan" -> (M.timeRangeScan _),
     "token_stats" -> (M.tokenStats _),
     "mode_conditional" -> (M.modeConditional _),
+    "asof_price" -> (M.asofPrice _),
     "hourly_bars" -> (M.hourlyBars _),
     "seq_dedup" -> (M.seqDedup _),
     // -- relational / TPC-H-ish --
@@ -50,6 +51,7 @@ object SparkEntry {
     // -- similarity search --
     "similarity_topk" -> (Similarity.bruteForceTopK _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
+    "ann_ivf_topk" -> (Similarity.ivfTopK _),
     "embedding_near_dup" -> (Similarity.embeddingNearDup _),
     "label_centroids" -> (Similarity.labelCentroids _),
     // -- text analysis --
@@ -175,6 +177,14 @@ object SparkEntry {
       """SELECT user_id, count(DISTINCT event_id) AS tick_count FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "asof_price" ->
+      """WITH f AS (SELECT * FROM events WHERE user_id IN (1,7,42,99)
+        |  AND ts <= TIMESTAMP '2024-01-15 12:00:00'),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+        |SELECT user_id, max(CASE WHEN rn = 1 THEN value END) AS asof_price,
+        |  epoch_us(max(ts)) AS asof_ts_us
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "tpch_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),3) AS sum_qty,
         |round(sum(l_extendedprice),3) AS sum_base_price,
@@ -256,6 +266,20 @@ object SparkEntry {
          |  FROM q JOIN bkt ON bkt = qbkt AND vec_id <> qid),
          |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
          |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
+
+    "ann_ivf_topk" -> {
+      val centroidArr = "[" + (1 to 64).map(i => s"avg(v[$i])").mkString(", ") + "]"
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT label AS c_label, $centroidArr AS cv FROM e GROUP BY label),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+         |pc AS (SELECT qid, qv, c_label, row_number() OVER (PARTITION BY qid
+         |  ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, c_label) AS crn FROM q CROSS JOIN c),
+         |best AS (SELECT qid, qv, c_label FROM pc WHERE crn = 1),
+         |s AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos_sim
+         |  FROM best b JOIN e ON e.label = b.c_label AND e.vec_id <> b.qid),
+         |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+         |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
+    },
 
     "embedding_near_dup" ->
       s"""WITH $EmbBucketCte

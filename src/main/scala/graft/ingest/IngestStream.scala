@@ -40,13 +40,7 @@ object IngestStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch
-          .withColumn("trade_date", to_date(col("exchange_timestamp")))
-          .repartition(col("trade_date"))
-          .sortWithinPartitions("exchange_timestamp")
-          .write.mode("append")
-          .partitionBy("trade_date")
-          .parquet(sinkDir)
+        graft.storage.TickTable.append(batch, sinkDir)
       }
       .start()
   }

@@ -97,6 +97,37 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF (inverted-file) ANN, nprobe=1: the label clusters act as the
+    * coarse quantizer — centroids are per-cluster mean vectors; a query
+    * probes its nearest centroid (10 rows, broadcast) and scans only that
+    * cluster's members. At 100 TB the cluster assignment is the partition
+    * key, so a probe reads ~1/n_clusters of the corpus. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val avgCols = (0 until 64).map(i => avg(element_at(col("v"), i + 1)).as(s"a$i"))
+    val centroids = e.groupBy("label")
+      .agg(avgCols.head, avgCols.tail: _*)
+      .select(col("label").as("c_label"),
+        array((0 until 64).map(i => col(s"a$i")): _*).as("cv"))
+    val q = e.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    import org.apache.spark.sql.expressions.Window
+    val probe = Window.partitionBy("qid")
+      .orderBy(col("c_sim").desc, col("c_label").asc)
+    val best = q.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", round(graft.plans.GraftExtensions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("crn", row_number().over(probe))
+      .filter(col("crn") === 1)
+      .select(col("qid"), col("qv"), col("c_label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(best), col("label") === col("c_label") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(graft.plans.GraftExtensions.cosine(col("qv"), col("v")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "vec_id", "cos_sim")
+      .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** Centroid per label — the reduction side of an IVF index build: one
     * pass, partial aggregation per partition (sums of 64-dim arrays). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {

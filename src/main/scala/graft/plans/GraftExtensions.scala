@@ -41,6 +41,13 @@ object GraftExtensions {
       DecodeTickFrameExpr(children.head)
     })
 
+  /** Register the SQL functions on an already-running session (the
+    * builder-time extensions path doesn't apply to reused sessions). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    for ((ident, info, builder) <- Seq(cosineDesc, decodeDesc))
+      Bridge.registerFunction(spark, ident, info, builder)
+  }
+
   /** Column-API access without requiring session extensions. */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarityExpr(Bridge.expression(a), Bridge.expression(b)))

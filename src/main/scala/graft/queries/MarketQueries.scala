@@ -192,6 +192,19 @@ object MarketQueries {
         col("close_price"), col("tick_count"))
       .orderBy("bar_start_us", "event_type")
 
+  /** As-of join (SURVEY §2.4 note): the latest price at-or-before a pinned
+    * instant per watched token — expressed as max_by over the filtered
+    * range; one hash aggregation, no window shuffle, no custom operator. */
+  def asofPrice(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*)
+        && col("ts") <= to_timestamp(lit("2024-01-15 12:00:00")))
+      .groupBy("user_id")
+      .agg(
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("asof_price"),
+        tsUs(max(col("ts"))).as("asof_ts_us"))
+      .orderBy("user_id")
+
   /** T6 batch analog: sequence-number dedup — the stream unioned with
     * itself (simulating redelivery); exact duplicates collapse. */
   def seqDedup(spark: SparkSession, dir: String): DataFrame = {

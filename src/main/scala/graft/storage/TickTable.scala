@@ -1,0 +1,43 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tick-table storage layout (SURVEY §2.2 K1 + §2.6 O5): the Spark
+  * equivalent of the reference's MergeTree table with ORDER BY timestamp
+  * (/root/reference/db/clickhouse.go:16-28).
+  *
+  *  - date-partitioned parquet: time-range predicates prune whole
+  *    partitions before any I/O;
+  *  - sortWithinPartitions(exchange_timestamp) before write: parquet
+  *    row-group min/max stats are tight, so within a day, range scans
+  *    skip row groups — the same effect as the MergeTree sort key;
+  *  - repartition by trade_date before the sort keeps one writer task
+  *    per partition value per batch (no small-file explosion at scale).
+  */
+object TickTable {
+
+  val PartitionCol = "trade_date"
+
+  /** Append a batch of ticks (tick schema, graft.core.Schemas.tickSchema). */
+  def append(ticks: DataFrame, path: String): Unit =
+    ticks
+      .withColumn(PartitionCol, to_date(col("exchange_timestamp")))
+      .repartition(col(PartitionCol))
+      .sortWithinPartitions("exchange_timestamp")
+      .write.mode("append")
+      .partitionBy(PartitionCol)
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Time-range scan helper — the predicate shape that gets both
+    * partition pruning (on trade_date) and row-group skipping (on the
+    * sorted timestamp). */
+  def timeRange(spark: SparkSession, path: String, fromTs: String, toTs: String): DataFrame =
+    read(spark, path)
+      .filter(col(PartitionCol) >= to_date(lit(fromTs)) && col(PartitionCol) <= to_date(lit(toTs)))
+      .filter(col("exchange_timestamp") >= to_timestamp(lit(fromTs))
+        && col("exchange_timestamp") < to_timestamp(lit(toTs)))
+}

@@ -1,0 +1,61 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.core.Codec
+import graft.core.Schemas.TickFrame
+import graft.storage.TickTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** T8 checkpoint recovery: a restarted query resumes from the committed
+  * offsets — no loss, no duplication of already-sunk batches. */
+class RecoverySpec extends SparkSpec {
+
+  private def frame(token: String, seq: Long, tsMs: Long): Array[Byte] =
+    Codec.encode(TickFrame(1, 1, token, seq, tsMs, 100L * seq,
+      None, None, None, None, None, None, None, None, None))
+
+  test("restart from checkpoint: batch 2 appends exactly once") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("sink").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val dim = spark.emptyDataFrame.selectExpr("'x' as token", "'X' as symbol")
+
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Array[Byte]]
+    val t0 = 1704447000000L
+    stream.addData(frame("2885", 1, t0), frame("2885", 2, t0 + 1000))
+    val q1 = IngestStream.start(spark, stream.toDS(), dim, sink, ckpt,
+      Trigger.ProcessingTime("1 second"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(TickTable.read(spark, sink).count() === 2)
+
+    stream.addData(frame("2885", 3, t0 + 2000))
+    val q2 = IngestStream.start(spark, stream.toDS(), dim, sink, ckpt,
+      Trigger.ProcessingTime("1 second"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = TickTable.read(spark, sink)
+    assert(out.count() === 3, "exactly one new row after recovery")
+    assert(out.select("sequence_number").distinct().count() === 3)
+  }
+
+  test("tick-table time-range scan prunes partitions") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ticks").toString
+    val day1 = 1704412800000L // 2024-01-05 00:00 UTC
+    val day2 = day1 + 86400000L
+    val ticks = graft.ingest.TickDecoder.decode(spark,
+      Seq(frame("A", 1, day1 + 3600000), frame("A", 2, day2 + 3600000)).toDS())
+    TickTable.append(ticks.toDF(), path)
+
+    val scan = TickTable.timeRange(spark, path, "2024-01-05 00:00:00", "2024-01-06 00:00:00")
+    assert(scan.count() === 1)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+  }
+}

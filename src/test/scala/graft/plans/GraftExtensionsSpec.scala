@@ -15,10 +15,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
+    .withExtensions(new GraftExtensions) // applies when this JVM has no session yet
     .getOrCreate()
 
-  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark) // reused session: register directly
+  }
 
   test("graft_cosine is callable from SQL and matches the HOF formulation") {
     import spark.implicits._
