@@ -36,6 +36,12 @@ object SparkEntry {
     "token_stats" -> (M.tokenStats _),
     "mode_conditional" -> (M.modeConditional _),
     "asof_price" -> (M.asofPrice _),
+    "tick_returns" -> (M.tickReturns _),
+    "set_ops" -> (M.setOps _),
+    "rollup_stats" -> (M.rollupStats _),
+    "distinct_counts" -> (M.distinctCounts _),
+    "json_props" -> (M.jsonProps _),
+    "time_format" -> (M.timeFormat _),
     "hourly_bars" -> (M.hourlyBars _),
     "seq_dedup" -> (M.seqDedup _),
     // -- relational / TPC-H-ish --
@@ -184,6 +190,33 @@ object SparkEntry {
         |SELECT user_id, max(CASE WHEN rn = 1 THEN value END) AS asof_price,
         |  epoch_us(max(ts)) AS asof_ts_us
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "tick_returns" ->
+      """SELECT event_id, user_id, value,
+        |round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS price_change
+        |FROM events WHERE user_id IN (1,7,42,99) ORDER BY event_id""".stripMargin,
+
+    "set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "rollup_stats" ->
+      """SELECT event_type, count(*) AS tick_count, round(sum(value),3) AS total_value
+        |FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "distinct_counts" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types, count(*) AS tick_count
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "json_props" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS tick_count,
+        |round(sum(value),3) AS total_value FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "time_format" ->
+      """SELECT event_id, strftime(ts, '%H:%M') AS hhmm,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_formatted
+        |FROM events WHERE user_id = 7 ORDER BY event_id""".stripMargin,
 
     "tpch_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),3) AS sum_qty,

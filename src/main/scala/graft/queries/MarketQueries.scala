@@ -205,6 +205,64 @@ object MarketQueries {
         tsUs(max(col("ts"))).as("asof_ts_us"))
       .orderBy("user_id")
 
+  /** §2.8: window function — tick-to-tick price change per token
+    * (lag over event-time order; partitioned by token so the sort is
+    * per-key, never global). */
+  def tickReturns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .withColumn("price_change", round(col("value") - lag("value", 1).over(w), 4))
+      .select("event_id", "user_id", "value", "price_change")
+      .orderBy("event_id")
+  }
+
+  /** §2.9: set operation — tokens that emitted both 'purchase' and
+    * 'error' events (INTERSECT of two key sets). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    e.filter(col("event_type") === "purchase").select("user_id")
+      .intersect(e.filter(col("event_type") === "error").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** Rollup aggregation (superset of the reference's plain GROUP BY
+    * surface): per-type and grand-total in one pass. */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .rollup("event_type")
+      .agg(count(lit(1)).as("tick_count"), round(sum("value"), 3).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  /** Distinct aggregation: per-token distinct event types + overall span. */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        countDistinct("event_type").as("n_types"),
+        count(lit(1)).as("tick_count"))
+      .orderBy("user_id")
+
+  /** F10: JSON decode of the props payload (config parsing parity,
+    * /root/reference/main.go:175) — extract, cast, aggregate. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("tick_count"), round(sum("value"), 3).as("total_value"))
+      .orderBy("k")
+
+  /** F8: time formatting (reference log formats main.go:121-124). */
+  def timeFormat(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id") === Token)
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "HH:mm").as("hhmm"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_formatted"))
+      .orderBy("event_id")
+
   /** T6 batch analog: sequence-number dedup — the stream unioned with
     * itself (simulating redelivery); exact duplicates collapse. */
   def seqDedup(spark: SparkSession, dir: String): DataFrame = {
