@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{MarketQueries => M, RelationalQueries => R}
-import graft.ops.{TextDedup, TextAnalysis, Similarity, Multimodal}
+import graft.ops.{TextDedup, TextAnalysis, Similarity, Multimodal, CurationPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,7 +68,11 @@ object SparkEntry {
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
     // -- multimodal plumbing --
     "multimodal_meta" -> (Multimodal.extractFeatures _),
-    "multimodal_format_stats" -> (Multimodal.formatStats _)
+    "multimodal_format_stats" -> (Multimodal.formatStats _),
+    "multimodal_frames" -> (Multimodal.frameSample _),
+    "multimodal_resize" -> (Multimodal.resizePlan _),
+    // -- composed curation pipeline --
+    "pipeline_filtered_docs" -> (CurationPipeline.filteredCorpus _)
   )
 
   // ---------------------------------------------------------------------
@@ -382,6 +386,32 @@ object SparkEntry {
          |f AS (SELECT CASE nb % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webm' END AS format,
          |  CAST(nb AS BIGINT) AS n_bytes, h % 1280 AS width FROM b)
          |SELECT format, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-         |round(avg(width),4) AS avg_width FROM f GROUP BY format ORDER BY format""".stripMargin
+         |round(avg(width),4) AS avg_width FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT doc_id, CAST(nb % 30 + 1 AS BIGINT) AS n_frames FROM b WHERE nb % 3 = 2)
+        |SELECT doc_id, n_frames, CAST(unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 5)) AS BIGINT) AS frame_idx
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_resize" ->
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb, ${md5LongSql("text")} AS h FROM documents),
+         |g AS (SELECT doc_id, h % 1280 AS width, (h // 1280) % 720 AS height FROM b WHERE nb % 3 IN (0, 1)),
+         |s AS (SELECT doc_id, width, height, CAST(greatest(width, 1) AS DOUBLE) AS w,
+         |  CAST(greatest(height, 1) AS DOUBLE) AS hh FROM g)
+         |SELECT doc_id, width, height,
+         |  CAST(floor(w * least(CAST(224.0 AS DOUBLE) / w, CAST(224.0 AS DOUBLE) / hh)) AS BIGINT) AS out_width,
+         |  CAST(floor(hh * least(CAST(224.0 AS DOUBLE) / w, CAST(224.0 AS DOUBLE) / hh)) AS BIGINT) AS out_height
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "pipeline_filtered_docs" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS n_words,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio
+         |  FROM documents),
+         |q AS (SELECT doc_id, n_words,
+         |  round(least(CAST(1.0 AS DOUBLE), n_words / 50.0) * (CAST(1.0 AS DOUBLE) - punct_ratio), 4) AS quality_score FROM b),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text)))
+         |SELECT q.doc_id, n_words, quality_score FROM q JOIN k ON q.doc_id = k.doc_id
+         |WHERE quality_score >= 0.3 AND n_words BETWEEN 20 AND 5000 ORDER BY q.doc_id""".stripMargin
   )
 }

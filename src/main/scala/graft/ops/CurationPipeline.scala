@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composed corpus-curation pipeline — the operators above chained the
+  * way a pretraining data pipeline actually runs them:
+  *
+  *   exact-dedup keep-list -> quality gate -> length gate -> survivors
+  *
+  * One scan feeds the keep-list aggregation and the per-doc metrics; the
+  * join is on the content hash (shuffle-partitionable). At 100 TB each
+  * stage is the same plan shape, just more partitions.
+  */
+object CurationPipeline {
+
+  val MinQuality = 0.3
+  val MinWords = 20
+  val MaxWords = 5000
+
+  def filteredCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.qualityScore(spark, dir)
+    val keepIds = TextDedup.exact(spark, dir).select(col("keep_id").as("doc_id"))
+    quality
+      .join(keepIds, "doc_id") // exact-dup survivors only
+      .filter(col("quality_score") >= MinQuality
+        && col("n_words") >= MinWords && col("n_words") <= MaxWords)
+      .select("doc_id", "n_words", "quality_score")
+      .orderBy("doc_id")
+  }
+}

@@ -64,6 +64,34 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling: every 5th frame index per media payload (the
+    * video-preprocessing shape: one row out per sampled frame, ready for
+    * a per-frame decode stage). Pure plan-side explode — the frame list
+    * never materializes on the driver. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir)
+      .filter(col("format") === "webm")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Resize planning: letterbox every (fake) image into a 224x224 budget —
+    * integer target dims from double scale arithmetic, identical in the
+    * oracle. A real codec slots into the decode stage; the geometry pass
+    * stays exactly this. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = greatest(col("width"), lit(1L)).cast("double")
+    val h = greatest(col("height"), lit(1L)).cast("double")
+    val scale = least(lit(224.0) / w, lit(224.0) / h)
+    extractFeatures(spark, dir)
+      .filter(col("format").isin("jpeg", "png"))
+      .select(col("doc_id"), col("width"), col("height"),
+        floor(w * scale).cast("long").as("out_width"),
+        floor(h * scale).cast("long").as("out_height"))
+      .orderBy("doc_id")
+  }
+
   /** Aggregate media stats by fake format — the "how much of each modality
     * do we have" query every dataset card needs. */
   def formatStats(spark: SparkSession, dir: String): DataFrame =
