@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Semantic checks on crafted fixtures: known duplicates and known
+  * neighbors must be found (the DuckDB oracle proves engine parity; these
+  * prove the operators mean what they claim). */
+class OpsSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("opsfix").toString
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again today", "en", "s", 55L),
+      (1L, "the quick brown fox leaps over the lazy dog again today", "en", "s", 55L),
+      (2L, "completely different content about spark query engines and storage", "en", "s", 66L),
+      (3L, "completely different content about spark query engines and storage", "en", "s", 66L),
+      (4L, "tiny", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val base = (1 to 64).map(i => math.sin(i.toDouble).toFloat).toArray
+    val scaled = base.map(x => x * 2.0f)
+    val other = (1 to 64).map(i => math.cos(i * 3.0).toFloat).toArray
+    Seq((0L, base, 0), (1L, scaled, 0), (2L, other, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts") {
+    val groups = TextDedup.exact(spark, dir).collect()
+    assert(groups.length === 4) // 5 docs, one exact pair
+    val dupGroup = groups.filter(_.getAs[Long]("n_dups") === 2L)
+    assert(dupGroup.length === 1 && dupGroup(0).getAs[Long]("keep_id") === 2L)
+  }
+
+  test("ngram jaccard finds the near-identical and the identical pair") {
+    val pairs = TextDedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSeq
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j > 0.4 })
+    assert(pairs.exists { case (a, b, j) => a == 2L && b == 3L && j == 1.0 })
+  }
+
+  test("minhash-LSH catches the identical pair and verifies exactly") {
+    val pairs = TextDedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((2L, 3L)))
+    // every reported pair must also be a true jaccard pair (no false positives)
+    val truth = TextDedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall(truth.contains))
+  }
+
+  test("simhash: identical docs have identical signatures, hamming 0") {
+    val sigs = TextDedup.simhashSigs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(2L) === sigs(3L))
+    val pairs = TextDedup.simhash(spark, dir).collect()
+    val p23 = pairs.find(r => r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(p23.isDefined && p23.get.getAs[Long]("hamming") === 0L)
+  }
+
+  test("embedding near-dup finds the colinear pair with cos ~ 1") {
+    val pairs = Similarity.embeddingNearDup(spark, dir).collect()
+    val p01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(p01.isDefined)
+    assert(math.abs(p01.get.getAs[Double]("cos_sim") - 1.0) < 1e-5)
+  }
+
+  test("brute-force top-k ranks the colinear vector first") {
+    val top = Similarity.bruteForceTopK(spark, dir)
+      .filter(col("qid") === 0).collect()
+    assert(top.head.getAs[Long]("vec_id") === 1L)
+  }
+
+  test("fingerprints agree exactly for identical docs") {
+    val fps = TextAnalysis.fingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fps(2L) === fps(3L))
+    assert(fps(0L) !== fps(1L))
+  }
+
+  test("curation pipeline drops short docs and duplicate copies") {
+    val kept = CurationPipeline.filteredCorpus(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(!kept.contains(4L), "4-char doc must fail the length gate")
+    assert(!kept.contains(3L), "duplicate copy must lose to keep_id 2")
+  }
+
+  test("multimodal decode stub is deterministic and batch-shaped") {
+    val feats = Multimodal.extractFeatures(spark, dir).collect()
+    assert(feats.length === 5)
+    val f23 = feats.filter(r => r.getAs[Long]("doc_id") >= 2 && r.getAs[Long]("doc_id") <= 3)
+    assert(f23(0).getAs[String]("media_md5") === f23(1).getAs[String]("media_md5"))
+    assert(feats.forall(r => r.getAs[Long]("width") < 1280 && r.getAs[Long]("height") < 720))
+  }
+}
