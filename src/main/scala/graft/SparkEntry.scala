@@ -42,6 +42,7 @@ object SparkEntry {
     "distinct_counts" -> (M.distinctCounts _),
     "json_props" -> (M.jsonProps _),
     "time_format" -> (M.timeFormat _),
+    "percentiles" -> (M.percentiles _),
     "hourly_bars" -> (M.hourlyBars _),
     "seq_dedup" -> (M.seqDedup _),
     // -- relational / TPC-H-ish --
@@ -66,6 +67,9 @@ object SparkEntry {
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
+    "stratified_sample" -> (TextAnalysis.stratifiedSample _),
+    "token_histogram" -> (TextAnalysis.tokenHistogram _),
+    "cross_modal" -> (TextAnalysis.crossModal _),
     // -- multimodal plumbing --
     "multimodal_meta" -> (Multimodal.extractFeatures _),
     "multimodal_format_stats" -> (Multimodal.formatStats _),
@@ -372,6 +376,27 @@ object SparkEntry {
          |SELECT doc_id, md5(lower(text)) AS fp_md5, ${md5LongSql("lower(text)")} AS fp_int,
          |  list_min(list_transform(sharr, s -> ${md5LongSql("s")} % 2147483647)) AS min_shingle_hash
          |FROM shl ORDER BY doc_id""".stripMargin,
+
+    "percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        |round(quantile_cont(value, 0.9), 4) AS p90, round(quantile_cont(value, 0.99), 4) AS p99,
+        |count(*) AS tick_count FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled FROM documents
+         |WHERE ${md5LongSql("lower(text)")} % 10 = 0 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "token_histogram" ->
+      s"""SELECT (CAST(len($WordsSql) AS BIGINT) // 10) * 10 AS bucket_lo, count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+
+    "cross_modal" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm FROM embeddings)
+        |SELECT label, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(nrm), 6) AS avg_norm
+        |FROM documents d JOIN e ON d.doc_id = e.vec_id
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     "multimodal_meta" ->
       s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,

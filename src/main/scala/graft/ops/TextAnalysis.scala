@@ -87,6 +87,44 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy("doc_id")
 
+  /** Deterministic stratified 10% sample per language: hash-mod on the
+    * content fingerprint (never rand() — re-runs and the oracle agree;
+    * spreading by content hash is uniform regardless of doc_id order). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(md5Long(lower(col("text"))) % 10 === 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+
+  /** Token-count histogram: docs bucketed by word-count decade — the
+    * length-distribution panel of a dataset card. */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(size(words(col("text"))).cast("long").as("nw"))
+      .select((expr("nw div 10") * 10).as("bucket_lo"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket_lo")
+
+  /** Cross-modal join: text metrics + embedding cluster in one row
+    * (documents.doc_id == embeddings.vec_id in the fixtures) — per
+    * cluster: doc count, mean length, mean embedding norm. */
+  def crossModal(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        sqrt(aggregate(transform(col("embedding").cast("array<double>"), x => x * x),
+          lit(0.0), (acc, x) => acc + x)).as("nrm"))
+    docs(spark, dir)
+      .join(e, col("doc_id") === col("vec_id"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg("nrm"), 6).as("avg_norm"))
+      .orderBy("label")
+  }
+
   /** Document fingerprints: full-content md5, a 60-bit integer fingerprint,
     * and the min word-3-gram shingle hash (winnowing-lite — equal for any
     * two docs sharing their rarest shingle window). */

@@ -263,6 +263,19 @@ object MarketQueries {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_formatted"))
       .orderBy("event_id")
 
+  /** Exact interpolated percentiles per event type (the distribution
+    * summary the reference's histogram metrics gesture at,
+    * /root/reference/metrics/metrics.go:53). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("tick_count"))
+      .orderBy("event_type")
+
   /** T6 batch analog: sequence-number dedup — the stream unioned with
     * itself (simulating redelivery); exact duplicates collapse. */
   def seqDedup(spark: SparkSession, dir: String): DataFrame = {
