@@ -32,6 +32,30 @@ object TickTable {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a date partition: micro-batch appends leave one file per
+    * trigger; periodic compaction rewrites the partition into `numFiles`
+    * time-sorted files. At 100 TB this runs as a nightly job over
+    * yesterday's partition only — never the whole table. */
+  def compactPartition(spark: SparkSession, path: String, date: String, numFiles: Int = 1): Unit = {
+    val part = read(spark, path).filter(col(PartitionCol) === to_date(lit(date)))
+      .drop(PartitionCol)
+    val tmp = s"$path/.compact_tmp_$date"
+    part.repartition(numFiles)
+      .sortWithinPartitions("exchange_timestamp")
+      .write.mode("overwrite").parquet(tmp)
+    // swap: rewrite the partition directory from the compacted copy
+    val compacted = spark.read.parquet(tmp)
+    compacted
+      .withColumn(PartitionCol, to_date(lit(date)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartitionCol)
+      .parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Time-range scan helper — the predicate shape that gets both
     * partition pruning (on trade_date) and row-group skipping (on the
     * sorted timestamp). */

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{TextDedup, Similarity}
+import graft.queries.MarketQueries
+import org.apache.spark.sql.functions._
+
+/** Distribution invariance (SURVEY §5.2): results must not depend on
+  * physical partitioning — the property that makes "works on local[32]"
+  * transfer to a 1000-executor cluster. */
+class InvarianceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("token stats identical under different partitioning") {
+    val base = MarketQueries.tokenStats(spark, dir).collect().toSeq
+    val once = MarketQueries.events(spark, dir).repartition(1)
+    val wide = MarketQueries.events(spark, dir).repartition(16, col("event_id"))
+    def statsOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("user_id")
+      .agg(min("value").as("min_price"), max("value").as("max_price"),
+        round(avg("value"), 4).as("avg_price"), round(sum("value"), 3).as("total_value"),
+        count(lit(1)).as("tick_count"), unix_micros(max(col("ts"))).as("last_update_us"))
+      .orderBy("user_id").collect().toSeq
+    assert(statsOf(once) === base)
+    assert(statsOf(wide) === base)
+  }
+
+  test("jaccard pairs bounded and symmetric-by-construction") {
+    val pairs = TextDedup.ngramJaccard(spark, dir).collect()
+    assert(pairs.forall { r =>
+      val j = r.getAs[Double]("jaccard")
+      j >= TextDedup.JaccardThreshold && j <= 1.0 && r.getLong(0) < r.getLong(1)
+    })
+  }
+
+  test("minhash candidates are a subset of true jaccard pairs") {
+    val mh = TextDedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = TextDedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(truth))
+    info(s"minhash recall on sf0.001: ${mh.size}/${truth.size}")
+  }
+
+  test("LSH top-k is a subset of brute-force candidates per query") {
+    val bf = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every LSH hit shares the query's bucket; it may miss brute-force
+    // winners from other buckets but must never invent similarities
+    val bfAll = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cos_sim"))).toMap
+    val lshScores = Similarity.lshTopK(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cos_sim")))
+    lshScores.foreach { case (k, s) =>
+      bfAll.get(k).foreach(bfScore => assert(bfScore === s))
+    }
+  }
+}

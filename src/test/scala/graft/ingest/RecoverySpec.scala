@@ -58,4 +58,52 @@ class RecoverySpec extends SparkSpec {
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
   }
+
+  test("partition compaction merges micro-batch files, preserves rows") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("compact").toString
+    val day = 1704412800000L // 2024-01-05
+    // three separate appends = at least three files in the partition
+    for (i <- 1 to 3) {
+      val ticks = graft.ingest.TickDecoder.decode(spark,
+        Seq(frame("A", i.toLong, day + i * 1000)).toDS())
+      TickTable.append(ticks.toDF(), path)
+    }
+    def partFiles() = {
+      val d = new java.io.File(s"$path/trade_date=2024-01-05")
+      d.listFiles().count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(partFiles() >= 3)
+    assert(TickTable.read(spark, path).count() === 3)
+    TickTable.compactPartition(spark, path, "2024-01-05", numFiles = 1)
+    assert(partFiles() === 1, "compaction must leave one file")
+    val rows = TickTable.read(spark, path)
+    assert(rows.count() === 3)
+    assert(rows.select("sequence_number").distinct().count() === 3)
+  }
+
+  test("metrics listener counts processed rows and batches") {
+    import spark.implicits._
+    val listener = new graft.obs.IngestMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val sink = Files.createTempDirectory("lsink").toString
+      val ckpt = Files.createTempDirectory("lckpt").toString
+      val dim = spark.emptyDataFrame.selectExpr("'x' as token", "'X' as symbol")
+      implicit val ctx = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+      stream.addData(frame("2885", 1, 1704447000000L), frame("2885", 2, 1704447001000L))
+      val q = IngestStream.start(spark, stream.toDS(), dim, sink, ckpt,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      q.processAllAvailable()
+      q.stop()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.rowsProcessed.get < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.rowsProcessed.get >= 2)
+      assert(listener.batchesProcessed.get >= 1)
+      assert(listener.snapshot().contains("graft_ticks_processed_total"))
+    } finally spark.streams.removeListener(listener)
+  }
 }
