@@ -101,25 +101,38 @@ object TextDedup {
   }
 
   /** SimHash near-dup pairs: 4 bands x 12 bits; candidates share a band,
-    * survivors have Hamming distance <= 6 over the 48-bit signatures. */
+    * survivors have Hamming distance <= 6 over the 48-bit signatures.
+    *
+    * The pairwise stage runs over UNIQUE signatures (similar docs often
+    * share a sig exactly), then expands back to doc pairs — the
+    * dedup-before-pairwise pattern that pays off whenever the corpus has
+    * heavy value repetition. Hamming filters run BEFORE the distinct so
+    * the dedup shuffle only carries survivors. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(spark, dir)
+    val usig = sigs.select("sig").distinct()
     val bandStructs = (0 until SimHashBands).map { b =>
       struct(lit(b).as("b"), (expr(s"shiftright(sig, ${b * 12})") % 4096).as("band_val"))
     }
-    val bands = sigs.select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.b").as("b"), col("bb.band_val").as("band_val"))
-    // hamming filter BEFORE the distinct: the band join emits up to 4 rows
-    // per colliding pair, but filtering first means the dedup shuffle only
-    // carries survivors (~5x fewer rows on dense corpora)
-    bands.as("x")
+    val bands = usig.select(col("sig"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("sig"), col("bb.b").as("b"), col("bb.band_val").as("band_val"))
+    val sigPairs = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val")
-          && col("x.doc_id") < col("y.doc_id"))
+          && col("x.sig") < col("y.sig"))
       .withColumn("hamming", bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long"))
       .filter(col("hamming") <= 6)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hamming"))
+      .select(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"), col("hamming"))
       .distinct()
+    val crossSig = sigPairs
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("sig_a")), "sig_a")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sig_b")), "sig_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val sameSig = sigs.as("p")
+      .join(sigs.as("q"), col("p.sig") === col("q.sig") && col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"), lit(0L).as("hamming"))
+    crossSig.unionByName(sameSig)
       .orderBy("doc_a", "doc_b")
   }
 }
