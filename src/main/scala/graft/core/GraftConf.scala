@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended session configuration, local-mode and cluster-scale.
+  *
+  * The same code runs in both; only these knobs move. Values follow the
+  * sizing rules in SURVEY §7.4.6 / the Spark tuning guide: shuffle
+  * partitions ~ 2-3x total cores (AQE coalesces down), 128 MB scan
+  * splits, AQE on with skew-join splitting, small dims broadcast.
+  */
+object GraftConf {
+
+  /** Apply to a builder before getOrCreate. `cores` = total executor
+    * cores (32 for the local harness; thousands on a real cluster). */
+  def tuned(builder: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    builder
+      .config("spark.sql.shuffle.partitions", math.max(cores, 1).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  /** 100 TB notes (not settable from inside the job, documented here):
+    *  - shuffle partitions: target ~128-256 MB per reduce partition;
+    *    at 100 TB of input and ~1 TB of post-filter shuffle, thousands of
+    *    partitions — set spark.sql.shuffle.partitions high and let AQE
+    *    coalesce, never the reverse;
+    *  - tick table: partition by trade_date (this library does), bucket
+    *    very hot fact-to-fact joins by token if they appear;
+    *  - broadcast threshold: the token directory and centroid tables are
+    *    KB-scale — the explicit broadcast() calls in this library don't
+    *    depend on autoBroadcastJoinThreshold;
+    *  - dedup/similarity: shingle and band tables should be persisted
+    *    (DISK_ONLY) when reused across queries of one session.
+    */
+  val clusterNotes: String = "see scaladoc"
+}
