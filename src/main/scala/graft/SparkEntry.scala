@@ -43,6 +43,7 @@ object SparkEntry {
     "json_props" -> (M.jsonProps _),
     "time_format" -> (M.timeFormat _),
     "percentiles" -> (M.percentiles _),
+    "session_stats" -> (M.sessionStats _),
     "hourly_bars" -> (M.hourlyBars _),
     "seq_dedup" -> (M.seqDedup _),
     // -- relational / TPC-H-ish --
@@ -376,6 +377,17 @@ object SparkEntry {
          |SELECT doc_id, md5(lower(text)) AS fp_md5, ${md5LongSql("lower(text)")} AS fp_int,
          |  list_min(list_transform(sharr, s -> ${md5LongSql("s")} % 2147483647)) AS min_shingle_hash
          |FROM shl ORDER BY doc_id""".stripMargin,
+
+    "session_stats" ->
+      """WITH f AS (SELECT * FROM events WHERE user_id IN (1,7,42,99)),
+        |l AS (SELECT *, CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 14400000000
+        |  THEN 1 ELSE 0 END AS new_session FROM f),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM l)
+        |SELECT user_id, session_id, count(*) AS n_events, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
     "percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,

@@ -263,6 +263,29 @@ object MarketQueries {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_formatted"))
       .orderBy("event_id")
 
+  /** Gap-based sessionization (batch form of session windows, SURVEY
+    * §2.10 T5): a new session starts after a >4 h silence per token;
+    * session id = running count of session starts. Two window passes +
+    * one hash agg, all partitioned by token. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 4L * 3600 * 1000000 // 4 hours in micros
+    val prev = lag(unix_micros(col("ts")), 1).over(byTime)
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .withColumn("new_session",
+        when(prev.isNull || unix_micros(col("ts")) - prev > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("session_start_us"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Exact interpolated percentiles per event type (the distribution
     * summary the reference's histogram metrics gesture at,
     * /root/reference/metrics/metrics.go:53). */
