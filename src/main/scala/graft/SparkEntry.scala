@@ -118,7 +118,8 @@ object SparkEntry {
       |   + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt FROM emb)""".stripMargin
 
   private val centroidCols: String =
-    (0 until 64).map(i => s"round(sum(v[${i + 1}]),3) AS s${"%02d".format(i)}").mkString(", ")
+    (0 until 64).map(i =>
+      s"round(CAST(sum(CAST(v[${i + 1}] AS DECIMAL(27,12))) AS DOUBLE),3) AS s${"%02d".format(i)}").mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "latest_tick" ->
@@ -169,7 +170,8 @@ object SparkEntry {
 
     "token_stats" ->
       """SELECT user_id, min(value) AS min_price, max(value) AS max_price,
-        |round(avg(value),4) AS avg_price, round(sum(value),3) AS total_value,
+        |CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_price,
+        |round(sum(value),3) AS total_value,
         |count(*) AS tick_count, epoch_us(max(ts)) AS last_update_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -230,15 +232,16 @@ object SparkEntry {
     "tpch_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),3) AS sum_qty,
         |round(sum(l_extendedprice),3) AS sum_base_price,
-        |round(sum(l_extendedprice * (1.0 - l_discount)),3) AS sum_disc_price,
-        |round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |round(avg(l_quantity),4) AS avg_qty,
+        |CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_disc,
         |count(*) AS count_order FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "tpch_top_orders" ->
       """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
-        |round(sum(l_extendedprice * (1.0 - l_discount)),3) AS revenue
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
         |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -406,7 +409,7 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, label,
         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm FROM embeddings)
         |SELECT label, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
-        |  round(avg(nrm), 6) AS avg_norm
+        |  round(CAST(sum(CAST(nrm AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS avg_norm
         |FROM documents d JOIN e ON d.doc_id = e.vec_id
         |GROUP BY label ORDER BY label""".stripMargin,
 

@@ -134,7 +134,7 @@ object Similarity {
     val e = emb(spark, dir)
     val dim = 64
     val sums = (0 until dim).map(i =>
-      round(sum(element_at(col("v"), i + 1)), 3).as(f"s$i%02d"))
+      round(sum(element_at(col("v"), i + 1).cast("decimal(27,12)")).cast("double"), 3).as(f"s$i%02d"))
     e.groupBy("label")
       .agg(count(lit(1)).as("n"), sums: _*)
       .orderBy("label")

@@ -121,7 +121,7 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg("n_chars"), 4).as("avg_chars"),
-        round(avg("nrm"), 6).as("avg_norm"))
+        round(sum(col("nrm").cast("decimal(20,10)")).cast("double") / count(lit(1)), 6).as("avg_norm"))
       .orderBy("label")
   }
 

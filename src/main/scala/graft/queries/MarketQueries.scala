@@ -159,7 +159,10 @@ object MarketQueries {
       .agg(
         min("value").as("min_price"),
         max("value").as("max_price"),
-        round(avg("value"), 4).as("avg_price"),
+        // decimal-exact avg: both engines sum the same decimals exactly,
+        // then divide by the same count — bit-identical, NO rounding
+        // (round(double) itself disagrees across engines on exact ties)
+        (sum(col("value").cast("decimal(20,6)")).cast("double") / count(lit(1))).as("avg_price"),
         round(sum("value"), 3).as("total_value"),
         count(lit(1)).as("tick_count"),
         tsUs(max(col("ts"))).as("last_update_us"))

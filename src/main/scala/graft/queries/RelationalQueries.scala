@@ -21,9 +21,12 @@ object RelationalQueries {
       .agg(
         round(sum("l_quantity"), 3).as("sum_qty"),
         round(sum("l_extendedprice"), 3).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 3).as("sum_disc_price"),
+        // off-grid accumulations go through exact decimals (order-proof)
+        // product computed in exact decimal from the 2-dec grid inputs —
+        // a double product cast to decimal is NOT cross-engine stable
+        sum(expr("cast(l_extendedprice as decimal(18,2)) * (cast(1.00 as decimal(3,2)) - cast(l_discount as decimal(18,2)))")).cast("double").as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        (sum(col("l_discount").cast("decimal(20,6)")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -42,7 +45,7 @@ object RelationalQueries {
     orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).cast("string").as("order_date"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 3).as("revenue"))
+      .agg(sum(expr("cast(l_extendedprice as decimal(18,2)) * (cast(1.00 as decimal(3,2)) - cast(l_discount as decimal(18,2)))")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }

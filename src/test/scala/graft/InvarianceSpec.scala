@@ -57,4 +57,12 @@ class InvarianceSpec extends SparkSpec {
       bfAll.get(k).foreach(bfScore => assert(bfScore === s))
     }
   }
+
+  test("approx_count_distinct lands within its error bound") {
+    val e = MarketQueries.events(spark, dir)
+    val exact = e.select(countDistinct("user_id")).head().getLong(0)
+    val approx = e.select(approx_count_distinct("user_id", 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
 }
