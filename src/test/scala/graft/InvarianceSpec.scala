@@ -18,7 +18,8 @@ class InvarianceSpec extends SparkSpec {
     def statsOf(df: org.apache.spark.sql.DataFrame) = df
       .groupBy("user_id")
       .agg(min("value").as("min_price"), max("value").as("max_price"),
-        round(avg("value"), 4).as("avg_price"), round(sum("value"), 3).as("total_value"),
+        (sum(col("value").cast("decimal(20,6)")).cast("double") / count(lit(1))).as("avg_price"),
+        round(sum("value"), 3).as("total_value"),
         count(lit(1)).as("tick_count"), unix_micros(max(col("ts"))).as("last_update_us"))
       .orderBy("user_id").collect().toSeq
     assert(statsOf(once) === base)
