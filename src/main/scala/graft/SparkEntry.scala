@@ -44,6 +44,9 @@ object SparkEntry {
     "time_format" -> (M.timeFormat _),
     "percentiles" -> (M.percentiles _),
     "session_stats" -> (M.sessionStats _),
+    "inactive_tokens" -> (M.inactiveTokens _),
+    "pivot_counts" -> (M.pivotCounts _),
+    "tokens_by_type" -> (M.tokensByType _),
     "hourly_bars" -> (M.hourlyBars _),
     "seq_dedup" -> (M.seqDedup _),
     // -- relational / TPC-H-ish --
@@ -380,6 +383,27 @@ object SparkEntry {
          |SELECT doc_id, md5(lower(text)) AS fp_md5, ${md5LongSql("lower(text)")} AS fp_int,
          |  list_min(list_transform(sharr, s -> ${md5LongSql("s")} % 2147483647)) AS min_shingle_hash
          |FROM shl ORDER BY doc_id""".stripMargin,
+
+    "inactive_tokens" ->
+      """SELECT c_custkey FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM events WHERE user_id = c_custkey
+        |  AND ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 7 DAY)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "pivot_counts" ->
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'click') AS click,
+        |count(*) FILTER (WHERE event_type = 'error') AS error,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events WHERE user_id IN (1,7,42,99) GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "tokens_by_type" ->
+      """SELECT event_type,
+        |array_to_string(list_sort(list(DISTINCT user_id)), ',') AS token_list,
+        |count(DISTINCT user_id) AS n_tokens
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "session_stats" ->
       """WITH f AS (SELECT * FROM events WHERE user_id IN (1,7,42,99)),

@@ -266,6 +266,41 @@ object MarketQueries {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_formatted"))
       .orderBy("event_id")
 
+  /** Anti join: registered tokens (customer dim as directory analog) with
+    * NO activity in the trailing week — the "stale instruments" report. */
+  def inactiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val recent = events(spark, dir)
+      .filter(col("ts") >= to_timestamp(lit(AsOf)) - expr("INTERVAL 7 DAYS"))
+      .select(col("user_id"))
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"))
+      .join(recent, col("c_custkey") === col("user_id"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  /** Pivot: per-token tick counts by event type as columns — the
+    * wide-format report shape. Fixed pivot values keep the schema
+    * deterministic. */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Collected-set aggregation (the shape of the reference's per-exchange
+    * token grouping, /root/reference/main.go:180-188) — emitted as a
+    * sorted CSV string so the hash compare is order-stable. */
+  def tokensByType(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("user_id")))).as("token_list"),
+        countDistinct("user_id").as("n_tokens"))
+      .orderBy("event_type")
+
   /** Gap-based sessionization (batch form of session windows, SURVEY
     * §2.10 T5): a new session starts after a >4 h silence per token;
     * session id = running count of session starts. Two window passes +
