@@ -18,6 +18,26 @@ object CurationPipeline {
   val MinWords = 20
   val MaxWords = 5000
 
+  /** Incremental dedup: drop incoming docs whose content fingerprint
+    * already exists in the historical index, and dedup within the batch
+    * (keep min doc_id). Returns (survivors, updatedIndex). The index is
+    * the only state — at 100 TB it's a bucketed table keyed by the
+    * fingerprint, and this is one anti join + one agg per batch, never a
+    * rescan of history. */
+  def incrementalDedup(newDocs: DataFrame, fingerprintIndex: DataFrame): (DataFrame, DataFrame) = {
+    val fp = newDocs.withColumn("fp", md5(lower(col("text"))))
+    val batchKeep = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val survivors = fp
+      .join(batchKeep, Seq("fp"))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+      .join(fingerprintIndex, Seq("fp"), "left_anti")
+    val updatedIndex = fingerprintIndex
+      .unionByName(survivors.select("fp").distinct())
+      .distinct()
+    (survivors.drop("fp"), updatedIndex)
+  }
+
   def filteredCorpus(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextAnalysis.qualityScore(spark, dir)
     val keepIds = TextDedup.exact(spark, dir).select(col("keep_id").as("doc_id"))

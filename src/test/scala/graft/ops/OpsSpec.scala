@@ -96,4 +96,17 @@ class OpsSpec extends SparkSpec {
     assert(f23(0).getAs[String]("media_md5") === f23(1).getAs[String]("media_md5"))
     assert(feats.forall(r => r.getAs[Long]("width") < 1280 && r.getAs[Long]("height") < 720))
   }
+
+  test("incremental dedup: batch-internal and vs-history dedup compose") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emptyIndex = Seq.empty[String].toDF("fp")
+    val (s1, idx1) = CurationPipeline.incrementalDedup(docs, emptyIndex)
+    assert(s1.count() === 4, "first batch: exact pair collapses to keeper")
+    assert(idx1.count() === 4)
+    // replaying the same batch against the updated index yields nothing
+    val (s2, idx2) = CurationPipeline.incrementalDedup(docs, idx1)
+    assert(s2.count() === 0, "already-indexed content must not survive")
+    assert(idx2.count() === 4)
+  }
 }
