@@ -53,6 +53,8 @@ object SparkEntry {
     "tpch_pricing_summary" -> (R.pricingSummary _),
     "tpch_top_orders" -> (R.topOrders _),
     "revenue_by_region" -> (R.revenueByRegion _),
+    "brand_revenue" -> (R.brandRevenue _),
+    "supplier_summary" -> (R.supplierSummary _),
     // -- dedup family --
     "dedup_exact" -> (TextDedup.exact _),
     "dedup_ngram" -> (TextDedup.ngramJaccard _),
@@ -254,6 +256,17 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "brand_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "supplier_summary" ->
+      """SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal),3) AS total_balance
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, md5(lower(text)) AS content_hash, count(*) AS n_dups

@@ -50,6 +50,30 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** Brand revenue: fact x part dim (broadcast — the part table is
+    * fact/30 rows), revenue in exact decimal. */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").select("p_partkey", "p_brand")
+    t(spark, dir, "lineitem")
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(expr("cast(l_extendedprice as decimal(18,2)) * (cast(1.00 as decimal(3,2)) - cast(l_discount as decimal(18,2)))"))
+          .cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** Supplier account summary — completes the star-schema coverage. */
+  def supplierSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"), round(sum("s_acctbal"), 3).as("total_balance"))
+      .orderBy("n_name")
+
   /** Multi-way dim join rollup: region -> nation -> customer -> orders,
     * all dims broadcast, one fact shuffle. */
   def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {

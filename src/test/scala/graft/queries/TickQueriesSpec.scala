@@ -3,7 +3,7 @@ package graft.queries
 import graft.SparkSpec
 import graft.core.Codec
 import graft.core.Schemas.TickFrame
-import graft.ingest.{IngestStream, ReplaySource, TokenDirectory}
+import graft.ingest.{IngestStream, ReplaySource}
 import graft.ops.Skew
 import graft.storage.TickTable
 import org.apache.spark.sql.functions._
