@@ -12,8 +12,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Structured Streaming — Trigger.ProcessingTime("5 seconds") +
   * foreachBatch append. Delivery upgrades from the reference's
   * drop-on-full at-most-once (/root/reference/main.go:325-330) to
-  * at-least-once via checkpoint recovery; the (token, sequence_number)
-  * dedup in Bars makes downstream aggregation effectively exactly-once.
+  * effectively exactly-once: the sink write is IDEMPOTENT per micro-batch
+  * (each batch dynamically overwrites its own (trade_date, batch_id)
+  * partitions, so a batch replayed after a crash-between-write-and-commit
+  * replaces itself instead of duplicating), and the (token,
+  * sequence_number) dedup in Bars covers source-side redelivery.
   *
   * Scale: the sink is date-partitioned and sorted within partitions by
   * event time, approximating the reference's MergeTree ORDER BY timestamp
@@ -39,8 +42,8 @@ object IngestStream {
       .queryName("graft-ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.storage.TickTable.append(batch, sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.storage.TickTable.appendBatch(batch, sinkDir, batchId)
       }
       .start()
   }

@@ -29,6 +29,23 @@ object TickTable {
       .partitionBy(PartitionCol)
       .parquet(path)
 
+  /** Idempotent micro-batch append: the layout adds a batch_id partition
+    * level and the write DYNAMICALLY OVERWRITES exactly the
+    * (trade_date, batch_id) partitions this batch produces — a replayed
+    * batch (crash between sink write and offset commit) replaces its own
+    * output instead of duplicating it. Compaction later collapses the
+    * batch_id level. */
+  def appendBatch(ticks: DataFrame, path: String, batchId: Long): Unit =
+    ticks
+      .withColumn(PartitionCol, to_date(col("exchange_timestamp")))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col(PartitionCol))
+      .sortWithinPartitions("exchange_timestamp")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartitionCol, "batch_id")
+      .parquet(path)
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

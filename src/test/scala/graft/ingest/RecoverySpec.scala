@@ -106,4 +106,16 @@ class RecoverySpec extends SparkSpec {
       assert(listener.snapshot().contains("graft_ticks_processed_total"))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("idempotent batch append: replaying a batch does not duplicate") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("idem").toString
+    val ticks = graft.ingest.TickDecoder.decode(spark,
+      Seq(frame("A", 1, 1704447000000L), frame("A", 2, 1704447001000L)).toDS()).toDF()
+    TickTable.appendBatch(ticks, path, batchId = 7)
+    TickTable.appendBatch(ticks, path, batchId = 7) // crash-replay of batch 7
+    assert(TickTable.read(spark, path).count() === 2, "replay must overwrite, not append")
+    TickTable.appendBatch(ticks, path, batchId = 8) // a NEW batch still appends
+    assert(TickTable.read(spark, path).count() === 4)
+  }
 }
