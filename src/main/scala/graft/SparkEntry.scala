@@ -65,6 +65,7 @@ object SparkEntry {
     "similarity_topk" -> (Similarity.bruteForceTopK _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
     "ann_ivf_topk" -> (Similarity.ivfTopK _),
+    "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "embedding_near_dup" -> (Similarity.embeddingNearDup _),
     "label_centroids" -> (Similarity.labelCentroids _),
     // -- text analysis --
@@ -325,6 +326,15 @@ object SparkEntry {
          |q AS (SELECT vec_id AS qid, v AS qv, bkt AS qbkt FROM bkt WHERE vec_id IN (0,1,2)),
          |s AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos_sim
          |  FROM q JOIN bkt ON bkt = qbkt AND vec_id <> qid),
+         |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+         |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
+
+    "ann_lsh_multiprobe" ->
+      s"""WITH $EmbBucketCte,
+         |q0 AS (SELECT vec_id AS qid, v AS qv, bkt AS qbkt0 FROM bkt WHERE vec_id IN (0,1,2)),
+         |q AS (SELECT qid, qv, unnest([qbkt0, xor(qbkt0, 1), xor(qbkt0, 2), xor(qbkt0, 4), xor(qbkt0, 8)]) AS probe_bkt FROM q0),
+         |s AS (SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos_sim
+         |  FROM q JOIN bkt ON bkt = probe_bkt AND vec_id <> qid),
          |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
          |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
 

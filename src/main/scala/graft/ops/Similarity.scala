@@ -82,6 +82,28 @@ object Similarity {
       .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
   }
 
+  /** Multi-probe sign-LSH top-k: each query also probes the 4 buckets at
+    * Hamming distance 1 from its own (flip one sign bit per probe) —
+    * the standard recall lever that keeps the same equality-join shape:
+    * candidates ~= 5/16 of the corpus here instead of 1/16, still never
+    * a scan. The probe list is a tiny generator on the broadcast side. */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String): DataFrame = {
+    val nBits = 4
+    val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
+    val probes = (0 until nBits).map(i => col("qbkt0").bitwiseXOR(lit(1L << i)))
+    val q = e.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt").as("qbkt0"))
+      .withColumn("probe_bkt", explode(array(col("qbkt0") +: probes: _*)))
+    import org.apache.spark.sql.expressions.Window
+    val scored = e.join(broadcast(q), col("bkt") === col("probe_bkt") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(GraftExtensions.cosine(col("qv"), col("v")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "vec_id", "cos_sim")
+      .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket by sign pattern, pair
     * within bucket, keep cosine >= threshold. (A near-dup pair almost
     * surely agrees on coarse sign buckets; this is SimHash-for-vectors.) */
