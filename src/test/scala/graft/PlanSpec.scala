@@ -44,6 +44,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("new query surface stays cartesian-free") {
+    for (df <- Seq(
+        graft.ops.Similarity.lshMultiProbeTopK(spark, dir),
+        graft.ops.Similarity.ivfTopK(spark, dir),
+        MarketQueries.inactiveTokens(spark, dir),
+        RelationalQueries.brandRevenue(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    }
+    assert(plan(RelationalQueries.brandRevenue(spark, dir)).contains("BroadcastHashJoin"))
+  }
+
   test("top-k queries lower to TakeOrderedAndProject") {
     for (df <- Seq(
         MarketQueries.latestTick(spark, dir),
