@@ -41,9 +41,13 @@ object MarketQueries {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType => // NTZ-annotated file
+        raw.withColumn("ts", col("ts").cast("timestamp")) // session TZ is UTC
+      case _ => raw
+    }
   }
 
   private def tsUs(c: org.apache.spark.sql.Column) = unix_micros(c)
