@@ -48,6 +48,20 @@ object IngestStream {
       .start()
   }
 
+  /** K4 debug sink: decoded ticks to the console (the reference's
+    * per-tick log line, /root/reference/main.go:158-162). */
+  def startConsole(
+      spark: SparkSession,
+      frames: Dataset[Array[Byte]],
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    TickDecoder.decode(spark, frames).toDF()
+      .writeStream
+      .queryName("graft-ingest-console")
+      .format("console")
+      .option("truncate", "false")
+      .trigger(trigger)
+      .start()
+
   /** The reference's periodic self-verification queries
     * (/root/reference/db/clickhouse.go:122-187), re-expressed over the
     * sink table: latest row + daily stats for a token. */

@@ -83,4 +83,25 @@ object TextHashing {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Prefix-filtered Jaccard for web-scale corpora (docs/SCALING.md):
+    * candidate pairs are generated ONLY from shingles with document
+    * frequency <= maxShingleDf (the inverted-index cost is sum(df^2), so
+    * capping df caps the join quadratically), then verified EXACTLY on
+    * the full shingle sets — values are never approximated, only recall
+    * is limited to pairs sharing at least one sub-cap shingle. */
+  def jaccardPairsPrefixFiltered(docs: DataFrame, threshold: Double,
+                                 maxShingleDf: Int): DataFrame = {
+    val sh = docShingles(docs)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("sh")
+    val rareSh = sh.join(rare, "sh")
+    val cands = rareSh.as("ra")
+      .join(rareSh.as("rb"),
+        col("ra.sh") === col("rb.sh") && col("ra.doc_id") < col("rb.doc_id"))
+      .select(col("ra.doc_id").as("doc_a"), col("rb.doc_id").as("doc_b"))
+      .distinct()
+    jaccardFor(sh, threshold, restrictTo = Some(cands))
+  }
+
 }

@@ -50,4 +50,30 @@ class PipelineSpec extends SparkSpec {
     assert(bar.getAs[Double]("close_price") === 101.0)
     assert(bar.getAs[Long]("tick_count") === 3L)
   }
+
+  test("decode throughput beats the reference design point by orders of magnitude") {
+    import spark.implicits._
+    val n = 200000
+    val payload = quote("2885", 1, T0, 100_00L)
+    val frames = spark.range(n).map(_ => payload)
+    TickDecoder.decode(spark, frames).count() // warm
+    val t0 = System.nanoTime()
+    val decoded = TickDecoder.decode(spark, frames).count()
+    val rate = decoded / ((System.nanoTime() - t0) / 1e9)
+    info(f"decode path: $rate%.0f frames/s (reference design point: 200/s)")
+    assert(decoded === n)
+    assert(rate > 20000, f"decode path too slow: $rate%.0f frames/s")
+  }
+
+  test("console debug sink runs and terminates (K4)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+    stream.addData(quote("2885", 1, T0, 100_00L))
+    val q = graft.ingest.IngestStream.startConsole(spark, stream.toDS(),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    q.stop()
+    succeed
+  }
 }

@@ -109,4 +109,19 @@ class OpsSpec extends SparkSpec {
     assert(s2.count() === 0, "already-indexed content must not survive")
     assert(idx2.count() === 4)
   }
+
+  test("prefix-filtered jaccard: exact values, recall limited to rare-shingle pairs") {
+    val full = TextDedup.ngramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    // generous cap: identical result
+    val loose = TextHashing.jaccardPairsPrefixFiltered(
+        spark.read.parquet(s"$dir/documents.parquet"), 0.2, maxShingleDf = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(loose === full)
+    // every surviving pair under a tight cap keeps its EXACT jaccard
+    val tight = TextHashing.jaccardPairsPrefixFiltered(
+        spark.read.parquet(s"$dir/documents.parquet"), 0.2, maxShingleDf = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard")))
+    tight.foreach { case (k, j) => assert(full(k) === j, s"value drifted for $k") }
+  }
 }
