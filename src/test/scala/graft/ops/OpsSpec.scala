@@ -124,4 +124,20 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard")))
     tight.foreach { case (k, j) => assert(full(k) === j, s"value drifted for $k") }
   }
+
+  test("DedupIndex: persisted index serves identical results and reuses cache") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = DedupIndex(docs)
+    try {
+      val viaIndex = idx.ngramPairs().orderBy("doc_a", "doc_b").collect().toSeq
+      val direct = TextDedup.ngramJaccard(spark, dir).collect().toSeq
+      assert(viaIndex.map(_.toSeq) === direct.map(_.toSeq))
+      assert(idx.shingles.storageLevel.useMemory || idx.shingles.storageLevel.useDisk,
+        "index must be persisted")
+      import spark.implicits._
+      val cands = Seq((2L, 3L)).toDF("doc_a", "doc_b")
+      val verified = idx.verifyPairs(cands).collect()
+      assert(verified.length === 1 && verified(0).getAs[Double]("jaccard") === 1.0)
+    } finally idx.close()
+  }
 }
