@@ -49,27 +49,40 @@ object TickTable {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compacted rows carry this batch_id in a (trade_date, batch_id)
+    * layout, so re-compaction and idempotent appends coexist. */
+  val CompactedBatchId = -1L
+
   /** Compact a date partition: micro-batch appends leave one file per
     * trigger; periodic compaction rewrites the partition into `numFiles`
-    * time-sorted files. At 100 TB this runs as a nightly job over
-    * yesterday's partition only — never the whole table. */
+    * time-sorted files. Layout-preserving: a (trade_date, batch_id) sink
+    * compacts into batch_id=-1 under the same structure (a mixed layout
+    * would break partition discovery). At 100 TB this runs as a nightly
+    * job over yesterday's partition only — never the whole table. */
   def compactPartition(spark: SparkSession, path: String, date: String, numFiles: Int = 1): Unit = {
-    val part = read(spark, path).filter(col(PartitionCol) === to_date(lit(date)))
-      .drop(PartitionCol)
+    val table = read(spark, path)
+    val hasBatchId = table.columns.contains("batch_id")
+    val part = table.filter(col(PartitionCol) === to_date(lit(date)))
+      .drop(PartitionCol, "batch_id")
     val tmp = s"$path/.compact_tmp_$date"
     part.repartition(numFiles)
       .sortWithinPartitions("exchange_timestamp")
       .write.mode("overwrite").parquet(tmp)
-    // swap: rewrite the partition directory from the compacted copy
+    // swap: drop the old partition directory, rewrite from the copy
+    // (tmp outlives the write, so the rewrite never reads deleted files)
     val compacted = spark.read.parquet(tmp)
-    compacted
-      .withColumn(PartitionCol, to_date(lit(date)))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(PartitionCol)
-      .parquet(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$PartitionCol=$date"), true)
+    val withPartCols =
+      if (hasBatchId)
+        compacted.withColumn(PartitionCol, to_date(lit(date)))
+          .withColumn("batch_id", lit(CompactedBatchId))
+      else compacted.withColumn(PartitionCol, to_date(lit(date)))
+    val partCols = if (hasBatchId) Seq(PartitionCol, "batch_id") else Seq(PartitionCol)
+    withPartCols.write.mode("append")
+      .partitionBy(partCols: _*)
+      .parquet(path)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 

@@ -118,4 +118,25 @@ class RecoverySpec extends SparkSpec {
     TickTable.appendBatch(ticks, path, batchId = 8) // a NEW batch still appends
     assert(TickTable.read(spark, path).count() === 4)
   }
+
+  test("compaction preserves the (trade_date, batch_id) streaming-sink layout") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("compactbid").toString
+    val day = 1704412800000L
+    for (b <- 1 to 3) {
+      val ticks = graft.ingest.TickDecoder.decode(spark,
+        Seq(frame("A", b.toLong, day + b * 1000)).toDS()).toDF()
+      TickTable.appendBatch(ticks, path, batchId = b.toLong)
+    }
+    assert(TickTable.read(spark, path).count() === 3)
+    TickTable.compactPartition(spark, path, "2024-01-05", numFiles = 1)
+    val after = TickTable.read(spark, path) // partition discovery must still work
+    assert(after.count() === 3)
+    assert(after.select(col("batch_id").cast("long")).distinct().collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    // idempotent appends still work post-compaction
+    val more = graft.ingest.TickDecoder.decode(spark,
+      Seq(frame("A", 9, day + 9000)).toDS()).toDF()
+    TickTable.appendBatch(more, path, batchId = 9)
+    assert(TickTable.read(spark, path).count() === 4)
+  }
 }
