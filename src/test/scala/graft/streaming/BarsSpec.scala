@@ -63,4 +63,32 @@ class BarsSpec extends SparkSpec {
     val minute5 = after.filter(_.getAs[Timestamp]("bar_start").getTime == T0 + 300000)
     assert(minute5.length === 1 && minute5(0).getAs[Long]("tick_count") === 1L)
   }
+
+  test("session windows: ticks merge across small gaps, split at large ones") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.core.Schemas.Tick]
+    val q = Bars.sessions(stream.toDF(), gap = "2 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions_test").outputMode("append").start()
+
+    // burst 1: three ticks 1 min apart (inside the 2-min gap -> one session)
+    stream.addData(
+      tick("A", 1, T0, 100.0),
+      tick("A", 2, T0 + 60000, 101.0),
+      tick("A", 3, T0 + 120000, 102.0))
+    // burst 2: after a 10-minute silence -> separate session
+    stream.addData(tick("A", 10, T0 + 720000, 110.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close both sessions
+    stream.addData(tick("A", 20, T0 + 3600000, 120.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions_test").collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+    assert(sessions.length === 2)
+    assert(sessions(0).getAs[Long]("tick_count") === 3L, "burst 1 merges into one session")
+    assert(sessions(0).getAs[Double]("high_price") === 102.0)
+    assert(sessions(1).getAs[Long]("tick_count") === 1L, "burst 2 is its own session")
+  }
 }
