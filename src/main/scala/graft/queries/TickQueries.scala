@@ -72,6 +72,17 @@ object TickQueries {
       .agg(count(lit(1)).as("tick_count"), sum("volume").as("total_volume"))
       .orderBy(col("price_level").desc)
 
+  /** As-of join on the tick schema: latest price at-or-before `asOf`
+    * per watched token (one max_by hash agg, no window shuffle). */
+  def asofPrice(ticks: DataFrame, tokens: Seq[String], asOf: String): DataFrame =
+    ticks.filter(col("token").isin(tokens: _*)
+        && col("exchange_timestamp") <= to_timestamp(lit(asOf)))
+      .groupBy("token")
+      .agg(
+        max_by(col("last_traded_price"), struct(col("exchange_timestamp"), col("sequence_number"))).as("asof_price"),
+        max("exchange_timestamp").as("asof_ts"))
+      .orderBy("token")
+
   /** Per-token stats record (/root/reference/models/stats.go:5-13). */
   def tokenStats(ticks: DataFrame): DataFrame =
     ticks.groupBy("token")

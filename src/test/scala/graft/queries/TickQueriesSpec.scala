@@ -81,6 +81,13 @@ class TickQueriesSpec extends SparkSpec {
     assert(prof.map(_.getAs[Long]("total_volume")).sum === 450L)
   }
 
+  test("as-of price per token") {
+    val asof = TickQueries.asofPrice(ticks, Seq("2885", "43607"), "2024-01-05 10:00:00").collect()
+    assert(asof.length === 2)
+    val r = asof.find(_.getString(0) == "2885").get
+    assert(r.getAs[Double]("asof_price") === 2870.00) // seq 2, not next-day seq 3
+  }
+
   test("token stats record") {
     val st = TickQueries.tokenStats(ticks).collect()
     assert(st.length === 2)
