@@ -29,8 +29,9 @@ def main(sf_dir, out_dir):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             scols = sorted(spark_rel.columns)
-            srows = con.sql(
-                f"SELECT {', '.join(scols)} FROM spark_rel ORDER BY ALL").fetchall()
+            srel = con.sql(f"SELECT {', '.join(scols)} FROM spark_rel ORDER BY ALL")
+            stypes = [str(t) for t in srel.types]
+            srows = srel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
@@ -38,14 +39,23 @@ def main(sf_dir, out_dir):
         try:
             orel = con.sql(sql)
             ocols = sorted(orel.columns)
-            orows = con.sql(
-                f"SELECT {', '.join(ocols)} FROM orel ORDER BY ALL").fetchall()
+            osorted = con.sql(f"SELECT {', '.join(ocols)} FROM orel ORDER BY ALL")
+            otypes = [str(t) for t in osorted.types]
+            orows = osorted.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns {scols} vs {ocols}")
+            n_fail += 1
+            continue
+        # The driver's hash is type-sensitive: DuckDB widening (e.g. sum(BIGINT)
+        # -> HUGEINT) fails the gate even when every cell value matches. Catch
+        # that drift here, before the driver does.
+        if stypes != otypes:
+            mism = [(c, a, b) for c, a, b in zip(scols, stypes, otypes) if a != b]
+            print(f"FAIL {name}: column type drift {mism} (spark vs oracle)")
             n_fail += 1
             continue
         if len(srows) != len(orows):

@@ -24,6 +24,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.GraftConf.runtime(spark)
     graft.plans.GraftExtensions.install(spark) // graft_* SQL functions
 
     def runOnce(name: String): Unit =

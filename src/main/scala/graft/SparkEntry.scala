@@ -295,7 +295,7 @@ object SparkEntry {
          |wh AS (SELECT doc_id, ${md5LongSql("w")} AS wh FROM dw),
          |votes AS (SELECT doc_id, j, sum(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
          |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0,47)) AS j) GROUP BY 1, 2)
-         |SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+         |SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
          |FROM votes GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->

@@ -23,6 +23,16 @@ object GraftConf {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
 
+  /** Runtime SQL confs that must hold for the engine's readers, applied to
+    * an already-built session (builder-time configs don't reach reused
+    * sessions). `nanosAsLong`: the driver's events.parquet stores ts as
+    * TIMESTAMP(NANOS), which Spark 4 only reads via this escape hatch —
+    * a session-wide reader setting, deliberately NOT toggled inside query
+    * functions (a query silently flipping session state is a footgun for
+    * concurrent callers). */
+  def runtime(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /** 100 TB notes (not settable from inside the job, documented here):
     *  - shuffle partitions: target ~128-256 MB per reduce partition;
     *    at 100 TB of input and ~1 TB of post-filter shuffle, thousands of

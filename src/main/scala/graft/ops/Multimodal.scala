@@ -51,25 +51,39 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Decode-once: the features table is computed ONCE per (session, dir)
+    * and persisted; every derived query (frame sampling, resize planning,
+    * format stats) reads the cache instead of re-running the decode. With
+    * a real codec at ~10 ms/frame, re-decoding per derived query at 100 TB
+    * multiplies the single most expensive stage of the pipeline — decode
+    * feeds a materialized features table, and everything else derives. */
+  private val featureTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def features(spark: SparkSession, dir: String): DataFrame =
+    featureTables.computeIfAbsent((spark, dir), { kv =>
+      val (s, d) = kv
+      import s.implicits._
+      mediaTable(s, d)
+        .mapPartitions { rows =>
+          val md = MessageDigest.getInstance("MD5")
+          rows.map(r => decodeStub(r.doc_id, r.media, md))
+        }
+        .toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Feature-extraction pass: one codec context per partition, streamed
-    * row batches, typed output. */
-  def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .mapPartitions { rows =>
-        val md = MessageDigest.getInstance("MD5")
-        rows.map(r => decodeStub(r.doc_id, r.media, md))
-      }
-      .toDF()
-      .orderBy("doc_id")
-  }
+    * row batches, typed output (ordered for the oracle contract). */
+  def extractFeatures(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir).orderBy("doc_id")
 
   /** Frame sampling: every 5th frame index per media payload (the
     * video-preprocessing shape: one row out per sampled frame, ready for
     * a per-frame decode stage). Pure plan-side explode — the frame list
     * never materializes on the driver. */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark, dir)
+    features(spark, dir)
       .filter(col("format") === "webm")
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
@@ -84,7 +98,7 @@ object Multimodal {
     val w = greatest(col("width"), lit(1L)).cast("double")
     val h = greatest(col("height"), lit(1L)).cast("double")
     val scale = least(lit(224.0) / w, lit(224.0) / h)
-    extractFeatures(spark, dir)
+    features(spark, dir)
       .filter(col("format").isin("jpeg", "png"))
       .select(col("doc_id"), col("width"), col("height"),
         floor(w * scale).cast("long").as("out_width"),
@@ -95,7 +109,7 @@ object Multimodal {
   /** Aggregate media stats by fake format — the "how much of each modality
     * do we have" query every dataset card needs. */
   def formatStats(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark, dir)
+    features(spark, dir)
       .groupBy("format")
       .agg(count(lit(1)).as("n_media"),
         sum("n_bytes").as("total_bytes"),

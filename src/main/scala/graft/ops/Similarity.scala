@@ -23,20 +23,30 @@ object Similarity {
   val TopK = 10
 
   /** Embeddings as doubles, with the L2 norm precomputed once per vector
-    * — cosine over a pair then costs one fold (the dot), not three. */
+    * — cosine over a pair then costs one fold (the dot), not three.
+    * At 100 TB the norm column is written at ingest; here it's one fused
+    * graft_dot per corpus row, computed in the same scan. */
   def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", sqrt(GraftExtensions.dot(col("v"), col("v"))))
 
   /** dot(a,b) as a sequential left fold — same association order as the
-    * oracle so values match bit-for-bit where possible. */
+    * oracle so values match bit-for-bit where possible. (HOF formulation,
+    * kept for spec cross-checks; hot paths use the fused graft_dot.) */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine from materialized norms: ONE fused fold (the dot) per candidate
+    * pair instead of graft_cosine's three — the reason `emb` carries `nrm`.
+    * Bit-identical to graft_cosine: same sequential dot, same sqrt-per-side
+    * then multiply. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    GraftExtensions.dot(a, b) / (na * nb)
 
   /** Brute-force exact top-k: broadcast the query vectors, one scan of the
     * corpus, rank per query. Ranking is on the ROUNDED similarity with
@@ -47,7 +57,8 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     import org.apache.spark.sql.expressions.Window
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(GraftExtensions.cosine(col("qv"), col("v")), 6))
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
@@ -74,7 +85,8 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("bkt").as("qbkt"))
     import org.apache.spark.sql.expressions.Window
     val scored = e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(GraftExtensions.cosine(col("qv"), col("v")), 6))
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -92,11 +104,13 @@ object Similarity {
     val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
     val probes = (0 until nBits).map(i => col("qbkt0").bitwiseXOR(lit(1L << i)))
     val q = e.filter(col("vec_id").isin(QueryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt").as("qbkt0"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("bkt").as("qbkt0"))
       .withColumn("probe_bkt", explode(array(col("qbkt0") +: probes: _*)))
     import org.apache.spark.sql.expressions.Window
     val scored = e.join(broadcast(q), col("bkt") === col("probe_bkt") && col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(GraftExtensions.cosine(col("qv"), col("v")), 6))
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -113,7 +127,8 @@ object Similarity {
     val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
     e.as("a").join(e.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim", round(GraftExtensions.cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
@@ -132,18 +147,21 @@ object Similarity {
       .select(col("label").as("c_label"),
         array((0 until 64).map(i => col(s"a$i")): _*).as("cv"))
     val q = e.filter(col("vec_id").isin(QueryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     import org.apache.spark.sql.expressions.Window
     val probe = Window.partitionBy("qid")
       .orderBy(col("c_sim").desc, col("c_label").asc)
+    // centroids are derived vectors with no stored norm — and there are only
+    // n_clusters of them on the broadcast side, so graft_cosine is fine here
     val best = q.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", round(graft.plans.GraftExtensions.cosine(col("qv"), col("cv")), 6))
+      .withColumn("c_sim", round(GraftExtensions.cosine(col("qv"), col("cv")), 6))
       .withColumn("crn", row_number().over(probe))
       .filter(col("crn") === 1)
-      .select(col("qid"), col("qv"), col("c_label"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("c_label"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
     e.join(broadcast(best), col("label") === col("c_label") && col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(graft.plans.GraftExtensions.cosine(col("qv"), col("v")), 6))
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select("qid", "vec_id", "cos_sim")

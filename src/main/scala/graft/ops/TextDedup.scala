@@ -26,6 +26,21 @@ object TextDedup {
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Session-scoped shingle index: the (doc_id, shingle) inverted index is
+    * the shared prefix of every shingle-based dedup query — and, within
+    * `minhashLsh` alone, the same scan+explode+distinct subtree is
+    * referenced three times in one plan (band table, candidate
+    * verification, set sizes). A persisted DedupIndex pays that cost once
+    * per (session, dir): the first reference materializes the cache, the
+    * other references (and any later dedup query in the session) read it.
+    * At 100 TB this is the difference between one corpus shingling pass
+    * per session and one per sub-plan. */
+  private val indexes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DedupIndex]()
+
+  def index(spark: SparkSession, dir: String): DedupIndex =
+    indexes.computeIfAbsent((spark, dir), kv => DedupIndex(docs(kv._1, kv._2)))
+
   /** Exact dedup by content hash: one surviving doc_id per distinct
     * normalized text (hash-groupBy — the trivially-parallel baseline). */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -36,9 +51,10 @@ object TextDedup {
       .orderBy("keep_id")
 
   /** N-gram Jaccard near-dedup: word 3-gram shingles, inverted-index
-    * self-join on shingle, exact Jaccard >= threshold. */
+    * self-join on shingle, exact Jaccard >= threshold. Runs over the
+    * session shingle index (the self-join reads the cache twice). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(docs(spark, dir), JaccardThreshold)
+    index(spark, dir).ngramPairs(JaccardThreshold)
       .orderBy("doc_a", "doc_b")
 
   /** MinHash-LSH band table: 32 affine permutations
@@ -66,7 +82,7 @@ object TextDedup {
     * (verification joins only the candidate docs' shingles, not the full
     * inverted index). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(docs(spark, dir))
+    val sh = index(spark, dir).shingles
     val bt = bandTable(sh)
     val cands = bt.as("a")
       .join(bt.as("b"),

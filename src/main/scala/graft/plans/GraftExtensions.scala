@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDesc)
+    ext.injectFunction(GraftExtensions.dotDesc)
     ext.injectFunction(GraftExtensions.decodeDesc)
   }
 }
@@ -32,6 +33,14 @@ object GraftExtensions {
       CosineSimilarityExpr(children.head, children(1))
     })
 
+  private[plans] val dotDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_dot(arr, arr) takes 2 arguments")
+      DotProductExpr(children.head, children(1))
+    })
+
   private[plans] val decodeDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_decode_frame"),
     new ExpressionInfo(classOf[DecodeTickFrameExpr].getName, "graft_decode_frame"),
@@ -43,13 +52,16 @@ object GraftExtensions {
   /** Register the SQL functions on an already-running session (the
     * builder-time extensions path doesn't apply to reused sessions). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    for ((ident, info, builder) <- Seq(cosineDesc, decodeDesc))
+    for ((ident, info, builder) <- Seq(cosineDesc, dotDesc, decodeDesc))
       Bridge.registerFunction(spark, ident, info, builder)
   }
 
   /** Column-API access without requiring session extensions. */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarityExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 
   def decodeFrame(payload: Column): Column =
     Bridge.column(DecodeTickFrameExpr(Bridge.expression(payload)))

@@ -35,11 +35,11 @@ object MarketQueries {
     * db/clickhouse.go:191-199 takes a token slice). */
   val Tokens = Seq(1, 7, 42, 99)
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
-    * reads via the nanosAsLong escape hatch; normalize to TimestampType
-    * (micros, floor — matching DuckDB's ns->us truncation). */
+  /** events.parquet stores ts as TIMESTAMP(NANOS); session setup
+    * (GraftConf.runtime) enables the nanosAsLong reader escape hatch, and
+    * this normalizes to TimestampType (micros, floor — matching DuckDB's
+    * ns->us truncation). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file

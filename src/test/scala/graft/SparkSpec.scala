@@ -18,5 +18,6 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     super.beforeAll()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.GraftConf.runtime(spark)
   }
 }
