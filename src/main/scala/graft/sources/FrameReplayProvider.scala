@@ -32,18 +32,97 @@ class FrameReplayProvider extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new FrameReplayTable(properties.get("path"),
-      Option(properties.get("maxFramesPerBatch")).map(_.toInt).getOrElse(1000))
+      properties: util.Map[String, String]): Table = {
+    val maxPerBatch =
+      Option(properties.get("maxFramesPerBatch")).map(_.toInt).getOrElse(1000)
+    val source = Option(properties.get("source")).getOrElse("spool") match {
+      case "spool" =>
+        val path = properties.get("path")
+        require(path != null, "option 'path' is required for source=spool")
+        new SpoolFrameSource(path)
+      case "memory" =>
+        val channel = properties.get("channel")
+        require(channel != null, "option 'channel' is required for source=memory")
+        new LiveFrameSource(channel)
+      case other =>
+        throw new IllegalArgumentException(s"unknown source '$other' (spool|memory)")
+    }
+    new FrameReplayTable(source, maxPerBatch)
+  }
 }
 
 object FrameReplayProvider {
   val schema: StructType = StructType(Seq(StructField("payload", BinaryType)))
 }
 
-class FrameReplayTable(path: String, maxPerBatch: Int) extends Table with SupportsRead {
-  require(path != null, "option 'path' is required")
-  override def name(): String = s"frame-replay($path)"
+/** The seam a live connector drops into: ordered segments + range reads.
+  * FrameReplayStream's offset/commit logic is written against this trait
+  * only, so a WebSocket or Kafka implementation replaces the spool reader
+  * without touching admission control, offset mapping, or recovery.
+  * Segment counts may GROW between calls (a live feed appends); offsets
+  * are cumulative so growth only ever extends the readable range. */
+trait FrameSource extends Serializable {
+  /** Ordered segments with their current frame counts. */
+  def segments(): Seq[(String, Long)]
+  /** Read records [from, until) of one segment. */
+  def readRange(segment: String, from: Long, until: Long): Array[Array[Byte]]
+}
+
+/** Replay source over length-prefixed spool files (the capture format). */
+final class SpoolFrameSource(path: String) extends FrameSource {
+  override def segments(): Seq[(String, Long)] = FrameSpool.listFiles(path)
+  override def readRange(segment: String, from: Long, until: Long): Array[Array[Byte]] =
+    FrameSpool.readRange(segment, from, until)
+}
+
+/** Broker auth is CONFIG, not engine logic (SURVEY §2.1 S5): a live
+  * WebSocket FrameSource performs the REST login + TOTP handshake
+  * (/root/reference/angel/auth.go:20-65) inside its own connect path,
+  * entirely outside the offset/commit seam, and receives these values as
+  * DataSource options. Declared here so the live-connector contract is
+  * explicit; no credential ever touches the engine. */
+final case class BrokerAuthConfig(
+    apiUrl: String, clientCode: String, password: String,
+    apiKey: String, totpSecret: String)
+
+/** In-process frame feed: the stub "live" implementation of FrameSource.
+  * A producer thread (standing in for the reference's WebSocket read loop,
+  * /root/reference/ws/client.go:90-112) appends frames while a streaming
+  * query consumes them — frames arrive between triggers exactly as a
+  * broker push would. Single-JVM by construction (a registry keyed by
+  * channel name), which is the honest scope for a container with no
+  * network egress; a real deployment swaps this class for one that owns a
+  * socket + BrokerAuthConfig and leaves every other line untouched. */
+object LiveFrameFeed {
+  private val channels =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CopyOnWriteArrayList[Array[Byte]]]()
+
+  private def buf(channel: String) =
+    channels.computeIfAbsent(channel, _ => new java.util.concurrent.CopyOnWriteArrayList[Array[Byte]]())
+
+  def append(channel: String, frame: Array[Byte]): Unit = buf(channel).add(frame)
+
+  def size(channel: String): Long = buf(channel).size().toLong
+
+  def slice(channel: String, from: Long, until: Long): Array[Array[Byte]] = {
+    val b = buf(channel)
+    val hi = math.min(until, b.size().toLong)
+    (from until hi).map(i => b.get(i.toInt)).toArray
+  }
+
+  def clear(channel: String): Unit = channels.remove(channel)
+}
+
+final class LiveFrameSource(channel: String) extends FrameSource {
+  override def segments(): Seq[(String, Long)] =
+    Seq((channel, LiveFrameFeed.size(channel)))
+  override def readRange(segment: String, from: Long, until: Long): Array[Array[Byte]] =
+    LiveFrameFeed.slice(segment, from, until)
+}
+
+class FrameReplayTable(source: FrameSource, maxPerBatch: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"frame-replay($source)"
   override def schema(): StructType = FrameReplayProvider.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
@@ -52,7 +131,7 @@ class FrameReplayTable(path: String, maxPerBatch: Int) extends Table with Suppor
     () => new Scan {
       override def readSchema(): StructType = FrameReplayProvider.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new FrameReplayStream(path, maxPerBatch)
+        new FrameReplayStream(source, maxPerBatch)
     }
 }
 
@@ -61,10 +140,10 @@ case class FrameOffset(frameCount: Long) extends Offset {
   override def json(): String = frameCount.toString
 }
 
-class FrameReplayStream(path: String, maxPerBatch: Int)
+class FrameReplayStream(source: FrameSource, maxPerBatch: Int)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  private def frameCounts(): Seq[(String, Long)] = FrameSpool.listFiles(path)
+  private def frameCounts(): Seq[(String, Long)] = source.segments()
 
   override def initialOffset(): Offset = FrameOffset(0L)
 
@@ -105,21 +184,26 @@ class FrameReplayStream(path: String, maxPerBatch: Int)
     parts.result().toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val p = partition.asInstanceOf[FrameReplayPartition]
-      new PartitionReader[InternalRow] {
-        private val frames = FrameSpool.readRange(p.file, p.fromRecord, p.untilRecord)
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < frames.length }
-        override def get(): InternalRow = InternalRow(frames(i))
-        override def close(): Unit = ()
-      }
-    }
-  }
+  // standalone factory: an anonymous class here would capture the
+  // non-serializable stream as $outer and fail task serialization
+  override def createReaderFactory(): PartitionReaderFactory =
+    FrameReplayReaderFactory(source)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+case class FrameReplayReaderFactory(source: FrameSource) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FrameReplayPartition]
+    new PartitionReader[InternalRow] {
+      private val frames = source.readRange(p.file, p.fromRecord, p.untilRecord)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < frames.length }
+      override def get(): InternalRow = InternalRow(frames(i))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class FrameReplayPartition(file: String, fromRecord: Long, untilRecord: Long)

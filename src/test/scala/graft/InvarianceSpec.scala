@@ -26,6 +26,42 @@ class InvarianceSpec extends SparkSpec {
     assert(statsOf(wide) === base)
   }
 
+  test("salted aggregation handles a pathologically hot key") {
+    import spark.implicits._
+    // hot-key fixture: one token carries 50% of 100k rows (the adversarial
+    // distribution for a plain groupBy — one reducer gets half the data)
+    val n = 100000
+    val skewed = spark.range(n.toLong).select(
+      when(col("id") % 2 === 0, lit("HOT"))
+        .otherwise(concat(lit("t"), col("id") % 64)).as("token"),
+      col("id").as("volume"))
+
+    val direct = skewed.groupBy("token")
+      .agg(sum("volume").as("total"), count(lit(1)).as("cnt"))
+      .orderBy("token").collect().toSeq
+    val salted = graft.ops.Skew.saltedSumCount(skewed, col("token"), col("volume"), 16)
+      .withColumnRenamed("k", "token")
+      .withColumnRenamed("total", "total")
+      .orderBy("token").collect().toSeq
+    assert(direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ===
+      salted.map(r => (r.getString(0), r.getLong(1), r.getLong(2))),
+      "salted two-phase agg must equal the direct agg on skewed data")
+
+    // the mechanism: phase 1's (key, salt) groups actually SPREAD the hot
+    // key — no partial group may exceed ~hot/buckets by more than 50%
+    val hotCount = n / 2
+    val buckets = 16
+    val phase1 = skewed
+      .groupBy(col("token"), pmod(hash(col("volume")), lit(buckets)).as("salt"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("token") === "HOT")
+      .collect()
+    assert(phase1.length === buckets, "hot key must hit every salt bucket")
+    val maxGroup = phase1.map(_.getAs[Long]("c")).max
+    assert(maxGroup <= (hotCount / buckets * 1.5).toLong,
+      s"hot key not spread: max salted group $maxGroup vs ideal ${hotCount / buckets}")
+  }
+
   test("jaccard pairs bounded and symmetric-by-construction") {
     val pairs = TextDedup.ngramJaccard(spark, dir).collect()
     assert(pairs.forall { r =>

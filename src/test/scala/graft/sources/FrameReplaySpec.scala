@@ -37,6 +37,34 @@ class FrameReplaySpec extends SparkSpec {
     assert(decoded === (1L to 10L).toArray)
   }
 
+  test("live in-memory source round-trips frames appended while running") {
+    val channel = "spec-live-1"
+    LiveFrameFeed.clear(channel)
+    (1L to 5L).foreach(s => LiveFrameFeed.append(channel, frame("LIVE", s)))
+
+    val q = spark.readStream
+      .format("graft.sources.FrameReplayProvider")
+      .option("source", "memory")
+      .option("channel", channel)
+      .option("maxFramesPerBatch", "3")
+      .load()
+      .writeStream.format("memory").queryName("live_out")
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    q.processAllAvailable()
+    // the "broker" pushes more frames while the query is running — the
+    // growing-segment path a real WebSocket FrameSource exercises
+    (6L to 8L).foreach(s => LiveFrameFeed.append(channel, frame("LIVE", s)))
+    q.processAllAvailable()
+    q.stop()
+
+    val seqs = spark.table("live_out").collect()
+      .map(r => Codec.decode(r.getAs[Array[Byte]]("payload")).toOption.get.sequenceNumber)
+      .sorted
+    assert(seqs === (1L to 8L).toArray,
+      "frames appended mid-run must arrive exactly once, none lost")
+    LiveFrameFeed.clear(channel)
+  }
+
   test("offset restart: resumes from checkpoint without re-reading") {
     import spark.implicits._
     val spool = Files.createTempDirectory("dsv2spool2").toString
