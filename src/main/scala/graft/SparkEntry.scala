@@ -49,6 +49,11 @@ object SparkEntry {
     "tokens_by_type" -> (M.tokensByType _),
     "hourly_bars" -> (M.hourlyBars _),
     "seq_dedup" -> (M.seqDedup _),
+    "asof_join" -> (M.asofJoin _),
+    "cum_volume" -> (M.cumulativeVolume _),
+    "rank_by_day" -> (M.rankByDay _),
+    "event_gaps" -> (M.eventGaps _),
+    "cube_stats" -> (M.cubeStats _),
     // -- relational / TPC-H-ish --
     "tpch_pricing_summary" -> (R.pricingSummary _),
     "tpch_top_orders" -> (R.topOrders _),
@@ -217,6 +222,44 @@ object SparkEntry {
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT SELECT user_id FROM events WHERE event_type = 'error'
         |ORDER BY user_id""".stripMargin,
+
+    // independent formulation: DuckDB's native ASOF JOIN checks our
+    // union+window implementation from a different algorithm entirely
+    "asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click' AND user_id IN (1,7,42,99)),
+        |purchases AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+        |  WHERE event_type = 'purchase' AND user_id IN (1,7,42,99) GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
+        |  round(p.pvalue, 4) AS asof_pvalue
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "cum_volume" ->
+      """SELECT event_id, user_id,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+        |FROM events WHERE user_id IN (1,7,42,99) ORDER BY event_id""".stripMargin,
+
+    "rank_by_day" ->
+      """SELECT event_id, user_id,
+        |CAST(dense_rank() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |  ORDER BY value DESC) AS BIGINT) AS value_rank
+        |FROM events WHERE user_id IN (1,7,42,99) ORDER BY event_id""".stripMargin,
+
+    "event_gaps" ->
+      """SELECT event_id, user_id,
+        |lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  - epoch_us(ts) AS gap_us
+        |FROM events WHERE user_id IN (1,7,42,99) ORDER BY event_id""".stripMargin,
+
+    "cube_stats" ->
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+        |count(*) AS tick_count, round(sum(value),3) AS total_value
+        |FROM events WHERE user_id IN (1,7,42,99)
+        |GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+        |ORDER BY event_type NULLS FIRST, date NULLS FIRST""".stripMargin,
 
     "rollup_stats" ->
       """SELECT event_type, count(*) AS tick_count, round(sum(value),3) AS total_value

@@ -2,7 +2,7 @@ package graft.core
 
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
-import Schemas.TickFrame
+import Schemas.{BestFive, DepthLevel, TickFrame}
 
 /** Binary tick-frame codec (pure Scala, no Spark dependency).
   *
@@ -26,11 +26,22 @@ import Schemas.TickFrame
   * Unlike the reference (which ignores binary.Read errors and silently
   * zero-fills short frames), decode validates the frame length and returns
   * Left with a reason — SURVEY.md §7.4.1.
+  *
+  * Depth superset (mode 4): the reference declares Depth
+  * (/root/reference/models/token.go:16-18) but decodes only the Quote tail
+  * (/root/reference/parser/binary.go:63-73). This engine defines the
+  * best-five layout as a strict extension:
+  *   off 123 .. 202  5 buy  levels x (i64 quantity, i64 price paise)
+  *   off 203 .. 282  5 sell levels x (i64 quantity, i64 price paise)
+  * Depth frame = 283 bytes. A 123-byte mode-4 frame (what the reference
+  * emits) still decodes — depth is simply None — so parity is preserved.
   */
 object Codec {
 
   val LtpFrameLen = 51
   val QuoteFrameLen = 123
+  val DepthLevels = 5
+  val DepthFrameLen = QuoteFrameLen + 2 * DepthLevels * 16 // 283
   val TokenLen = 25
 
   def decode(bytes: Array[Byte]): Either[String, TickFrame] = {
@@ -52,6 +63,13 @@ object Codec {
     val seq = buf.getLong(27)
     val ts = buf.getLong(35)
     val ltp = buf.getLong(43)
+    val depth =
+      if (mode == 4 && bytes.length >= DepthFrameLen) {
+        def side(base: Int): Seq[DepthLevel] =
+          (0 until DepthLevels).map(i =>
+            DepthLevel(buf.getLong(base + i * 16), buf.getLong(base + i * 16 + 8)))
+        Some(BestFive(side(QuoteFrameLen), side(QuoteFrameLen + DepthLevels * 16)))
+      } else None
     val frame =
       if (mode >= 2)
         TickFrame(mode, exchange, token, seq, ts, ltp,
@@ -63,7 +81,8 @@ object Codec {
           openPricePaise = Some(buf.getLong(91)),
           highPricePaise = Some(buf.getLong(99)),
           lowPricePaise = Some(buf.getLong(107)),
-          closePricePaise = Some(buf.getLong(115)))
+          closePricePaise = Some(buf.getLong(115)),
+          depth = depth)
       else
         TickFrame(mode, exchange, token, seq, ts, ltp,
           None, None, None, None, None, None, None, None, None)
@@ -75,7 +94,15 @@ object Codec {
   def encode(f: TickFrame): Array[Byte] = {
     require(f.token.getBytes(StandardCharsets.UTF_8).length <= TokenLen,
       s"token longer than $TokenLen bytes: ${f.token}")
-    val len = if (f.subscriptionMode >= 2) QuoteFrameLen else LtpFrameLen
+    f.depth.foreach { d =>
+      require(f.subscriptionMode == 4, "depth tail is only valid on mode-4 frames")
+      require(d.buy.length == DepthLevels && d.sell.length == DepthLevels,
+        s"best-five depth requires exactly $DepthLevels levels per side")
+    }
+    val len =
+      if (f.depth.isDefined) DepthFrameLen
+      else if (f.subscriptionMode >= 2) QuoteFrameLen
+      else LtpFrameLen
     val buf = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
     buf.put(0, f.subscriptionMode.toByte)
     buf.put(1, f.exchangeType.toByte)
@@ -94,6 +121,15 @@ object Codec {
       buf.putLong(99, f.highPricePaise.getOrElse(0L))
       buf.putLong(107, f.lowPricePaise.getOrElse(0L))
       buf.putLong(115, f.closePricePaise.getOrElse(0L))
+    }
+    f.depth.foreach { d =>
+      def side(base: Int, levels: Seq[DepthLevel]): Unit =
+        levels.zipWithIndex.foreach { case (l, i) =>
+          buf.putLong(base + i * 16, l.quantity)
+          buf.putLong(base + i * 16 + 8, l.pricePaise)
+        }
+      side(QuoteFrameLen, d.buy)
+      side(QuoteFrameLen + DepthLevels * 16, d.sell)
     }
     buf.array()
   }

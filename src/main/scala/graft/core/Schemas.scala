@@ -32,8 +32,19 @@ object Schemas {
       openPricePaise: Option[Long],
       highPricePaise: Option[Long],
       lowPricePaise: Option[Long],
-      closePricePaise: Option[Long]
+      closePricePaise: Option[Long],
+      depth: Option[BestFive] = None // mode-4 superset tail (see Codec)
   )
+
+  /** One price level of a depth ladder (fixed-point paise price). */
+  final case class DepthLevel(quantity: Long, pricePaise: Long)
+
+  /** Best-five order-book ladder — the SUPERSET extension for Depth
+    * (mode 4) frames: the reference declares the mode
+    * (/root/reference/models/token.go:16-18) but its parser never decodes
+    * a depth tail (/root/reference/parser/binary.go:63-73), so this engine
+    * defines the layout (Codec scaladoc). Exactly five levels per side. */
+  final case class BestFive(buy: Seq[DepthLevel], sell: Seq[DepthLevel])
 
   /** Storage/query row: rupee-scaled doubles (paise ÷ 100,
     * /root/reference/parser/binary.go:27-45), event + ingest timestamps.

@@ -351,4 +351,68 @@ object MarketQueries {
       .agg(count(lit(1)).as("tick_count"))
       .orderBy("user_id")
   }
+
+  /** As-of JOIN (the pairwise generalization of `asofPrice`): every click
+    * event is enriched with the latest purchase value at-or-before it for
+    * the same user. One shuffle + window via ops.AsofJoin — no range-join
+    * candidate blowup. Right side pre-aggregated to unique (user, ts). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click" && col("user_id").isin(Tokens: _*))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase" && col("user_id").isin(Tokens: _*))
+      .groupBy("user_id", "ts").agg(max("value").as("pvalue"))
+    graft.ops.AsofJoin.joinAsof(clicks, purchases, "user_id", "ts", Seq("pvalue"))
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+        col("value"), round(col("asof_pvalue"), 4).as("asof_pvalue"))
+      .orderBy("event_id")
+  }
+
+  /** §2.8: running cumulative value per token (unbounded-preceding window
+    * sum — the "volume so far today" ticker figure). */
+  def cumulativeVolume(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .withColumn("cum_value", round(sum("value").over(w), 4))
+      .select("event_id", "user_id", "cum_value")
+      .orderBy("event_id")
+  }
+
+  /** §2.8: dense_rank of each tick's value within its (token, day) — the
+    * "where does this print sit in today's range" window query. */
+  def rankByDay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), to_date(col("ts")))
+      .orderBy(col("value").desc)
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .withColumn("value_rank", dense_rank().over(w).cast("long"))
+      .select("event_id", "user_id", "value_rank")
+      .orderBy("event_id")
+  }
+
+  /** §2.8: lead — microseconds until the next event of the same token
+    * (inter-arrival gaps; null on the last event). */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .withColumn("gap_us", lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .select("event_id", "user_id", "gap_us")
+      .orderBy("event_id")
+  }
+
+  /** Cube aggregation (completes the grouping-sets surface next to
+    * `rollupStats`): totals per (type, day), per type, per day, and grand
+    * total in one pass. */
+  def cubeStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .cube(col("event_type"), dateStr(col("ts")).as("date"))
+      .agg(count(lit(1)).as("tick_count"), round(sum("value"), 3).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("date").asc_nulls_first)
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Schemas
 
 /** The reference's query surface over the REAL tick schema
   * (graft.core.Schemas.tickSchema) — what a user of the reference runs
@@ -82,6 +83,25 @@ object TickQueries {
         max_by(col("last_traded_price"), struct(col("exchange_timestamp"), col("sequence_number"))).as("asof_price"),
         max("exchange_timestamp").as("asof_ts"))
       .orderBy("token")
+
+  /** Order-book imbalance from decoded mode-4 frames (the best-five depth
+    * superset — Codec scaladoc; the reference declares Depth but never
+    * decodes it): per token, total best-five buy vs sell quantity and the
+    * normalized imbalance in [-1, 1]. All ladder math is plan-side
+    * `aggregate` over the nested array<struct> — no UDF, one hash agg. */
+  def depthImbalance(frames: Dataset[Schemas.TickFrame]): DataFrame = {
+    def sideQty(side: String) =
+      aggregate(col(s"depth.$side"), lit(0L), (acc, x) => acc + x.getField("quantity"))
+    frames.toDF()
+      .filter(col("depth").isNotNull)
+      .select(col("token"), sideQty("buy").as("buy_qty"), sideQty("sell").as("sell_qty"))
+      .groupBy("token")
+      .agg(sum("buy_qty").as("total_buy_qty"), sum("sell_qty").as("total_sell_qty"))
+      .withColumn("imbalance",
+        round((col("total_buy_qty") - col("total_sell_qty")).cast("double") /
+          greatest(col("total_buy_qty") + col("total_sell_qty"), lit(1L)), 6))
+      .orderBy("token")
+  }
 
   /** Per-token stats record (/root/reference/models/stats.go:5-13). */
   def tokenStats(ticks: DataFrame): DataFrame =

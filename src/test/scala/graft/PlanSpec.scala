@@ -56,6 +56,17 @@ class PlanSpec extends SparkSpec {
     assert(plan(RelationalQueries.brandRevenue(spark, dir)).contains("BroadcastHashJoin"))
   }
 
+  test("as-of join plans as union + window: one shuffle, no join operator") {
+    val p = plan(MarketQueries.asofJoin(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range-join blowup in as-of plan:\n$p")
+    // the whole point of the formulation: there is NO pairwise join node —
+    // right-side values travel through a running window fill
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"as-of join must not shuffle-join the two sides:\n$p")
+    assert(p.contains("Window"), s"expected a window fill:\n$p")
+  }
+
   test("top-k queries lower to TakeOrderedAndProject") {
     for (df <- Seq(
         MarketQueries.latestTick(spark, dir),

@@ -35,6 +35,35 @@ class CodecSpec extends AnyFunSuite {
     assert(Codec.decode(bytes) === Right(ltpFrame))
   }
 
+  private val depthFrame = quoteFrame.copy(
+    subscriptionMode = 4,
+    depth = Some(Schemas.BestFive(
+      buy = (1 to 5).map(i => Schemas.DepthLevel(100L * i, 286550L - 5 * i)),
+      sell = (1 to 5).map(i => Schemas.DepthLevel(90L * i, 286550L + 5 * i)))))
+
+  test("golden depth frame: 283 bytes, best-five ladder round-trips") {
+    val bytes = Codec.encode(depthFrame)
+    assert(bytes.length === Codec.DepthFrameLen)
+    assert(Codec.decode(bytes) === Right(depthFrame))
+  }
+
+  test("reference-style 123-byte mode-4 frame decodes with depth absent") {
+    // the reference's parser emits quote-layout frames for mode 4
+    // (/root/reference/parser/binary.go:63-73); the superset must accept them
+    val bytes = Codec.encode(quoteFrame.copy(subscriptionMode = 4))
+    assert(bytes.length === Codec.QuoteFrameLen)
+    val decoded = Codec.decode(bytes)
+    assert(decoded.map(_.subscriptionMode) === Right(4))
+    assert(decoded.map(_.depth) === Right(None))
+    assert(decoded.map(_.volume) === Right(quoteFrame.volume))
+  }
+
+  test("depth tail on a non-depth mode is rejected at encode") {
+    assertThrows[IllegalArgumentException] {
+      Codec.encode(depthFrame.copy(subscriptionMode = 2))
+    }
+  }
+
   test("paise scaling: 286550 paise = 2865.50 rupees (FIXTURES.md golden)") {
     assert(Codec.paiseToRupees(286550L) === 2865.50)
     assert(Codec.paiseToRupees(-150L) === -1.50)

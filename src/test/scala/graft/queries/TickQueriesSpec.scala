@@ -95,6 +95,31 @@ class TickQueriesSpec extends SparkSpec {
     assert(st(0).getAs[Long]("tick_count") === 3L)
   }
 
+  test("depth imbalance over decoded mode-4 frames (best-five superset)") {
+    import spark.implicits._
+    import graft.core.Schemas.{BestFive, DepthLevel}
+    def depthFrame(token: String, seq: Long, buyQty: Long, sellQty: Long): TickFrame =
+      TickFrame(4, 1, token, seq, t0 + seq * 1000, 286550L,
+        Some(5L), Some(286550L), Some(100L), Some(1.0), Some(2.0),
+        Some(286500L), Some(286650L), Some(286450L), Some(286550L),
+        depth = Some(BestFive(
+          (1 to 5).map(i => DepthLevel(buyQty, 286550L - i)),
+          (1 to 5).map(i => DepthLevel(sellQty, 286550L + i)))))
+    val frames = Seq(
+      depthFrame("2885", 1, 100, 50),   // buy-heavy
+      depthFrame("2885", 2, 100, 50),
+      depthFrame("43607", 1, 10, 30),   // sell-heavy
+      // reference-style mode-4 frame without the depth tail: excluded
+      depthFrame("9999", 1, 1, 1).copy(depth = None)).toDS()
+    val imb = TickQueries.depthImbalance(frames).collect()
+    assert(imb.map(_.getString(0)).toSeq === Seq("2885", "43607"))
+    val r1 = imb(0)
+    assert(r1.getAs[Long]("total_buy_qty") === 1000L) // 2 frames x 5 levels x 100
+    assert(r1.getAs[Long]("total_sell_qty") === 500L)
+    assert(math.abs(r1.getAs[Double]("imbalance") - (1000.0 - 500.0) / 1500.0) < 1e-6)
+    assert(imb(1).getAs[Double]("imbalance") < 0)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val direct = ticks.groupBy(col("token")).agg(
       sum("volume").as("total"), count(lit(1)).as("cnt"))
