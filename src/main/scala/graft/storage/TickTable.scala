@@ -94,4 +94,18 @@ object TickTable {
       .filter(col(PartitionCol) >= to_date(lit(fromTs)) && col(PartitionCol) <= to_date(lit(toTs)))
       .filter(col("exchange_timestamp") >= to_timestamp(lit(fromTs))
         && col("exchange_timestamp") < to_timestamp(lit(toTs)))
+
+  /** Save as a BUCKETED catalog table: hash-bucketed and sorted by `key`.
+    * Two tables bucketed the same way join WITHOUT a shuffle — the
+    * co-located fact-to-fact join (SURVEY §7.4.6; GraftConf clusterNotes:
+    * "bucket very hot fact-to-fact joins by token"). At 100 TB a
+    * tick-to-tick join on token shuffles the whole table every query
+    * unless the layout pre-partitions it; bucketing pays that shuffle
+    * once at write. StorageSpec asserts the shuffle-free join plan. */
+  def saveBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }
