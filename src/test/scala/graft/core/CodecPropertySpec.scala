@@ -2,7 +2,7 @@ package graft.core
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
-import graft.core.Schemas.TickFrame
+import graft.core.Schemas.{BestFive, DepthLevel, TickFrame}
 
 /** ScalaCheck properties: encode∘decode identity and decoder totality
   * (SURVEY §5.2). Raw ScalaCheck runner (no scalatestplus bridge in the
@@ -46,6 +46,31 @@ class CodecPropertySpec extends AnyFunSuite {
     check(Prop.forAll(frameGen) { frame =>
       Codec.decode(Codec.encode(frame)) == Right(frame)
     }, "round-trip")
+  }
+
+  private val levelGen: Gen[DepthLevel] = for {
+    q <- Gen.chooseNum(0L, Long.MaxValue)
+    p <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+  } yield DepthLevel(q, p)
+
+  private val depthFrameGen: Gen[TickFrame] = for {
+    base <- frameGen
+    buy <- Gen.listOfN(Codec.DepthLevels, levelGen)
+    sell <- Gen.listOfN(Codec.DepthLevels, levelGen)
+  } yield {
+    // promote any generated frame to a full mode-4 depth frame
+    val quote = if (base.subscriptionMode >= 2) base else base.copy(
+      lastTradedQuantity = Some(0L), averageTradedPricePaise = Some(0L),
+      volume = Some(0L), totalBuyQuantity = Some(0.0), totalSellQuantity = Some(0.0),
+      openPricePaise = Some(0L), highPricePaise = Some(0L),
+      lowPricePaise = Some(0L), closePricePaise = Some(0L))
+    quote.copy(subscriptionMode = 4, depth = Some(BestFive(buy, sell)))
+  }
+
+  test("encode then decode is identity for depth (mode-4 superset) frames") {
+    check(Prop.forAll(depthFrameGen) { frame =>
+      Codec.decode(Codec.encode(frame)) == Right(frame)
+    }, "depth round-trip")
   }
 
   test("decoder is total on arbitrary byte arrays (never throws)") {

@@ -65,6 +65,22 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.toLowerCase.contains("datatype_mismatch"))
   }
 
+  test("a 283-byte depth superset frame decodes through SQL (quote fields kept)") {
+    import spark.implicits._
+    val depth = Schemas.TickFrame(4, 1, "2885", 9L, 1704447000000L, 286550L,
+      Some(10L), Some(286000L), Some(5000L), Some(1.5), Some(2.5),
+      Some(285000L), Some(287500L), Some(284250L), Some(286000L),
+      depth = Some(Schemas.BestFive(
+        (1 to 5).map(i => Schemas.DepthLevel(i * 10L, 286550L - i)),
+        (1 to 5).map(i => Schemas.DepthLevel(i * 9L, 286550L + i)))))
+    Seq(Codec.encode(depth)).toDF("payload").createOrReplaceTempView("depthframes")
+    val row = spark.sql(
+      "SELECT t.token, t.subscription_mode, t.volume FROM (SELECT graft_decode_frame(payload) AS t FROM depthframes)").head()
+    assert(row.getString(0) === "2885")
+    assert(row.getInt(1) === 4)
+    assert(row.getLong(2) === 5000L)
+  }
+
   test("an LTP-mode frame decodes with null quote fields") {
     import spark.implicits._
     val ltp = Schemas.TickFrame(1, 3, "9999", 1L, 1704447000000L, 12345L,
