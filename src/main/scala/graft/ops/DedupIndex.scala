@@ -17,8 +17,19 @@ import TextHashing._
   */
 final class DedupIndex private (docs: DataFrame, level: StorageLevel) {
 
-  /** The persisted inverted index. Materialized on first use. */
-  val shingles: DataFrame = docShingles(docs).persist(level)
+  /** The persisted inverted index, materialized EAGERLY with one clean
+    * action: lazy materialization would happen inside the first dedup
+    * query, where several subtrees of one plan race to compute the same
+    * cached partitions concurrently — under a 32-thread local master the
+    * unroll-memory contention can leave partitions unstored, making the
+    * next run recompute an unpredictable fraction (observed as bimodal
+    * 2 s / 9 s dedup_minhash timings). One count() = one scan, stored
+    * once, deterministic from then on. */
+  val shingles: DataFrame = {
+    val sh = docShingles(docs).persist(level)
+    sh.count()
+    sh
+  }
 
   def ngramPairs(threshold: Double = TextDedup.JaccardThreshold): DataFrame =
     jaccardFor(shingles, threshold, restrictTo = None)

@@ -64,13 +64,15 @@ object Multimodal {
     featureTables.computeIfAbsent((spark, dir), { kv =>
       val (s, d) = kv
       import s.implicits._
-      mediaTable(s, d)
+      val feats = mediaTable(s, d)
         .mapPartitions { rows =>
           val md = MessageDigest.getInstance("MD5")
           rows.map(r => decodeStub(r.doc_id, r.media, md))
         }
         .toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      feats.count() // eager, single-action materialization (see DedupIndex)
+      feats
     })
 
   /** Feature-extraction pass: one codec context per partition, streamed

@@ -34,10 +34,12 @@ object Similarity {
   def emb(spark: SparkSession, dir: String): DataFrame =
     corpora.computeIfAbsent((spark, dir), { kv =>
       val (s, d) = kv
-      s.read.parquet(s"$d/embeddings.parquet")
+      val corpus = s.read.parquet(s"$d/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
         .withColumn("nrm", sqrt(GraftExtensions.dot(col("v"), col("v"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count() // eager, single-action materialization (see DedupIndex)
+      corpus
     })
 
   /** dot(a,b) as a sequential left fold — same association order as the

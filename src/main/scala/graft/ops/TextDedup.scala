@@ -98,23 +98,36 @@ object TextDedup {
   /** 48-bit SimHash signatures over distinct words (md5-hashed): bit j is
     * the sign of the vote sum over words of (+1 / -1 on word-hash bit j).
     * 48 bits keeps the signature and band arithmetic inside Long; votes
-    * are 48 sum-aggregate columns — no row explosion. */
-  def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val dw = docs(spark, dir)
-      .withColumn("ws", words(col("text")))
-      .select(col("doc_id"), explode(col("ws")).as("w"))
-      .distinct()
-      .withColumn("wh", md5Long(col("w")))
-    val voteCols = (0 until SimHashBits).map { j =>
-      sum(when(expr(s"shiftright(wh, $j)") % 2 === 1, 1).otherwise(-1)).as(s"v$j")
-    }
-    val sigExpr = (0 until SimHashBits).map { j =>
-      when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    dw.groupBy("doc_id")
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), sigExpr.as("sig"))
-  }
+    * are 48 sum-aggregate columns — no row explosion.
+    *
+    * Cached per (session, dir): the `simhash` pair query references the
+    * signature table FIVE times in one plan (unique sigs, both sides of
+    * the cross-sig expansion, both sides of the same-sig pairing) — the
+    * scan + explode + distinct + 48-column agg must not run five times. */
+  private val sigTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    sigTables.computeIfAbsent((spark, dir), { kv =>
+      val (s, d) = kv
+      val dw = docs(s, d)
+        .withColumn("ws", words(col("text")))
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .distinct()
+        .withColumn("wh", md5Long(col("w")))
+      val voteCols = (0 until SimHashBits).map { j =>
+        sum(when(expr(s"shiftright(wh, $j)") % 2 === 1, 1).otherwise(-1)).as(s"v$j")
+      }
+      val sigExpr = (0 until SimHashBits).map { j =>
+        when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = dw.groupBy("doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"), sigExpr.as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigs.count() // eager, single-action materialization (see DedupIndex)
+      sigs
+    })
 
   /** SimHash near-dup pairs: 4 bands x 12 bits; candidates share a band,
     * survivors have Hamming distance <= 6 over the 48-bit signatures.
