@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed state via mapGroupsWithState: per-token running statistics
+  * (tick count, total volume, VWAP) that accumulate ACROSS micro-batches —
+  * the stateful upgrade of the reference's process-lifetime counters
+  * (/root/reference/models/stats.go:5-13, /root/reference/metrics/metrics.go:59-66),
+  * which reset on restart; this state lives in the checkpointed state
+  * store and survives query restarts.
+  *
+  * Where the built-ins stop: windowed aggs expire state at the watermark
+  * and dropDuplicates holds only in-watermark keys — a RUNNING per-key
+  * aggregate that must never expire needs explicit state, which is
+  * exactly the mapGroupsWithState rung. State size is O(#tokens) — a
+  * fixed-width record per instrument, independent of stream length.
+  */
+object RunningStats {
+
+  /** Checkpointed per-token accumulator. */
+  final case class TokenState(tickCount: Long, volumeSum: Long, priceVolSum: Double)
+
+  /** One output row per token per trigger (update mode). */
+  final case class TokenRunning(
+      token: String, tick_count: Long, total_volume: Long, vwap: Double)
+
+  /** Minimal input projection: (token, last_traded_price, volume). */
+  final case class TickLite(token: String, price: Double, volume: Long)
+
+  def update(
+      token: String,
+      ticks: Iterator[TickLite],
+      state: GroupState[TokenState]): TokenRunning = {
+    var s = state.getOption.getOrElse(TokenState(0L, 0L, 0.0))
+    ticks.foreach { t =>
+      s = TokenState(
+        s.tickCount + 1,
+        s.volumeSum + t.volume,
+        s.priceVolSum + t.price * t.volume)
+    }
+    state.update(s)
+    val vwap = if (s.volumeSum > 0) s.priceVolSum / s.volumeSum else 0.0
+    TokenRunning(token, s.tickCount, s.volumeSum, vwap)
+  }
+
+  /** Attach to a (possibly streaming) tick DataFrame
+    * (graft.core.Schemas.tickSchema); emits the refreshed running record
+    * for every token that saw ticks in the trigger. Use with
+    * OutputMode.Update. */
+  def perToken(spark: SparkSession, ticks: DataFrame): Dataset[TokenRunning] = {
+    import spark.implicits._
+    ticks
+      .select(col("token"),
+        col("last_traded_price").as("price"),
+        coalesce(col("volume"), lit(0L)).as("volume"))
+      .as[TickLite]
+      .groupByKey(_.token)
+      .mapGroupsWithState[TokenState, TokenRunning](GroupStateTimeout.NoTimeout)(update _)
+  }
+
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -6,7 +6,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.sql.Timestamp
 
 /** Event-time bar semantics (FIXTURES.md §5 scripts 1-3): happy path,
-  * duplicate collapse within watermark, late-data drop. */
+  * duplicate collapse within watermark, late-data drop; plus custom keyed
+  * state (mapGroupsWithState) accumulating across micro-batches. */
 class BarsSpec extends SparkSpec {
 
   private val T0 = 1704447000000L // 2024-01-05 09:30:00 UTC, minute-aligned
@@ -90,5 +91,38 @@ class BarsSpec extends SparkSpec {
     assert(sessions(0).getAs[Long]("tick_count") === 3L, "burst 1 merges into one session")
     assert(sessions(0).getAs[Double]("high_price") === 102.0)
     assert(sessions(1).getAs[Long]("tick_count") === 1L, "burst 2 is its own session")
+  }
+
+  test("running stats: custom keyed state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Tick]
+    val q = RunningStats.perToken(spark, stream.toDF())
+      .writeStream.format("memory").queryName("running_test")
+      .outputMode(RunningStats.outputMode).start()
+
+    // batch 1: two A ticks, one B tick
+    stream.addData(
+      tick("A", 1, T0, 100.0).copy(volume = Some(10L)),
+      tick("A", 2, T0 + 1000, 200.0).copy(volume = Some(30L)),
+      tick("B", 1, T0, 50.0).copy(volume = Some(5L)))
+    q.processAllAvailable()
+    // batch 2: one more A tick — state must carry batch 1 forward
+    stream.addData(tick("A", 3, T0 + 2000, 300.0).copy(volume = Some(60L)))
+    q.processAllAvailable()
+    q.stop()
+
+    // update mode emits one row per key per trigger; the LAST A row has
+    // the accumulated totals
+    val rows = spark.table("running_test").collect()
+    val lastA = rows.filter(_.getAs[String]("token") == "A")
+      .maxBy(_.getAs[Long]("tick_count"))
+    assert(lastA.getAs[Long]("tick_count") === 3L, "state must survive across batches")
+    assert(lastA.getAs[Long]("total_volume") === 100L)
+    // vwap = (100*10 + 200*30 + 300*60) / 100 = 250.0
+    assert(lastA.getAs[Double]("vwap") === 250.0)
+    val lastB = rows.filter(_.getAs[String]("token") == "B").maxBy(_.getAs[Long]("tick_count"))
+    assert(lastB.getAs[Long]("tick_count") === 1L)
+    assert(lastB.getAs[Double]("vwap") === 50.0)
   }
 }
