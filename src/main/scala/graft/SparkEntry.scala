@@ -54,6 +54,7 @@ object SparkEntry {
     "rank_by_day" -> (M.rankByDay _),
     "event_gaps" -> (M.eventGaps _),
     "cube_stats" -> (M.cubeStats _),
+    "range_join_errors" -> (M.rangeJoinErrors _),
     // -- relational / TPC-H-ish --
     "tpch_pricing_summary" -> (R.pricingSummary _),
     "tpch_top_orders" -> (R.topOrders _),
@@ -253,6 +254,21 @@ object SparkEntry {
         |lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |  - epoch_us(ts) AS gap_us
         |FROM events WHERE user_id IN (1,7,42,99) ORDER BY event_id""".stripMargin,
+
+    "range_join_errors" ->
+      """WITH f AS (SELECT * FROM events WHERE user_id IN (1,7,42,99)),
+        |l AS (SELECT *, CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 14400000000
+        |  THEN 1 ELSE 0 END AS new_session FROM f),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM l),
+        |sess AS (SELECT user_id, session_id, epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM s GROUP BY 1, 2)
+        |SELECT e.user_id, sess.session_id, count(*) AS n_errors
+        |FROM events e JOIN sess ON e.user_id = sess.user_id
+        |  AND epoch_us(e.ts) BETWEEN sess.s_us AND sess.e_us
+        |WHERE e.event_type = 'error' AND e.user_id IN (1,7,42,99)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cube_stats" ->
       """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,

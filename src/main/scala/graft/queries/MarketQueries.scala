@@ -406,6 +406,24 @@ object MarketQueries {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join: each error event matched to the 4h-gap
+    * activity session containing it, via the bucketized interval join
+    * (ops.RangeJoin — equality join on (user, hour-bucket), never a
+    * nested loop). Emits error counts per session. */
+  def rangeJoinErrors(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionStats(spark, dir)
+      .select(col("user_id"), col("session_id"), col("session_start_us"),
+        (col("session_start_us") + col("duration_us")).as("session_end_us"))
+    val errors = events(spark, dir)
+      .filter(col("event_type") === "error" && col("user_id").isin(Tokens: _*))
+      .select(col("user_id"), tsUs(col("ts")).as("err_ts_us"))
+    graft.ops.RangeJoin.pointInIntervalBucketed(errors, sess, "user_id",
+        "err_ts_us", "session_start_us", "session_end_us", bucketWidth = 3600L * 1000000)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Cube aggregation (completes the grouping-sets surface next to
     * `rollupStats`): totals per (type, day), per type, per day, and grand
     * total in one pass. */

@@ -56,6 +56,12 @@ class PlanSpec extends SparkSpec {
     assert(plan(RelationalQueries.brandRevenue(spark, dir)).contains("BroadcastHashJoin"))
   }
 
+  test("range join is a bucketized equality join, never a nested loop") {
+    val p = plan(MarketQueries.rangeJoinErrors(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bare range predicate planned as nested loop:\n$p")
+  }
+
   test("as-of join plans as union + window: one shuffle, no join operator") {
     val p = plan(MarketQueries.asofJoin(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
