@@ -61,4 +61,49 @@ object RunningStats {
   }
 
   val outputMode: OutputMode = OutputMode.Update()
+
+  // -------------------------------------------------------------------
+  // flatMapGroupsWithState: 0..n outputs per key per trigger
+
+  /** Last observed price per token (alert detector state). */
+  final case class PriceState(lastPrice: Double)
+
+  /** Emitted only when a tick moves more than `threshold` (fractional)
+    * from the previously seen price for its token. */
+  final case class PriceJump(
+      token: String, prev_price: Double, price: Double, jump_pct: Double)
+
+  /** Keyed anomaly detection — the flatMapGroupsWithState rung: unlike
+    * mapGroupsWithState (exactly one row per key per trigger), a quiet
+    * token emits NOTHING and a volatile one emits one alert per jump.
+    * State is one double per token. */
+  def priceJumpAlerts(
+      spark: SparkSession, ticks: DataFrame, threshold: Double = 0.05): Dataset[PriceJump] = {
+    import spark.implicits._
+    def detect(
+        token: String,
+        rows: Iterator[TickLite],
+        state: GroupState[PriceState]): Iterator[PriceJump] = {
+      val out = Seq.newBuilder[PriceJump]
+      var last = state.getOption.map(_.lastPrice)
+      rows.foreach { t =>
+        last.foreach { p =>
+          if (p != 0.0 && math.abs(t.price - p) / p > threshold)
+            out += PriceJump(token, p, t.price,
+              math.rint((t.price - p) / p * 1e6) / 1e4)
+        }
+        last = Some(t.price)
+      }
+      last.foreach(p => state.update(PriceState(p)))
+      out.result().iterator
+    }
+    ticks
+      .select(col("token"),
+        col("last_traded_price").as("price"),
+        coalesce(col("volume"), lit(0L)).as("volume"))
+      .as[TickLite]
+      .groupByKey(_.token)
+      .flatMapGroupsWithState[PriceState, PriceJump](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(detect _)
+  }
 }

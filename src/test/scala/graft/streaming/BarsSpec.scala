@@ -125,4 +125,29 @@ class BarsSpec extends SparkSpec {
     assert(lastB.getAs[Long]("tick_count") === 1L)
     assert(lastB.getAs[Double]("vwap") === 50.0)
   }
+
+  test("price-jump alerts: flatMapGroupsWithState emits only on anomalies") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Tick]
+    val q = RunningStats.priceJumpAlerts(spark, stream.toDF(), threshold = 0.05)
+      .writeStream.format("memory").queryName("alerts_test")
+      .outputMode("append").start()
+
+    stream.addData(tick("A", 1, T0, 100.0), tick("B", 1, T0, 50.0))
+    q.processAllAvailable() // first observations: no alerts
+    stream.addData(tick("A", 2, T0 + 1000, 102.0), tick("B", 2, T0 + 1000, 50.5))
+    q.processAllAvailable() // 2% and 1% moves: quiet
+    stream.addData(tick("A", 3, T0 + 2000, 120.0))
+    q.processAllAvailable() // 17.6% jump vs state carried from batch 2
+    q.stop()
+
+    val alerts = spark.table("alerts_test").collect()
+    assert(alerts.length === 1, "only the >5% move may alert")
+    val a = alerts(0)
+    assert(a.getAs[String]("token") === "A")
+    assert(a.getAs[Double]("prev_price") === 102.0, "state must span batches")
+    assert(a.getAs[Double]("price") === 120.0)
+    assert(math.abs(a.getAs[Double]("jump_pct") - 17.6471) < 1e-4)
+  }
 }
