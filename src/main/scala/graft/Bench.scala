@@ -34,12 +34,16 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val trace = sys.env.contains("GRAFT_BENCH_TRACE")
+    def up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
     names.foreach { name =>
       try {
         runOnce(name) // warm-up
+        if (trace) System.err.println(f"[trace] $name timed-start uptime=$up%.1f")
         val t0 = System.nanoTime()
         runOnce(name)
         timings(name) = (System.nanoTime() - t0) / 1e9
+        if (trace) System.err.println(f"[trace] $name timed-end uptime=$up%.1f took=${timings(name)}%.2f")
       } catch {
         case e: Throwable =>
           timings(name) = -1.0
