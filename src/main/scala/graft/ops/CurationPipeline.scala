@@ -38,6 +38,41 @@ object CurationPipeline {
     (survivors.drop("fp"), updatedIndex)
   }
 
+  /** Streaming curation: incoming documents are incrementally deduped
+    * against a PERSISTED fingerprint index inside foreachBatch — the
+    * streaming face of `incrementalDedup`. Survivors append to the corpus
+    * and their fingerprints append to the index; each batch costs one
+    * anti join + one agg against the index (bucket the index by fp at
+    * 100 TB), history is never rescanned. At-least-once: a replayed batch
+    * re-anti-joins against the index its first attempt wrote, so
+    * already-indexed docs cannot re-enter the corpus. */
+  def streamingDedup(
+      docs: DataFrame, corpusDir: String, indexDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val index =
+          if (new java.io.File(indexDir).exists()) spark.read.parquet(indexDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("fp",
+                org.apache.spark.sql.types.StringType))))
+        val (survivors, _) = incrementalDedup(batch, index)
+        val out = survivors.persist()
+        try {
+          out.write.mode("append").parquet(corpusDir)
+          out.select(md5(lower(col("text"))).as("fp")).distinct()
+            .write.mode("append").parquet(indexDir)
+        } finally out.unpersist()
+        ()
+      }
+      .start()
+
   def filteredCorpus(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextAnalysis.qualityScore(spark, dir)
     val keepIds = TextDedup.exact(spark, dir).select(col("keep_id").as("doc_id"))

@@ -110,6 +110,33 @@ class OpsSpec extends SparkSpec {
     assert(idx2.count() === 4)
   }
 
+  test("streaming dedup: cross-batch duplicates never reach the corpus") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Files.createTempDirectory("curcorpus").toString + "/docs"
+    val index = Files.createTempDirectory("curindex").toString + "/fp"
+    val ckpt = Files.createTempDirectory("curckpt").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = CurationPipeline.streamingDedup(
+      stream.toDS().toDF("doc_id", "text"), corpus, index, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+
+    // batch 1: A, B, and an in-batch duplicate of A
+    stream.addData((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate of B (different doc_id) + new C
+    stream.addData((4L, "beta doc"), (5L, "gamma doc"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(corpus).collect()
+    assert(out.map(_.getAs[String]("text")).sorted.toSeq ===
+      Seq("alpha doc", "beta doc", "gamma doc"), "one survivor per distinct text")
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L, 5L),
+      "min doc_id wins in-batch; cross-batch dup dropped by the index")
+    assert(spark.read.parquet(index).count() === 3)
+  }
+
   test("prefix-filtered jaccard: exact values, recall limited to rare-shingle pairs") {
     val full = TextDedup.ngramJaccard(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
