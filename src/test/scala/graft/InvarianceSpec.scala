@@ -62,6 +62,47 @@ class InvarianceSpec extends SparkSpec {
       s"hot key not spread: max salted group $maxGroup vs ideal ${hotCount / buckets}")
   }
 
+  test("as-of join matches the brute-force definition on synthetic data") {
+    import spark.implicits._
+    // deterministic pseudo-random tables: 500 points, 200 quotes, 7 keys
+    val points = spark.range(500).select(
+      (col("id") % 7).as("k"), (col("id") * 37 % 1000).as("ts"), col("id").as("pid"))
+    val quotes = spark.range(200).select(
+      (col("id") % 7).as("k"), (col("id") * 53 % 1000).as("ts"),
+      (col("id") % 89).cast("double").as("px"))
+      .groupBy("k", "ts").agg(max("px").as("px"))
+
+    val got = graft.ops.AsofJoin.joinAsof(points, quotes, "k", "ts", Seq("px"))
+      .select("pid", "asof_px").as[(Long, Option[Double])].collect().toMap
+
+    // brute force on the driver: latest quote at-or-before, per key
+    val qs = quotes.as[(Long, Long, Double)].collect().groupBy(_._1)
+    val ps = points.as[(Long, Long, Long)].collect()
+    ps.foreach { case (k, ts, pid) =>
+      val expect = qs.getOrElse(k, Array.empty)
+        .filter(_._2 <= ts).sortBy(_._2).lastOption.map(_._3)
+      assert(got(pid) === expect, s"pid=$pid k=$k ts=$ts")
+    }
+  }
+
+  test("bucketized range join equals the unbucketized formulation") {
+    val points = spark.range(2000).select(
+      (col("id") % 11).as("k"), (col("id") * 37 % 5000).as("ts"), col("id").as("pid"))
+    val intervals = spark.range(300).select(
+      (col("id") % 11).as("k"), (col("id") * 101 % 5000).as("lo"), col("id").as("iid"))
+      .withColumn("hi", col("lo") + (col("iid") % 400) + 1)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = collectPairs(graft.ops.RangeJoin.pointInInterval(
+      points, intervals, "k", "ts", "lo", "hi"))
+    for (bucket <- Seq(7L, 100L, 10000L)) { // widths below/at/above interval span
+      val bucketed = collectPairs(graft.ops.RangeJoin.pointInIntervalBucketed(
+        points, intervals, "k", "ts", "lo", "hi", bucket))
+      assert(bucketed === plain, s"bucketWidth=$bucket diverged")
+    }
+    assert(plain.nonEmpty, "fixture must actually produce matches")
+  }
+
   test("jaccard pairs bounded and symmetric-by-construction") {
     val pairs = TextDedup.ngramJaccard(spark, dir).collect()
     assert(pairs.forall { r =>
