@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The library facade — what a user of the reference pipeline
+  * (crypt0inf0/angelone_clickhouse) calls instead of running the Go
+  * binary + ClickHouse. One object, four concerns:
+  *
+  *   1. session():    a tuned SparkSession with the graft_* SQL functions
+  *                    and reader settings installed;
+  *   2. ingest*():    the streaming ingest path (replay spool or live
+  *                    feed -> decode -> enrich -> 5 s micro-batch append,
+  *                    checkpointed — /root/reference/main.go:221-330);
+  *   3. ticks()/queries: the analytical surface over the tick table
+  *                    (graft.queries.TickQueries — the six reference
+  *                    queries and the extended surface);
+  *   4. serveMetrics(): /metrics + /health over HTTP
+  *                    (/root/reference/main.go:351-367).
+  */
+object Graft {
+
+  /** Tuned local session (cluster callers pass their own master via
+    * spark-submit and only inherit the conf + extensions). */
+  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = core.GraftConf.tuned(
+      SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+    core.GraftConf.runtime(spark)
+    plans.GraftExtensions.install(spark)
+    spark
+  }
+
+  /** Stream spooled wire frames into a date-partitioned tick table:
+    * replay of a capture, or the tail of a live recorder writing spools. */
+  def ingestFromSpool(
+      spark: SparkSession, spoolDir: String, tokensJson: String,
+      sinkDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      maxFramesPerBatch: Int = 1000): StreamingQuery = {
+    import spark.implicits._
+    val frames = spark.readStream
+      .format("graft.sources.FrameReplayProvider")
+      .option("path", spoolDir)
+      .option("maxFramesPerBatch", maxFramesPerBatch.toString)
+      .load().select("payload").as[Array[Byte]]
+    ingest.IngestStream.start(spark, frames,
+      ingest.TokenDirectory.load(spark, tokensJson), sinkDir, checkpointDir, trigger)
+  }
+
+  /** Same pipeline over an in-process live feed channel
+    * (sources.LiveFrameFeed.append from a connector's read loop; a real
+    * WebSocket connector implements sources.FrameSource and authenticates
+    * with sources.BrokerAuthConfig outside the engine). */
+  def ingestLive(
+      spark: SparkSession, channel: String, tokensJson: String,
+      sinkDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import spark.implicits._
+    val frames = spark.readStream
+      .format("graft.sources.FrameReplayProvider")
+      .option("source", "memory")
+      .option("channel", channel)
+      .load().select("payload").as[Array[Byte]]
+    ingest.IngestStream.start(spark, frames,
+      ingest.TokenDirectory.load(spark, tokensJson), sinkDir, checkpointDir, trigger)
+  }
+
+  /** The tick table this session's ingest writes. */
+  def ticks(spark: SparkSession, sinkDir: String): DataFrame =
+    storage.TickTable.read(spark, sinkDir)
+
+  /** Start serving /metrics and /health for a running ingest; returns the
+    * server (stop() when done) after registering the listener. */
+  def serveMetrics(spark: SparkSession, port: Int = 0): (obs.IngestMetricsListener, obs.MetricsHttpServer) = {
+    val listener = new obs.IngestMetricsListener
+    spark.streams.addListener(listener)
+    (listener, new obs.MetricsHttpServer(listener, port).start())
+  }
+}
