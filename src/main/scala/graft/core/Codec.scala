@@ -54,6 +54,13 @@ object Codec {
     val wantLen = if (mode >= 2) QuoteFrameLen else LtpFrameLen
     if (bytes.length < wantLen)
       return Left(s"frame too short for mode $mode: ${bytes.length} < $wantLen")
+    // a depth frame is either reference-style (exactly the Quote layout)
+    // or carries the full best-five tail — anything between is a
+    // truncated ladder, and this codec rejects instead of silently
+    // dropping data (its contract vs the reference's zero-fill)
+    if (mode == 4 && bytes.length > QuoteFrameLen && bytes.length < DepthFrameLen)
+      return Left(
+        s"truncated depth frame: ${bytes.length} (want $QuoteFrameLen or >= $DepthFrameLen)")
 
     // NUL-right-trim of the fixed char[25] token (parser/binary.go:55-57)
     var tokEnd = 2

@@ -20,7 +20,10 @@ import java.nio.charset.StandardCharsets
 final class MetricsHttpServer(listener: IngestMetricsListener, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(null) // serve on the dispatcher thread; metrics are tiny
+  // small pool, NOT the dispatcher thread: one stalled client must not
+  // block /health for the orchestrator
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+  server.setExecutor(pool)
 
   private def respond(ex: HttpExchange, status: Int, contentType: String, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -45,5 +48,9 @@ final class MetricsHttpServer(listener: IngestMetricsListener, port: Int = 0) {
 
   def boundPort: Int = server.getAddress.getPort
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+    ()
+  }
 }

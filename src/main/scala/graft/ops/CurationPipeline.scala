@@ -40,12 +40,17 @@ object CurationPipeline {
 
   /** Streaming curation: incoming documents are incrementally deduped
     * against a PERSISTED fingerprint index inside foreachBatch — the
-    * streaming face of `incrementalDedup`. Survivors append to the corpus
-    * and their fingerprints append to the index; each batch costs one
-    * anti join + one agg against the index (bucket the index by fp at
-    * 100 TB), history is never rescanned. At-least-once: a replayed batch
-    * re-anti-joins against the index its first attempt wrote, so
-    * already-indexed docs cannot re-enter the corpus. */
+    * streaming face of `incrementalDedup`. Each batch costs one anti join
+    * + one agg against the index (bucket the index by fp at 100 TB);
+    * history is never rescanned.
+    *
+    * Replay-safe: both sinks are laid out as batch_id partitions written
+    * with dynamic partition overwrite, so a replayed batch (crash
+    * anywhere between the two writes and the offset commit) REPLACES its
+    * own corpus and index partitions instead of appending duplicates —
+    * the same idempotence scheme as storage.TickTable.appendBatch. Paths
+    * go through the Hadoop FileSystem API, so HDFS/S3 index locations
+    * work, not just local disk. */
   def streamingDedup(
       docs: DataFrame, corpusDir: String, indexDir: String,
       checkpointDir: String,
@@ -53,10 +58,12 @@ object CurationPipeline {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val index =
-          if (new java.io.File(indexDir).exists()) spark.read.parquet(indexDir)
+          if (fs.exists(indexPath)) spark.read.parquet(indexDir).select("fp")
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(
@@ -65,9 +72,17 @@ object CurationPipeline {
         val (survivors, _) = incrementalDedup(batch, index)
         val out = survivors.persist()
         try {
-          out.write.mode("append").parquet(corpusDir)
+          out.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpusDir)
           out.select(md5(lower(col("text"))).as("fp")).distinct()
-            .write.mode("append").parquet(indexDir)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(indexDir)
         } finally out.unpersist()
         ()
       }

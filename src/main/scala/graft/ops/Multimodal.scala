@@ -52,28 +52,23 @@ object Multimodal {
   }
 
   /** Decode-once: the features table is computed ONCE per (session, dir)
-    * and persisted; every derived query (frame sampling, resize planning,
-    * format stats) reads the cache instead of re-running the decode. With
-    * a real codec at ~10 ms/frame, re-decoding per derived query at 100 TB
-    * multiplies the single most expensive stage of the pipeline — decode
-    * feeds a materialized features table, and everything else derives. */
-  private val featureTables =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * and persisted (SessionCache); every derived query (frame sampling,
+    * resize planning, format stats) reads the cache instead of re-running
+    * the decode. With a real codec at ~10 ms/frame, re-decoding per
+    * derived query at 100 TB multiplies the single most expensive stage
+    * of the pipeline — decode feeds a materialized features table, and
+    * everything else derives. Rewrote documents.parquet mid-session?
+    * `SessionCache.invalidate(spark, "mmfeat", dir)` first. */
   def features(spark: SparkSession, dir: String): DataFrame =
-    featureTables.computeIfAbsent((spark, dir), { kv =>
-      val (s, d) = kv
-      import s.implicits._
-      val feats = mediaTable(s, d)
+    graft.core.SessionCache.getOrBuild(spark, "mmfeat", dir) {
+      import spark.implicits._
+      mediaTable(spark, dir)
         .mapPartitions { rows =>
           val md = MessageDigest.getInstance("MD5")
           rows.map(r => decodeStub(r.doc_id, r.media, md))
         }
         .toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      feats.count() // eager, single-action materialization (see DedupIndex)
-      feats
-    })
+    }
 
   /** Feature-extraction pass: one codec context per partition, streamed
     * row batches, typed output (ordered for the oracle contract). */

@@ -25,22 +25,16 @@ object Similarity {
   /** Embeddings as doubles, with the L2 norm precomputed once per vector
     * — cosine over a pair then costs one fold (the dot), not three.
     * At 100 TB the norm column is written at ingest; the session analog is
-    * computing it once per (session, dir) and persisting: every similarity
-    * query in the session (brute force, LSH, multi-probe, IVF, near-dup)
-    * reads the same normed corpus instead of re-scanning + re-norming. */
-  private val corpora =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * computing it once per (session, dir) and persisting (SessionCache):
+    * every similarity query in the session reads the same normed corpus.
+    * If embeddings.parquet is rewritten mid-session, call
+    * `SessionCache.invalidate(spark, "emb", dir)` first. */
   def emb(spark: SparkSession, dir: String): DataFrame =
-    corpora.computeIfAbsent((spark, dir), { kv =>
-      val (s, d) = kv
-      val corpus = s.read.parquet(s"$d/embeddings.parquet")
+    graft.core.SessionCache.getOrBuild(spark, "emb", dir) {
+      spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
         .withColumn("nrm", sqrt(GraftExtensions.dot(col("v"), col("v"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      corpus.count() // eager, single-action materialization (see DedupIndex)
-      corpus
-    })
+    }
 
   /** dot(a,b) as a sequential left fold — same association order as the
     * oracle so values match bit-for-bit where possible. (HOF formulation,

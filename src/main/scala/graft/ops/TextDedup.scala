@@ -34,12 +34,20 @@ object TextDedup {
     * per (session, dir): the first reference materializes the cache, the
     * other references (and any later dedup query in the session) read it.
     * At 100 TB this is the difference between one corpus shingling pass
-    * per session and one per sub-plan. */
+    * per session and one per sub-plan. If documents.parquet is rewritten
+    * mid-session, call `invalidate(spark, dir)` first. */
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DedupIndex]()
 
   def index(spark: SparkSession, dir: String): DedupIndex =
     indexes.computeIfAbsent((spark, dir), kv => DedupIndex(docs(kv._1, kv._2)))
+
+  /** Drop this (session, dir)'s cached shingle index and signature table. */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    val idx = indexes.remove((spark, dir))
+    if (idx != null) idx.close()
+    graft.core.SessionCache.invalidate(spark, "simhash_sigs", dir)
+  }
 
   /** Exact dedup by content hash: one surviving doc_id per distinct
     * normalized text (hash-groupBy — the trivially-parallel baseline). */
@@ -100,17 +108,14 @@ object TextDedup {
     * 48 bits keeps the signature and band arithmetic inside Long; votes
     * are 48 sum-aggregate columns — no row explosion.
     *
-    * Cached per (session, dir): the `simhash` pair query references the
-    * signature table FIVE times in one plan (unique sigs, both sides of
-    * the cross-sig expansion, both sides of the same-sig pairing) — the
-    * scan + explode + distinct + 48-column agg must not run five times. */
-  private val sigTables =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * Cached per (session, dir) via SessionCache: the `simhash` pair query
+    * references the signature table FIVE times in one plan (unique sigs,
+    * both sides of the cross-sig expansion, both sides of the same-sig
+    * pairing) — the scan + explode + distinct + 48-column agg must not
+    * run five times. */
   def simhashSigs(spark: SparkSession, dir: String): DataFrame =
-    sigTables.computeIfAbsent((spark, dir), { kv =>
-      val (s, d) = kv
-      val dw = docs(s, d)
+    graft.core.SessionCache.getOrBuild(spark, "simhash_sigs", dir) {
+      val dw = docs(spark, dir)
         .withColumn("ws", words(col("text")))
         .select(col("doc_id"), explode(col("ws")).as("w"))
         .distinct()
@@ -121,13 +126,10 @@ object TextDedup {
       val sigExpr = (0 until SimHashBits).map { j =>
         when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val sigs = dw.groupBy("doc_id")
+      dw.groupBy("doc_id")
         .agg(voteCols.head, voteCols.tail: _*)
         .select(col("doc_id"), sigExpr.as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sigs.count() // eager, single-action materialization (see DedupIndex)
-      sigs
-    })
+    }
 
   /** SimHash near-dup pairs: 4 bands x 12 bits; candidates share a band,
     * survivors have Hamming distance <= 6 over the 48-bit signatures.

@@ -26,8 +26,18 @@ object RunningStats {
   final case class TokenRunning(
       token: String, tick_count: Long, total_volume: Long, vwap: Double)
 
-  /** Minimal input projection: (token, last_traded_price, volume). */
-  final case class TickLite(token: String, price: Double, volume: Long)
+  /** Minimal input projection. Carries event time + sequence because the
+    * state iterators deliver a group's rows in ARBITRARY order within a
+    * micro-batch — any order-sensitive logic must sort first. */
+  final case class TickLite(
+      token: String, price: Double, volume: Long, tsUs: Long, seq: Long)
+
+  private def liteOf(ticks: DataFrame) =
+    ticks.select(col("token"),
+      col("last_traded_price").as("price"),
+      coalesce(col("volume"), lit(0L)).as("volume"),
+      unix_micros(col("exchange_timestamp")).as("tsUs"),
+      col("sequence_number").as("seq"))
 
   def update(
       token: String,
@@ -51,10 +61,7 @@ object RunningStats {
     * OutputMode.Update. */
   def perToken(spark: SparkSession, ticks: DataFrame): Dataset[TokenRunning] = {
     import spark.implicits._
-    ticks
-      .select(col("token"),
-        col("last_traded_price").as("price"),
-        coalesce(col("volume"), lit(0L)).as("volume"))
+    liteOf(ticks)
       .as[TickLite]
       .groupByKey(_.token)
       .mapGroupsWithState[TokenState, TokenRunning](GroupStateTimeout.NoTimeout)(update _)
@@ -86,7 +93,10 @@ object RunningStats {
         state: GroupState[PriceState]): Iterator[PriceJump] = {
       val out = Seq.newBuilder[PriceJump]
       var last = state.getOption.map(_.lastPrice)
-      rows.foreach { t =>
+      // the iterator order within a batch is arbitrary; jump detection is
+      // order-sensitive, so impose event-time order (bounded: one group's
+      // rows of one micro-batch)
+      rows.toSeq.sortBy(t => (t.tsUs, t.seq)).foreach { t =>
         last.foreach { p =>
           if (p != 0.0 && math.abs(t.price - p) / p > threshold)
             out += PriceJump(token, p, t.price,
@@ -97,10 +107,7 @@ object RunningStats {
       last.foreach(p => state.update(PriceState(p)))
       out.result().iterator
     }
-    ticks
-      .select(col("token"),
-        col("last_traded_price").as("price"),
-        coalesce(col("volume"), lit(0L)).as("volume"))
+    liteOf(ticks)
       .as[TickLite]
       .groupByKey(_.token)
       .flatMapGroupsWithState[PriceState, PriceJump](

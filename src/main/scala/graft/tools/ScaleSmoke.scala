@@ -40,9 +40,11 @@ object ScaleSmoke {
 
     def intervals(n: Long): DataFrame = spark.range(n / 100).select(
       (col("id") % keys).as("k"),
-      (col("id") * 3701L % (n * 10)).as("lo"))
-      .withColumn("hi", col("lo") + (col("k") % 50000L) + lit(1L))
-      .withColumn("iid", monotonically_increasing_id())
+      (col("id") * 3701L % (n * 10)).as("lo"),
+      col("id").as("iid"))
+      // widths up to 50k units = up to 6 buckets of 10k — the explode
+      // fan-out path must actually be exercised
+      .withColumn("hi", col("lo") + (col("iid") % 50000L) + lit(1L))
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

@@ -58,6 +58,13 @@ class CodecSpec extends AnyFunSuite {
     assert(decoded.map(_.volume) === Right(quoteFrame.volume))
   }
 
+  test("truncated depth tail is rejected, not silently dropped") {
+    val bytes = Codec.encode(depthFrame)
+    assert(Codec.decode(bytes.take(282)).isLeft, "one byte short of the ladder")
+    assert(Codec.decode(bytes.take(124)).isLeft, "one byte past the quote layout")
+    assert(Codec.decode(bytes.take(123)).isRight, "exact quote layout stays valid")
+  }
+
   test("depth tail on a non-depth mode is rejected at encode") {
     assertThrows[IllegalArgumentException] {
       Codec.encode(depthFrame.copy(subscriptionMode = 2))

@@ -140,14 +140,23 @@ class BarsSpec extends SparkSpec {
     q.processAllAvailable() // 2% and 1% moves: quiet
     stream.addData(tick("A", 3, T0 + 2000, 120.0))
     q.processAllAvailable() // 17.6% jump vs state carried from batch 2
+    // one batch with rows ADDED out of event-time order: the detector
+    // must evaluate in (ts, seq) order — 120 -> 119 quiet, 119 -> 200 jump
+    stream.addData(tick("A", 5, T0 + 5000, 200.0), tick("A", 4, T0 + 4000, 119.0))
+    q.processAllAvailable()
     q.stop()
 
     val alerts = spark.table("alerts_test").collect()
-    assert(alerts.length === 1, "only the >5% move may alert")
+      .sortBy(_.getAs[Double]("price"))
+    assert(alerts.length === 2, "only the >5% moves may alert")
     val a = alerts(0)
     assert(a.getAs[String]("token") === "A")
     assert(a.getAs[Double]("prev_price") === 102.0, "state must span batches")
     assert(a.getAs[Double]("price") === 120.0)
     assert(math.abs(a.getAs[Double]("jump_pct") - 17.6471) < 1e-4)
+    val b = alerts(1)
+    assert(b.getAs[Double]("prev_price") === 119.0,
+      "within-batch rows must be processed in event-time order")
+    assert(b.getAs[Double]("price") === 200.0)
   }
 }
