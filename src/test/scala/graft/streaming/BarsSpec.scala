@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.core.Schemas.Tick
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 /** Event-time bar semantics (FIXTURES.md §5 scripts 1-3): happy path,
@@ -124,6 +125,53 @@ class BarsSpec extends SparkSpec {
     val lastB = rows.filter(_.getAs[String]("token") == "B").maxBy(_.getAs[Long]("tick_count"))
     assert(lastB.getAs[Long]("tick_count") === 1L)
     assert(lastB.getAs[Double]("vwap") === 50.0)
+  }
+
+  test("running stats state survives a query restart from checkpoint") {
+    import spark.implicits._
+    import graft.core.Codec
+    import graft.core.Schemas.TickFrame
+    import graft.sources.FrameSpool
+    val ckpt = java.nio.file.Files.createTempDirectory("rsckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("rssink").toString
+    val spool = java.nio.file.Files.createTempDirectory("rsspool").toString
+
+    def frame(seq: Long, ltpPaise: Long, vol: Long): Array[Byte] =
+      Codec.encode(TickFrame(2, 1, "A", seq, T0 + seq * 1000, ltpPaise,
+        Some(1L), Some(ltpPaise), Some(vol), Some(1.0), Some(1.0),
+        Some(ltpPaise), Some(ltpPaise), Some(ltpPaise), Some(ltpPaise)))
+
+    // replayable source (MemoryStream offsets don't survive a restart):
+    // the spool grows between runs, the checkpoint resumes mid-spool
+    def runSpool(): Unit = {
+      val frames = spark.readStream
+        .format("graft.sources.FrameReplayProvider")
+        .option("path", spool).load()
+        .select("payload").as[Array[Byte]]
+      val ticks = graft.ingest.TickDecoder.decode(spark, frames).toDF()
+      val q = RunningStats.perToken(spark, ticks)
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode(RunningStats.outputMode)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[RunningStats.TokenRunning], _: Long) =>
+          b.write.mode("append").parquet(sink)
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    FrameSpool.write(spool, Seq(frame(1, 10000L, 10L)), "a") // 100.0 x 10
+    runSpool()
+    FrameSpool.write(spool, Seq(frame(2, 20000L, 30L)), "b") // 200.0 x 30
+    runSpool() // NEW query, same checkpoint: state must restore
+
+    val last = spark.read.parquet(sink)
+      .filter(col("token") === "A")
+      .orderBy(col("tick_count").desc).limit(1).collect()(0)
+    assert(last.getAs[Long]("tick_count") === 2L,
+      "restarted query must resume from checkpointed state, not from zero")
+    assert(last.getAs[Long]("total_volume") === 40L)
+    // vwap = (100*10 + 200*30) / 40 = 175.0
+    assert(last.getAs[Double]("vwap") === 175.0)
   }
 
   test("price-jump alerts: flatMapGroupsWithState emits only on anomalies") {
