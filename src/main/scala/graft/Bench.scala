@@ -58,13 +58,16 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":${"%.3f".format(v)}""" }
+    // Locale.ROOT: a comma-decimal default locale would make this line
+    // invalid JSON and lose the whole bench round at the driver's parser
+    def num(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = timings.map { case (k, v) => s""""${esc(k)}":${num(v)}""" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -398,7 +398,9 @@ object SparkEntry {
          |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
 
     "ann_ivf_topk" -> {
-      val centroidArr = "[" + (1 to 64).map(i => s"avg(v[$i])").mkString(", ") + "]"
+      // exact decimal sums, one double division — mirrors Similarity.ivfTopK
+      val centroidArr = "[" + (1 to 64).map(i =>
+        s"CAST(sum(CAST(v[$i] AS DECIMAL(27,12))) AS DOUBLE)/count(*)").mkString(", ") + "]"
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT label AS c_label, $centroidArr AS cv FROM e GROUP BY label),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),

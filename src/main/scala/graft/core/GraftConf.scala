@@ -15,7 +15,9 @@ object GraftConf {
     * cores (32 for the local harness; thousands on a real cluster). */
   def tuned(builder: SparkSession.Builder, cores: Int): SparkSession.Builder =
     builder
-      .config("spark.sql.shuffle.partitions", math.max(cores, 1).toString)
+      // ~2x cores per the class sizing rule: AQE can only COALESCE
+      // partitions, never split non-skewed ones, so start high
+      .config("spark.sql.shuffle.partitions", (math.max(cores, 1) * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

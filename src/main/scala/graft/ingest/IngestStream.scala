@@ -76,8 +76,10 @@ object IngestStream {
       .filter(col("token") === token)
       .groupBy(to_date(col("exchange_timestamp")).as("trade_date"))
       .agg(
-        min("last_traded_price").as("low_price"),
-        max("last_traded_price").as("high_price"),
+        // reference parity: session extremes, not captured-LTP extremes
+        // (/root/reference/db/clickhouse.go:159-162); LTP frames fall back
+        min(coalesce(col("low_price"), col("last_traded_price"))).as("low_price"),
+        max(coalesce(col("high_price"), col("last_traded_price"))).as("high_price"),
         sum("volume").as("total_volume"),
         count(lit(1)).as("tick_count"))
       .orderBy(col("trade_date").desc)

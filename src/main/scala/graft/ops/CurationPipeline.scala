@@ -62,13 +62,20 @@ object CurationPipeline {
         val spark = batch.sparkSession
         val indexPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // explicit schema: an index dir created by an empty batch holds no
+        // parquet files, and schema INFERENCE over it throws forever,
+        // wedging the stream — with the schema supplied it reads empty
+        val indexSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType)))
         val index =
-          if (fs.exists(indexPath)) spark.read.parquet(indexDir).select("fp")
+          if (fs.exists(indexPath))
+            spark.read.schema(indexSchema).parquet(indexDir).select("fp")
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("fp",
-                org.apache.spark.sql.types.StringType))))
+            org.apache.spark.sql.types.StructType(indexSchema.take(1)))
         val (survivors, _) = incrementalDedup(batch, index)
         val out = survivors.persist()
         try {

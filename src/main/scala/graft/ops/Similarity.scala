@@ -146,7 +146,12 @@ object Similarity {
     * key, so a probe reads ~1/n_clusters of the corpus. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val avgCols = (0 until 64).map(i => avg(element_at(col("v"), i + 1)).as(s"a$i"))
+    // centroid components via EXACT decimal sums (order-independent),
+    // divided once in double — plain double avg depends on partial-agg
+    // summation order and can flip the nearest-centroid tie vs the oracle
+    val avgCols = (0 until 64).map(i =>
+      (sum(element_at(col("v"), i + 1).cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as(s"a$i"))
     val centroids = e.groupBy("label")
       .agg(avgCols.head, avgCols.tail: _*)
       .select(col("label").as("c_label"),

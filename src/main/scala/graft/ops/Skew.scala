@@ -16,17 +16,24 @@ object Skew {
     * reducers; phase 2 merges the partials per key. Exact same result as
     * a direct groupBy(key).agg(sum, count), any data distribution.
     */
+  /** Per-row salt. Mixes a per-row id into the hash: salting on the value
+    * alone collapses when the hot key's value column is CONSTANT (every
+    * row hashes to one bucket — exactly the skew this operator exists to
+    * spread), and spark_partition_id alone collapses when the hot key is
+    * clustered into one input partition. The id varies within every
+    * partition, so the spread survives both. */
+  def saltCol(value: Column, saltBuckets: Int): Column =
+    pmod(hash(value, monotonically_increasing_id()), lit(saltBuckets))
+
   def saltedSumCount(
       df: DataFrame,
       key: Column,
       value: Column,
       saltBuckets: Int = 16): DataFrame = {
-    // row-content salt (not spark_partition_id: a hot key clustered into
-    // one input partition would still land on one reducer)
     val salted = df.select(
       key.as("k"),
       value.as("v"),
-      pmod(hash(value), lit(saltBuckets)).as("salt"))
+      saltCol(value, saltBuckets).as("salt"))
     salted
       .groupBy("k", "salt")
       .agg(sum("v").as("partial_sum"), count(lit(1)).as("partial_cnt"))

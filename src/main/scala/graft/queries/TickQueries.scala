@@ -23,13 +23,16 @@ object TickQueries {
       .orderBy(col("exchange_timestamp").desc, col("sequence_number").desc)
       .limit(1)
 
-  /** Daily stats per token (/root/reference/db/clickhouse.go:156-169). */
+  /** Daily stats per token (/root/reference/db/clickhouse.go:156-169):
+    * the reference aggregates the EXCHANGE-PROVIDED session extremes
+    * (min(low_price)/max(high_price)), not the captured LTPs — an LTP-mode
+    * frame carries no session fields, so fall back to its trade price. */
   def dailyStats(ticks: DataFrame, token: String): DataFrame =
     ticks.filter(col("token") === token)
       .groupBy(to_date(col("exchange_timestamp")).as("trade_date"))
       .agg(
-        min("last_traded_price").as("low_price"),
-        max("last_traded_price").as("high_price"),
+        min(coalesce(col("low_price"), col("last_traded_price"))).as("low_price"),
+        max(coalesce(col("high_price"), col("last_traded_price"))).as("high_price"),
         sum("volume").as("total_volume"),
         count(lit(1)).as("tick_count"))
       .orderBy(col("trade_date").desc)

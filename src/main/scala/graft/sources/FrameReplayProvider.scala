@@ -15,11 +15,12 @@ import scala.jdk.CollectionConverters._
   * WebSocket client, /root/reference/ws/client.go:90-112).
   *
   * Frames are length-prefixed records in `.bin` spool files under `path`
-  * (written by FrameSpool.write). Offsets are (fileIndex, recordIndex) —
-  * restart from checkpoint resumes mid-file, giving the at-least-once
-  * upgrade over the reference's drop-on-full channel. `maxFramesPerBatch`
-  * is the backpressure knob (reference BUFFER_SIZE analog): a backlog
-  * drains across triggers instead of being dropped.
+  * (written by FrameSpool.write). Offsets are per-segment consumed counts
+  * (see FrameOffset) — restart from checkpoint resumes mid-file, and new
+  * segments may appear ANYWHERE in sort order without remapping committed
+  * progress. `maxFramesPerBatch` is the backpressure knob (reference
+  * BUFFER_SIZE analog): a backlog drains across triggers instead of being
+  * dropped.
   *
   * Usage:
   *   spark.readStream.format("graft.sources.FrameReplayProvider")
@@ -59,8 +60,9 @@ object FrameReplayProvider {
   * FrameReplayStream's offset/commit logic is written against this trait
   * only, so a WebSocket or Kafka implementation replaces the spool reader
   * without touching admission control, offset mapping, or recovery.
-  * Segment counts may GROW between calls (a live feed appends); offsets
-  * are cumulative so growth only ever extends the readable range. */
+  * Segment counts may GROW between calls (a live feed appends), and new
+  * segments may appear; offsets are kept per segment, so growth and new
+  * arrivals only ever extend the readable range. */
 trait FrameSource extends Serializable {
   /** Ordered segments with their current frame counts. */
   def segments(): Seq[(String, Long)]
@@ -135,9 +137,33 @@ class FrameReplayTable(source: FrameSource, maxPerBatch: Int)
     }
 }
 
-/** Offset = cumulative frame count across the sorted spool files. */
-case class FrameOffset(frameCount: Long) extends Offset {
-  override def json(): String = frameCount.toString
+/** Offset = consumed frame count PER SEGMENT, not a global cumulative
+  * count: a new segment whose name sorts between already-consumed ones
+  * must not remap committed progress (a cumulative count silently
+  * re-reads and skips frames in that case — progress keyed by segment
+  * name is stable under any arrival order). Serialized as one line of
+  * URL-encoded `name=count` pairs (the offset log stores it opaquely). */
+case class FrameOffset(counts: Seq[(String, Long)]) extends Offset {
+  private lazy val byName: Map[String, Long] = counts.toMap
+  def countFor(segment: String): Long = byName.getOrElse(segment, 0L)
+  override def json(): String = counts.map { case (n, c) =>
+    java.net.URLEncoder.encode(n, "UTF-8") + "=" + c
+  }.mkString("&")
+}
+
+object FrameOffset {
+  val zero: FrameOffset = FrameOffset(Nil)
+  def parse(s: String): FrameOffset =
+    if (s == null || s.isEmpty) zero
+    else if (s.forall(_.isDigit))
+      // legacy cumulative offset (pre-per-segment checkpoints): there is
+      // no reliable file mapping — refuse rather than corrupt
+      throw new IllegalStateException(
+        s"legacy cumulative frame offset '$s' — restart with a fresh checkpoint")
+    else FrameOffset(s.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+      val i = kv.lastIndexOf('=')
+      (java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8"), kv.substring(i + 1).toLong)
+    })
 }
 
 class FrameReplayStream(source: FrameSource, maxPerBatch: Int)
@@ -145,43 +171,44 @@ class FrameReplayStream(source: FrameSource, maxPerBatch: Int)
 
   private def frameCounts(): Seq[(String, Long)] = source.segments()
 
-  override def initialOffset(): Offset = FrameOffset(0L)
+  override def initialOffset(): Offset = FrameOffset.zero
 
   /** Admission control: the per-trigger cap lives HERE (capping only in
     * planInputPartitions would desync the committed offset from the rows
-    * actually read). */
+    * actually read). Each segment advances independently; the cap is a
+    * total budget spread across segments in listing order. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[FrameOffset].frameCount
-    val total = frameCounts().map(_._2).sum
-    FrameOffset(math.min(total, from + maxPerBatch))
+    val s = start.asInstanceOf[FrameOffset]
+    var budget = maxPerBatch.toLong
+    val current = frameCounts()
+    val advanced = current.map { case (seg, avail) =>
+      val consumed = s.countFor(seg)
+      val take = math.max(0L, math.min(avail - consumed, budget))
+      budget -= take
+      (seg, consumed + take)
+    }
+    // carry committed counts of segments the listing no longer returns
+    val known = advanced.map(_._1).toSet
+    FrameOffset(advanced ++ s.counts.filterNot(c => known.contains(c._1)))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch)
 
-  override def reportLatestOffset(): Offset = FrameOffset(frameCounts().map(_._2).sum)
+  override def reportLatestOffset(): Offset = FrameOffset(frameCounts())
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
 
-  override def deserializeOffset(json: String): Offset = FrameOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = FrameOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[FrameOffset].frameCount
-    val until = end.asInstanceOf[FrameOffset].frameCount
-    if (until <= from) return Array.empty
-    // map the global [from, until) frame range onto per-file sub-ranges
-    var cum = 0L
-    val parts = Seq.newBuilder[InputPartition]
-    for ((file, n) <- frameCounts()) {
-      val fileStart = cum
-      val fileEnd = cum + n
-      val lo = math.max(from, fileStart)
-      val hi = math.min(until, fileEnd)
-      if (hi > lo) parts += FrameReplayPartition(file, lo - fileStart, hi - fileStart)
-      cum = fileEnd
-    }
-    parts.result().toArray
+    val s = start.asInstanceOf[FrameOffset]
+    val e = end.asInstanceOf[FrameOffset]
+    e.counts.collect {
+      case (seg, until) if until > s.countFor(seg) =>
+        FrameReplayPartition(seg, s.countFor(seg), until): InputPartition
+    }.toArray
   }
 
   // standalone factory: an anonymous class here would capture the
@@ -239,10 +266,14 @@ object FrameSpool {
       new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
     try {
       var n = 0L
-      while (in.available() >= 4) {
+      var torn = false
+      while (!torn && in.available() >= 4) {
         val len = in.readInt()
-        in.skipBytes(len)
-        n += 1
+        // a live recorder may have flushed the length prefix but not the
+        // payload yet: do NOT count a torn trailing frame (it would be
+        // admitted into an offset and then fail readFully)
+        if (in.available() < len) torn = true
+        else { in.skipBytes(len); n += 1 }
       }
       n
     } finally in.close()

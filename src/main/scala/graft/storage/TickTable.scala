@@ -56,34 +56,47 @@ object TickTable {
   /** Compact a date partition: micro-batch appends leave one file per
     * trigger; periodic compaction rewrites the partition into `numFiles`
     * time-sorted files. Layout-preserving: a (trade_date, batch_id) sink
-    * compacts into batch_id=-1 under the same structure (a mixed layout
-    * would break partition discovery). At 100 TB this runs as a nightly
-    * job over yesterday's partition only — never the whole table. */
+    * compacts into a fresh NEGATIVE batch_id under the same structure (a
+    * mixed layout would break partition discovery). At 100 TB this runs
+    * as a nightly job over yesterday's partition only — never the whole
+    * table.
+    *
+    * Crash-safe ordering: the compacted copy is written to a dot-prefixed
+    * staging dir (invisible to readers), RENAMED into the table (one
+    * directory rename), and only then are the old batch dirs deleted — no
+    * crash window loses data. A crash between rename and deletes leaves
+    * the rows visible TWICE (old + compacted); re-running
+    * compactPartition for the date heals it (duplication is recoverable,
+    * loss is not). */
   def compactPartition(spark: SparkSession, path: String, date: String, numFiles: Int = 1): Unit = {
     val table = read(spark, path)
     val hasBatchId = table.columns.contains("batch_id")
     val part = table.filter(col(PartitionCol) === to_date(lit(date)))
       .drop(PartitionCol, "batch_id")
-    val tmp = s"$path/.compact_tmp_$date"
-    part.repartition(numFiles)
-      .sortWithinPartitions("exchange_timestamp")
-      .write.mode("overwrite").parquet(tmp)
-    // swap: drop the old partition directory, rewrite from the copy
-    // (tmp outlives the write, so the rewrite never reads deleted files)
-    val compacted = spark.read.parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$PartitionCol=$date"), true)
-    val withPartCols =
-      if (hasBatchId)
-        compacted.withColumn(PartitionCol, to_date(lit(date)))
-          .withColumn("batch_id", lit(CompactedBatchId))
-      else compacted.withColumn(PartitionCol, to_date(lit(date)))
-    val partCols = if (hasBatchId) Seq(PartitionCol, "batch_id") else Seq(PartitionCol)
-    withPartCols.write.mode("append")
-      .partitionBy(partCols: _*)
-      .parquet(path)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val partDir = s"$path/$PartitionCol=$date"
+    val staging = s"$path/.compact_stage_$date" // dot prefix: readers skip it
+    part.repartition(numFiles)
+      .sortWithinPartitions("exchange_timestamp")
+      .write.mode("overwrite").parquet(staging)
+
+    if (hasBatchId) {
+      // fresh negative id per compaction so re-compaction never collides
+      if (!fs.exists(p(partDir))) fs.mkdirs(p(partDir))
+      val existing = fs.listStatus(p(partDir))
+        .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+      val ids = existing.map(_.stripPrefix("batch_id=").toLong)
+      val newId = math.min(ids.minOption.getOrElse(0L), 0L) - 1
+      fs.rename(p(staging), p(s"$partDir/batch_id=$newId"))
+      existing.foreach(d => fs.delete(p(s"$partDir/$d"), true))
+    } else {
+      val old = s"$path/.compact_old_$date"
+      fs.rename(p(partDir), p(old))      // hide the old partition
+      fs.rename(p(staging), p(partDir))  // publish the compacted copy
+      fs.delete(p(old), true)
+    }
   }
 
   /** Time-range scan helper — the predicate shape that gets both

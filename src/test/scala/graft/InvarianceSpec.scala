@@ -51,15 +51,31 @@ class InvarianceSpec extends SparkSpec {
     // key — no partial group may exceed ~hot/buckets by more than 50%
     val hotCount = n / 2
     val buckets = 16
-    val phase1 = skewed
-      .groupBy(col("token"), pmod(hash(col("volume")), lit(buckets)).as("salt"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("token") === "HOT")
-      .collect()
-    assert(phase1.length === buckets, "hot key must hit every salt bucket")
-    val maxGroup = phase1.map(_.getAs[Long]("c")).max
-    assert(maxGroup <= (hotCount / buckets * 1.5).toLong,
-      s"hot key not spread: max salted group $maxGroup vs ideal ${hotCount / buckets}")
+    def assertSpread(df: org.apache.spark.sql.DataFrame): Unit = {
+      val phase1 = df
+        .groupBy(col("token"), graft.ops.Skew.saltCol(col("volume"), buckets).as("salt"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("token") === "HOT")
+        .collect()
+      assert(phase1.length === buckets, "hot key must hit every salt bucket")
+      val maxGroup = phase1.map(_.getAs[Long]("c")).max
+      assert(maxGroup <= (hotCount / buckets * 1.5).toLong,
+        s"hot key not spread: max salted group $maxGroup vs ideal ${hotCount / buckets}")
+    }
+    assertSpread(skewed)
+
+    // the adversarial sub-case: the hot key's VALUE is constant, so a
+    // value-only salt would put every hot row in ONE bucket
+    val constSkewed = skewed.withColumn("volume",
+      when(col("token") === "HOT", lit(7L)).otherwise(col("volume")))
+    val directC = constSkewed.groupBy("token")
+      .agg(sum("volume").as("total"), count(lit(1)).as("cnt"))
+      .orderBy("token").collect().toSeq
+    val saltedC = graft.ops.Skew.saltedSumCount(constSkewed, col("token"), col("volume"), buckets)
+      .withColumnRenamed("k", "token").orderBy("token").collect().toSeq
+    assert(directC.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ===
+      saltedC.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    assertSpread(constSkewed)
   }
 
   test("as-of join matches the brute-force definition on synthetic data") {
