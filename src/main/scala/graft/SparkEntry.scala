@@ -55,6 +55,7 @@ object SparkEntry {
     "event_gaps" -> (M.eventGaps _),
     "cube_stats" -> (M.cubeStats _),
     "range_join_errors" -> (M.rangeJoinErrors _),
+    "except_tokens" -> (M.exceptTokens _),
     // -- relational / TPC-H-ish --
     "tpch_pricing_summary" -> (R.pricingSummary _),
     "tpch_top_orders" -> (R.topOrders _),
@@ -223,6 +224,13 @@ object SparkEntry {
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT SELECT user_id FROM events WHERE event_type = 'error'
         |ORDER BY user_id""".stripMargin,
+
+    "except_tokens" ->
+      """SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date
+        |FROM events WHERE event_type = 'purchase'
+        |EXCEPT SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR)
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY user_id, date""".stripMargin,
 
     // independent formulation: DuckDB's native ASOF JOIN checks our
     // union+window implementation from a different algorithm entirely

@@ -234,6 +234,17 @@ object MarketQueries {
       .orderBy("user_id")
   }
 
+  /** §2.9: EXCEPT — (token, day) pairs with a purchase but no error that
+    * day (completes the set-operation family next to `setOps`'
+    * INTERSECT; keyed per day because every token eventually errors). */
+  def exceptTokens(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    def keyOf(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), dateStr(col("ts")).as("date"))
+    keyOf("purchase").except(keyOf("error"))
+      .orderBy("user_id", "date")
+  }
+
   /** Rollup aggregation (superset of the reference's plain GROUP BY
     * surface): per-type and grand-total in one pass. */
   def rollupStats(spark: SparkSession, dir: String): DataFrame =

@@ -37,6 +37,52 @@ class FrameReplaySpec extends SparkSpec {
     assert(decoded === (1L to 10L).toArray)
   }
 
+  test("a new spool file sorting BEFORE consumed ones neither skips nor duplicates") {
+    import spark.implicits._
+    val spool = Files.createTempDirectory("dsv2order").toString
+    val ckpt = Files.createTempDirectory("dsv2orderckpt").toString
+    val sink = Files.createTempDirectory("dsv2ordersink").toString
+    // consume a file named "m" first...
+    FrameSpool.write(spool, (1L to 4L).map(frame("ORD", _)), "m")
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.FrameReplayProvider")
+        .option("path", spool).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink)
+        }
+        .trigger(Trigger.ProcessingTime("1 second")).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    // ...then add a file that sorts BEFORE it — a cumulative offset would
+    // remap committed progress (re-reading "m" and skipping "a")
+    FrameSpool.write(spool, (5L to 7L).map(frame("ORD", _)), "a")
+    run()
+    val seqs = spark.read.parquet(sink).collect()
+      .map(r => Codec.decode(r.getAs[Array[Byte]]("payload")).toOption.get.sequenceNumber)
+      .sorted
+    assert(seqs === (1L to 7L).toArray,
+      "per-segment offsets must survive out-of-order segment names")
+  }
+
+  test("a torn trailing frame is not admitted until its payload completes") {
+    import spark.implicits._
+    val spool = Files.createTempDirectory("dsv2torn").toString
+    val full = FrameSpool.write(spool, (1L to 3L).map(frame("TORN", _)), "w0")
+    // simulate a live recorder mid-write: length prefix flushed, payload cut
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(full))
+    java.nio.file.Files.write(java.nio.file.Paths.get(full),
+      bytes.dropRight(10)) // third record now torn
+    val counted = FrameSpool.listFiles(spool).map(_._2).sum
+    assert(counted === 2, "torn trailing record must not be counted")
+    // completing the file makes the third frame visible
+    java.nio.file.Files.write(java.nio.file.Paths.get(full), bytes)
+    assert(FrameSpool.listFiles(spool).map(_._2).sum === 3)
+  }
+
   test("live in-memory source round-trips frames appended while running") {
     val channel = "spec-live-1"
     LiveFrameFeed.clear(channel)
