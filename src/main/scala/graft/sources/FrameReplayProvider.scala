@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -167,9 +167,20 @@ object FrameOffset {
 }
 
 class FrameReplayStream(source: FrameSource, maxPerBatch: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def frameCounts(): Seq[(String, Long)] = source.segments()
+
+  /** Trigger.AvailableNow: snapshot the segment counts at query start;
+    * batches then drain toward exactly that snapshot (still paced by
+    * maxFramesPerBatch) and the query self-terminates — the
+    * backfill-then-stop mode. Frames arriving after the snapshot wait
+    * for the next run. */
+  @volatile private var availableNowTarget: Option[Seq[(String, Long)]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(frameCounts())
 
   override def initialOffset(): Offset = FrameOffset.zero
 
@@ -180,7 +191,7 @@ class FrameReplayStream(source: FrameSource, maxPerBatch: Int)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FrameOffset]
     var budget = maxPerBatch.toLong
-    val current = frameCounts()
+    val current = availableNowTarget.getOrElse(frameCounts())
     val advanced = current.map { case (seg, avail) =>
       val consumed = s.countFor(seg)
       val take = math.max(0L, math.min(avail - consumed, budget))

@@ -68,6 +68,23 @@ class FrameReplaySpec extends SparkSpec {
       "per-segment offsets must survive out-of-order segment names")
   }
 
+  test("Trigger.AvailableNow drains the spool in paced batches, then stops") {
+    val spool = Files.createTempDirectory("dsv2avnow").toString
+    FrameSpool.write(spool, (1L to 9L).map(frame("AV", _)), "w0")
+    val q = spark.readStream
+      .format("graft.sources.FrameReplayProvider")
+      .option("path", spool)
+      .option("maxFramesPerBatch", "4")
+      .load()
+      .writeStream.format("memory").queryName("avnow_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    val seqs = spark.table("avnow_out").collect()
+      .map(r => Codec.decode(r.getAs[Array[Byte]]("payload")).toOption.get.sequenceNumber)
+      .sorted
+    assert(seqs === (1L to 9L).toArray, "backfill must drain the whole spool")
+  }
+
   test("a torn trailing frame is not admitted until its payload completes") {
     import spark.implicits._
     val spool = Files.createTempDirectory("dsv2torn").toString
