@@ -146,16 +146,20 @@ object Similarity {
     * key, so a probe reads ~1/n_clusters of the corpus. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    // centroid components via EXACT decimal sums (order-independent),
-    // divided once in double — plain double avg depends on partial-agg
-    // summation order and can flip the nearest-centroid tie vs the oracle
-    val avgCols = (0 until 64).map(i =>
-      (sum(element_at(col("v"), i + 1).cast("decimal(27,12)")).cast("double") /
-        count(lit(1))).as(s"a$i"))
-    val centroids = e.groupBy("label")
-      .agg(avgCols.head, avgCols.tail: _*)
-      .select(col("label").as("c_label"),
-        array((0 until 64).map(i => col(s"a$i")): _*).as("cv"))
+    // The coarse quantizer is an INDEX: built once per session, probed by
+    // every query (SessionCache). Centroid components via EXACT decimal
+    // sums (order-independent), divided once in double — plain double avg
+    // depends on partial-agg summation order and can flip the
+    // nearest-centroid tie vs the oracle.
+    val centroids = graft.core.SessionCache.getOrBuild(spark, "ivf_centroids", dir) {
+      val avgCols = (0 until 64).map(i =>
+        (sum(element_at(col("v"), i + 1).cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as(s"a$i"))
+      e.groupBy("label")
+        .agg(avgCols.head, avgCols.tail: _*)
+        .select(col("label").as("c_label"),
+          array((0 until 64).map(i => col(s"a$i")): _*).as("cv"))
+    }
     val q = e.filter(col("vec_id").isin(QueryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     import org.apache.spark.sql.expressions.Window
