@@ -22,8 +22,12 @@ object TextHashing {
 
   /** Portable 60-bit string hash: first 15 hex chars of md5 as an integer.
     * Identical in DuckDB: cast(concat('0x', substr(md5(s),1,15)) as bigint).
-    */
-  def md5Long(s: Column): Column =
+    * Computed by the fused native expression (one digest, no hex-string
+    * round-trip — plans/Md5Long64Expr); `md5LongComposite` is the
+    * built-in-chain formulation it is property-tested against. */
+  def md5Long(s: Column): Column = graft.plans.GraftExtensions.md5Long(s)
+
+  def md5LongComposite(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Lower-cased whitespace words, empties dropped. */

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDesc)
     ext.injectFunction(GraftExtensions.dotDesc)
+    ext.injectFunction(GraftExtensions.md5LongDesc)
     ext.injectFunction(GraftExtensions.decodeDesc)
   }
 }
@@ -41,6 +42,14 @@ object GraftExtensions {
       DotProductExpr(children.head, children(1))
     })
 
+  private[plans] val md5LongDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_md5long"),
+    new ExpressionInfo(classOf[Md5Long64Expr].getName, "graft_md5long"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_md5long(str) takes 1 argument")
+      Md5Long64Expr(children.head)
+    })
+
   private[plans] val decodeDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_decode_frame"),
     new ExpressionInfo(classOf[DecodeTickFrameExpr].getName, "graft_decode_frame"),
@@ -52,7 +61,7 @@ object GraftExtensions {
   /** Register the SQL functions on an already-running session (the
     * builder-time extensions path doesn't apply to reused sessions). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    for ((ident, info, builder) <- Seq(cosineDesc, dotDesc, decodeDesc))
+    for ((ident, info, builder) <- Seq(cosineDesc, dotDesc, md5LongDesc, decodeDesc))
       Bridge.registerFunction(spark, ident, info, builder)
   }
 
@@ -62,6 +71,9 @@ object GraftExtensions {
 
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def md5Long(s: Column): Column =
+    Bridge.column(Md5Long64Expr(Bridge.expression(s)))
 
   def decodeFrame(payload: Column): Column =
     Bridge.column(DecodeTickFrameExpr(Bridge.expression(payload)))
