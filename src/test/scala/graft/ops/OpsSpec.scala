@@ -110,6 +110,26 @@ class OpsSpec extends SparkSpec {
     assert(idx2.count() === 4)
   }
 
+  test("a JSONL corpus flows through the dedup operators unchanged") {
+    val d = Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(d, "docs.jsonl")
+    Files.writeString(f.toPath,
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog", "lang": "en"}
+        |{"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog", "lang": "en"}
+        |{"doc_id": 3, "text": "completely different content here entirely", "lang": "en"}
+        |{"text": "row without an id gets a stable content hash"}""".stripMargin)
+    val docs = graft.sources.DocSources.jsonl(spark, f.getAbsolutePath)
+    assert(docs.count() === 4)
+    // missing doc_id -> negative stable id, no collision with real ids
+    val synth = docs.filter(col("doc_id") < 0).collect()
+    assert(synth.length === 1)
+    // the operator layer is source-agnostic: exact-dup pair found
+    val pairs = TextHashing.jaccardPairs(docs, 0.9).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (1L, 2L))
+    assert(pairs(0).getAs[Double]("jaccard") === 1.0)
+  }
+
   test("streaming dedup: cross-batch duplicates never reach the corpus") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
