@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_minhash" -> (TextDedup.minhashLsh _),
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
     "dedup_simhash" -> (TextDedup.simhash _),
+    "dedup_simhash_clusters" -> (TextDedup.simhashClusters _),
     // -- similarity search --
     "similarity_topk" -> (Similarity.bruteForceTopK _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
@@ -379,6 +380,32 @@ object SparkEntry {
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // connected components via recursive transitive closure — an
+    // algorithm independent of the Spark side's min-label propagation
+    "dedup_simhash_clusters" ->
+      s"""WITH RECURSIVE dw AS (SELECT DISTINCT doc_id, w FROM
+         |  (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
+         |wh AS (SELECT doc_id, ${md5LongSql("w")} AS wh FROM dw),
+         |votes AS (SELECT doc_id, j, sum(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0,47)) AS j) GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+         |  FROM votes GROUP BY 1),
+         |usig AS (SELECT DISTINCT sig FROM sigs),
+         |bands AS (SELECT sig, b, (sig >> (b*12)) & 4095 AS band_val
+         |  FROM usig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b)),
+         |ep AS (SELECT DISTINCT x.sig AS sa, y.sig AS sb
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.band_val = y.band_val AND x.sig < y.sig
+         |  WHERE bit_count(xor(x.sig, y.sig)) <= 6),
+         |edges AS (SELECT sa, sb FROM ep UNION ALL SELECT sb AS sa, sa AS sb FROM ep),
+         |reach(src, dst) AS (SELECT sig, sig FROM usig
+         |  UNION SELECT r.src, e.sb FROM reach r JOIN edges e ON r.dst = e.sa),
+         |comp AS (SELECT src AS sig, min(dst) AS comp FROM reach GROUP BY src),
+         |dc AS (SELECT doc_id, comp FROM sigs JOIN comp USING (sig)),
+         |rep AS (SELECT comp, min(doc_id) AS cluster_rep, count(*) AS cluster_size
+         |  FROM dc GROUP BY comp)
+         |SELECT doc_id, cluster_rep, cluster_size FROM dc JOIN rep USING (comp)
+         |ORDER BY doc_id""".stripMargin,
 
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -139,15 +139,19 @@ object TextDedup {
     * dedup-before-pairwise pattern that pays off whenever the corpus has
     * heavy value repetition. Hamming filters run BEFORE the distinct so
     * the dedup shuffle only carries survivors. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSigs(spark, dir)
+  /** Near-dup graph over UNIQUE signatures: one node per distinct 48-bit
+    * sig, one edge per banded candidate pair within Hamming <= 6. Shared
+    * by the all-pairs query (`simhash`) and the cluster-representative
+    * output (`simhashClusters`). Tiny by construction: nodes are unique
+    * sigs, edges only exist between near-identical signatures. */
+  private def sigPairGraph(sigs: DataFrame): DataFrame = {
     val usig = sigs.select("sig").distinct()
     val bandStructs = (0 until SimHashBands).map { b =>
       struct(lit(b).as("b"), (expr(s"shiftright(sig, ${b * 12})") % 4096).as("band_val"))
     }
     val bands = usig.select(col("sig"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("sig"), col("bb.b").as("b"), col("bb.band_val").as("band_val"))
-    val sigPairs = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val")
           && col("x.sig") < col("y.sig"))
@@ -155,6 +159,11 @@ object TextDedup {
       .filter(col("hamming") <= 6)
       .select(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"), col("hamming"))
       .distinct()
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(spark, dir)
+    val sigPairs = sigPairGraph(sigs)
     val crossSig = sigPairs
       .join(sigs.select(col("doc_id").as("da"), col("sig").as("sig_a")), "sig_a")
       .join(sigs.select(col("doc_id").as("db"), col("sig").as("sig_b")), "sig_b")
@@ -165,5 +174,61 @@ object TextDedup {
       .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"), lit(0L).as("hamming"))
     crossSig.unionByName(sameSig)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Cluster-representative dedup: (doc_id, cluster_rep, cluster_size)
+    * where clusters are the connected components of the near-dup
+    * signature graph and cluster_rep = min doc_id in the cluster. This is
+    * the scale-safe output contract a curation pipeline consumes: a
+    * near-dup cluster of m docs emits m rows (keep rep, drop the rest),
+    * where the all-pairs `simhash` output emits m(m-1)/2 — quadratic in
+    * cluster size (a 10^6-doc boilerplate cluster at 100 TB would be
+    * 5*10^11 pair rows but only 10^6 cluster rows).
+    *
+    * Components run over UNIQUE sigs (exact-sig duplicates collapse to
+    * one node for free) via min-label propagation with pointer jumping:
+    * each round takes the min label over the node's neighborhood, then
+    * shortcuts label -> label(label), converging in O(log diameter)
+    * rounds. The sig graph is tiny by construction (only near-identical
+    * signatures are connected), so the driver-side fixpoint loop is a
+    * handful of sub-second distributed rounds even at corpus scale.
+    * Each round is lineage-truncated (localCheckpoint) so plans stay
+    * flat no matter the iteration count. */
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(spark, dir)
+    val pairs = sigPairGraph(sigs).select("sig_a", "sig_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("sig_b").as("sig_a"), col("sig_a").as("sig_b")))
+      .localCheckpoint(true)
+    var labels = sigs.select("sig").distinct()
+      .withColumn("label", col("sig"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 64) { // monotone-decreasing labels: fixpoint guaranteed; 64 = safety cap
+      val nbrMin = edges
+        .join(labels.select(col("sig").as("sig_b"), col("label").as("nlabel")), Seq("sig_b"))
+        .groupBy(col("sig_a").as("sig"))
+        .agg(min("nlabel").as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("sig"), "left")
+        .select(col("sig"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val jumped = stepped
+        .join(stepped.select(col("sig").as("label"), col("label").as("plabel")), Seq("label"), "left")
+        .select(col("sig"), least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = jumped
+        .join(labels.withColumnRenamed("label", "old_label"), Seq("sig"))
+        .filter(col("label") =!= col("old_label"))
+        .count()
+      labels = jumped
+      iters += 1
+    }
+    val docComp = sigs.join(labels, Seq("sig"))
+      .select(col("doc_id"), col("label").as("comp"))
+    val reps = docComp.groupBy("comp")
+      .agg(min("doc_id").as("cluster_rep"), count(lit(1)).as("cluster_size"))
+    docComp.join(reps, Seq("comp"))
+      .select("doc_id", "cluster_rep", "cluster_size")
+      .orderBy("doc_id")
   }
 }

@@ -62,6 +62,33 @@ class OpsSpec extends SparkSpec {
     assert(p23.isDefined && p23.get.getAs[Long]("hamming") === 0L)
   }
 
+  test("simhash clusters = connected components of the near-dup pair graph") {
+    val pairs = TextDedup.simhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = TextDedup.simhashClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("cluster_rep"), r.getAs[Long]("cluster_size")))
+      .toMap
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(clusters.keySet === ids.toSet, "one cluster row per doc")
+    // independent ground truth: union-find (union-by-min) over the pairs
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = ids.map(i => i -> find(i)).toMap
+    val sizes = roots.values.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    ids.foreach { i =>
+      assert(clusters(i) === ((roots(i), sizes(roots(i)))), s"doc $i cluster mismatch")
+    }
+    // the fixture's exact pair must collapse: 3 -> rep 2
+    assert(clusters(3L)._1 === 2L)
+    assert(clusters(4L) === ((4L, 1L)), "singleton keeps itself")
+  }
+
   test("embedding near-dup finds the colinear pair with cos ~ 1") {
     val pairs = Similarity.embeddingNearDup(spark, dir).collect()
     val p01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
