@@ -23,7 +23,11 @@ object CurationPipeline {
     * (keep min doc_id). Returns (survivors, updatedIndex). The index is
     * the only state — at 100 TB it's a bucketed table keyed by the
     * fingerprint, and this is one anti join + one agg per batch, never a
-    * rescan of history. */
+    * rescan of history: updatedIndex is an APPEND-ONLY union. Survivors
+    * carry exactly one row per fingerprint (the batch keeps min doc_id
+    * per fp) and are anti-joined against the index, so their fps are new
+    * by construction — no distinct over history, no full-index reshuffle
+    * per batch. */
   def incrementalDedup(newDocs: DataFrame, fingerprintIndex: DataFrame): (DataFrame, DataFrame) = {
     val fp = newDocs.withColumn("fp", md5(lower(col("text"))))
     val batchKeep = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
@@ -33,8 +37,7 @@ object CurationPipeline {
       .drop("keep_id")
       .join(fingerprintIndex, Seq("fp"), "left_anti")
     val updatedIndex = fingerprintIndex
-      .unionByName(survivors.select("fp").distinct())
-      .distinct()
+      .unionByName(survivors.select("fp"))
     (survivors.drop("fp"), updatedIndex)
   }
 

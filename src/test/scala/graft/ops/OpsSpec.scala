@@ -137,6 +137,23 @@ class OpsSpec extends SparkSpec {
     assert(idx2.count() === 4)
   }
 
+  test("incremental dedup index update is append-only: no reshuffle of history") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Union}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val index = Seq("not-a-real-fp").toDF("fp")
+    val (survivors, updated) = CurationPipeline.incrementalDedup(docs, index)
+    val plan = updated.queryExecution.optimizedPlan
+    assert(plan.isInstanceOf[Union], s"index update must be a plain union, got:\n$plan")
+    val historySide = plan.asInstanceOf[Union].children.head
+    assert(historySide.collect { case a: Aggregate => a }.isEmpty
+      && historySide.collect { case d: Deduplicate => d }.isEmpty,
+      s"history side of the index union must be untouched, got:\n$historySide")
+    // appended fps are exactly the survivors' (already-unique, anti-joined) fps
+    assert(updated.count() === index.count() + survivors.count())
+    assert(updated.distinct().count() === updated.count())
+  }
+
   test("a JSONL corpus flows through the dedup operators unchanged") {
     val d = Files.createTempDirectory("jsonl").toFile
     val f = new java.io.File(d, "docs.jsonl")
