@@ -10,8 +10,13 @@ import org.apache.spark.sql.SparkSession
   * -1.0 in `queries` and with its message in `errors`.
   *
   * Each query runs once as warm-up (JIT + codegen + file-listing caches),
-  * then timed. Execution is forced through the noop datasource so the
-  * full result materializes without sink I/O skewing the number.
+  * then timed GRAFT_BENCH_REPS times (default 3): `queries` reports the
+  * per-query MIN — the load-immune number — and `queries_max` the worst
+  * rep, so external box load shows up as min/max spread instead of
+  * silently inflating the headline (a single-run bench once reported a
+  * 27 s suite as 74 s under a noisy neighbor). Execution is forced
+  * through the noop datasource so the full result materializes without
+  * sink I/O skewing the number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,7 +37,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val maxes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val trace = sys.env.contains("GRAFT_BENCH_TRACE")
     def up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
@@ -40,13 +48,20 @@ object Bench {
       try {
         runOnce(name) // warm-up
         if (trace) System.err.println(f"[trace] $name timed-start uptime=$up%.1f")
-        val t0 = System.nanoTime()
-        runOnce(name)
-        timings(name) = (System.nanoTime() - t0) / 1e9
-        if (trace) System.err.println(f"[trace] $name timed-end uptime=$up%.1f took=${timings(name)}%.2f")
+        val runs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          runOnce(name)
+          (System.nanoTime() - t0) / 1e9
+        }
+        timings(name) = runs.min
+        maxes(name) = runs.max
+        allRuns(name) = runs
+        if (trace) System.err.println(
+          f"[trace] $name timed-end uptime=$up%.1f min=${runs.min}%.2f max=${runs.max}%.2f")
       } catch {
         case e: Throwable =>
           timings(name) = -1.0
+          maxes(name) = -1.0
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
@@ -63,11 +78,17 @@ object Bench {
     def num(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = timings.map { case (k, v) => s""""${esc(k)}":${num(v)}""" }
       .mkString("{", ",", "}")
+    val qmax = maxes.map { case (k, v) => s""""${esc(k)}":${num(v)}""" }
+      .mkString("{", ",", "}")
+    val qruns = allRuns.map { case (k, vs) =>
+      s""""${esc(k)}":[${vs.map(num).mkString(",")}]""" }
+      .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
+    val totalMax = maxes.values.filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"queries_runs":$qruns,"total_max":${num(totalMax)},"reps":$reps,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
