@@ -98,6 +98,19 @@ object CurationPipeline {
       }
       .start()
 
+  /** Merge cold batch_id partitions of a streaming-dedup sink (corpus or
+    * fingerprint index): thousands of micro-batches = thousands of tiny
+    * partitions on the index read path every batch, so a periodic
+    * compaction collapses everything but the `keepRecent` newest batches
+    * into one negative-id partition. keepRecent=1 is replay-safe by
+    * construction: a checkpointed stream can only ever replay its most
+    * recent uncommitted batch, and that batch keeps its own partition so
+    * its dynamic-overwrite idempotence is untouched. Crash-safe via
+    * `Compaction`'s manifest journal (publish-then-delete, roll-forward
+    * recovery). */
+  def compactSink(spark: SparkSession, dir: String, keepRecent: Int = 1, numFiles: Int = 1): Unit =
+    graft.storage.Compaction.compactBatchDirs(spark, dir, keepRecent, numFiles)
+
   def filteredCorpus(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextAnalysis.qualityScore(spark, dir)
     val keepIds = TextDedup.exact(spark, dir).select(col("keep_id").as("doc_id"))

@@ -61,41 +61,50 @@ object TickTable {
     * as a nightly job over yesterday's partition only — never the whole
     * table.
     *
-    * Crash-safe ordering: the compacted copy is written to a dot-prefixed
-    * staging dir (invisible to readers), RENAMED into the table (one
-    * directory rename), and only then are the old batch dirs deleted — no
-    * crash window loses data. A crash between rename and deletes leaves
-    * the rows visible TWICE (old + compacted); re-running
-    * compactPartition for the date heals it (duplication is recoverable,
-    * loss is not). */
+    * Crash safety is `Compaction`'s manifest protocol: staged copy ->
+    * journal -> publish renames (each boolean result checked; a false
+    * aborts with the originals untouched) -> deletes. Any crash window
+    * shows at worst transient duplication, which `Compaction.recover`
+    * (run on entry) rolls forward and removes; no window loses data. */
   def compactPartition(spark: SparkSession, path: String, date: String, numFiles: Int = 1): Unit = {
-    val table = read(spark, path)
-    val hasBatchId = table.columns.contains("batch_id")
-    val part = table.filter(col(PartitionCol) === to_date(lit(date)))
-      .drop(PartitionCol, "batch_id")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val fs = Compaction.fsFor(spark, path)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val partDir = s"$path/$PartitionCol=$date"
-    val staging = s"$path/.compact_stage_$date" // dot prefix: readers skip it
-    part.repartition(numFiles)
-      .sortWithinPartitions("exchange_timestamp")
-      .write.mode("overwrite").parquet(staging)
-
+    // legacy backup dir from the pre-manifest protocol: a crash could
+    // leave the partition hidden in it — restore before anything else
+    val legacyOld = s"$path/.compact_old_$date"
+    if (fs.exists(p(legacyOld))) {
+      if (!fs.exists(p(partDir))) {
+        if (!fs.rename(p(legacyOld), p(partDir)))
+          throw new java.io.IOException(
+            s"restore of interrupted compaction failed: $legacyOld -> $partDir")
+      } else fs.delete(p(legacyOld), true) // publish completed; drop backup
+    }
+    Compaction.recover(spark, partDir)
+    if (!fs.exists(p(partDir))) return
+    val hasBatchId = fs.listStatus(p(partDir))
+      .exists(_.getPath.getName.startsWith("batch_id="))
     if (hasBatchId) {
-      // fresh negative id per compaction so re-compaction never collides
-      if (!fs.exists(p(partDir))) fs.mkdirs(p(partDir))
-      val existing = fs.listStatus(p(partDir))
-        .map(_.getPath.getName).filter(_.startsWith("batch_id="))
-      val ids = existing.map(_.stripPrefix("batch_id=").toLong)
-      val newId = math.min(ids.minOption.getOrElse(0L), 0L) - 1
-      fs.rename(p(staging), p(s"$partDir/batch_id=$newId"))
-      existing.foreach(d => fs.delete(p(s"$partDir/$d"), true))
+      Compaction.compactBatchDirs(spark, partDir, keepRecent = 0,
+        numFiles = numFiles, sortCol = Some("exchange_timestamp"))
     } else {
-      val old = s"$path/.compact_old_$date"
-      fs.rename(p(partDir), p(old))      // hide the old partition
-      fs.rename(p(staging), p(partDir))  // publish the compacted copy
-      fs.delete(p(old), true)
+      // no batch_id level: publish-then-delete at FILE granularity under
+      // the same journal (staged part files carry fresh UUID names, so
+      // they never collide with the files they replace)
+      val part = read(spark, path)
+        .filter(col(PartitionCol) === to_date(lit(date)))
+        .drop(PartitionCol)
+      val staging = Compaction.stagingOf(partDir).toString
+      part.repartition(numFiles)
+        .sortWithinPartitions("exchange_timestamp")
+        .write.mode("overwrite").parquet(staging)
+      val oldFiles = fs.listStatus(p(partDir)).map(_.getPath)
+        .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      val staged = fs.listStatus(p(staging)).map(_.getPath)
+        .filter(_.getName.startsWith("part-"))
+      Compaction.publishAndClean(fs, partDir,
+        staged.map(f => f.toString -> s"$partDir/${f.getName}").toSeq,
+        oldFiles.map(_.toString).toSeq :+ staging)
     }
   }
 

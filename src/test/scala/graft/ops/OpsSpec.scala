@@ -201,6 +201,43 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(index).count() === 3)
   }
 
+  test("sink compaction merges cold batches; hot-batch replay stays idempotent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Files.createTempDirectory("cmpcorpus").toString + "/docs"
+    val index = Files.createTempDirectory("cmpindex").toString + "/fp"
+    val ckpt = Files.createTempDirectory("cmpckpt").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = CurationPipeline.streamingDedup(
+      stream.toDS().toDF("doc_id", "text"), corpus, index, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    stream.addData((1L, "alpha doc"), (2L, "beta doc")); q.processAllAvailable()
+    stream.addData((3L, "gamma doc")); q.processAllAvailable()
+    stream.addData((4L, "delta doc"), (5L, "alpha doc")); q.processAllAvailable()
+    q.stop()
+
+    def batchDirs(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batchDirs(index) === 3)
+    CurationPipeline.compactSink(spark, index, keepRecent = 1)
+    CurationPipeline.compactSink(spark, corpus, keepRecent = 1)
+    assert(batchDirs(index) === 2, "cold index batches merged, hot kept")
+    assert(batchDirs(corpus) === 2, "cold corpus batches merged, hot kept")
+    assert(spark.read.parquet(index).count() === 4, "index content unchanged")
+    assert(spark.read.parquet(corpus).select("text").as[String].collect().sorted.toSeq
+      === Seq("alpha doc", "beta doc", "delta doc", "gamma doc"))
+
+    // replay the HOT batch — the only one a checkpointed stream can ever
+    // replay — exactly as the sink would: dynamic overwrite of its own
+    // partition must replace, not append
+    Seq((4L, "delta doc")).toDF("doc_id", "text")
+      .withColumn("batch_id", lit(2L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(corpus)
+    assert(spark.read.parquet(corpus).count() === 4, "no duplication after replay")
+    assert(spark.read.parquet(corpus).select("text").distinct().count() === 4)
+  }
+
   test("prefix-filtered jaccard: exact values, recall limited to rare-shingle pairs") {
     val full = TextDedup.ngramJaccard(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap

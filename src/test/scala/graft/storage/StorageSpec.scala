@@ -39,6 +39,65 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("compactBatchDirs merges cold batches, keeps the hot one, repeats safely") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cbd").toString
+    def writeBatch(id: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "v").withColumn("batch_id", lit(id))
+        .write.mode("append").partitionBy("batch_id").parquet(dir)
+    def batchIds() = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).sorted.toSeq
+    writeBatch(0, Seq((1L, "a"), (2L, "b")))
+    writeBatch(1, Seq((3L, "c")))
+    writeBatch(2, Seq((4L, "d")))
+    Compaction.compactBatchDirs(spark, dir, keepRecent = 1)
+    assert(batchIds() === Seq(-1L, 2L), "cold 0,1 merged; hot 2 untouched")
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    Compaction.compactBatchDirs(spark, dir, keepRecent = 1)
+    assert(batchIds() === Seq(-1L, 2L), "re-compaction with nothing to merge is a no-op")
+    writeBatch(3, Seq((5L, "e")))
+    Compaction.compactBatchDirs(spark, dir, keepRecent = 1)
+    assert(batchIds() === Seq(-2L, 3L), "prior compaction output is cold and re-merged")
+    assert(spark.read.parquet(dir).count() === 5)
+  }
+
+  test("interrupted compaction rolls forward from the journal, never recompacts duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cjr").toString
+    Seq((1L, "a")).toDF("id", "v").withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(dir)
+    Seq((2L, "b")).toDF("id", "v").withColumn("batch_id", lit(1L))
+      .write.mode("append").partitionBy("batch_id").parquet(dir)
+    // crash simulation: staging fully written, manifest journaled, but
+    // neither publish nor deletes executed
+    val staging = s"$dir/.compact_stage"
+    spark.read.parquet(dir).drop("batch_id").repartition(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/.compact_manifest"),
+      (s"publish\t$staging\t$dir/batch_id=-1\n" +
+        s"delete\t$dir/batch_id=0\ndelete\t$dir/batch_id=1\n").getBytes("UTF-8"))
+    Compaction.recover(spark, dir)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted
+    assert(dirs.toSeq === Seq("batch_id=-1"), s"journal must roll forward, got ${dirs.toSeq}")
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("a staging dir without a manifest is an aborted attempt: discarded, originals intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cab").toString
+    Seq((1L, "a")).toDF("id", "v").withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(dir)
+    spark.read.parquet(dir).drop("batch_id")
+      .write.mode("overwrite").parquet(s"$dir/.compact_stage")
+    Compaction.recover(spark, dir)
+    assert(!new java.io.File(s"$dir/.compact_stage").exists(), "pre-journal stage discarded")
+    assert(spark.read.parquet(dir).count() === 1, "originals untouched")
+  }
+
   test("mismatched bucket counts fall back to a correct shuffled join") {
     import spark.implicits._
     val a = (1 to 100).map(i => (s"k${i % 10}", i)).toDF("token", "x")
