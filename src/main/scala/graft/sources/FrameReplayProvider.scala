@@ -96,21 +96,45 @@ final case class BrokerAuthConfig(
   * network egress; a real deployment swaps this class for one that owns a
   * socket + BrokerAuthConfig and leaves every other line untouched. */
 object LiveFrameFeed {
+  /** Growable frame buffer with a TRIM BASE: appends are amortized O(1)
+    * (a CopyOnWriteArrayList here made N appends O(N^2)) and consumed
+    * frames can be dropped without invalidating absolute offsets — `base`
+    * is the absolute offset of the first retained frame, so a
+    * long-running live feed holds only the un-trimmed tail. */
+  private final class Buf {
+    private val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    private var base = 0L
+    def append(f: Array[Byte]): Unit = synchronized { frames += f }
+    def size: Long = synchronized { base + frames.length }
+    def slice(from: Long, until: Long): Array[Array[Byte]] = synchronized {
+      val lo = math.max(from, base)
+      val hi = math.min(until, base + frames.length)
+      if (hi <= lo) Array.empty
+      else frames.slice((lo - base).toInt, (hi - base).toInt).toArray
+    }
+    def trim(upTo: Long): Unit = synchronized {
+      val n = math.min(math.max(upTo - base, 0L), frames.length.toLong).toInt
+      frames.remove(0, n)
+      base += n
+    }
+  }
+
   private val channels =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CopyOnWriteArrayList[Array[Byte]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Buf]()
 
   private def buf(channel: String) =
-    channels.computeIfAbsent(channel, _ => new java.util.concurrent.CopyOnWriteArrayList[Array[Byte]]())
+    channels.computeIfAbsent(channel, _ => new Buf)
 
-  def append(channel: String, frame: Array[Byte]): Unit = buf(channel).add(frame)
+  def append(channel: String, frame: Array[Byte]): Unit = buf(channel).append(frame)
 
-  def size(channel: String): Long = buf(channel).size().toLong
+  def size(channel: String): Long = buf(channel).size
 
-  def slice(channel: String, from: Long, until: Long): Array[Array[Byte]] = {
-    val b = buf(channel)
-    val hi = math.min(until, b.size().toLong)
-    (from until hi).map(i => b.get(i.toInt)).toArray
-  }
+  def slice(channel: String, from: Long, until: Long): Array[Array[Byte]] =
+    buf(channel).slice(from, until)
+
+  /** Drop frames below the absolute offset `upTo` — call with the
+    * query's COMMITTED offset only (a trimmed range reads back empty). */
+  def trim(channel: String, upTo: Long): Unit = buf(channel).trim(upTo)
 
   def clear(channel: String): Unit = channels.remove(channel)
 }
