@@ -22,13 +22,49 @@ object SessionCache {
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Cleanup callbacks fired when a watched session's application ends —
+    * other session-keyed caches (e.g. TextDedup's shingle indexes)
+    * register here so one listener evicts everything and no stopped
+    * session stays pinned for the JVM lifetime. */
+  private val cleanups =
+    new java.util.concurrent.CopyOnWriteArrayList[SparkSession => Unit]()
+
+  private val watched =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  def onSessionEnd(f: SparkSession => Unit): Unit = cleanups.add(f)
+
+  /** Install the end-of-application eviction listener for `spark` (once
+    * per session). Every cache keyed by SparkSession calls this on first
+    * insert for the session. */
+  def watch(spark: SparkSession): Unit =
+    if (watched.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          sessionEnded(spark)
+      })
+    }
+
+  /** Evict everything held for `spark` (the listener's entry point —
+    * public so specs can drive it without stopping the shared context). */
+  def sessionEnded(spark: SparkSession): Unit = {
+    watched.remove(spark)
+    clear(spark)
+    cleanups.forEach { f =>
+      try f(spark) catch { case _: Throwable => /* context is stopping */ }
+    }
+  }
+
   def getOrBuild(spark: SparkSession, kind: String, dir: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    watch(spark)
     tables.computeIfAbsent((spark, kind, dir), { _ =>
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
     })
+  }
 
   /** Drop one entry (unpersists). Call after rewriting `dir`'s files. */
   def invalidate(spark: SparkSession, kind: String, dir: String): Unit = {
@@ -43,7 +79,11 @@ object SessionCache {
       val k = it.next()
       if (k._1 eq spark) {
         val df = tables.remove(k)
-        if (df != null) df.unpersist(blocking = false)
+        if (df != null) {
+          // unpersist on an already-stopping context can throw; the map
+          // entry removal is the part that must not be skipped
+          try df.unpersist(blocking = false) catch { case _: Throwable => }
+        }
       }
     }
   }

@@ -32,22 +32,37 @@ object AsofJoin {
       key: String,
       ts: String,
       rightVals: Seq[String]): DataFrame = {
+    // the output carries asof_<name> next to every left column — a left
+    // column already named that way would be silently shadowed
+    val clashes = left.columns.toSet.intersect(rightVals.map("asof_" + _).toSet)
+    require(clashes.isEmpty,
+      s"left columns ${clashes.mkString(", ")} collide with as-of output names")
+    // internal working columns must not collide with USER columns either
+    // (a left frame named `_src` would duplicate) — bump a numeric tag
+    // until every internal name is free on both sides
+    val reserved = (left.columns ++ right.columns).toSet
+    def internals(tag: String) = (s"_src$tag" +: rightVals.map(c => s"_r_$c$tag"))
+    val tag = (LazyList.from(0).map(i => if (i == 0) "" else s"_$i"))
+      .find(t => !internals(t).exists(reserved)).get
+    val srcCol = s"_src$tag"
+    def rCol(c: String) = s"_r_$c$tag"
+
     val rType = rightVals.map(c => c -> right.schema(c).dataType).toMap
 
-    val lAligned = rightVals.foldLeft(left.withColumn("_src", lit(1)))(
-      (df, c) => df.withColumn(s"_r_$c", lit(null).cast(rType(c))))
+    val lAligned = rightVals.foldLeft(left.withColumn(srcCol, lit(1)))(
+      (df, c) => df.withColumn(rCol(c), lit(null).cast(rType(c))))
     val extraLeft = left.columns.filterNot(c => c == key || c == ts)
     val rAligned = extraLeft.foldLeft(
-      right.select(col(key) +: col(ts) +: rightVals.map(c => col(c).as(s"_r_$c")): _*)
-        .withColumn("_src", lit(0)))(
+      right.select(col(key) +: col(ts) +: rightVals.map(c => col(c).as(rCol(c))): _*)
+        .withColumn(srcCol, lit(0)))(
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
     val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_src").asc)
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col(srcCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightVals.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
-    filled.filter(col("_src") === 1)
+      df.withColumn(s"asof_$c", last(col(rCol(c)), ignoreNulls = true).over(w)))
+    filled.filter(col(srcCol) === 1)
       .select(left.columns.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
   }
 }

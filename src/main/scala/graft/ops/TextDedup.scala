@@ -39,8 +39,26 @@ object TextDedup {
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DedupIndex]()
 
-  def index(spark: SparkSession, dir: String): DedupIndex =
+  // evict this session's indexes when its application ends (the same
+  // listener that clears SessionCache) — without this, stopped sessions
+  // and their persisted plans stay pinned for the JVM lifetime
+  graft.core.SessionCache.onSessionEnd { spark =>
+    val it = indexes.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 eq spark) {
+        val idx = indexes.remove(k)
+        if (idx != null) {
+          try idx.close() catch { case _: Throwable => }
+        }
+      }
+    }
+  }
+
+  def index(spark: SparkSession, dir: String): DedupIndex = {
+    graft.core.SessionCache.watch(spark)
     indexes.computeIfAbsent((spark, dir), kv => DedupIndex(docs(kv._1, kv._2)))
+  }
 
   /** Drop this (session, dir)'s cached shingle index and signature table. */
   def invalidate(spark: SparkSession, dir: String): Unit = {

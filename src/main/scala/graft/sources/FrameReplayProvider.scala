@@ -45,6 +45,24 @@ class FrameReplayProvider extends TableProvider {
         val channel = properties.get("channel")
         require(channel != null, "option 'channel' is required for source=memory")
         new LiveFrameSource(channel)
+      case "websocket" =>
+        val url = properties.get("url")
+        require(url != null, "option 'url' is required for source=websocket")
+        val channel = Option(properties.get("channel")).getOrElse(url)
+        val headers = properties.asScala.collect {
+          case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("header.") =>
+            k.substring("header.".length) -> v
+        }.toMap
+        new WebSocketFrameSource(
+          url, channel, headers,
+          subscribeMessage = Option(properties.get("subscribe")),
+          heartbeatMillis =
+            Option(properties.get("heartbeatMillis")).map(_.toLong).getOrElse(10000L),
+          backoff = WsBackoff(
+            initialMillis = Option(properties.get("backoffInitialMillis"))
+              .map(_.toLong).getOrElse(1000L),
+            maxMillis = Option(properties.get("backoffMaxMillis"))
+              .map(_.toLong).getOrElse(30000L)))
       case other =>
         throw new IllegalArgumentException(s"unknown source '$other' (spool|memory)")
     }
@@ -68,6 +86,11 @@ trait FrameSource extends Serializable {
   def segments(): Seq[(String, Long)]
   /** Read records [from, until) of one segment. */
   def readRange(segment: String, from: Long, until: Long): Array[Array[Byte]]
+  /** Called (driver-side) when the query COMMITS a batch: frames below
+    * `upTo` will never be re-read — a restart resumes from the committed
+    * offset — so a live source may release them. Replay sources ignore
+    * this (the spool is the durable record). */
+  def committed(segment: String, upTo: Long): Unit = ()
 }
 
 /** Replay source over length-prefixed spool files (the capture format). */
@@ -85,7 +108,22 @@ final class SpoolFrameSource(path: String) extends FrameSource {
   * explicit; no credential ever touches the engine. */
 final case class BrokerAuthConfig(
     apiUrl: String, clientCode: String, password: String,
-    apiKey: String, totpSecret: String)
+    apiKey: String, totpSecret: String) {
+
+  /** The WebSocket connect headers the reference builds from its login
+    * response (/root/reference/main.go:212-218). The REST+TOTP handshake
+    * that PRODUCES `authToken`/`feedToken` (/root/reference/angel/auth.go:
+    * 20-65) stays outside the engine — a deployment performs it and hands
+    * the tokens in; these become `header.*` options on the websocket
+    * source. */
+  def wsHeaders(authToken: String, feedToken: String): Map[String, String] = Map(
+    "Authorization" -> s"Bearer $authToken",
+    "X-Client-Code" -> clientCode,
+    "X-Api-Key"     -> apiKey,
+    "X-Feed-Token"  -> feedToken,
+    "Accept"        -> "application/json",
+    "Content-Type"  -> "application/json")
+}
 
 /** In-process frame feed: the stub "live" implementation of FrameSource.
   * A producer thread (standing in for the reference's WebSocket read loop,
@@ -144,6 +182,8 @@ final class LiveFrameSource(channel: String) extends FrameSource {
     Seq((channel, LiveFrameFeed.size(channel)))
   override def readRange(segment: String, from: Long, until: Long): Array[Array[Byte]] =
     LiveFrameFeed.slice(segment, from, until)
+  override def committed(segment: String, upTo: Long): Unit =
+    LiveFrameFeed.trim(segment, upTo)
 }
 
 class FrameReplayTable(source: FrameSource, maxPerBatch: Int)
@@ -251,7 +291,13 @@ class FrameReplayStream(source: FrameSource, maxPerBatch: Int)
   override def createReaderFactory(): PartitionReaderFactory =
     FrameReplayReaderFactory(source)
 
-  override def commit(end: Offset): Unit = ()
+  // a committed batch is never re-read (restart resumes from the
+  // checkpointed offset), so live sources may trim their buffers here —
+  // this is what bounds a long-running live feed's memory
+  override def commit(end: Offset): Unit =
+    end.asInstanceOf[FrameOffset].counts.foreach { case (seg, c) =>
+      source.committed(seg, c)
+    }
   override def stop(): Unit = ()
 }
 

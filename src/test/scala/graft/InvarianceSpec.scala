@@ -101,6 +101,74 @@ class InvarianceSpec extends SparkSpec {
     }
   }
 
+  test("as-of join survives a pathologically hot key (sub-quadratic by construction)") {
+    import spark.implicits._
+    // the InvarianceSpec skew fixture, applied to the as-of join: one key
+    // carries 50% of both sides. A range-join formulation enumerates
+    // |L_hot|*|R_hot| = 50k*10k candidate pairs here; the union+window
+    // formulation does (|L_hot|+|R_hot|)*log work. First, the structural
+    // fact that GUARANTEES sub-quadratic: the plan has no join node at
+    // all — only a union, one shuffle on the key, and a window sort.
+    val nL = 100000L
+    val nR = 20000L
+    val points = spark.range(nL).select(
+      when(col("id") % 2 === 0, lit("HOT"))
+        .otherwise(concat(lit("t"), col("id") % 64)).as("k"),
+      (col("id") * 37 % 100000).as("ts"), col("id").as("pid"))
+    val quotes = spark.range(nR).select(
+      when(col("id") % 2 === 0, lit("HOT"))
+        .otherwise(concat(lit("t"), col("id") % 64)).as("k"),
+      (col("id") * 53 % 100000).as("ts"), (col("id") % 997).cast("double").as("px"))
+      .groupBy("k", "ts").agg(max("px").as("px"))
+
+    val joined = graft.ops.AsofJoin.joinAsof(points, quotes, "k", "ts", Seq("px"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      "as-of must stay the union+window formulation — any join node " +
+        "reintroduces per-key candidate pairs and dies on the hot key")
+
+    val t0 = System.nanoTime()
+    val got = joined.select("pid", "asof_px").as[(Long, Option[Double])].collect().toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"hot-key as-of: ${nL} x ${nR} rows (50%% on one key) in $secs%.1f s")
+    assert(secs < 120.0, f"hot-key as-of took $secs%.1f s — quadratic blowup signature")
+    assert(got.size.toLong === nL)
+
+    // spot-check correctness against a driver-side binary search on the
+    // hot key and two cold keys
+    val qs = quotes.as[(String, Long, Double)].collect().groupBy(_._1)
+      .map { case (k, arr) => k -> arr.sortBy(_._2) }
+    val sample = points.as[(String, Long, Long)].collect()
+      .filter(p => p._1 == "HOT" || p._1 == "t3" || p._1 == "t17")
+      .take(2000)
+    sample.foreach { case (k, ts, pid) =>
+      val expect = qs.getOrElse(k, Array.empty[(String, Long, Double)])
+        .takeWhile(_._2 <= ts).lastOption.map(_._3)
+      assert(got(pid) === expect, s"pid=$pid k=$k ts=$ts")
+    }
+  }
+
+  test("as-of join is collision-safe: user columns named _src/_r_*/asof_* handled") {
+    import spark.implicits._
+    // left already uses the old internal names — results must be as if
+    // they were ordinary payload columns
+    val left = Seq(("a", 10L, "L1", 7L), ("a", 20L, "L2", 8L))
+      .toDF("k", "ts", "_src", "_r_px")
+    val right = Seq(("a", 5L, 1.5), ("a", 15L, 2.5)).toDF("k", "ts", "px")
+    val out = graft.ops.AsofJoin.joinAsof(left, right, "k", "ts", Seq("px"))
+    assert(out.columns.toSeq === Seq("k", "ts", "_src", "_r_px", "asof_px"))
+    val rows = out.orderBy("ts").collect()
+    assert(rows.map(_.getAs[String]("_src")).toSeq === Seq("L1", "L2"),
+      "user column _src must pass through untouched")
+    assert(rows.map(_.getAs[Double]("asof_px")).toSeq === Seq(1.5, 2.5))
+    // an output-name collision cannot be silently shadowed
+    val bad = left.withColumnRenamed("_src", "asof_px")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.AsofJoin.joinAsof(bad, right, "k", "ts", Seq("px"))
+    }
+    assert(e.getMessage.contains("asof_px"))
+  }
+
   test("bucketized range join equals the unbucketized formulation") {
     val points = spark.range(2000).select(
       (col("id") % 11).as("k"), (col("id") * 37 % 5000).as("ts"), col("id").as("pid"))

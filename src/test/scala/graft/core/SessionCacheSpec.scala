@@ -1,0 +1,40 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** Session-cache lifecycle: entries must not outlive their session
+  * (ADVICE r4: stopped sessions' cached plans were pinned for the JVM
+  * lifetime). The eviction entry point `sessionEnded` is what the
+  * registered onApplicationEnd listener calls — driven directly here so
+  * the shared spec context doesn't have to be stopped. */
+class SessionCacheSpec extends SparkSpec {
+
+  test("sessionEnded evicts cached tables and fires registered cleanups") {
+    import spark.implicits._
+    var builds = 0
+    def get() = SessionCache.getOrBuild(spark, "spec_kind", "/spec/dir") {
+      builds += 1
+      Seq(1, 2, 3).toDF("v")
+    }
+    get(); get()
+    assert(builds === 1, "second access must hit the cache")
+
+    @volatile var cleanedFor: Option[Boolean] = None
+    SessionCache.onSessionEnd(s => cleanedFor = Some(s eq spark))
+    SessionCache.sessionEnded(spark)
+    assert(cleanedFor === Some(true), "cleanup hook must fire with the ending session")
+
+    get()
+    assert(builds === 2, "entry must be GONE after session end, not reused")
+    SessionCache.invalidate(spark, "spec_kind", "/spec/dir")
+  }
+
+  test("TextDedup shingle index is evicted with the session") {
+    val dir = "/root/testdata/sf0.001"
+    val first = graft.ops.TextDedup.index(spark, dir)
+    assert(graft.ops.TextDedup.index(spark, dir) eq first, "same session reuses the index")
+    SessionCache.sessionEnded(spark)
+    val rebuilt = graft.ops.TextDedup.index(spark, dir)
+    assert(!(rebuilt eq first), "stopped session's index must not be pinned")
+  }
+}
