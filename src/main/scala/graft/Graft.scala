@@ -69,6 +69,39 @@ object Graft {
   def ticks(spark: SparkSession, sinkDir: String): DataFrame =
     storage.TickTable.read(spark, sinkDir)
 
+  /** End-to-end corpus curation as ONE call: stream `.jsonl`/`.jsonl.gz`
+    * document files -> quality gate (TextAnalysis heuristics) ->
+    * incremental dedup against the persisted fingerprint index ->
+    * curated batch_id-partitioned parquet, with in-pipeline sink
+    * compaction every `compactEvery` batches. New files dropped into
+    * `docsGlob`'s directory are picked up by later triggers; restart with
+    * the same checkpoint resumes incrementally. The LLM-pipeline face of
+    * the ingest path: same replay-idempotent sink scheme, same
+    * maintenance protocol, documents instead of ticks. */
+  def curateCorpus(
+      spark: SparkSession, docsGlob: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minQuality: Double = ops.CurationPipeline.MinQuality,
+      minWords: Int = ops.CurationPipeline.MinWords,
+      maxWords: Int = ops.CurationPipeline.MaxWords,
+      maxFilesPerTrigger: Int = 16,
+      compactEvery: Int = 8): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.readStream
+      .schema(sources.DocSources.documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(docsGlob)
+      .withColumn("doc_id",
+        coalesce(col("doc_id"), -abs(plans.GraftExtensions.md5Long(col("text")))))
+    val gated = ops.TextAnalysis.withQuality(raw)
+      .filter(col("quality_score") >= minQuality
+        && col("n_words") >= minWords && col("n_words") <= maxWords)
+      .select("doc_id", "text", "lang", "n_words", "quality_score")
+    ops.CurationPipeline.streamingDedup(
+      gated, corpusDir, indexDir, checkpointDir, trigger, compactEvery)
+  }
+
   /** Start serving /metrics and /health for a running ingest; returns the
     * server (stop() when done) after registering the listener. */
   def serveMetrics(spark: SparkSession, port: Int = 0): (obs.IngestMetricsListener, obs.MetricsHttpServer) = {

@@ -57,7 +57,8 @@ object CurationPipeline {
   def streamingDedup(
       docs: DataFrame, corpusDir: String, indexDir: String,
       checkpointDir: String,
-      trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.StreamingQuery =
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -94,6 +95,16 @@ object CurationPipeline {
             .partitionBy("batch_id")
             .parquet(indexDir)
         } finally out.unpersist()
+        // periodic sink maintenance from INSIDE the running pipeline (no
+        // external scheduler): every `compactEvery` batches, cold batch
+        // dirs collapse so the index read path stays O(1) partitions over
+        // an unbounded run. keepRecent=1 keeps this batch's partition
+        // intact, so a post-crash replay of it still dynamic-overwrites
+        // its own output — idempotence is untouched.
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          compactSink(spark, corpusDir)
+          compactSink(spark, indexDir)
+        }
         ()
       }
       .start()

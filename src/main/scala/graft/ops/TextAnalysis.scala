@@ -32,21 +32,32 @@ object TextAnalysis {
   /** Per-document quality score: length, word stats, stopword ratio,
     * punctuation ratio — the cheap heuristics a pretraining filter runs
     * before anything model-based. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    withQuality(docs(spark, dir))
+      .select("doc_id", "n_chars_actual", "n_words", "avg_word_len",
+        "stopword_ratio", "punct_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  /** The quality metrics APPENDED to any docs-shaped frame (text kept) —
+    * streaming-safe (no sort), so the curation pipeline's quality gate
+    * runs inside foreachBatch on the same expressions the batch query
+    * (and its oracle) use. */
+  def withQuality(df: DataFrame): DataFrame = {
     val ws = col("ws") // materialized below: referenced 3x, split must run once
     val nWords = size(ws)
     val stopHits = size(filter(ws, w => w.isin(StopWords.map(lit): _*)))
     val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
-    docs(spark, dir).withColumn("ws", words(col("text"))).select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_actual"),
-        nWords.cast("long").as("n_words"),
-        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords, 4).as("avg_word_len"),
-        round(stopHits.cast("double") / nWords, 4).as("stopword_ratio"),
-        round(nPunct.cast("double") / length(col("text")), 4).as("punct_ratio"))
+    df.withColumn("ws", words(col("text")))
+      .withColumn("n_chars_actual", length(col("text")).cast("long"))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("avg_word_len",
+        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords, 4))
+      .withColumn("stopword_ratio", round(stopHits.cast("double") / nWords, 4))
+      .withColumn("punct_ratio",
+        round(nPunct.cast("double") / length(col("text")), 4))
+      .drop("ws")
       .withColumn("quality_score",
         round(least(lit(1.0), col("n_words") / lit(50.0)) * (lit(1.0) - col("punct_ratio")), 4))
-      .orderBy("doc_id")
   }
 
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -65,6 +65,7 @@ object TextDedup {
     val idx = indexes.remove((spark, dir))
     if (idx != null) idx.close()
     graft.core.SessionCache.invalidate(spark, "simhash_sigs", dir)
+    graft.core.SessionCache.invalidate(spark, "simhash_sig_pairs", dir)
   }
 
   /** Exact dedup by content hash: one surviving doc_id per distinct
@@ -160,8 +161,15 @@ object TextDedup {
   /** Near-dup graph over UNIQUE signatures: one node per distinct 48-bit
     * sig, one edge per banded candidate pair within Hamming <= 6. Shared
     * by the all-pairs query (`simhash`) and the cluster-representative
-    * output (`simhashClusters`). Tiny by construction: nodes are unique
-    * sigs, edges only exist between near-identical signatures. */
+    * output (`simhashClusters`) — cached per (session, dir) like the
+    * signature table, so the banded self-join runs once per session, not
+    * once per query. Tiny by construction: nodes are unique sigs, edges
+    * only exist between near-identical signatures. */
+  private def sigPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionCache.getOrBuild(spark, "simhash_sig_pairs", dir) {
+      sigPairGraph(simhashSigs(spark, dir))
+    }
+
   private def sigPairGraph(sigs: DataFrame): DataFrame = {
     val usig = sigs.select("sig").distinct()
     val bandStructs = (0 until SimHashBands).map { b =>
@@ -181,8 +189,7 @@ object TextDedup {
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(spark, dir)
-    val sigPairs = sigPairGraph(sigs)
-    val crossSig = sigPairs
+    val crossSig = sigPairs(spark, dir)
       .join(sigs.select(col("doc_id").as("da"), col("sig").as("sig_a")), "sig_a")
       .join(sigs.select(col("doc_id").as("db"), col("sig").as("sig_b")), "sig_b")
       .select(least(col("da"), col("db")).as("doc_a"),
@@ -214,31 +221,40 @@ object TextDedup {
     * flat no matter the iteration count. */
   def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(spark, dir)
-    val pairs = sigPairGraph(sigs).select("sig_a", "sig_b")
+    val pairs = sigPairs(spark, dir).select("sig_a", "sig_b")
+    // eager checkpoints ARE load-bearing here even off the cached pair
+    // graph: edges and labels are referenced once per round (and stepped
+    // twice, via its self-join), so un-materialized lineage re-executes
+    // the union/distinct each reference — measured 2x slower without
     val edges = pairs
       .unionByName(pairs.select(col("sig_b").as("sig_a"), col("sig_a").as("sig_b")))
       .localCheckpoint(true)
     var labels = sigs.select("sig").distinct()
       .withColumn("label", col("sig"))
       .localCheckpoint(true)
-    var changed = 1L
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < 64) { // monotone-decreasing labels: fixpoint guaranteed; 64 = safety cap
+    while (!converged && iters < 64) { // monotone-decreasing labels: fixpoint guaranteed; 64 = safety cap
       val nbrMin = edges
         .join(labels.select(col("sig").as("sig_b"), col("label").as("nlabel")), Seq("sig_b"))
         .groupBy(col("sig_a").as("sig"))
         .agg(min("nlabel").as("nmin"))
+      // carry the round's starting label through the step so convergence
+      // detection is a scan of the materialized round, NOT an extra
+      // shuffle join + count job against the previous labels (r4 perf
+      // note: the per-round count was the dominant fixed cost)
       val stepped = labels.join(nbrMin, Seq("sig"), "left")
-        .select(col("sig"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("sig"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       val jumped = stepped
         .join(stepped.select(col("sig").as("label"), col("label").as("plabel")), Seq("label"), "left")
-        .select(col("sig"), least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = jumped
-        .join(labels.withColumnRenamed("label", "old_label"), Seq("sig"))
-        .filter(col("label") =!= col("old_label"))
-        .count()
-      labels = jumped
+        .select(col("sig"), col("old_label"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .localCheckpoint(true) // the round's ONE materializing job
+      // reads cached checkpoint blocks: no shuffle, short-circuits on the
+      // first changed row
+      converged = jumped.filter(col("label") =!= col("old_label")).isEmpty
+      labels = jumped.select("sig", "label")
       iters += 1
     }
     val docComp = sigs.join(labels, Seq("sig"))

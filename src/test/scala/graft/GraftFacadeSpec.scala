@@ -57,4 +57,76 @@ class GraftFacadeSpec extends AnyFunSuite {
       }
     } finally () // shared-session harness: do not stop the JVM-wide session
   }
+
+  private def writeJsonlGz(dir: String, name: String, lines: Seq[String]): Unit = {
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name))), "UTF-8"))
+    try lines.foreach(out.println) finally out.close()
+  }
+
+  private def doc(id: Long, text: String): String =
+    s"""{"doc_id": $id, "text": "$text", "lang": "en"}"""
+
+  // 25 lowercase words, no punctuation: n_words=25 >= MinWords(20),
+  // quality = min(1, 25/50) * 1.0 = 0.5 >= MinQuality(0.3)
+  private def goodText(tag: String): String =
+    (1 to 25).map(i => s"${tag}x$i").mkString(" ")
+
+  test("corpus curation end-to-end: .jsonl.gz -> quality gate -> dedup -> compacted parquet") {
+    val spark = Graft.session(cores = 4)
+    val docsDir = Files.createTempDirectory("gcorpus_in").toString
+    val corpusDir = Files.createTempDirectory("gcorpus_out").toString + "/corpus"
+    val indexDir = Files.createTempDirectory("gcorpus_idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("gcorpus_ck").toString
+    val (a, b, c, d, e) =
+      (goodText("alpha"), goodText("beta"), goodText("gamma"), goodText("delta"), goodText("eps"))
+
+    // run 1: three files -> three paced batches (maxFilesPerTrigger=1);
+    // in-file dup (3=1), cross-file dup (6=2), quality reject (4)
+    writeJsonlGz(docsDir, "a.jsonl.gz", Seq(doc(1, a), doc(2, b), doc(3, a), doc(4, "tiny doc")))
+    writeJsonlGz(docsDir, "b.jsonl.gz", Seq(doc(5, c), doc(6, b)))
+    writeJsonlGz(docsDir, "c.jsonl.gz", Seq(doc(7, d)))
+    def run(): Unit = {
+      val q = Graft.curateCorpus(spark, docsDir, corpusDir, indexDir, ckpt,
+        maxFilesPerTrigger = 1, compactEvery = 2)
+      assert(q.awaitTermination(120000), "AvailableNow curation must drain and stop")
+    }
+    run()
+    val round1 = spark.read.parquet(corpusDir)
+    assert(round1.select("text").collect().map(_.getString(0)).sorted
+      === Array(a, b, c, d).sorted,
+      "exactly one survivor per distinct text; low-quality doc gone")
+
+    // run 2, same checkpoint: a re-duplicate of run 1 (8=a) must be
+    // dropped by the PERSISTED index; the genuinely new doc survives
+    writeJsonlGz(docsDir, "d.jsonl.gz", Seq(doc(8, a), doc(9, e)))
+    run()
+    val round2 = spark.read.parquet(corpusDir)
+    assert(round2.select("text").collect().map(_.getString(0)).sorted
+      === Array(a, b, c, d, e).sorted)
+    assert(round2.filter("doc_id = 8").isEmpty,
+      "cross-RUN duplicate must be anti-joined out by the fingerprint index")
+    assert(round2.filter("doc_id = 9").count() === 1)
+
+    // in-pipeline compaction kept the sink partition count bounded
+    // (batch 2 collapsed batches 0-1 into one negative-id partition)
+    def batchDirs(dir: String): Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSeq
+    }
+    for (dir <- Seq(corpusDir, indexDir)) {
+      val dirs = batchDirs(dir)
+      assert(dirs.exists(_.stripPrefix("batch_id=").toLong < 0),
+        s"$dir: compaction must have produced a merged negative-id partition (saw $dirs)")
+      assert(dirs.size <= 3,
+        s"$dir: partition count must stay bounded by in-pipeline compaction (saw $dirs)")
+    }
+
+    // curated rows carry the quality metrics the gate used
+    assert(round2.columns.toSet === Set("doc_id", "text", "lang", "n_words", "quality_score", "batch_id"))
+    assert(round2.filter("n_words < 20 or quality_score < 0.3").isEmpty)
+  }
 }

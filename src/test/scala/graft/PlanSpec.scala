@@ -21,6 +21,7 @@ class PlanSpec extends SparkSpec {
         TextDedup.ngramJaccard(spark, dir),
         TextDedup.minhashLsh(spark, dir),
         TextDedup.simhash(spark, dir),
+        TextDedup.simhashClusters(spark, dir), // incl. the component-loop joins
         Similarity.embeddingNearDup(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
