@@ -65,6 +65,32 @@ object Graft {
       ingest.TokenDirectory.load(spark, tokensJson), sinkDir, checkpointDir, trigger)
   }
 
+  /** The reference's full live path as one call: REST auth handshake
+    * performed by the CALLER (sources.BrokerAuth.authenticate — keeps
+    * credentials out of the engine), then WebSocket connect with those
+    * tokens' headers, binary frames -> decode -> enrich -> 5 s
+    * micro-batch append, with heartbeat + exponential-backoff reconnect
+    * inside the source and committed offsets trimming the live buffer
+    * (/root/reference/main.go:196-330 end to end). */
+  def ingestWebSocket(
+      spark: SparkSession, url: String, headers: Map[String, String],
+      tokensJson: String, sinkDir: String, checkpointDir: String,
+      subscribeJson: Option[String] = None,
+      channel: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import spark.implicits._
+    var reader = spark.readStream
+      .format("graft.sources.FrameReplayProvider")
+      .option("source", "websocket")
+      .option("url", url)
+      .option("channel", channel.getOrElse(url))
+    headers.foreach { case (k, v) => reader = reader.option(s"header.$k", v) }
+    subscribeJson.foreach(s => reader = reader.option("subscribe", s))
+    val frames = reader.load().select("payload").as[Array[Byte]]
+    ingest.IngestStream.start(spark, frames,
+      ingest.TokenDirectory.load(spark, tokensJson), sinkDir, checkpointDir, trigger)
+  }
+
   /** The tick table this session's ingest writes. */
   def ticks(spark: SparkSession, sinkDir: String): DataFrame =
     storage.TickTable.read(spark, sinkDir)

@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_exact" -> (TextDedup.exact _),
     "dedup_ngram" -> (TextDedup.ngramJaccard _),
     "dedup_minhash" -> (TextDedup.minhashLsh _),
+    "dedup_minhash_clusters" -> (TextDedup.minhashClusters _),
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
     "dedup_simhash" -> (TextDedup.simhash _),
     "dedup_simhash_clusters" -> (TextDedup.simhashClusters _),
@@ -79,6 +80,7 @@ object SparkEntry {
     // -- text analysis --
     "text_lang_stats" -> (TextAnalysis.langStats _),
     "text_quality" -> (TextAnalysis.qualityScore _),
+    "text_repetition" -> (TextAnalysis.repetition _),
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
@@ -357,6 +359,32 @@ object SparkEntry {
          |SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
          |ORDER BY j.doc_a, j.doc_b""".stripMargin,
 
+    // connected components via recursive transitive closure over the
+    // VERIFIED minhash pair graph (algorithm independent of the Spark
+    // side's min-label propagation, like dedup_simhash_clusters);
+    // un-paired docs become singleton clusters via the LEFT JOIN
+    "dedup_minhash_clusters" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |hsh AS (SELECT doc_id, ${md5LongSql("sh")} % 2147483647 AS hm FROM sh),
+         |mh AS (SELECT doc_id, i, min(((2*i+1)*hm + i*i+7) % 2147483647) AS mh
+         |  FROM hsh CROSS JOIN (SELECT unnest(generate_series(0,31)) AS i) GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, i//4 AS band, string_agg(concat(i%4, ':', mh), ',' ORDER BY i%4) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bt a
+         |  JOIN bt b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |mhp AS (SELECT j.doc_a, j.doc_b FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b),
+         |edges AS (SELECT doc_a AS sa, doc_b AS sb FROM mhp UNION ALL SELECT doc_b AS sa, doc_a AS sb FROM mhp),
+         |pn AS (SELECT DISTINCT sa AS id FROM edges),
+         |reach(src, dst) AS (SELECT id, id FROM pn
+         |  UNION SELECT r.src, e.sb FROM reach r JOIN edges e ON r.dst = e.sa),
+         |comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+         |allc AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN comp c USING (doc_id)),
+         |rep AS (SELECT comp, min(doc_id) AS cluster_rep, count(*) AS cluster_size
+         |  FROM allc GROUP BY comp)
+         |SELECT doc_id, cluster_rep, cluster_size FROM allc JOIN rep USING (comp)
+         |ORDER BY doc_id""".stripMargin,
+
     "simhash_sigs" ->
       s"""WITH dw AS (SELECT DISTINCT doc_id, w FROM
          |  (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
@@ -474,6 +502,21 @@ object SparkEntry {
          |SELECT doc_id, n_chars_actual, n_words, avg_word_len, stopword_ratio, punct_ratio,
          |  round(least(CAST(1.0 AS DOUBLE), n_words / 50.0) * (CAST(1.0 AS DOUBLE) - punct_ratio), 4) AS quality_score
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |bgl AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN []
+         |    ELSE list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) END AS bgs
+         |  FROM w),
+         |bg AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+         |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_c,
+         |  CAST(count(*) AS BIGINT) AS n_distinct FROM cnt GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+         |  round(coalesce(CAST(p.top_c AS DOUBLE) / p.n_bigrams, 0.0), 4) AS top_bigram_frac,
+         |  round(coalesce(CAST(p.n_distinct AS DOUBLE) / p.n_bigrams, 1.0), 4) AS distinct_bigram_ratio
+         |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_lang_id" ->
       s"""WITH b AS (SELECT doc_id, lang, list_distinct($WordsSql) AS ws FROM documents),

@@ -98,6 +98,40 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy("doc_id")
 
+  /** Repetition metrics (the Gopher-class quality signal the simple
+    * length/punct heuristics miss): per doc, the fraction of all
+    * word-bigram OCCURRENCES held by the single most frequent bigram,
+    * and the distinct/total bigram ratio. Boilerplate and degenerate
+    * generations ("the the the ...") spike the former and crater the
+    * latter. One explode + two hash aggs — embarrassingly parallel. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(docs(spark, dir))
+
+  /** Frame-level variant (docs-shaped input). Docs with fewer than two
+    * words have no bigrams: frac 0, ratio 1 by convention. */
+  def repetitionOf(docsDf: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val bi = docsDf
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), explode(
+        // guard: Spark's sequence(1, n) DESCENDS for n < 1 — an unguarded
+        // short doc would fabricate bigrams from out-of-range indexes
+        when(size(ws) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(ws) - 1),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))).as("bg"))
+    val perDoc = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_c"),
+        count(lit(1)).as("n_distinct"))
+    docsDf.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left") // explode dropped bigram-less docs
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("top_c") / col("n_bigrams"), lit(0.0)), 4).as("top_bigram_frac"),
+        round(coalesce(col("n_distinct") / col("n_bigrams"), lit(1.0)), 4).as("distinct_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified 10% sample per language: hash-mod on the
     * content fingerprint (never rand() — re-runs and the oracle agree;
     * spreading by content hash is uniform regardless of doc_id order). */

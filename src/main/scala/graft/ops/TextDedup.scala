@@ -221,44 +221,36 @@ object TextDedup {
     * flat no matter the iteration count. */
   def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigs(spark, dir)
-    val pairs = sigPairs(spark, dir).select("sig_a", "sig_b")
-    // eager checkpoints ARE load-bearing here even off the cached pair
-    // graph: edges and labels are referenced once per round (and stepped
-    // twice, via its self-join), so un-materialized lineage re-executes
-    // the union/distinct each reference — measured 2x slower without
-    val edges = pairs
-      .unionByName(pairs.select(col("sig_b").as("sig_a"), col("sig_a").as("sig_b")))
-      .localCheckpoint(true)
-    var labels = sigs.select("sig").distinct()
-      .withColumn("label", col("sig"))
-      .localCheckpoint(true)
-    var converged = false
-    var iters = 0
-    while (!converged && iters < 64) { // monotone-decreasing labels: fixpoint guaranteed; 64 = safety cap
-      val nbrMin = edges
-        .join(labels.select(col("sig").as("sig_b"), col("label").as("nlabel")), Seq("sig_b"))
-        .groupBy(col("sig_a").as("sig"))
-        .agg(min("nlabel").as("nmin"))
-      // carry the round's starting label through the step so convergence
-      // detection is a scan of the materialized round, NOT an extra
-      // shuffle join + count job against the previous labels (r4 perf
-      // note: the per-round count was the dominant fixed cost)
-      val stepped = labels.join(nbrMin, Seq("sig"), "left")
-        .select(col("sig"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val jumped = stepped
-        .join(stepped.select(col("sig").as("label"), col("label").as("plabel")), Seq("label"), "left")
-        .select(col("sig"), col("old_label"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .localCheckpoint(true) // the round's ONE materializing job
-      // reads cached checkpoint blocks: no shuffle, short-circuits on the
-      // first changed row
-      converged = jumped.filter(col("label") =!= col("old_label")).isEmpty
-      labels = jumped.select("sig", "label")
-      iters += 1
-    }
-    val docComp = sigs.join(labels, Seq("sig"))
+    val comp = GraphOps.connectedComponents(
+      sigs.select("sig"), sigPairs(spark, dir).select("sig_a", "sig_b"))
+    val docComp = sigs.join(comp.withColumnRenamed("node", "sig"), Seq("sig"))
       .select(col("doc_id"), col("label").as("comp"))
+    clusterOutput(docComp)
+  }
+
+  /** Cluster-representative dedup over the MINHASH near-dup graph — the
+    * same scale-safe contract as `simhashClusters`, for the banded
+    * MinHash pipeline: components of the verified candidate-pair graph
+    * (exact Jaccard >= threshold), every un-paired doc its own singleton
+    * cluster. The component loop runs ONLY over docs that appear in a
+    * near-dup pair (tiny by construction); singletons enter via one
+    * anti join — at 100 TB the corpus is never shuffled through the
+    * fixpoint rounds. */
+  def minhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val paired = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val comp = GraphOps.connectedComponents(paired, pairs)
+      .select(col("node").as("doc_id"), col("label").as("comp"))
+    val singles = docs(spark, dir).select("doc_id")
+      .join(paired, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("comp"))
+    clusterOutput(comp.unionByName(singles))
+  }
+
+  /** (doc_id, comp) -> (doc_id, cluster_rep, cluster_size), rep = min id. */
+  private def clusterOutput(docComp: DataFrame): DataFrame = {
     val reps = docComp.groupBy("comp")
       .agg(min("doc_id").as("cluster_rep"), count(lit(1)).as("cluster_size"))
     docComp.join(reps, Seq("comp"))

@@ -58,6 +58,43 @@ class GraftFacadeSpec extends AnyFunSuite {
     } finally () // shared-session harness: do not stop the JVM-wide session
   }
 
+  test("websocket ingest: stub broker -> WS source -> decode -> tick table") {
+    val spark = Graft.session(cores = 4)
+    val server = new graft.sources.TestWsServer().start()
+    val channel = "facade-ws"
+    graft.sources.LiveFrameFeed.clear(channel)
+    val t0 = 1704447000000L
+    (1L to 4L).foreach(s => server.send(frame("2885", s, t0 + s * 1000, 286500L + s)))
+    val sink = Files.createTempDirectory("gwssink").toString
+    val ckpt = Files.createTempDirectory("gwsckpt").toString
+    try {
+      val q = Graft.ingestWebSocket(spark, server.url,
+        headers = Map("Authorization" -> "Bearer test-jwt"),
+        tokensJson(), sink, ckpt,
+        subscribeJson = Some("""{"action":1}"""),
+        channel = Some(channel),
+        trigger = Trigger.ProcessingTime("500 milliseconds"))
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        // the table doesn't exist until the first micro-batch commits
+        def rows() =
+          try Graft.ticks(spark, sink).count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        while (rows() < 4 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(rows() === 4, "all broker frames must land in the tick table")
+        val latest = queries.TickQueries.latestTick(Graft.ticks(spark, sink), "2885").collect()
+        assert(latest(0).getAs[Long]("sequence_number") === 4L)
+        assert(server.receivedTexts.contains("""{"action":1}"""), "subscribe sent")
+        assert(server.receivedHeaders.toArray.map(_.toString.toLowerCase)
+          .exists(_.startsWith("authorization: bearer test-jwt")))
+      } finally q.stop()
+    } finally {
+      graft.sources.WebSocketFrameClient.stop(channel)
+      server.stop()
+      graft.sources.LiveFrameFeed.clear(channel)
+    }
+  }
+
   private def writeJsonlGz(dir: String, name: String, lines: Seq[String]): Unit = {
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
       new java.util.zip.GZIPOutputStream(

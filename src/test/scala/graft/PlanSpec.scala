@@ -22,6 +22,7 @@ class PlanSpec extends SparkSpec {
         TextDedup.minhashLsh(spark, dir),
         TextDedup.simhash(spark, dir),
         TextDedup.simhashClusters(spark, dir), // incl. the component-loop joins
+        TextDedup.minhashClusters(spark, dir),
         Similarity.embeddingNearDup(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")

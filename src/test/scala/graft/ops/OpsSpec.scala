@@ -62,6 +62,46 @@ class OpsSpec extends SparkSpec {
     assert(p23.isDefined && p23.get.getAs[Long]("hamming") === 0L)
   }
 
+  test("repetition metrics: degenerate text spikes, short docs get the convention") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the the the the the", "en"),       // one bigram repeated 4x
+      (2L, "a b c d e", "en"),                 // all bigrams distinct
+      (3L, "word", "en"),                      // no bigrams
+      (4L, "", "en"))                          // no words at all
+      .toDF("doc_id", "text", "lang")
+    val m = graft.ops.TextAnalysis.repetitionOf(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L) === ((4L, 1.0, 0.25)), "degenerate doc: one bigram owns everything")
+    assert(m(2L) === ((4L, 0.25, 1.0)), "healthy doc: uniform bigrams")
+    assert(m(3L) === ((0L, 0.0, 1.0)), "single-word doc: no fabricated bigrams")
+    assert(m(4L) === ((0L, 0.0, 1.0)))
+  }
+
+  test("minhash clusters = union-find over the verified minhash pair graph") {
+    val pairs = TextDedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = TextDedup.minhashClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("cluster_rep"), r.getAs[Long]("cluster_size")))
+      .toMap
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(clusters.keySet === ids.toSet, "every doc gets a cluster row (singletons included)")
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = ids.map(i => i -> find(i)).toMap
+    val sizes = roots.values.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    ids.foreach { i =>
+      assert(clusters(i) === ((roots(i), sizes(roots(i)))), s"doc $i cluster mismatch")
+    }
+    assert(pairs.nonEmpty, "fixture must actually have near-dup pairs")
+  }
+
   test("simhash clusters = connected components of the near-dup pair graph") {
     val pairs = TextDedup.simhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
