@@ -81,6 +81,7 @@ object SparkEntry {
     "text_lang_stats" -> (TextAnalysis.langStats _),
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_repetition" -> (TextAnalysis.repetition _),
+    "text_redact" -> (TextAnalysis.redact _),
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
@@ -517,6 +518,25 @@ object SparkEntry {
          |  round(coalesce(CAST(p.top_c AS DOUBLE) / p.n_bigrams, 0.0), 4) AS top_bigram_frac,
          |  round(coalesce(CAST(p.n_distinct AS DOUBLE) / p.n_bigrams, 1.0), 4) AS distinct_bigram_ratio
          |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same patterns, same replacement order as TextAnalysis.redactOf
+    // (email -> ip -> phone); DuckDB needs the 'g' flag for global
+    // replace where Spark's regexp_replace is global by default
+    "text_redact" ->
+      """WITH b AS (SELECT doc_id, lower(text) AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS BIGINT) AS redacted_chars
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "text_lang_id" ->
       s"""WITH b AS (SELECT doc_id, lang, list_distinct($WordsSql) AS ws FROM documents),

@@ -132,6 +132,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // PII patterns a curation pipeline scrubs before training: kept
+  // deliberately simple/deterministic (regex-auditable), one codegen'd
+  // regexp_replace chain per doc — no UDF, no second scan
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII redaction: emails/IPv4s/phone-shaped numbers replaced with
+    * typed placeholder tags, with per-doc match counts — the scrub stage
+    * of a pretraining pipeline, as a narrow projection. */
+  def redact(spark: SparkSession, dir: String): DataFrame =
+    redactOf(docs(spark, dir))
+
+  /** Frame-level variant (docs-shaped input; text lower-cased first so
+    * the patterns and their counts are case-stable). */
+  def redactOf(docsDf: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    def hits(re: String) =
+      size(regexp_extract_all(lowered, lit(re), lit(0))).cast("long")
+    docsDf.select(
+        col("doc_id"),
+        hits(EmailRe).as("n_emails"),
+        hits(Ipv4Re).as("n_ips"),
+        hits(PhoneRe).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lowered, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .withColumn("redacted_chars", length(col("redacted")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified 10% sample per language: hash-mod on the
     * content fingerprint (never rand() — re-runs and the oracle agree;
     * spreading by content hash is uniform regardless of doc_id order). */

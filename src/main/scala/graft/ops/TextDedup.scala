@@ -66,6 +66,7 @@ object TextDedup {
     if (idx != null) idx.close()
     graft.core.SessionCache.invalidate(spark, "simhash_sigs", dir)
     graft.core.SessionCache.invalidate(spark, "simhash_sig_pairs", dir)
+    graft.core.SessionCache.invalidate(spark, "minhash_pairs", dir)
   }
 
   /** Exact dedup by content hash: one surviving doc_id per distinct
@@ -108,19 +109,26 @@ object TextDedup {
     * survivors = candidates whose exact Jaccard clears the threshold
     * (verification joins only the candidate docs' shingles, not the full
     * inverted index). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = index(spark, dir).shingles
-    val bt = bandTable(sh)
-    val cands = bt.as("a")
-      .join(bt.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    jaccardFor(sh, JaccardThreshold, restrictTo = Some(cands))
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
-  }
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** The verified pair list, session-cached: built once per (session,
+    * dir), shared by the pair query and `minhashClusters` (which
+    * references it three times — node union, edge symmetrization,
+    * singleton anti join). */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionCache.getOrBuild(spark, "minhash_pairs", dir) {
+      val sh = index(spark, dir).shingles
+      val bt = bandTable(sh)
+      val cands = bt.as("a")
+        .join(bt.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      jaccardFor(sh, JaccardThreshold, restrictTo = Some(cands))
+        .select("doc_a", "doc_b", "jaccard")
+    }
 
   /** 48-bit SimHash signatures over distinct words (md5-hashed): bit j is
     * the sign of the vote sum over words of (+1 / -1 on word-hash bit j).
@@ -237,7 +245,7 @@ object TextDedup {
     * anti join — at 100 TB the corpus is never shuffled through the
     * fixpoint rounds. */
   def minhashClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
     val paired = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()

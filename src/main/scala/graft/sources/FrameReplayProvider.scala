@@ -53,16 +53,23 @@ class FrameReplayProvider extends TableProvider {
           case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("header.") =>
             k.substring("header.".length) -> v
         }.toMap
-        new WebSocketFrameSource(
-          url, channel, headers,
-          subscribeMessage = Option(properties.get("subscribe")),
-          heartbeatMillis =
-            Option(properties.get("heartbeatMillis")).map(_.toLong).getOrElse(10000L),
-          backoff = WsBackoff(
-            initialMillis = Option(properties.get("backoffInitialMillis"))
-              .map(_.toLong).getOrElse(1000L),
-            maxMillis = Option(properties.get("backoffMaxMillis"))
-              .map(_.toLong).getOrElse(30000L)))
+        val subscribe = Option(properties.get("subscribe"))
+        val heartbeat =
+          Option(properties.get("heartbeatMillis")).map(_.toLong).getOrElse(10000L)
+        val backoff = WsBackoff(
+          initialMillis = Option(properties.get("backoffInitialMillis"))
+            .map(_.toLong).getOrElse(1000L),
+          maxMillis = Option(properties.get("backoffMaxMillis"))
+            .map(_.toLong).getOrElse(30000L))
+        // spoolDir set -> frames land on (shared) storage and executors
+        // read files: the multi-executor live path. Absent -> in-process
+        // feed, the local[*] path.
+        Option(properties.get("spoolDir")) match {
+          case Some(spool) => new WebSocketSpoolSource(
+            url, channel, spool, headers, subscribe, heartbeat, backoff)
+          case None => new WebSocketFrameSource(
+            url, channel, headers, subscribe, heartbeat, backoff)
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown source '$other' (spool|memory)")
     }
@@ -333,6 +340,25 @@ object FrameSpool {
     finally out.close()
     f.getAbsolutePath
   }
+
+  /** Incremental spool writer for a LIVE recorder: append + flush keep
+    * the file readable mid-write (a flushed-length/unflushed-payload
+    * tear is tolerated by countFrames' torn-frame guard). One appender
+    * per segment file; close() finishes the segment. */
+  final class Appender(dir: String, name: String) {
+    private val file = {
+      val d = new java.io.File(dir); d.mkdirs(); new java.io.File(d, s"$name.bin")
+    }
+    private val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file, true)))
+    def path: String = file.getAbsolutePath
+    def append(frame: Array[Byte]): Unit = synchronized {
+      out.writeInt(frame.length); out.write(frame); out.flush()
+    }
+    def close(): Unit = synchronized(out.close())
+  }
+
+  def appender(dir: String, name: String): Appender = new Appender(dir, name)
 
   /** Sorted spool files with their frame counts. */
   def listFiles(dir: String): Seq[(String, Long)] = {

@@ -63,7 +63,14 @@ final class WebSocketFrameClient(
     subscribeMessage: Option[String] = None,
     heartbeatMillis: Long = 10000L,
     backoff: WsBackoff = WsBackoff(),
-    rng: java.util.Random = new java.util.Random()) {
+    rng: java.util.Random = new java.util.Random(),
+    deliver: Option[Array[Byte] => Unit] = None) {
+
+  // default delivery = the in-process feed (local[*] scope); a spool
+  // appender here makes the live path multi-executor-correct (frames
+  // land on shared storage that every executor's reader can open)
+  private val deliverFn: Array[Byte] => Unit =
+    deliver.getOrElse(LiveFrameFeed.append(channel, _))
 
   @volatile private var stopped = false
   @volatile private var current: WebSocket = _
@@ -157,7 +164,7 @@ final class WebSocketFrameClient(
       val bytes = new Array[Byte](data.remaining())
       data.get(bytes)
       acc.write(bytes)
-      if (last) { LiveFrameFeed.append(channel, acc.toByteArray); acc.reset() }
+      if (last) { deliverFn(acc.toByteArray); acc.reset() }
       ws.request(1); null
     }
 
@@ -213,4 +220,34 @@ final class WebSocketFrameSource(
 
   override def committed(segment: String, upTo: Long): Unit =
     LiveFrameFeed.trim(segment, upTo)
+}
+
+/** The MULTI-EXECUTOR-correct live path: the driver-side WebSocket
+  * client appends frames to a durable spool (shared storage on a real
+  * cluster) and executors read the spool files — no JVM-local buffer on
+  * the read path. The spool is also the capture record: a crash replays
+  * from it, and `committed` is a no-op because durability, not memory,
+  * bounds it (ship/expire segments out-of-band like any file sink).
+  * Mid-write tears are tolerated by FrameSpool's torn-frame guard. */
+final class WebSocketSpoolSource(
+    uri: String,
+    channel: String,
+    spoolDir: String,
+    headers: Map[String, String],
+    subscribeMessage: Option[String],
+    heartbeatMillis: Long,
+    backoff: WsBackoff) extends FrameSource {
+
+  override def segments(): Seq[(String, Long)] = {
+    WebSocketFrameClient.ensure(channel, () => {
+      val seg = "ws-" + channel.replaceAll("[^A-Za-z0-9._-]", "_")
+      val app = FrameSpool.appender(spoolDir, seg)
+      new WebSocketFrameClient(uri, channel, headers, subscribeMessage,
+        heartbeatMillis, backoff, deliver = Some(app.append))
+    })
+    FrameSpool.listFiles(spoolDir)
+  }
+
+  override def readRange(segment: String, from: Long, until: Long): Array[Array[Byte]] =
+    FrameSpool.readRange(segment, from, until)
 }

@@ -78,6 +78,25 @@ class OpsSpec extends SparkSpec {
     assert(m(4L) === ((0L, 0.0, 1.0)))
   }
 
+  test("PII redaction replaces emails/IPs/phones with typed tags and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact Bob.Smith+x@Example.COM or 10.0.0.1 or 555-123-4567 now", "en"),
+      (2L, "two mails a@b.io c@d.org and versions like 1.2.3 stay", "en"),
+      (3L, "clean text with no pii at all", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.TextAnalysis.redactOf(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 === 1L)
+    assert(out(1L)._2 === 1L)
+    assert(out(1L)._3 === 1L)
+    assert(out(1L)._4 === "contact <EMAIL> or <IP> or <PHONE> now")
+    assert(out(2L) === ((2L, 0L, 0L, "two mails <EMAIL> <EMAIL> and versions like 1.2.3 stay")),
+      "a bare version number must not be mistaken for an IPv4")
+    assert(out(3L) === ((0L, 0L, 0L, "clean text with no pii at all")))
+  }
+
   test("minhash clusters = union-find over the verified minhash pair graph") {
     val pairs = TextDedup.minhashLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

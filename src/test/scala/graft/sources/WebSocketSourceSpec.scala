@@ -138,6 +138,56 @@ class WebSocketSourceSpec extends SparkSpec {
     }
   }
 
+  test("spool-backed websocket source: durable capture, restart resumes from checkpoint") {
+    import java.nio.file.Files
+    val server = new TestWsServer().start()
+    val channel = "ws-spec-spool"
+    LiveFrameFeed.clear(channel)
+    val spool = Files.createTempDirectory("wsspool").toString
+    val ckpt = Files.createTempDirectory("wsspoolck").toString
+    val sink = Files.createTempDirectory("wsspoolsink").toString
+    def run(expect: Long): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.FrameReplayProvider")
+        .option("source", "websocket")
+        .option("url", server.url)
+        .option("channel", channel)
+        .option("spoolDir", spool)
+        .option("backoffInitialMillis", "50")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      def rows(): Long = // sink dir is empty until the first batch lands
+        try spark.read.parquet(sink).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      try assert(awaitTrue()(rows() == expect), s"expected $expect rows in the sink")
+      finally q.stop()
+    }
+    try {
+      (1L to 4L).foreach(s => server.send(frame("SPOOL", s)))
+      run(4L)
+      // frames are ON DISK, not in a JVM buffer: the capture survives
+      assert(FrameSpool.listFiles(spool).map(_._2).sum === 4L)
+      // stop everything, push more while no query runs, restart: the
+      // spool + checkpoint resume without loss or re-read
+      (5L to 7L).foreach(s => server.send(frame("SPOOL", s)))
+      assert(awaitTrue()(FrameSpool.listFiles(spool).map(_._2).sum == 7L),
+        "client keeps spooling between query runs")
+      run(7L)
+      val seqs = spark.read.parquet(sink).collect()
+        .map(r => Codec.decode(r.getAs[Array[Byte]]("payload")).toOption.get.sequenceNumber)
+        .sorted
+      assert(seqs === (1L to 7L).toArray, "restart must not duplicate or lose frames")
+    } finally {
+      WebSocketFrameClient.stop(channel)
+      server.stop()
+    }
+  }
+
   test("live memory source also trims on commit (bounded buffer across batches)") {
     val channel = "ws-spec-trim-mem"
     LiveFrameFeed.clear(channel)
