@@ -114,12 +114,11 @@ object Graft {
       maxFilesPerTrigger: Int = 16,
       compactEvery: Int = 8): StreamingQuery = {
     import org.apache.spark.sql.functions._
-    val raw = spark.readStream
-      .schema(sources.DocSources.documentSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .json(docsGlob)
-      .withColumn("doc_id",
-        coalesce(col("doc_id"), -abs(plans.GraftExtensions.md5Long(col("text")))))
+    val raw = sources.DocSources.withSyntheticIds(
+      spark.readStream
+        .schema(sources.DocSources.documentSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .json(docsGlob))
     val gated = ops.TextAnalysis.withQuality(raw)
       .filter(col("quality_score") >= minQuality
         && col("n_words") >= minWords && col("n_words") <= maxWords)

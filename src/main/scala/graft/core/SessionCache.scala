@@ -39,17 +39,25 @@ object SessionCache {
     * insert for the session. */
   def watch(spark: SparkSession): Unit =
     if (watched.add(spark)) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          sessionEnded(spark)
-      })
+      // a stopped context rejects listeners — nothing left to watch, and
+      // the caller's cache op must not start throwing because of it
+      try spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            sessionEnded(spark)
+        })
+      catch { case _: Throwable => }
     }
 
   /** Evict everything held for `spark` (the listener's entry point —
-    * public so specs can drive it without stopping the shared context). */
+    * public so specs can drive it without stopping the shared context).
+    * The session stays in `watched` while its context is alive: removing
+    * it would make a later cache insert register a SECOND listener on
+    * the same bus (they accumulate and each end-of-app would re-fire). */
   def sessionEnded(spark: SparkSession): Unit = {
-    watched.remove(spark)
+    if (try spark.sparkContext.isStopped catch { case _: Throwable => true })
+      watched.remove(spark) // context (and its listener) are gone
     clear(spark)
     cleanups.forEach { f =>
       try f(spark) catch { case _: Throwable => /* context is stopping */ }

@@ -102,11 +102,15 @@ object BrokerAuth {
       cfg: BrokerAuthConfig,
       nowEpochSeconds: () => Long = () => System.currentTimeMillis() / 1000L): Either[String, BrokerTokens] = {
     val (url, headers, body) = loginRequest(cfg, totp(cfg.totpSecret, nowEpochSeconds()))
+    // bounded: a black-holed broker endpoint must surface as Left, not
+    // wedge the caller's connect path forever
     val builder = HttpRequest.newBuilder(URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(30))
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
     headers.foreach { case (k, v) => builder.header(k, v) }
     try {
-      val resp = HttpClient.newHttpClient()
+      val resp = HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(10)).build()
         .send(builder.build(), HttpResponse.BodyHandlers.ofString())
       parseLoginResponse(resp.body())
     } catch {

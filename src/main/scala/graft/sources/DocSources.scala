@@ -24,10 +24,16 @@ object DocSources {
     * downstream dedup keys never collide with real ids (negative range).
     */
   def jsonl(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(documentSchema).json(path)
-      .withColumn("doc_id",
-        coalesce(col("doc_id"),
-          -abs(graft.plans.GraftExtensions.md5Long(col("text")))))
+    withSyntheticIds(spark.read.schema(documentSchema).json(path))
+
+  /** The one definition of the missing-doc_id scheme (stable content
+    * hash, negative range so synthetic ids never collide with real
+    * ones) — shared by the batch loader and the streaming curation
+    * reader so a document gets the SAME id on every path. */
+  def withSyntheticIds(df: DataFrame): DataFrame =
+    df.withColumn("doc_id",
+      coalesce(col("doc_id"),
+        -abs(graft.plans.GraftExtensions.md5Long(col("text")))))
 
   /** Plain text files: one document per FILE (wholetext), doc_id from the
     * content hash — the raw-crawl shape before any structuring. */

@@ -71,7 +71,8 @@ class FrameReplayProvider extends TableProvider {
             url, channel, headers, subscribe, heartbeat, backoff)
         }
       case other =>
-        throw new IllegalArgumentException(s"unknown source '$other' (spool|memory)")
+        throw new IllegalArgumentException(
+          s"unknown source '$other' (spool|memory|websocket)")
     }
     new FrameReplayTable(source, maxPerBatch)
   }

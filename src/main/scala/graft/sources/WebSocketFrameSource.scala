@@ -96,8 +96,14 @@ final class WebSocketFrameClient(
     stopped = true
     val w = current
     if (w != null) {
-      try w.sendClose(WebSocket.NORMAL_CLOSURE, "stop").join()
-      catch { case _: Throwable => try w.abort() catch { case _: Throwable => } }
+      // best-effort graceful close, BOUNDED: sendClose's future never
+      // completes against a peer that stopped reading (join would hang
+      // the driver), so cap it and always abort — abort is what actually
+      // unblocks the read loop
+      try w.sendClose(WebSocket.NORMAL_CLOSURE, "stop")
+        .orTimeout(2, TimeUnit.SECONDS).exceptionally(_ => null).join()
+      catch { case _: Throwable => }
+      try w.abort() catch { case _: Throwable => }
     }
     scheduler.shutdownNow()
     runLoop.interrupt()
@@ -120,15 +126,29 @@ final class WebSocketFrameClient(
         connects.incrementAndGet()
         attempt = 0
         failingSinceNanos = -1L
-        subscribeMessage.foreach(m => ws.sendText(m, true).join())
-        val hb = scheduler.scheduleAtFixedRate({ () =>
-          if (!closed.isDone) {
-            try ws.sendText("ping", true)
-            catch { case _: Throwable => closed.complete(()) }
-          }
-        }, heartbeatMillis, heartbeatMillis, TimeUnit.MILLISECONDS)
-        try closed.join()
-        finally { hb.cancel(false); try ws.abort() catch { case _: Throwable => } }
+        // everything past the successful connect runs under a finally
+        // that aborts the socket: a subscribe-send failure must not leak
+        // a live connection that keeps delivering into the feed while
+        // the loop dials a second one (duplicate frames downstream)
+        try {
+          subscribeMessage.foreach(m => ws.sendText(m, true).join())
+          val hb = scheduler.scheduleAtFixedRate({ () =>
+            if (!closed.isDone) {
+              // JDK WebSocket reports send I/O failures ONLY via the
+              // returned future (the synchronous throw covers API misuse)
+              // — a dropped ping must trigger reconnect, like the
+              // reference's WriteMessage-error path (ws/client.go:68-71)
+              try ws.sendText("ping", true).whenComplete { (_, err) =>
+                if (err != null) closed.complete(())
+              }
+              catch { case _: Throwable => closed.complete(()) }
+            }
+          }, heartbeatMillis, heartbeatMillis, TimeUnit.MILLISECONDS)
+          try closed.join()
+          finally hb.cancel(false)
+        } finally {
+          try ws.abort() catch { case _: Throwable => }
+        }
       } catch {
         case _: InterruptedException => return
         case _: Throwable => // connect failed; fall through to backoff
@@ -186,9 +206,15 @@ object WebSocketFrameClient {
   private val registry = new ConcurrentHashMap[String, WebSocketFrameClient]()
 
   /** Driver-side singleton per channel: the DSv2 source calls this from
-    * `segments()` so the first planning cycle lazily opens the socket. */
+    * `segments()` so the first planning cycle lazily opens the socket.
+    * A client that gave up (exhausted max-elapsed backoff) is REPLACED,
+    * not returned: otherwise a broker outage longer than the backoff
+    * budget would pin a dead client and the query would sit "healthy"
+    * with zero rows forever — re-dialing on the next planning cycle is
+    * the recovery path. */
   def ensure(channel: String, mk: () => WebSocketFrameClient): WebSocketFrameClient =
-    registry.computeIfAbsent(channel, _ => mk().start())
+    registry.compute(channel, (_, existing) =>
+      if (existing == null || existing.isStopped) mk().start() else existing)
 
   def stop(channel: String): Unit =
     Option(registry.remove(channel)).foreach(_.stop())

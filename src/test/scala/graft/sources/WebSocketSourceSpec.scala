@@ -138,6 +138,32 @@ class WebSocketSourceSpec extends SparkSpec {
     }
   }
 
+  test("a client that exhausted its backoff budget is replaced on next ensure, not pinned") {
+    val channel = "ws-spec-replace"
+    LiveFrameFeed.clear(channel)
+    // a port with nothing listening: every dial fails fast
+    val deadPort = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val c1 = WebSocketFrameClient.ensure(channel, () => new WebSocketFrameClient(
+      s"ws://127.0.0.1:$deadPort/", channel,
+      backoff = WsBackoff(10, 20, 2.0, 0.0, maxElapsedMillis = 50)))
+    assert(awaitTrue()(c1.isStopped),
+      "client must give up after maxElapsed of consecutive failures")
+    // the broker "recovers": the next planning cycle's ensure must
+    // re-dial with a fresh client instead of returning the dead one
+    val server = new TestWsServer().start()
+    try {
+      val c2 = WebSocketFrameClient.ensure(channel, () => new WebSocketFrameClient(
+        server.url, channel, backoff = WsBackoff(50, 200, 2.0, 0.0)))
+      assert(!(c2 eq c1), "a stopped client must be replaced, not returned")
+      server.send(frame("RPL", 1L))
+      assert(awaitTrue()(LiveFrameFeed.size(channel) == 1L),
+        "the replacement client must deliver")
+    } finally { WebSocketFrameClient.stop(channel); server.stop() }
+  }
+
   test("spool-backed websocket source: durable capture, restart resumes from checkpoint") {
     import java.nio.file.Files
     val server = new TestWsServer().start()
