@@ -38,25 +38,30 @@ object ClusterSmoke {
       out
     }
 
-    def measure(dir: String): (Long, Double, Long, Double) = {
-      val t0 = System.nanoTime()
-      val nPairs = graft.ops.TextDedup.simhash(spark, dir).count()
-      val tPairs = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      val nClusters = graft.ops.TextDedup.simhashClusters(spark, dir).count()
-      val tClusters = (System.nanoTime() - t1) / 1e9
-      (nPairs, tPairs, nClusters, tClusters)
+    def measure(dir: String): Map[String, (Long, Double)] = {
+      def timed(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = f
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      Map(
+        "simhash pair rows" -> timed(graft.ops.TextDedup.simhash(spark, dir).count()),
+        "simhash cluster rows" -> timed(graft.ops.TextDedup.simhashClusters(spark, dir).count()),
+        "minhash pair rows" -> timed(graft.ops.TextDedup.minhashLsh(spark, dir).count()),
+        "minhash cluster rows" -> timed(graft.ops.TextDedup.minhashClusters(spark, dir).count()))
     }
 
     val d1 = replicated(1)
     val dk = replicated(factor)
-    val (p1, tp1, c1, tc1) = measure(d1)
-    val (pk, tpk, ck, tck) = measure(dk)
+    val m1 = measure(d1)
+    val mk = measure(dk)
     println(f"${"output"}%-22s ${"1x"}%10s ${s"${factor}x"}%10s ${"growth"}%8s  (docs x$factor, near-identical replicas)")
-    println(f"${"simhash pair rows"}%-22s $p1%10d $pk%10d ${pk.toDouble / p1}%7.1fx")
-    println(f"${"simhash cluster rows"}%-22s $c1%10d $ck%10d ${ck.toDouble / c1}%7.1fx")
-    println(f"${"pair seconds"}%-22s $tp1%10.2f $tpk%10.2f ${tpk / tp1}%7.1fx")
-    println(f"${"cluster seconds"}%-22s $tc1%10.2f $tck%10.2f ${tck / tc1}%7.1fx")
+    for (key <- Seq("simhash pair rows", "simhash cluster rows",
+        "minhash pair rows", "minhash cluster rows")) {
+      val (n1, t1) = m1(key)
+      val (nk, tk) = mk(key)
+      println(f"$key%-22s $n1%10d $nk%10d ${nk.toDouble / math.max(n1, 1)}%7.1fx  (${t1}%.1fs -> ${tk}%.1fs)")
+    }
     spark.stop()
   }
 }
