@@ -65,6 +65,7 @@ object SparkEntry {
     // -- dedup family --
     "dedup_exact" -> (TextDedup.exact _),
     "dedup_ngram" -> (TextDedup.ngramJaccard _),
+    "dedup_ngram_clusters" -> (TextDedup.ngramClusters _),
     "dedup_minhash" -> (TextDedup.minhashLsh _),
     "dedup_minhash_clusters" -> (TextDedup.minhashClusters _),
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
@@ -360,9 +361,25 @@ object SparkEntry {
          |SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
          |ORDER BY j.doc_a, j.doc_b""".stripMargin,
 
+    // components over the EXACT Jaccard pair graph (recursive transitive
+    // closure — algorithm independent of Spark's label propagation)
+    "dedup_ngram_clusters" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |edges AS (SELECT doc_a AS sa, doc_b AS sb FROM jac UNION ALL SELECT doc_b AS sa, doc_a AS sb FROM jac),
+         |pn AS (SELECT DISTINCT sa AS id FROM edges),
+         |reach(src, dst) AS (SELECT id, id FROM pn
+         |  UNION SELECT r.src, e.sb FROM reach r JOIN edges e ON r.dst = e.sa),
+         |comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+         |allc AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN comp c USING (doc_id)),
+         |rep AS (SELECT comp, min(doc_id) AS cluster_rep, count(*) AS cluster_size
+         |  FROM allc GROUP BY comp)
+         |SELECT doc_id, cluster_rep, cluster_size FROM allc JOIN rep USING (comp)
+         |ORDER BY doc_id""".stripMargin,
+
     // connected components via recursive transitive closure over the
     // VERIFIED minhash pair graph (algorithm independent of the Spark
-    // side's min-label propagation, like dedup_simhash_clusters);
+    // side's label propagation, like dedup_simhash_clusters);
     // un-paired docs become singleton clusters via the LEFT JOIN
     "dedup_minhash_clusters" ->
       s"""WITH RECURSIVE $JaccardCte,

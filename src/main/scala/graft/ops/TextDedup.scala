@@ -67,6 +67,7 @@ object TextDedup {
     graft.core.SessionCache.invalidate(spark, "simhash_sigs", dir)
     graft.core.SessionCache.invalidate(spark, "simhash_sig_pairs", dir)
     graft.core.SessionCache.invalidate(spark, "minhash_pairs", dir)
+    graft.core.SessionCache.invalidate(spark, "ngram_pairs", dir)
   }
 
   /** Exact dedup by content hash: one surviving doc_id per distinct
@@ -82,8 +83,20 @@ object TextDedup {
     * self-join on shingle, exact Jaccard >= threshold. Runs over the
     * session shingle index (the self-join reads the cache twice). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    index(spark, dir).ngramPairs(JaccardThreshold)
-      .orderBy("doc_a", "doc_b")
+    ngramPairsCached(spark, dir).orderBy("doc_a", "doc_b")
+
+  private def ngramPairsCached(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionCache.getOrBuild(spark, "ngram_pairs", dir) {
+      index(spark, dir).ngramPairs(JaccardThreshold)
+    }
+
+  /** Cluster-representative dedup over the EXACT Jaccard pair graph —
+    * the ground-truth clustering the banded variants approximate (their
+    * pair sets are subsets of this one, InvarianceSpec). Same scale
+    * shape as `minhashClusters`: the component loop touches only docs
+    * that appear in a pair, singletons join via one anti join. */
+  def ngramClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(spark, dir, ngramPairsCached(spark, dir).select("doc_a", "doc_b"))
 
   /** MinHash-LSH band table: 32 affine permutations
     * h_i(x) = ((2i+1)*x' + i^2+7) mod p over md5-hashed shingles
@@ -244,8 +257,17 @@ object TextDedup {
     * near-dup pair (tiny by construction); singletons enter via one
     * anti join — at 100 TB the corpus is never shuffled through the
     * fixpoint rounds. */
-  def minhashClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+  def minhashClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(spark, dir, minhashPairs(spark, dir).select("doc_a", "doc_b"))
+
+  /** Components over a doc-level near-dup pair graph, singletons kept:
+    * the loop runs only over paired docs (tiny by construction); the
+    * corpus enters once, through the singleton anti join. `pairs` must
+    * be materialized (session cache / checkpoint) — it is referenced by
+    * the node union, the edge symmetrization, and indirectly each
+    * component round. */
+  private def clustersFromPairs(
+      spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     val paired = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()

@@ -23,6 +23,7 @@ class PlanSpec extends SparkSpec {
         TextDedup.simhash(spark, dir),
         TextDedup.simhashClusters(spark, dir), // incl. the component-loop joins
         TextDedup.minhashClusters(spark, dir),
+        TextDedup.ngramClusters(spark, dir),
         Similarity.embeddingNearDup(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
