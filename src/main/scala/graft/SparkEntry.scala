@@ -112,6 +112,24 @@ object SparkEntry {
        |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sharr FROM wrd),
        |sh AS (SELECT DISTINCT doc_id, unnest(sharr) AS sh FROM shl)""".stripMargin
 
+  /** Recursive transitive closure + singleton completion over a
+    * doc-level pair relation `rel(doc_a, doc_b)` — the shared tail of
+    * the ngram/minhash cluster oracles (the simhash variant closes over
+    * sig nodes instead and keeps its own form). Requires WITH RECURSIVE
+    * on the enclosing query. */
+  private def docComponentsSql(rel: String): String =
+    s"""edges AS (SELECT doc_a AS sa, doc_b AS sb FROM $rel UNION ALL SELECT doc_b AS sa, doc_a AS sb FROM $rel),
+       |pn AS (SELECT DISTINCT sa AS id FROM edges),
+       |reach(src, dst) AS (SELECT id, id FROM pn
+       |  UNION SELECT r.src, e.sb FROM reach r JOIN edges e ON r.dst = e.sa),
+       |comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+       |allc AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN comp c USING (doc_id)),
+       |rep AS (SELECT comp, min(doc_id) AS cluster_rep, count(*) AS cluster_size
+       |  FROM allc GROUP BY comp)
+       |SELECT doc_id, cluster_rep, cluster_size FROM allc JOIN rep USING (comp)
+       |ORDER BY doc_id""".stripMargin
+
   /** 60-bit md5 integer hash of an expression (mirrors TextHashing.md5Long). */
   private def md5LongSql(e: String) =
     s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
@@ -365,17 +383,7 @@ object SparkEntry {
     // closure — algorithm independent of Spark's label propagation)
     "dedup_ngram_clusters" ->
       s"""WITH RECURSIVE $JaccardCte,
-         |edges AS (SELECT doc_a AS sa, doc_b AS sb FROM jac UNION ALL SELECT doc_b AS sa, doc_a AS sb FROM jac),
-         |pn AS (SELECT DISTINCT sa AS id FROM edges),
-         |reach(src, dst) AS (SELECT id, id FROM pn
-         |  UNION SELECT r.src, e.sb FROM reach r JOIN edges e ON r.dst = e.sa),
-         |comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
-         |allc AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
-         |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN comp c USING (doc_id)),
-         |rep AS (SELECT comp, min(doc_id) AS cluster_rep, count(*) AS cluster_size
-         |  FROM allc GROUP BY comp)
-         |SELECT doc_id, cluster_rep, cluster_size FROM allc JOIN rep USING (comp)
-         |ORDER BY doc_id""".stripMargin,
+         |${docComponentsSql("jac")}""".stripMargin,
 
     // connected components via recursive transitive closure over the
     // VERIFIED minhash pair graph (algorithm independent of the Spark
@@ -391,17 +399,7 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bt a
          |  JOIN bt b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |mhp AS (SELECT j.doc_a, j.doc_b FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b),
-         |edges AS (SELECT doc_a AS sa, doc_b AS sb FROM mhp UNION ALL SELECT doc_b AS sa, doc_a AS sb FROM mhp),
-         |pn AS (SELECT DISTINCT sa AS id FROM edges),
-         |reach(src, dst) AS (SELECT id, id FROM pn
-         |  UNION SELECT r.src, e.sb FROM reach r JOIN edges e ON r.dst = e.sa),
-         |comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
-         |allc AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
-         |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN comp c USING (doc_id)),
-         |rep AS (SELECT comp, min(doc_id) AS cluster_rep, count(*) AS cluster_size
-         |  FROM allc GROUP BY comp)
-         |SELECT doc_id, cluster_rep, cluster_size FROM allc JOIN rep USING (comp)
-         |ORDER BY doc_id""".stripMargin,
+         |${docComponentsSql("mhp")}""".stripMargin,
 
     "simhash_sigs" ->
       s"""WITH dw AS (SELECT DISTINCT doc_id, w FROM

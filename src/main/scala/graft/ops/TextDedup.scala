@@ -268,9 +268,10 @@ object TextDedup {
     * component round. */
   private def clustersFromPairs(
       spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    // no distinct here: connectedComponents distincts its node input,
+    // and the anti join below only checks existence
     val paired = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
-      .distinct()
     val comp = GraphOps.connectedComponents(paired, pairs)
       .select(col("node").as("doc_id"), col("label").as("comp"))
     val singles = docs(spark, dir).select("doc_id")

@@ -3,16 +3,19 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Output-shape smoke for the SimHash dedup family: replicates the corpus
-  * k-fold with near-identical replicas (every replica IS a true near-dup
-  * of its original — the adversarial case for dedup), then compares how
-  * the two output contracts grow:
+/** Output-shape smoke for the near-dup dedup contracts: replicates the
+  * corpus k-fold with near-identical replicas (every replica IS a true
+  * near-dup of its original — the adversarial case for dedup), then
+  * compares how the output contracts grow for BOTH banded families:
   *
-  *  - `dedup_simhash` (all pairs): m-doc cluster emits m(m-1)/2 rows —
-  *    quadratic in cluster size, so k-fold replication grows output ~k^2.
-  *  - `dedup_simhash_clusters` (doc_id, cluster_rep): m-doc cluster emits
-  *    m rows — linear, so k-fold replication grows output ~k.
+  *  - pair contracts (`dedup_simhash`, `dedup_minhash`): an m-doc
+  *    cluster emits m(m-1)/2 rows — quadratic in cluster size, so
+  *    k-fold replication grows output ~k^2 (worse for minhash, where
+  *    every original-replica pair passes exact-Jaccard verification).
+  *  - cluster contracts (`*_clusters`, (doc_id, cluster_rep)): an m-doc
+  *    cluster emits m rows — linear, so replication grows output ~k.
   *
+  * Each row prints 1x/kx counts, growth, and (t1 -> tk) wall seconds.
   * Results recorded in docs/SCALING.md. Usage:
   *   sbt "runMain graft.tools.ClusterSmoke [srcSfDir] [factor]"
   */

@@ -97,10 +97,16 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, 0L, "clean text with no pii at all")))
   }
 
-  test("minhash clusters = union-find over the verified minhash pair graph") {
-    val pairs = TextDedup.minhashLsh(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val clusters = TextDedup.minhashClusters(spark, dir).collect()
+  test("ngram clusters = union-find over the exact Jaccard pair graph") {
+    assertClustersMatchUnionFind(
+      TextDedup.ngramJaccard(spark, dir), TextDedup.ngramClusters(spark, dir))
+  }
+
+  private def assertClustersMatchUnionFind(
+      pairDf: org.apache.spark.sql.DataFrame,
+      clusterDf: org.apache.spark.sql.DataFrame): Unit = {
+    val pairs = pairDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = clusterDf.collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("cluster_rep"), r.getAs[Long]("cluster_size")))
       .toMap
     val ids = spark.read.parquet(s"$dir/documents.parquet")
@@ -119,6 +125,11 @@ class OpsSpec extends SparkSpec {
       assert(clusters(i) === ((roots(i), sizes(roots(i)))), s"doc $i cluster mismatch")
     }
     assert(pairs.nonEmpty, "fixture must actually have near-dup pairs")
+  }
+
+  test("minhash clusters = union-find over the verified minhash pair graph") {
+    assertClustersMatchUnionFind(
+      TextDedup.minhashLsh(spark, dir), TextDedup.minhashClusters(spark, dir))
   }
 
   test("simhash clusters = connected components of the near-dup pair graph") {
