@@ -118,6 +118,13 @@ final case class BrokerAuthConfig(
     apiUrl: String, clientCode: String, password: String,
     apiKey: String, totpSecret: String) {
 
+  /** Redacted: the case-class default would print password/apiKey/
+    * totpSecret verbatim into any log line or exception message the
+    * config ever reaches — at odds with the credentials-never-enter-the-
+    * engine boundary. Only the non-secret routing fields survive. */
+  override def toString: String =
+    s"BrokerAuthConfig($apiUrl, $clientCode, password=***, apiKey=***, totpSecret=***)"
+
   /** The WebSocket connect headers the reference builds from its login
     * response (/root/reference/main.go:212-218). The REST+TOTP handshake
     * that PRODUCES `authToken`/`feedToken` (/root/reference/angel/auth.go:

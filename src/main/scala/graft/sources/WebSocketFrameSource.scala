@@ -64,7 +64,8 @@ final class WebSocketFrameClient(
     heartbeatMillis: Long = 10000L,
     backoff: WsBackoff = WsBackoff(),
     rng: java.util.Random = new java.util.Random(),
-    deliver: Option[Array[Byte] => Unit] = None) {
+    deliver: Option[Array[Byte] => Unit] = None,
+    onStop: Option[() => Unit] = None) {
 
   // default delivery = the in-process feed (local[*] scope); a spool
   // appender here makes the live path multi-executor-correct (frames
@@ -75,6 +76,7 @@ final class WebSocketFrameClient(
   @volatile private var stopped = false
   @volatile private var current: WebSocket = _
   private val connects = new AtomicInteger(0)
+  private val cleanedUp = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val httpClient = HttpClient.newHttpClient()
 
   private def daemonFactory(name: String): ThreadFactory = r => {
@@ -82,7 +84,12 @@ final class WebSocketFrameClient(
   }
   private val scheduler =
     Executors.newSingleThreadScheduledExecutor(daemonFactory(s"graft-ws-hb-$channel"))
-  private val runLoop = new Thread(() => loop(), s"graft-ws-$channel")
+  // loop() owns cleanup on every exit path (give-up, interrupt, stop):
+  // a client that exhausted its backoff budget must still release its
+  // scheduler and close its delivery resource (the spool appender fd) —
+  // nobody ever calls stop() on a self-retired client
+  private val runLoop =
+    new Thread(() => try loop() finally cleanup(), s"graft-ws-$channel")
   runLoop.setDaemon(true)
 
   def start(): this.type = { runLoop.start(); this }
@@ -91,6 +98,15 @@ final class WebSocketFrameClient(
   def connectCount: Int = connects.get()
 
   def isStopped: Boolean = stopped
+
+  /** Idempotent resource release: heartbeat scheduler + delivery hook
+    * (e.g. the spool appender's file handle). Runs once, from whichever
+    * of stop() / loop-exit gets there first. */
+  private def cleanup(): Unit =
+    if (cleanedUp.compareAndSet(false, true)) {
+      scheduler.shutdownNow()
+      onStop.foreach(h => try h() catch { case _: Throwable => })
+    }
 
   def stop(): Unit = {
     stopped = true
@@ -105,8 +121,14 @@ final class WebSocketFrameClient(
       catch { case _: Throwable => }
       try w.abort() catch { case _: Throwable => }
     }
-    scheduler.shutdownNow()
+    cleanup()
     runLoop.interrupt()
+    // stop() may have read `current` BEFORE the connect loop assigned a
+    // freshly-built socket (the loop also re-checks `stopped` right after
+    // assignment and aborts its own socket — between the two, no
+    // connection survives a stop() no matter how the race lands)
+    val w2 = current
+    if ((w2 ne w) && w2 != null) { try w2.abort() catch { case _: Throwable => } }
   }
 
   /** Connect / read / reconnect loop (reference Listen(),
@@ -122,6 +144,13 @@ final class WebSocketFrameClient(
         headers.foreach { case (k, v) => builder.header(k, v) }
         val ws = builder.buildAsync(URI.create(uri), new FrameListener(closed)).join()
         current = ws
+        if (stopped) {
+          // raced with stop(): it may have read `current` as null (or the
+          // previous socket) and missed this one — abort it ourselves
+          // instead of parking in closed.join() on a live connection
+          try ws.abort() catch { case _: Throwable => }
+          return
+        }
         connectedThisRound = true
         connects.incrementAndGet()
         attempt = 0
@@ -132,18 +161,11 @@ final class WebSocketFrameClient(
         // the loop dials a second one (duplicate frames downstream)
         try {
           subscribeMessage.foreach(m => ws.sendText(m, true).join())
-          val hb = scheduler.scheduleAtFixedRate({ () =>
-            if (!closed.isDone) {
-              // JDK WebSocket reports send I/O failures ONLY via the
-              // returned future (the synchronous throw covers API misuse)
-              // — a dropped ping must trigger reconnect, like the
-              // reference's WriteMessage-error path (ws/client.go:68-71)
-              try ws.sendText("ping", true).whenComplete { (_, err) =>
-                if (err != null) closed.complete(())
-              }
-              catch { case _: Throwable => closed.complete(()) }
-            }
-          }, heartbeatMillis, heartbeatMillis, TimeUnit.MILLISECONDS)
+          val tick = new HeartbeatTick(
+            () => ws.sendText("ping", true), () => closed.complete(()))
+          val hb = scheduler.scheduleAtFixedRate(
+            () => if (!closed.isDone) tick.run(),
+            heartbeatMillis, heartbeatMillis, TimeUnit.MILLISECONDS)
           try closed.join()
           finally hb.cancel(false)
         } finally {
@@ -199,6 +221,37 @@ final class WebSocketFrameClient(
 
     override def onError(ws: WebSocket, error: Throwable): Unit =
       closed.complete(())
+  }
+}
+
+/** One heartbeat tick, precise about slow vs dead: a peer that has not
+  * yet drained the PREVIOUS ping gets this tick SKIPPED (sending anyway
+  * would raise IllegalStateException from the JDK client, which the old
+  * logic conflated with a dead connection — a slow-draining peer caused a
+  * spurious reconnect). Death is declared only where the JDK actually
+  * reports it: the send future completing exceptionally
+  * (the reference's WriteMessage-error path, ws/client.go:68-71). */
+private[sources] final class HeartbeatTick(
+    send: () => CompletionStage[_], onDead: () => Unit) extends Runnable {
+
+  @volatile private var inFlight: CompletableFuture[_] = _
+
+  /** Ticks observed to have been skipped because a ping was in flight. */
+  @volatile var skipped: Int = 0
+
+  override def run(): Unit = {
+    val prev = inFlight
+    if (prev != null && !prev.isDone) { skipped += 1; return }
+    try {
+      val f = send().toCompletableFuture
+      inFlight = f
+      f.whenComplete { (_, err) => if (err != null) onDead() }
+      ()
+    } catch {
+      // synchronous throw = API misuse or a hard-closed socket — treat as
+      // dead (an in-flight-ping ISE can no longer reach here: we skip)
+      case _: Throwable => onDead()
+    }
   }
 }
 
@@ -268,8 +321,12 @@ final class WebSocketSpoolSource(
     WebSocketFrameClient.ensure(channel, () => {
       val seg = "ws-" + channel.replaceAll("[^A-Za-z0-9._-]", "_")
       val app = FrameSpool.appender(spoolDir, seg)
+      // the client owns the appender's lifetime: its cleanup closes the
+      // fd on stop() AND on self-retirement (exhausted backoff budget) —
+      // the append-mode reopen makes a replacement client safe
       new WebSocketFrameClient(uri, channel, headers, subscribeMessage,
-        heartbeatMillis, backoff, deliver = Some(app.append))
+        heartbeatMillis, backoff, deliver = Some(app.append),
+        onStop = Some(() => app.close()))
     })
     FrameSpool.listFiles(spoolDir)
   }

@@ -214,6 +214,71 @@ class WebSocketSourceSpec extends SparkSpec {
     }
   }
 
+  test("heartbeat is precise: a slow-draining peer skips ticks, only a FAILED send is death") {
+    // drive the tick directly with a never-completing send future — the
+    // deterministic stand-in for a peer that hasn't drained the prior
+    // ping (stalling a real JDK socket send is timing-dependent)
+    val pending = new java.util.concurrent.CompletableFuture[AnyRef]()
+    var sends = 0
+    var dead = 0
+    val tick = new HeartbeatTick({ () => sends += 1; pending }, () => dead += 1)
+    (1 to 5).foreach(_ => tick.run())
+    assert(sends === 1, "while the first ping is in flight, later ticks must not send")
+    assert(tick.skipped === 4, "the in-flight ticks are skipped, not escalated")
+    assert(dead === 0, "a slow peer must NOT be declared dead (no reconnect storm)")
+    pending.complete(null)
+    tick.run()
+    assert(sends === 2, "once the ping drains, the next tick sends again")
+    assert(dead === 0)
+    // death is declared exactly where the JDK reports I/O failure: the
+    // send future completing exceptionally
+    val failing = new java.util.concurrent.CompletableFuture[AnyRef]()
+    failing.completeExceptionally(new java.io.IOException("broken pipe"))
+    val tick2 = new HeartbeatTick(() => failing, () => dead += 1)
+    tick2.run()
+    assert(dead === 1, "a failed ping send must trigger the reconnect path")
+  }
+
+  test("client releases its delivery resource on stop AND on self-retirement") {
+    // stop(): the hook must run exactly once even with loop-exit racing it
+    val server = new TestWsServer().start()
+    val closed1 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val c1 = new WebSocketFrameClient(
+      server.url, "ws-spec-hook-stop", backoff = WsBackoff(50, 200, 2.0, 0.0),
+      deliver = Some(_ => ()), onStop = Some(() => closed1.incrementAndGet())).start()
+    try {
+      assert(awaitTrue()(c1.connectCount >= 1))
+      c1.stop()
+      assert(awaitTrue()(closed1.get() == 1), "stop() must close the delivery resource")
+      Thread.sleep(100) // give the loop thread's finally a chance to double-fire
+      assert(closed1.get() === 1, "cleanup must be idempotent")
+    } finally server.stop()
+    // self-retirement (exhausted backoff budget): nobody calls stop() on a
+    // gave-up client — its own loop exit must release the resource (the
+    // spool appender fd leak from the round-5 advice)
+    val deadPort = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val closed2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val c2 = new WebSocketFrameClient(
+      s"ws://127.0.0.1:$deadPort/", "ws-spec-hook-retire",
+      backoff = WsBackoff(10, 20, 2.0, 0.0, maxElapsedMillis = 50),
+      deliver = Some(_ => ()), onStop = Some(() => closed2.incrementAndGet())).start()
+    assert(awaitTrue()(c2.isStopped))
+    assert(awaitTrue()(closed2.get() == 1),
+      "a client that gave up must close its resource without a stop() call")
+  }
+
+  test("BrokerAuthConfig never prints credentials") {
+    val cfg = BrokerAuthConfig("https://api.example", "C42", "s3cret-pw", "k3y", "TOTPSECRET")
+    val s = cfg.toString
+    assert(!s.contains("s3cret-pw") && !s.contains("k3y") && !s.contains("TOTPSECRET"),
+      s"toString must redact credentials, saw: $s")
+    assert(s.contains("https://api.example") && s.contains("C42"),
+      "non-secret routing fields stay visible for debugging")
+  }
+
   test("live memory source also trims on commit (bounded buffer across batches)") {
     val channel = "ws-spec-trim-mem"
     LiveFrameFeed.clear(channel)
