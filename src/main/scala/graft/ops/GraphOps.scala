@@ -1,61 +1,183 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph primitives for the dedup operator family. */
 object GraphOps {
 
-  /** Connected components of an undirected graph by min-label propagation
-    * with pointer jumping: each round every node takes the min label over
-    * its neighborhood, then shortcuts label -> label(label), so label
-    * chains halve every round — convergence in O(log diameter) rounds,
-    * each round two equality joins + a hash agg over (nodes + edges)
-    * rows. No driver-side graph state: the driver loop only orchestrates
-    * rounds and reads a converged/not-converged flag.
+  /** Connected components by CONTRACTION with pointer jumping: every
+    * round computes, per current representative, the min over its
+    * neighbor representatives (`m1`), composes that map with itself once
+    * (`m2` — the pointer jump, so rep chains halve), then REWRITES the
+    * edge set into the new representative space, dropping intra-component
+    * edges and duplicates. The live edge set therefore shrinks
+    * geometrically: a dense near-dup cluster collapses to one node after
+    * the first round, and later rounds touch only the still-unmerged
+    * frontier — unlike plain label propagation, whose every round re-joins
+    * the FULL edge set. Convergence in O(log diameter) rounds, detected
+    * for free as "no cross-representative edge left".
     *
-    * `nodes`: first column = node id (any orderable type). `pairs`: first
-    * two columns = an undirected edge, each edge listed once in either
-    * orientation. Returns (node, label) where label = the component's min
-    * node id.
+    * The fixpoint loop is RDD-based BY DESIGN — the one place in this
+    * library where the DataFrame API is the wrong tool: a driver loop
+    * that re-plans a multi-join Catalyst query per round pays analysis +
+    * optimization + codegen + adaptive-stage scheduling EVERY round
+    * (measured ~9 Spark jobs and ~0.5 s of fixed overhead per round at
+    * sf0.1, dwarfing the per-round data), exactly the trap the Spark
+    * guide flags for iterative algorithms — GraphX is RDD-based for the
+    * same reason. Joins inside the loop are hash-co-partitioned (narrow
+    * where an input is already partitioned), reductions are map-side
+    * combined, and per-round bookkeeping lives in REP space (ids that
+    * merged), never over the full node set: nodes are touched exactly
+    * twice, once to seed the edge set and once in the final
+    * composition join.
     *
-    * Every round is lineage-truncated (localCheckpoint): plans stay flat
-    * regardless of iteration count. `stepped` is materialized too — the
-    * pointer-jump self-join references it twice, and an unmaterialized
-    * reference would re-execute the neighborhood join per reference
-    * (measured 2x slower). Convergence is read from the carried old_label
-    * column of the round's own checkpoint — no extra join or count job
-    * (round-4 advice: the per-round count was the dominant fixed cost). */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    * Correctness invariants (each checked by OpsSpec's union-find
+    * cross-checks): every map value is a smaller id of the same
+    * component, so maps are monotone and a fixpoint exists; an edge
+    * dropped as a self-loop stays a self-loop under further composition;
+    * the component's min id is a fixpoint of every map, so the final
+    * uniform representative IS the min id.
+    *
+    * Partition count adapts to the edge count (~64k edges/partition,
+    * capped at 2x default parallelism — the cap is what binds on a real
+    * cluster): a near-dup pair graph is tiny relative to its corpus, so
+    * small graphs schedule a handful of tasks, while a billion-edge
+    * graph at 100 TB still spreads across the cluster.
+    *
+    * Fault tolerance: by default rounds persist MEMORY_AND_DISK and keep
+    * (cheap, plain-RDD) lineage — an executor loss recomputes through
+    * the chain. A long-running cluster job passes `checkpointDir`
+    * (HDFS/S3): each round's survivors then also write a RELIABLE
+    * checkpoint that truncates lineage, bounding recovery to one round
+    * regardless of iteration count (docs/SCALING.md "Fixpoint
+    * checkpointing").
+    *
+    * `nodes`: first column = node id (any INTEGRAL type — doc ids and
+    * 64-bit signatures in this library). `pairs`: first two columns = an
+    * undirected edge, each edge listed once in either orientation.
+    * Returns (node, label) where label = the component's min node id, in
+    * the input's id type. */
+  def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sess = nodes.sparkSession
+    val sc = sess.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val nodeField = nodes.schema.head
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(nodeField.dataType),
+      s"connectedComponents needs an integral node id, got ${nodeField.dataType}")
+
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(name: => String): Unit =
+      if (debug) {
+        val t = System.nanoTime()
+        println(f"[cc] $name ${(t - t0) / 1e9}%.2f s")
+        t0 = t
+      }
+    val lMin = math.min(_: Long, _: Long)
+
     val Seq(srcC, dstC) = pairs.columns.toSeq.take(2)
-    val p = pairs.select(col(srcC).as("src"), col(dstC).as("dst"))
-    val edges = p
-      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col(nodes.columns.head).as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var converged = false
+    val pRdd = pairs.select(col(srcC).cast("long"), col(dstC).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val nRdd = nodes.select(col(nodes.columns.head).cast("long"))
+      .rdd.map(_.getLong(0))
+
+    // size the loop's partitioner from the materialized edge count
+    val edgesRaw = pRdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = edgesRaw.count()
+    val numParts = math.max(1, math.min(
+      sc.defaultParallelism * 2, (edgeCount / 65536L).toInt + 1))
+    val part = new HashPartitioner(numParts)
+    var edges = edgesRaw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var remaining = edges.count()
+    edgesRaw.unpersist(false)
+    lap(s"edge setup ($edgeCount directed edges, $numParts partitions)")
+
+    // comp: original id -> current representative, ONLY for ids that ever
+    // merged (identity elsewhere) — per-round bookkeeping never scans the
+    // full node set
+    var comp: RDD[(Long, Long)] = sc.emptyRDD[(Long, Long)].partitionBy(part)
     var iters = 0
-    while (!converged && iters < 64) { // monotone-decreasing labels: fixpoint guaranteed; 64 = safety cap
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("label").as("nlabel")), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min("nlabel").as("nmin"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val jumped = stepped
-        .join(stepped.select(col("node").as("label"), col("label").as("plabel")),
-          Seq("label"), "left")
-        .select(col("node"), col("old_label"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = jumped.filter(col("label") =!= col("old_label")).isEmpty
-      labels = jumped.select("node", "label")
+    while (remaining > 0L && iters < 64) { // maps are monotone + every live edge forces a merge: terminates
+      // min neighbor rep per rep — edges are already in rep space, so
+      // this is a plain map-side-combined reduction, no join
+      val m1 = edges.reduceByKey(part, lMin)
+        .mapPartitions(_.map { case (r, p) => (r, lMin(r, p)) }, preservesPartitioning = true)
+      // pointer jump: r -> m1(m1(r)); m1 is partitioned, the swap side shuffles (tiny)
+      val m2 = m1.map { case (r, v) => (v, r) }.join(m1)
+        .map { case (_, (r, v2)) => (r, v2) }
+      val newMap = m1.union(m2).reduceByKey(part, lMin)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // rewrite edges into the new rep space; drop self-loops + duplicates
+      val e1 = edges.leftOuterJoin(newMap, part)
+        .map { case (a, (b, oa)) => (b, oa.getOrElse(a)) }
+      val nextEdges = e1.leftOuterJoin(newMap, part)
+        .map { case (b, (a2, ob)) => (a2, ob.getOrElse(b)) }
+        .filter(t => t._1 != t._2)
+        .map(t => (t, ()))
+        .reduceByKey(new HashPartitioner(numParts), (x, _) => x)
+        .map(_._1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // compose the cumulative map: ids already merged follow their rep's
+      // move; ids merging for the FIRST time (still their own rep, so not
+      // a comp key — values are always < their key) get a fresh entry
+      val moved = comp.map { case (r0, rep) => (rep, r0) }
+        .leftOuterJoin(newMap, part)
+        .map { case (rep, (r0, o)) => (r0, o.getOrElse(rep)) }
+      val fresh = newMap.filter { case (k, v) => v != k }.subtractByKey(comp, part)
+      val nextComp = moved.union(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+      if (checkpointDir.isDefined) { nextEdges.checkpoint(); nextComp.checkpoint() }
+      remaining = nextEdges.count()
+      nextComp.count()
+      edges.unpersist(false); comp.unpersist(false); newMap.unpersist(false)
+      edges = nextEdges
+      comp = nextComp
       iters += 1
+      lap(s"round $iters (live directed edges=$remaining)")
     }
-    labels
+    edges.unpersist(false)
+
+    // flatten rep chains: newMap itself may contain chains (a->b, b->c —
+    // m2 composes m1 only once), so a comp entry can lag the final
+    // representative by several contraction steps. Pointer-jump comp over
+    // itself until no value is also a key: chains halve per lap, and comp
+    // is tiny (ids that merged), so this is a couple of small jobs.
+    var flattening = iters > 1
+    var flaps = 0
+    while (flattening && flaps < 32) {
+      val acc = sc.longAccumulator(s"cc_flat_$flaps")
+      val next = comp.map { case (r0, rep) => (rep, r0) }
+        .leftOuterJoin(comp, part)
+        .map { case (rep, (r0, o)) =>
+          val v = o.getOrElse(rep)
+          if (v != rep) acc.add(1L)
+          (r0, v)
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      flattening = acc.value != 0L
+      comp.unpersist(false)
+      comp = next
+      flaps += 1
+    }
+    if (debug) println(s"[cc] converged after $iters rounds (+$flaps flatten laps)")
+
+    // nodes enter exactly once: the final composition join
+    val labels = nRdd.map(n => (n, n)).reduceByKey(part, (a, _) => a)
+      .leftOuterJoin(comp, part)
+      .map { case (n, (_, o)) => (n, o.getOrElse(n)) }
+    val out = sess.createDataFrame(
+      labels.map { case (n, l) => Row(n, l) },
+      StructType(Seq(StructField("node", LongType), StructField("label", LongType))))
+    if (nodeField.dataType == LongType) out
+    else out.select(
+      col("node").cast(nodeField.dataType).as("node"),
+      col("label").cast(nodeField.dataType).as("label"))
   }
 }

@@ -127,6 +127,27 @@ class OpsSpec extends SparkSpec {
     assert(pairs.nonEmpty, "fixture must actually have near-dup pairs")
   }
 
+  test("connected components: reliable-checkpoint mode matches localCheckpoint mode") {
+    import spark.implicits._
+    // adversarial shape: a 9-node chain (exercises pointer jumping over
+    // several rounds), a triangle merging into it, and isolated nodes
+    val edges = ((1L to 8L).map(i => (i, i + 1)) ++ Seq((8L, 20L), (20L, 21L), (21L, 8L)))
+      .toDF("a", "b")
+    val nodes = ((1L to 9L) ++ Seq(20L, 21L, 30L, 31L)).toDF("id")
+    val local = GraphOps.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val ckptDir = Files.createTempDirectory("ccreliable").toString
+    val reliable = GraphOps.connectedComponents(nodes, edges, Some(ckptDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(local === reliable, "both lineage-truncation modes must agree")
+    val expected = ((1L to 9L).map(i => (i, 1L)) ++
+      Seq((20L, 1L), (21L, 1L), (30L, 30L), (31L, 31L))).sorted
+    assert(local === expected, "labels must be the component min id")
+    // reliable mode actually wrote recoverable checkpoints
+    assert(new java.io.File(ckptDir).listFiles().nonEmpty,
+      "reliable mode must write to the checkpoint dir")
+  }
+
   test("minhash clusters = union-find over the verified minhash pair graph") {
     assertClustersMatchUnionFind(
       TextDedup.minhashLsh(spark, dir), TextDedup.minhashClusters(spark, dir))
