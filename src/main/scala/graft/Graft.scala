@@ -103,7 +103,13 @@ object Graft {
     * `docsGlob`'s directory are picked up by later triggers; restart with
     * the same checkpoint resumes incrementally. The LLM-pipeline face of
     * the ingest path: same replay-idempotent sink scheme, same
-    * maintenance protocol, documents instead of ticks. */
+    * maintenance protocol, documents instead of ticks.
+    *
+    * `nearDupDir`: when set, a second persisted index (MinHash band keys
+    * + signatures) additionally drops incoming docs that are NEAR-dups
+    * of anything curated by any previous run — a doc with one word
+    * changed passes the exact fingerprint gate but not this one
+    * (ops.CurationPipeline.incrementalNearDedup). */
   def curateCorpus(
       spark: SparkSession, docsGlob: String,
       corpusDir: String, indexDir: String, checkpointDir: String,
@@ -112,7 +118,9 @@ object Graft {
       minWords: Int = ops.CurationPipeline.MinWords,
       maxWords: Int = ops.CurationPipeline.MaxWords,
       maxFilesPerTrigger: Int = 16,
-      compactEvery: Int = 8): StreamingQuery = {
+      compactEvery: Int = 8,
+      nearDupDir: Option[String] = None,
+      nearDupThreshold: Double = ops.TextDedup.JaccardThreshold): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val raw = sources.DocSources.withSyntheticIds(
       spark.readStream
@@ -124,7 +132,8 @@ object Graft {
         && col("n_words") >= minWords && col("n_words") <= maxWords)
       .select("doc_id", "text", "lang", "n_words", "quality_score")
     ops.CurationPipeline.streamingDedup(
-      gated, corpusDir, indexDir, checkpointDir, trigger, compactEvery)
+      gated, corpusDir, indexDir, checkpointDir, trigger, compactEvery,
+      nearDupDir, nearDupThreshold)
   }
 
   /** Start serving /metrics and /health for a running ingest; returns the

@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_ngram_clusters" -> (TextDedup.ngramClusters _),
     "dedup_minhash" -> (TextDedup.minhashLsh _),
     "dedup_minhash_clusters" -> (TextDedup.minhashClusters _),
+    "dedup_minhash_est" -> (TextDedup.minhashEst _),
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
     "dedup_simhash" -> (TextDedup.simhash _),
     "dedup_simhash_clusters" -> (TextDedup.simhashClusters _),
@@ -378,6 +379,25 @@ object SparkEntry {
          |  JOIN bt b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
          |SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
          |ORDER BY j.doc_a, j.doc_b""".stripMargin,
+
+    // banded candidates scored by the MinHash SIGNATURE estimator
+    // (agreeing components / 32) — the batch form of the curation
+    // pipeline's cross-run near-dup verification predicate
+    "dedup_minhash_est" ->
+      s"""WITH $ShinglesCte,
+         |hsh AS (SELECT doc_id, ${md5LongSql("sh")} % 2147483647 AS hm FROM sh),
+         |mh AS (SELECT doc_id, i, min(((2*i+1)*hm + i*i+7) % 2147483647) AS mh
+         |  FROM hsh CROSS JOIN (SELECT unnest(generate_series(0,31)) AS i) GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, i//4 AS band, string_agg(concat(i%4, ':', mh), ',' ORDER BY i%4) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bt a
+         |  JOIN bt b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |  CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE)/32 AS e
+         |  FROM cand c JOIN mh x ON x.doc_id = c.doc_a
+         |  JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(e, 6) AS est_jaccard FROM est
+         |WHERE e >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
 
     // components over the EXACT Jaccard pair graph (recursive transitive
     // closure — algorithm independent of Spark's label propagation)

@@ -41,6 +41,57 @@ object CurationPipeline {
     (survivors.drop("fp"), updatedIndex)
   }
 
+  /** Incremental NEAR-dup dedup: drop incoming docs that are MinHash
+    * near-duplicates of anything curated by a PREVIOUS run, plus
+    * near-dups of a smaller-id doc inside the batch — the banded
+    * complement of `incrementalDedup`'s exact gate (a doc with one word
+    * changed sails through an exact-fingerprint index).
+    *
+    * State is two append-only tables, both fixed-width per doc:
+    * `bandIndex` (doc_id, band, band_key — 8 rows/doc) and `sigIndex`
+    * (doc_id, sig: 32 longs). Per batch: the incoming docs' band keys
+    * EQUALITY-join the band index (candidates only — the index is
+    * bucketable by band_key at 100 TB), then candidates alone are
+    * verified with the signature estimator `TextDedup.estJaccard` — the
+    * historical documents' TEXT is never re-read, because the persisted
+    * signature is the verification payload. Same-doc_id index hits are
+    * ignored, which is what makes a crash-replayed batch (whose own
+    * rows may already be indexed) reproduce its original survivor set
+    * instead of deleting itself.
+    *
+    * Returns (survivors, survivorSigs) — the caller appends
+    * survivorSigs (and `TextDedup.bandsOf` of them) to the indexes. */
+  def incrementalNearDedup(
+      newDocs: DataFrame, bandIndex: DataFrame, sigIndex: DataFrame,
+      threshold: Double = TextDedup.JaccardThreshold): (DataFrame, DataFrame) = {
+    val sigs = TextDedup.minhashSigs(newDocs)
+    val bands = TextDedup.bandsOf(sigs)
+    val candOld = bands
+      .join(bandIndex.select(col("band"), col("band_key"), col("doc_id").as("idx_doc")),
+        Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("idx_doc"))
+      .select("doc_id", "idx_doc").distinct()
+    val dropOld = candOld
+      .join(sigs, "doc_id")
+      .join(sigIndex.select(col("doc_id").as("idx_doc"), col("sig").as("idx_sig")), "idx_doc")
+      .filter(TextDedup.estJaccard(col("sig"), col("idx_sig")) >= threshold)
+      .select("doc_id")
+    val candNew = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("smaller"))
+      .distinct()
+    val dropNew = candNew
+      .join(sigs, "doc_id")
+      .join(sigs.select(col("doc_id").as("smaller"), col("sig").as("s_sig")), "smaller")
+      .filter(TextDedup.estJaccard(col("sig"), col("s_sig")) >= threshold)
+      .select("doc_id")
+    val dropped = dropOld.unionByName(dropNew).distinct()
+    val survivors = newDocs.join(dropped, Seq("doc_id"), "left_anti")
+    (survivors, sigs.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
+  }
+
   /** Streaming curation: incoming documents are incrementally deduped
     * against a PERSISTED fingerprint index inside foreachBatch — the
     * streaming face of `incrementalDedup`. Each batch costs one anti join
@@ -58,30 +109,57 @@ object CurationPipeline {
       docs: DataFrame, corpusDir: String, indexDir: String,
       checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      nearDupDir: Option[String] = None,
+      nearDupThreshold: Double = TextDedup.JaccardThreshold): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
         val spark = batch.sparkSession
-        val indexPath = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // explicit schema: an index dir created by an empty batch holds no
+        // explicit schemas: an index dir created by an empty batch holds no
         // parquet files, and schema INFERENCE over it throws forever,
         // wedging the stream — with the schema supplied it reads empty
-        val indexSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("fp",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("batch_id",
-            org.apache.spark.sql.types.LongType)))
-        val index =
-          if (fs.exists(indexPath))
-            spark.read.schema(indexSchema).parquet(indexDir).select("fp")
+        def readIndex(dir: String, schema: StructType): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+            .select(schema.fieldNames.init.map(col).toSeq: _*) // drop batch_id
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(indexSchema.take(1)))
-        val (survivors, _) = incrementalDedup(batch, index)
-        val out = survivors.persist()
+            StructType(schema.init))
+        }
+        val index = readIndex(indexDir, StructType(Seq(
+          StructField("fp", StringType), StructField("batch_id", LongType))))
+        val (exactSurvivors, _) = incrementalDedup(batch, index)
+        // the near-dup gate (when enabled) runs on the exact survivors:
+        // banded-candidate lookup against the persisted band index, then
+        // signature verification — one equality join + one candidate-only
+        // join per batch, history never rescanned
+        val out = nearDupDir match {
+          case None => exactSurvivors.persist()
+          case Some(nd) =>
+            val bandIdx = readIndex(s"$nd/bands", StructType(Seq(
+              StructField("doc_id", LongType), StructField("band", IntegerType),
+              StructField("band_key", StringType), StructField("batch_id", LongType))))
+            val sigIdx = readIndex(s"$nd/sigs", StructType(Seq(
+              StructField("doc_id", LongType), StructField("sig", ArrayType(LongType)),
+              StructField("batch_id", LongType))))
+            val (survivors, _) =
+              incrementalNearDedup(exactSurvivors, bandIdx, sigIdx, nearDupThreshold)
+            // eager localCheckpoint, NOT persist: writing the fp index
+            // below auto-invalidates every cached plan that READS that
+            // path — including the survivors' anti-join — so a merely
+            // persisted frame would silently recompute against the
+            // already-updated index (= empty) for the later band/sig
+            // writes. The checkpoint snapshots the rows with no path
+            // dependency left to invalidate.
+            survivors.localCheckpoint(true)
+        }
+        // index rows are recomputed from the snapshotted survivors (one
+        // shingling pass over a small batch)
+        val sigsOut = nearDupDir.map(_ => TextDedup.minhashSigs(out).persist())
         try {
           out.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
@@ -94,7 +172,31 @@ object CurationPipeline {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(indexDir)
-        } finally out.unpersist()
+          // near-dup index appends, bands before sigs: a crash between the
+          // two leaves band rows whose sig rows are missing — on replay
+          // those candidates drop out of the (inner) sig join and the
+          // batch reproduces its survivors, then overwrites both
+          // partitions consistently
+          sigsOut.foreach { sigs =>
+            val nd = nearDupDir.get
+            TextDedup.bandsOf(sigs)
+              .select("doc_id", "band", "band_key")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(s"$nd/bands")
+            sigs.select("doc_id", "sig")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(s"$nd/sigs")
+          }
+        } finally {
+          out.unpersist()
+          sigsOut.foreach(_.unpersist())
+        }
         // periodic sink maintenance from INSIDE the running pipeline (no
         // external scheduler): every `compactEvery` batches, cold batch
         // dirs collapse so the index read path stays O(1) partitions over
@@ -104,6 +206,10 @@ object CurationPipeline {
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           compactSink(spark, corpusDir)
           compactSink(spark, indexDir)
+          nearDupDir.foreach { nd =>
+            compactSink(spark, s"$nd/bands")
+            compactSink(spark, s"$nd/sigs")
+          }
         }
         ()
       }

@@ -67,6 +67,7 @@ object TextDedup {
     graft.core.SessionCache.invalidate(spark, "simhash_sigs", dir)
     graft.core.SessionCache.invalidate(spark, "simhash_sig_pairs", dir)
     graft.core.SessionCache.invalidate(spark, "minhash_pairs", dir)
+    graft.core.SessionCache.invalidate(spark, "minhash_sigtable", dir)
     graft.core.SessionCache.invalidate(spark, "ngram_pairs", dir)
   }
 
@@ -98,25 +99,53 @@ object TextDedup {
   def ngramClusters(spark: SparkSession, dir: String): DataFrame =
     clustersFromPairs(spark, dir, ngramPairsCached(spark, dir).select("doc_a", "doc_b"))
 
-  /** MinHash-LSH band table: 32 affine permutations
-    * h_i(x) = ((2i+1)*x' + i^2+7) mod p over md5-hashed shingles
-    * (x' = x mod p), as 32 min-aggregate columns; bands of 4 rows each,
-    * keyed by the concatenated minima. One row per (doc, band). */
-  private def bandTable(sh: DataFrame): DataFrame = {
+  /** 32-minima MinHash signature per doc, one array column: 32 affine
+    * permutations h_i(x) = ((2i+1)*x' + i^2+7) mod p over md5-hashed
+    * shingles (x' = x mod p), computed as 32 min-aggregate columns (no
+    * row explosion) then packed. The array form is what the curation
+    * pipeline PERSISTS as its near-dup index — fixed 32 longs per doc,
+    * unlike shingle sets, so cross-run verification never has to re-read
+    * historical document text. */
+  def sigTable(sh: DataFrame): DataFrame = {
     val hashed = sh.withColumn("h", md5Long(col("sh")) % P)
     val minCols = (0 until NumHashes).map { i =>
       min((lit(2 * i + 1) * col("h") + lit(i * i + 7)) % P).as(s"mh$i")
     }
-    val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** Signature table for an arbitrary documents frame (doc_id, text) —
+    * the entry point for batch-shaped callers like the curation
+    * pipeline's per-micro-batch near-dup gate. */
+  def minhashSigs(docs: DataFrame): DataFrame =
+    sigTable(TextHashing.docShingles(docs))
+
+  /** (doc_id, band, band_key) from a signature table: bands of 4
+    * consecutive minima, keyed by their concatenation. One row per
+    * (doc, band); candidate pairs come from EQUALITY joins on
+    * (band, band_key) — shuffle-partitionable, never a cross join. */
+  def bandsOf(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until NumHashes / BandRows).map { b =>
       struct(
         lit(b).as("band"),
         concat_ws(",", (0 until BandRows).map(r =>
-          concat(lit(s"$r:"), col(s"mh${b * BandRows + r}"))): _*).as("band_key"))
+          concat(lit(s"$r:"), element_at(col("sig"), b * BandRows + r + 1))): _*).as("band_key"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
   }
+
+  /** Estimated Jaccard from two 32-minima signatures: the fraction of
+    * agreeing components — the standard MinHash estimator, one codegen'd
+    * zip_with+aggregate fold per pair. n/32 is exact in binary, so the
+    * value is bit-portable to the DuckDB oracle. */
+  def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _).cast("double") / NumHashes
+
+  /** MinHash-LSH band table over the session shingle index. */
+  private def bandTable(sh: DataFrame): DataFrame = bandsOf(sigTable(sh))
 
   /** MinHash-LSH near-dedup: candidates = pairs sharing any band key;
     * survivors = candidates whose exact Jaccard clears the threshold
@@ -142,6 +171,31 @@ object TextDedup {
       jaccardFor(sh, JaccardThreshold, restrictTo = Some(cands))
         .select("doc_a", "doc_b", "jaccard")
     }
+
+  /** Banded candidates scored by the SIGNATURE estimator instead of exact
+    * Jaccard — the batch form of the curation pipeline's cross-run
+    * near-dup gate (CurationPipeline.incrementalNearDedup verifies
+    * incoming docs against PERSISTED signatures with exactly this
+    * predicate; this query is its oracle-checkable face). */
+  def minhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.core.SessionCache.getOrBuild(spark, "minhash_sigtable", dir) {
+      sigTable(index(spark, dir).shingles)
+    }
+    val bt = bandsOf(sigs)
+    val cands = bt.as("a")
+      .join(bt.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(estJaccard(col("sig_a"), col("sig_b")) >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(estJaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** 48-bit SimHash signatures over distinct words (md5-hashed): bit j is
     * the sign of the vote sum over words of (+1 / -1 on word-hash bit j).

@@ -166,4 +166,49 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(round2.columns.toSet === Set("doc_id", "text", "lang", "n_words", "quality_score", "batch_id"))
     assert(round2.filter("n_words < 20 or quality_score < 0.3").isEmpty)
   }
+
+  test("curation with near-dup index: a one-word edit of a PREVIOUS run's doc is dropped") {
+    val spark = Graft.session(cores = 4)
+    val docsDir = Files.createTempDirectory("gnear_in").toString
+    val corpusDir = Files.createTempDirectory("gnear_out").toString + "/corpus"
+    val indexDir = Files.createTempDirectory("gnear_idx").toString + "/index"
+    val nearDir = Files.createTempDirectory("gnear_nd").toString + "/neardup"
+    val ckpt = Files.createTempDirectory("gnear_ck").toString
+    val a = goodText("alpha")
+    // one word changed out of 25: passes the exact-fingerprint gate,
+    // must NOT pass the banded near-dup gate
+    val aEdited = a.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 6) "edited" else w }.mkString(" ")
+    val b = goodText("beta")
+    def run(): Unit = {
+      val q = Graft.curateCorpus(spark, docsDir, corpusDir, indexDir, ckpt,
+        maxFilesPerTrigger = 1, compactEvery = 0, nearDupDir = Some(nearDir))
+      assert(q.awaitTermination(120000), "AvailableNow curation must drain and stop")
+    }
+    writeJsonlGz(docsDir, "r1.jsonl.gz", Seq(doc(1, a)))
+    run()
+    assert(spark.read.parquet(corpusDir).count() === 1)
+    val bandRows1 = spark.read.parquet(s"$nearDir/bands").count()
+    assert(bandRows1 === 8L, "8 band rows per curated doc")
+    assert(spark.read.parquet(s"$nearDir/sigs").count() === 1L)
+
+    // run 2: the near-dup edit + a genuinely new doc
+    writeJsonlGz(docsDir, "r2.jsonl.gz", Seq(doc(2, aEdited), doc(3, b)))
+    run()
+    val round2 = spark.read.parquet(corpusDir)
+    assert(round2.count() === 2, "near-dup of a prior RUN must be dropped")
+    assert(round2.filter("doc_id = 2").isEmpty,
+      "the one-word edit must be caught by the persisted band+sig index")
+    assert(round2.filter("doc_id = 3").count() === 1)
+
+    // the index grew append-only: run 1's partition is untouched, run 2
+    // added exactly its survivor's rows in a NEW batch partition
+    val bands = spark.read.parquet(s"$nearDir/bands")
+    assert(bands.count() === 16L, "8 rows per survivor, 2 survivors")
+    assert(bands.filter(s"doc_id = 1").count() === 8L, "history partition intact")
+    assert(spark.read.parquet(s"$nearDir/sigs").count() === 2L)
+    val batchDirs = new java.io.File(s"$nearDir/bands").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(batchDirs.length === 2, s"one partition per run's batch (saw ${batchDirs.toSeq})")
+  }
 }

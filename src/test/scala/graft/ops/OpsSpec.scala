@@ -245,6 +245,52 @@ class OpsSpec extends SparkSpec {
     assert(updated.distinct().count() === updated.count())
   }
 
+  test("incremental near-dup: one-word edits are caught within batch and across runs") {
+    import spark.implicits._
+    val base = (1 to 25).map(i => s"tok$i").mkString(" ")
+    def edited(at: Int, repl: String): String =
+      (1 to 25).map(i => if (i == at) repl else s"tok$i").mkString(" ")
+    val emptyBands = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band_key", org.apache.spark.sql.types.StringType))))
+    val emptySigs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
+
+    // run 1: base + an in-batch one-word edit (bigger id loses) + a fresh doc
+    val fresh = (1 to 25).map(i => s"other$i").mkString(" ")
+    val run1 = Seq((10L, base), (11L, edited(7, "changed")), (12L, fresh)).toDF("doc_id", "text")
+    val (s1, sigs1) = CurationPipeline.incrementalNearDedup(run1, emptyBands, emptySigs)
+    assert(s1.select("doc_id").as[Long].collect().sorted === Array(10L, 12L),
+      "the within-batch near-dup (11 ~ 10) must drop; min id and the fresh doc survive")
+
+    // the indexes a caller persists: survivors' sigs + bands
+    val sigIdx = sigs1
+    val bandIdx = TextDedup.bandsOf(sigs1)
+    assert(sigIdx.count() === 2 && bandIdx.count() === 16, "8 band rows + 1 sig row per survivor")
+
+    // run 2: near-dup of run 1 (different edit), an exact re-send with a
+    // DIFFERENT id, and a genuinely new doc
+    val brandNew = (1 to 25).map(i => s"novel$i").mkString(" ")
+    val run2 = Seq((20L, edited(3, "tweaked")), (21L, fresh), (22L, brandNew)).toDF("doc_id", "text")
+    val (s2, _) = CurationPipeline.incrementalNearDedup(run2, bandIdx, sigIdx)
+    assert(s2.select("doc_id").as[Long].collect().sorted === Array(22L),
+      "cross-run near-dup (20 ~ indexed 10) and re-send (21 = indexed 12) must drop")
+
+    // replay safety: a batch whose own rows ARE already indexed (crash
+    // after index write, before offset commit) reproduces its survivors
+    val replayBands = bandIdx.unionByName(TextDedup.bandsOf(sigs1)) // self rows present
+    val (s1b, _) = CurationPipeline.incrementalNearDedup(run1, replayBands, sigIdx)
+    assert(s1b.select("doc_id").as[Long].collect().sorted === Array(10L, 12L),
+      "same-doc_id index hits must not delete the replayed batch")
+  }
+
   test("a JSONL corpus flows through the dedup operators unchanged") {
     val d = Files.createTempDirectory("jsonl").toFile
     val f = new java.io.File(d, "docs.jsonl")
