@@ -77,7 +77,8 @@ object Graft {
       tokensJson: String, sinkDir: String, checkpointDir: String,
       subscribeJson: Option[String] = None,
       channel: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      spoolDir: Option[String] = None): StreamingQuery = {
     import spark.implicits._
     var reader = spark.readStream
       .format("graft.sources.FrameReplayProvider")
@@ -86,10 +87,41 @@ object Graft {
       .option("channel", channel.getOrElse(url))
     headers.foreach { case (k, v) => reader = reader.option(s"header.$k", v) }
     subscribeJson.foreach(s => reader = reader.option("subscribe", s))
+    spoolDir.foreach(d => reader = reader.option("spoolDir", d))
     val frames = reader.load().select("payload").as[Array[Byte]]
     ingest.IngestStream.start(spark, frames,
       ingest.TokenDirectory.load(spark, tokensJson), sinkDir, checkpointDir, trigger)
   }
+
+  /** The reference binary's whole job as ONE call (/root/reference/
+    * main.go:193-330: authenticate -> connect -> subscribe -> store):
+    * REST + TOTP login against the broker (sources.BrokerAuth), the
+    * returned tokens become the WebSocket connect headers, and the frame
+    * stream flows decode -> enrich -> 5 s micro-batch append with
+    * heartbeat + exponential-backoff reconnect inside the source.
+    *
+    * A declined or malformed login returns Left(message) WITHOUT
+    * starting a query — the reference treats auth failure as fatal
+    * (main.go:196-199) and so does this seam; retry policy belongs to
+    * the caller. Credentials live only in `authCfg` on the driver;
+    * the engine sees bearer tokens as `header.*` options.
+    *
+    * `spoolDir`: when set, frames are spooled to (shared) storage and
+    * executors read the spool — the multi-executor-correct live path;
+    * when None, the in-process feed serves local[*] deployments. */
+  def liveIngest(
+      spark: SparkSession, authCfg: sources.BrokerAuthConfig, wsUrl: String,
+      tokensJson: String, sinkDir: String, checkpointDir: String,
+      subscribeJson: Option[String] = None,
+      channel: Option[String] = None,
+      spoolDir: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      nowEpochSeconds: () => Long = () => System.currentTimeMillis() / 1000L): Either[String, StreamingQuery] =
+    sources.BrokerAuth.authenticate(authCfg, nowEpochSeconds).map { tokens =>
+      ingestWebSocket(spark, wsUrl,
+        authCfg.wsHeaders(tokens.jwtToken, tokens.feedToken),
+        tokensJson, sinkDir, checkpointDir, subscribeJson, channel, trigger, spoolDir)
+    }
 
   /** The tick table this session's ingest writes. */
   def ticks(spark: SparkSession, sinkDir: String): DataFrame =

@@ -95,6 +95,85 @@ class GraftFacadeSpec extends AnyFunSuite {
     }
   }
 
+  /** In-process stub broker speaking the reference's login shape. */
+  private def stubBroker(decline: => Boolean): com.sun.net.httpserver.HttpServer = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/rest/auth/angelbroking/user/v1/loginByPassword",
+      (ex: HttpExchange) => {
+        ex.getRequestBody.readAllBytes()
+        val resp =
+          if (decline) """{"status":false,"message":"Invalid totp","data":{}}"""
+          else """{"status":true,"message":"SUCCESS",""" +
+            """"data":{"jwtToken":"jwt-live","feedToken":"feed-live"}}"""
+        val bytes = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    server
+  }
+
+  test("liveIngest: auth handshake -> websocket -> decode -> tick table, one call") {
+    val spark = Graft.session(cores = 4)
+    val broker = stubBroker(decline = false)
+    val ws = new graft.sources.TestWsServer().start()
+    val channel = "facade-liveingest"
+    graft.sources.LiveFrameFeed.clear(channel)
+    val t0 = 1704447000000L
+    (1L to 3L).foreach(s => ws.send(frame("2885", s, t0 + s * 1000, 286500L + s)))
+    val sink = Files.createTempDirectory("glisink").toString
+    val ckpt = Files.createTempDirectory("glickpt").toString
+    try {
+      val cfg = graft.sources.BrokerAuthConfig(
+        s"http://127.0.0.1:${broker.getAddress.getPort}",
+        "C9", "pin", "key-abc", "GEZDGNBVGY3TQOJQGEZDGNBVGY3TQOJQ")
+      val started = Graft.liveIngest(spark, cfg, ws.url, tokensJson(), sink, ckpt,
+        subscribeJson = Some("""{"action":1}"""), channel = Some(channel),
+        trigger = Trigger.ProcessingTime("500 milliseconds"))
+      assert(started.isRight, s"auth must succeed: $started")
+      val q = started.toOption.get
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        def rows() =
+          try Graft.ticks(spark, sink).count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        while (rows() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(rows() === 3, "broker frames must land in the tick table via one call")
+        // the login's tokens travelled to the socket as the reference's headers
+        val headers = ws.receivedHeaders.toArray.map(_.toString.toLowerCase)
+        assert(headers.exists(_.startsWith("authorization: bearer jwt-live")),
+          s"jwtToken from the handshake must reach the WS connect (saw ${headers.mkString("; ")})")
+        assert(headers.exists(_.startsWith("x-feed-token: feed-live")))
+        assert(ws.receivedTexts.contains("""{"action":1}"""), "subscribe sent on connect")
+      } finally q.stop()
+    } finally {
+      graft.sources.WebSocketFrameClient.stop(channel)
+      ws.stop()
+      broker.stop(0)
+      graft.sources.LiveFrameFeed.clear(channel)
+    }
+  }
+
+  test("liveIngest: a declined login is a clear Left, no query started") {
+    val spark = Graft.session(cores = 4)
+    val broker = stubBroker(decline = true)
+    try {
+      val before = spark.streams.active.length
+      val cfg = graft.sources.BrokerAuthConfig(
+        s"http://127.0.0.1:${broker.getAddress.getPort}",
+        "C9", "bad-pin", "key-abc", "GEZDGNBVGY3TQOJQGEZDGNBVGY3TQOJQ")
+      val res = Graft.liveIngest(spark, cfg, "ws://127.0.0.1:1/never", tokensJson(),
+        Files.createTempDirectory("glxsink").toString,
+        Files.createTempDirectory("glxckpt").toString)
+      assert(res === Left("authentication failed: Invalid totp"))
+      assert(spark.streams.active.length === before,
+        "no streaming query may start on declined auth")
+    } finally broker.stop(0)
+  }
+
   private def writeJsonlGz(dir: String, name: String, lines: Seq[String]): Unit = {
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
       new java.util.zip.GZIPOutputStream(
