@@ -139,26 +139,61 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** The IVF coarse quantizer: one row per cluster, (c_label, cv) with
+    * the centroid as a mean vector. Centroid components via EXACT decimal
+    * sums (order-independent), divided once in double — plain double avg
+    * depends on partial-agg summation order and can flip the
+    * nearest-centroid tie vs the oracle. */
+  private def centroidsOf(e: DataFrame): DataFrame = {
+    val avgCols = (0 until 64).map(i =>
+      (sum(element_at(col("v"), i + 1).cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as(s"a$i"))
+    e.groupBy("label")
+      .agg(avgCols.head, avgCols.tail: _*)
+      .select(col("label").as("c_label"),
+        array((0 until 64).map(i => col(s"a$i")): _*).as("cv"))
+  }
+
+  /** Default on-disk location of the persisted IVF quantizer for an
+    * embeddings dir (co-located with the data it indexes). */
+  def ivfIndexPath(dir: String): String = s"$dir/ivf_index.parquet"
+
+  /** Build the IVF quantizer ONCE and persist it as parquet, so a cold
+    * session probes without re-deriving centroids from the corpus — the
+    * difference between an index and a per-session cache at 100 TB.
+    * Returns the written path; every session's next `ivfTopK` against
+    * `dir` picks it up (the in-session cache entry is invalidated here,
+    * like TextDedup.invalidate after a corpus rewrite). Rebuild after
+    * rewriting embeddings.parquet. */
+  def buildIvfIndex(spark: SparkSession, dir: String, at: Option[String] = None): String = {
+    val path = at.getOrElse(ivfIndexPath(dir))
+    centroidsOf(emb(spark, dir)).write.mode("overwrite").parquet(path)
+    graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+    path
+  }
+
+  private def ivfIndexExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(ivfIndexPath(dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** IVF (inverted-file) ANN, nprobe=1: the label clusters act as the
     * coarse quantizer — centroids are per-cluster mean vectors; a query
     * probes its nearest centroid (10 rows, broadcast) and scans only that
     * cluster's members. At 100 TB the cluster assignment is the partition
-    * key, so a probe reads ~1/n_clusters of the corpus. */
+    * key, so a probe reads ~1/n_clusters of the corpus.
+    *
+    * The quantizer resolves in order: the PERSISTED index next to the
+    * embeddings when present (`buildIvfIndex` — no training work at all,
+    * any session, any JVM), else computed once per (session, dir) and
+    * session-cached. Values are identical either way (lossless parquet
+    * round-trip of the exact-decimal centroids), so the oracle hash
+    * doesn't depend on which path served the query. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    // The coarse quantizer is an INDEX: built once per session, probed by
-    // every query (SessionCache). Centroid components via EXACT decimal
-    // sums (order-independent), divided once in double — plain double avg
-    // depends on partial-agg summation order and can flip the
-    // nearest-centroid tie vs the oracle.
     val centroids = graft.core.SessionCache.getOrBuild(spark, "ivf_centroids", dir) {
-      val avgCols = (0 until 64).map(i =>
-        (sum(element_at(col("v"), i + 1).cast("decimal(27,12)")).cast("double") /
-          count(lit(1))).as(s"a$i"))
-      e.groupBy("label")
-        .agg(avgCols.head, avgCols.tail: _*)
-        .select(col("label").as("c_label"),
-          array((0 until 64).map(i => col(s"a$i")): _*).as("cv"))
+      if (ivfIndexExists(spark, dir)) spark.read.parquet(ivfIndexPath(dir))
+      else centroidsOf(e)
     }
     val q = e.filter(col("vec_id").isin(QueryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))

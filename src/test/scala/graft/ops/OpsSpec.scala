@@ -193,6 +193,37 @@ class OpsSpec extends SparkSpec {
     assert(top.head.getAs[Long]("vec_id") === 1L)
   }
 
+  test("persisted IVF index: a cold session probes the file, not a re-derivation") {
+    val live = Similarity.ivfTopK(spark, dir).collect()
+    val path = Similarity.buildIvfIndex(spark, dir)
+    assert(new java.io.File(path).exists(), "index parquet must be written")
+    // a COLD session (no session-cache entries) must serve identical
+    // results straight from the persisted quantizer
+    val s2 = spark.newSession()
+    val cold = Similarity.ivfTopK(s2, dir).collect()
+    assert(cold.map(_.toString).toSeq === live.map(_.toString).toSeq,
+      "persisted and in-session quantizers must agree bit-for-bit")
+    // behavioral proof the file IS the quantizer source: doctor it (swap
+    // the cluster labels) and a fresh session's probe must follow the
+    // doctored file — impossible if centroids were re-derived from data
+    val doctored = spark.read.parquet(path).collect()
+    val schema = spark.read.parquet(path).schema
+    val swapped = doctored.map(r => org.apache.spark.sql.Row(
+      1 - r.getInt(0), r.getSeq[Double](1)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(swapped: _*)),
+      schema).write.mode("overwrite").parquet(path)
+    val s3 = spark.newSession()
+    val fromDoctored = Similarity.ivfTopK(s3, dir).collect()
+    assert(fromDoctored.map(_.toString).toSeq !== live.map(_.toString).toSeq,
+      "a doctored index must change the probe — proves no silent re-training")
+    // cleanup: drop the index so other tests see the compute path
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(path))
+  }
+
   test("fingerprints agree exactly for identical docs") {
     val fps = TextAnalysis.fingerprints(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
