@@ -115,22 +115,53 @@ object GraphOps {
         .map { case (_, (r, v2)) => (r, v2) }
       val newMap = m1.union(m2).reduceByKey(part, lMin)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // newMap holds one entry per LIVE representative — it shrinks with
+      // the contraction. While it fits on the driver, broadcast it and
+      // rewrite the (much larger) edge set in one mapPartitions pass with
+      // NO shuffle except the dedup reduction; the two-join path remains
+      // for a frontier too large to broadcast (early rounds of a
+      // billion-edge graph).
+      val bcast: Option[org.apache.spark.broadcast.Broadcast[scala.collection.mutable.LongMap[Long]]] =
+        if (newMap.count() <= 1000000L)
+          Some(sc.broadcast(scala.collection.mutable.LongMap(newMap.collect(): _*)))
+        else None
       // rewrite edges into the new rep space; drop self-loops + duplicates
-      val e1 = edges.leftOuterJoin(newMap, part)
-        .map { case (a, (b, oa)) => (b, oa.getOrElse(a)) }
-      val nextEdges = e1.leftOuterJoin(newMap, part)
-        .map { case (b, (a2, ob)) => (a2, ob.getOrElse(b)) }
-        .filter(t => t._1 != t._2)
-        .map(t => (t, ()))
+      val relabeled = bcast match {
+        case Some(m) =>
+          edges.mapPartitions { it =>
+            val mm = m.value
+            it.flatMap { case (a, b) =>
+              val a2 = mm.getOrElse(a, a)
+              val b2 = mm.getOrElse(b, b)
+              if (a2 == b2) Iterator.empty else Iterator(((a2, b2), ()))
+            }
+          }
+        case None =>
+          edges.leftOuterJoin(newMap, part)
+            .map { case (a, (b, oa)) => (b, oa.getOrElse(a)) }
+            .leftOuterJoin(newMap, part)
+            .map { case (b, (a2, ob)) => (a2, ob.getOrElse(b)) }
+            .filter(t => t._1 != t._2)
+            .map(t => (t, ()))
+      }
+      val nextEdges = relabeled
         .reduceByKey(new HashPartitioner(numParts), (x, _) => x)
         .map(_._1)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // compose the cumulative map: ids already merged follow their rep's
       // move; ids merging for the FIRST time (still their own rep, so not
       // a comp key — values are always < their key) get a fresh entry
-      val moved = comp.map { case (r0, rep) => (rep, r0) }
-        .leftOuterJoin(newMap, part)
-        .map { case (rep, (r0, o)) => (r0, o.getOrElse(rep)) }
+      val moved = bcast match {
+        case Some(m) =>
+          comp.mapPartitions({ it =>
+            val mm = m.value
+            it.map { case (r0, rep) => (r0, mm.getOrElse(rep, rep)) }
+          }, preservesPartitioning = true)
+        case None =>
+          comp.map { case (r0, rep) => (rep, r0) }
+            .leftOuterJoin(newMap, part)
+            .map { case (rep, (r0, o)) => (r0, o.getOrElse(rep)) }
+      }
       val fresh = newMap.filter { case (k, v) => v != k }.subtractByKey(comp, part)
       val nextComp = moved.union(fresh).persist(StorageLevel.MEMORY_AND_DISK)
       if (checkpointDir.isDefined) { nextEdges.checkpoint(); nextComp.checkpoint() }

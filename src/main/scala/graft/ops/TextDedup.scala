@@ -158,7 +158,7 @@ object TextDedup {
     * dir), shared by the pair query and `minhashClusters` (which
     * references it three times — node union, edge symmetrization,
     * singleton anti join). */
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionCache.getOrBuild(spark, "minhash_pairs", dir) {
       val sh = index(spark, dir).shingles
       val bt = bandTable(sh)
@@ -240,7 +240,7 @@ object TextDedup {
     * signature table, so the banded self-join runs once per session, not
     * once per query. Tiny by construction: nodes are unique sigs, edges
     * only exist between near-identical signatures. */
-  private def sigPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def sigPairs(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionCache.getOrBuild(spark, "simhash_sig_pairs", dir) {
       sigPairGraph(simhashSigs(spark, dir))
     }

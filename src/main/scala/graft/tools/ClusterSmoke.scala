@@ -24,6 +24,11 @@ object ClusterSmoke {
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val factor = if (args.length > 1) args(1).toInt else 4
+    // --stages-only: skip the quadratic PAIR-contract outputs (an m-doc
+    // cluster emits m(m-1)/2 pair rows — at 10x sf0.1 that's the shape
+    // this smoke exists to warn about) and time the cluster pipeline
+    // stage by stage instead
+    val stagesOnly = args.contains("--stages-only")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -54,16 +59,50 @@ object ClusterSmoke {
         "minhash cluster rows" -> timed(graft.ops.TextDedup.minhashClusters(spark, dir).count()))
     }
 
+    // stage timings: each count is taken in pipeline order against warm
+    // session caches, so a stage's time is its own INCREMENTAL cost
+    // (sigs; then the sig/pair graph given sigs; then fixpoint + cluster
+    // output given the graph)
+    def measureStages(dir: String): Seq[(String, Long, Double)] = {
+      import graft.ops.TextDedup
+      def timed(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = f
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      TextDedup.invalidate(spark, dir)
+      Seq(
+        "simhash: signatures", "simhash: sig pair graph", "simhash: fixpoint+output",
+        "minhash: verified pairs", "minhash: fixpoint+output")
+        .zip(Seq(
+          timed(TextDedup.simhashSigs(spark, dir).count()),
+          timed(TextDedup.sigPairs(spark, dir).count()),
+          timed(TextDedup.simhashClusters(spark, dir).count()),
+          timed(TextDedup.minhashPairs(spark, dir).count()),
+          timed(TextDedup.minhashClusters(spark, dir).count())))
+        .map { case (name, (n, t)) => (name, n, t) }
+    }
+
     val d1 = replicated(1)
     val dk = replicated(factor)
-    val m1 = measure(d1)
-    val mk = measure(dk)
-    println(f"${"output"}%-22s ${"1x"}%10s ${s"${factor}x"}%10s ${"growth"}%8s  (docs x$factor, near-identical replicas)")
-    for (key <- Seq("simhash pair rows", "simhash cluster rows",
-        "minhash pair rows", "minhash cluster rows")) {
-      val (n1, t1) = m1(key)
-      val (nk, tk) = mk(key)
-      println(f"$key%-22s $n1%10d $nk%10d ${nk.toDouble / math.max(n1, 1)}%7.1fx  (${t1}%.1fs -> ${tk}%.1fs)")
+    if (!stagesOnly) {
+      val m1 = measure(d1)
+      val mk = measure(dk)
+      println(f"${"output"}%-22s ${"1x"}%10s ${s"${factor}x"}%10s ${"growth"}%8s  (docs x$factor, near-identical replicas)")
+      for (key <- Seq("simhash pair rows", "simhash cluster rows",
+          "minhash pair rows", "minhash cluster rows")) {
+        val (n1, t1) = m1(key)
+        val (nk, tk) = mk(key)
+        println(f"$key%-22s $n1%10d $nk%10d ${nk.toDouble / math.max(n1, 1)}%7.1fx  (${t1}%.1fs -> ${tk}%.1fs)")
+      }
+    }
+    val s1 = measureStages(d1)
+    val sk = measureStages(dk)
+    println()
+    println(f"${"stage"}%-26s ${"1x rows"}%10s ${"1x s"}%7s ${s"${factor}x rows"}%10s ${s"${factor}x s"}%7s ${"rows"}%7s ${"time"}%7s")
+    s1.zip(sk).foreach { case ((name, n1, t1), (_, nk, tk)) =>
+      println(f"$name%-26s $n1%10d $t1%7.1f $nk%10d $tk%7.1f " +
+        f"${nk.toDouble / math.max(n1, 1)}%6.1fx ${tk / math.max(t1, 0.001)}%6.1fx")
     }
     spark.stop()
   }
