@@ -24,11 +24,28 @@ class PlanSpec extends SparkSpec {
         TextDedup.simhashClusters(spark, dir), // incl. the component-loop joins
         TextDedup.minhashClusters(spark, dir),
         TextDedup.ngramClusters(spark, dir),
+        TextDedup.minhashEst(spark, dir), // round-6 banded estimator query
         Similarity.embeddingNearDup(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
     }
+  }
+
+  test("curation near-dup gate: equality joins only, no cartesian against the index") {
+    import org.apache.spark.sql.types._
+    def empty(schema: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val bands = empty(StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("band_key", StringType))))
+    val sigs = empty(StructType(Seq(
+      StructField("doc_id", LongType), StructField("sig", ArrayType(LongType)))))
+    val (survivors, _) = graft.ops.CurationPipeline.incrementalNearDedup(
+      TextDedup.docs(spark, dir).select("doc_id", "text"), bands, sigs)
+    val p = plan(survivors)
+    assert(!p.contains("CartesianProduct"), s"cartesian in near-dup gate:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in near-dup gate:\n$p")
   }
 
   test("similarity top-k: query side broadcast, no shuffle of the corpus for the join") {
