@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_minhash" -> (TextDedup.minhashLsh _),
     "dedup_minhash_clusters" -> (TextDedup.minhashClusters _),
     "dedup_minhash_est" -> (TextDedup.minhashEst _),
+    "decontamination" -> (TextDedup.decontamination _),
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
     "dedup_simhash" -> (TextDedup.simhash _),
     "dedup_simhash_clusters" -> (TextDedup.simhashClusters _),
@@ -398,6 +399,26 @@ object SparkEntry {
          |  JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i GROUP BY 1, 2)
          |SELECT doc_a, doc_b, round(e, 6) AS est_jaccard FROM est
          |WHERE e >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // decontamination: training docs (doc_id % 20 != 0) that are banded
+    // near-dups of the held-out "benchmark" (doc_id % 20 == 0), scored by
+    // the signature estimator
+    "decontamination" ->
+      s"""WITH $ShinglesCte,
+         |hsh AS (SELECT doc_id, ${md5LongSql("sh")} % 2147483647 AS hm FROM sh),
+         |mh AS (SELECT doc_id, i, min(((2*i+1)*hm + i*i+7) % 2147483647) AS mh
+         |  FROM hsh CROSS JOIN (SELECT unnest(generate_series(0,31)) AS i) GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, i//4 AS band, string_agg(concat(i%4, ':', mh), ',' ORDER BY i%4) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id FROM bt a
+         |  JOIN bt b ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
+         |est AS (SELECT c.doc_id, c.bench_id,
+         |  CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE)/32 AS e
+         |  FROM cand c JOIN mh x ON x.doc_id = c.doc_id
+         |  JOIN mh y ON y.doc_id = c.bench_id AND y.i = x.i GROUP BY 1, 2)
+         |SELECT doc_id, bench_id, round(e, 6) AS est_jaccard FROM est
+         |WHERE e >= 0.2 ORDER BY doc_id, bench_id""".stripMargin,
 
     // components over the EXACT Jaccard pair graph (recursive transitive
     // closure — algorithm independent of Spark's label propagation)

@@ -197,6 +197,46 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-corpus near-dup detection — DECONTAMINATION: flag training
+    * docs that are near-duplicates of an evaluation/benchmark set (the
+    * canonical pre-training hygiene step: held-out data leaking into the
+    * training corpus inflates benchmark scores). Same banded shape as
+    * within-corpus dedup, but the candidate join is corpus-bands vs
+    * BENCH-bands — cost scales with band collisions, never
+    * |corpus| x |bench|. At 100 TB the benchmark side is tiny, so its
+    * band table broadcasts. Both sides are (doc_id, text) frames;
+    * returns (doc_id, bench_id, est_jaccard) for flagged pairs. */
+  def crossCorpusNearDups(
+      corpus: DataFrame, bench: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val cSigs = minhashSigs(corpus)
+    val bSigsRaw = minhashSigs(bench)
+    val bBands = bandsOf(bSigsRaw)
+      .select(col("doc_id").as("bench_id"), col("band"), col("band_key"))
+    val bSigs = bSigsRaw.select(col("doc_id").as("bench_id"), col("sig").as("bench_sig"))
+    val cands = bandsOf(cSigs)
+      .join(bBands, Seq("band", "band_key"))
+      .select("doc_id", "bench_id").distinct()
+    cands
+      .join(cSigs, "doc_id")
+      .join(bSigs, "bench_id")
+      .filter(estJaccard(col("sig"), col("bench_sig")) >= threshold)
+      .select(col("doc_id"), col("bench_id"),
+        round(estJaccard(col("sig"), col("bench_sig")), 6).as("est_jaccard"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** Decontamination as an oracle-checkable batch query: the corpus is
+    * the documents table minus every 20th doc, the "benchmark" is those
+    * held-out docs — flagged rows are training docs that would leak the
+    * held-out set. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    crossCorpusNearDups(
+      d.filter(col("doc_id") % 20 =!= 0).select("doc_id", "text"),
+      d.filter(col("doc_id") % 20 === 0).select("doc_id", "text"))
+  }
+
   /** 48-bit SimHash signatures over distinct words (md5-hashed): bit j is
     * the sign of the vote sum over words of (+1 / -1 on word-hash bit j).
     * 48 bits keeps the signature and band arithmetic inside Long; votes

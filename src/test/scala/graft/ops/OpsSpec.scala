@@ -322,6 +322,19 @@ class OpsSpec extends SparkSpec {
       "same-doc_id index hits must not delete the replayed batch")
   }
 
+  test("decontamination flags training docs that near-dup the benchmark") {
+    import spark.implicits._
+    val base = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val leaked = (1 to 25).map(i => if (i == 7) "changed" else s"tok$i").mkString(" ")
+    val clean = (1 to 25).map(i => s"other$i").mkString(" ")
+    val corpus = Seq((100L, leaked), (101L, clean)).toDF("doc_id", "text")
+    val bench = Seq((1L, base)).toDF("doc_id", "text")
+    val flagged = TextDedup.crossCorpusNearDups(corpus, bench).collect()
+    assert(flagged.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((100L, 1L)),
+      "the one-word edit of a benchmark doc must be flagged; the clean doc must not")
+    assert(flagged(0).getAs[Double]("est_jaccard") >= 0.2)
+  }
+
   test("a JSONL corpus flows through the dedup operators unchanged") {
     val d = Files.createTempDirectory("jsonl").toFile
     val f = new java.io.File(d, "docs.jsonl")
