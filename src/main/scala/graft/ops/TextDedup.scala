@@ -208,9 +208,11 @@ object TextDedup {
     * returns (doc_id, bench_id, est_jaccard) for flagged pairs. */
   def crossCorpusNearDups(
       corpus: DataFrame, bench: DataFrame,
-      threshold: Double = JaccardThreshold): DataFrame = {
-    val cSigs = minhashSigs(corpus)
-    val bSigsRaw = minhashSigs(bench)
+      threshold: Double = JaccardThreshold): DataFrame =
+    crossCorpusNearDupsFromSigs(minhashSigs(corpus), minhashSigs(bench), threshold)
+
+  private def crossCorpusNearDupsFromSigs(
+      cSigs: DataFrame, bSigsRaw: DataFrame, threshold: Double): DataFrame = {
     val bBands = bandsOf(bSigsRaw)
       .select(col("doc_id").as("bench_id"), col("band"), col("band_key"))
     val bSigs = bSigsRaw.select(col("doc_id").as("bench_id"), col("sig").as("bench_sig"))
@@ -229,12 +231,16 @@ object TextDedup {
   /** Decontamination as an oracle-checkable batch query: the corpus is
     * the documents table minus every 20th doc, the "benchmark" is those
     * held-out docs — flagged rows are training docs that would leak the
-    * held-out set. */
+    * held-out set. Both splits come from the session-cached signature
+    * table (a doc's signature is independent of the split), so the
+    * corpus is shingled once per session, not once per side. */
   def decontamination(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    crossCorpusNearDups(
-      d.filter(col("doc_id") % 20 =!= 0).select("doc_id", "text"),
-      d.filter(col("doc_id") % 20 === 0).select("doc_id", "text"))
+    val sigs = graft.core.SessionCache.getOrBuild(spark, "minhash_sigtable", dir) {
+      sigTable(index(spark, dir).shingles)
+    }
+    crossCorpusNearDupsFromSigs(
+      sigs.filter(col("doc_id") % 20 =!= 0),
+      sigs.filter(col("doc_id") % 20 === 0), JaccardThreshold)
   }
 
   /** 48-bit SimHash signatures over distinct words (md5-hashed): bit j is
