@@ -19,6 +19,10 @@ object GraftConf {
       // partitions, never split non-skewed ones, so start high
       .config("spark.sql.shuffle.partitions", (math.max(cores, 1) * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // RDD-side shuffles (the contraction fixpoint) serialize Long-pair
+      // tuples: Kryo is ~2-3x leaner than Java serialization there; the
+      // SQL path is unaffected (Tungsten rows have their own format)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
