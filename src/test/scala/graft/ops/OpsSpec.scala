@@ -419,6 +419,44 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).select("text").distinct().count() === 4)
   }
 
+  test("near-dup index dirs compact in-pipeline and the gate keeps working after") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Files.createTempDirectory("ndccorpus").toString + "/docs"
+    val index = Files.createTempDirectory("ndcindex").toString + "/fp"
+    val near = Files.createTempDirectory("ndcnear").toString + "/nd"
+    val ckpt = Files.createTempDirectory("ndcckpt").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = CurationPipeline.streamingDedup(
+      stream.toDS().toDF("doc_id", "text"), corpus, index, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      compactEvery = 2, nearDupDir = Some(near))
+    def words(tag: String) = (1 to 25).map(i => s"$tag$i").mkString(" ")
+    def edited(tag: String, at: Int) =
+      (1 to 25).map(i => if (i == at) "edited" else s"$tag$i").mkString(" ")
+    try {
+      stream.addData((1L, words("aa"))); q.processAllAvailable()           // batch 0
+      stream.addData((2L, words("bb"))); q.processAllAvailable()           // batch 1
+      stream.addData((3L, words("cc"))); q.processAllAvailable()           // batch 2 -> compaction
+      // batches 0-1 collapsed into a negative-id partition; batch 2 kept
+      def batchDirs(d: String) = new java.io.File(d).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      for (d <- Seq(s"$near/bands", s"$near/sigs")) {
+        val dirs = batchDirs(d)
+        assert(dirs.exists(_.stripPrefix("batch_id=").toLong < 0),
+          s"$d must have a merged cold partition (saw $dirs)")
+        assert(dirs.size <= 2, s"$d partitions must stay bounded (saw $dirs)")
+      }
+      assert(spark.read.parquet(s"$near/sigs").count() === 3, "compaction keeps content")
+      // the gate still catches near-dups of COMPACTED history
+      stream.addData((4L, edited("aa", 5)), (5L, words("dd")))             // batch 3
+      q.processAllAvailable()
+      val out = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(out === Array(1L, 2L, 3L, 5L),
+        "the near-dup of compacted doc 1 must be dropped, the fresh doc kept")
+    } finally q.stop()
+  }
+
   test("prefix-filtered jaccard: exact values, recall limited to rare-shingle pairs") {
     val full = TextDedup.ngramJaccard(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
