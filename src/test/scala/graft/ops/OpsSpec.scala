@@ -148,6 +148,16 @@ class OpsSpec extends SparkSpec {
       "reliable mode must write to the checkpoint dir")
   }
 
+  test("connected components: an edge-free graph is all singletons (no loop rounds)") {
+    import spark.implicits._
+    val nodes = Seq(5L, 9L, 2L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = GraphOps.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out === Seq((2L, 2L), (5L, 5L), (9L, 9L)),
+      "every node must label itself when there is nothing to merge")
+  }
+
   test("minhash clusters = union-find over the verified minhash pair graph") {
     assertClustersMatchUnionFind(
       TextDedup.minhashLsh(spark, dir), TextDedup.minhashClusters(spark, dir))
