@@ -74,13 +74,23 @@ object ClusterSmoke {
       TextDedup.invalidate(spark, dir)
       Seq(
         "simhash: signatures", "simhash: sig pair graph", "simhash: fixpoint+output",
-        "minhash: verified pairs", "minhash: fixpoint+output")
+        "minhash: verified pairs", "minhash: fixpoint+output",
+        "ngram: exact pairs", "ngram: fixpoint+output",
+        "ngram: prefix-filtered")
         .zip(Seq(
           timed(TextDedup.simhashSigs(spark, dir).count()),
           timed(TextDedup.sigPairs(spark, dir).count()),
           timed(TextDedup.simhashClusters(spark, dir).count()),
           timed(TextDedup.minhashPairs(spark, dir).count()),
-          timed(TextDedup.minhashClusters(spark, dir).count())))
+          timed(TextDedup.minhashClusters(spark, dir).count()),
+          timed(TextDedup.ngramJaccard(spark, dir).count()),
+          timed(TextDedup.ngramClusters(spark, dir).count()),
+          // the documented mitigation for the exact path's sum(df^2)
+          // blowup: candidates from shingles with df <= 50 only, still
+          // verified exactly — compare its growth against "exact pairs"
+          timed(graft.ops.TextHashing.jaccardPairsPrefixFiltered(
+            spark.read.parquet(s"$dir/documents.parquet"),
+            TextDedup.JaccardThreshold, maxShingleDf = 50).count())))
         .map { case (name, (n, t)) => (name, n, t) }
     }
 
