@@ -217,6 +217,49 @@ object Similarity {
       .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
   }
 
+  /** Incremental EMBEDDING near-dup — the vector-modality counterpart of
+    * `CurationPipeline.incrementalNearDedup`: drop incoming vectors whose
+    * cosine vs any INDEXED vector clears `threshold`, plus near-dups of a
+    * smaller-id vector inside the batch. The index is fixed-width per
+    * vector — (vec_id, bkt, v, nrm): the stored vector+norm IS the
+    * verification payload, so history is never re-embedded or re-scanned;
+    * candidates come from sign-bucket EQUALITY joins (the incoming side
+    * also probes the `nBits` Hamming-1 buckets — the multi-probe recall
+    * lever — since a near-dup can straddle one sign flip). Same-vec_id
+    * index hits are ignored, so a crash-replayed batch whose own rows are
+    * already indexed reproduces its survivors.
+    *
+    * `newVecs`: (vec_id, embedding) raw frame. Returns (survivors in the
+    * input shape, their index rows) — the caller appends the rows
+    * (append-only, like the text indexes). */
+  def incrementalNearDup(
+      newVecs: DataFrame, index: DataFrame,
+      threshold: Double, nBits: Int = 4): (DataFrame, DataFrame) = {
+    val prepared = newVecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(GraftExtensions.dot(col("v"), col("v"))))
+      .withColumn("bkt", bucket(col("v"), nBits))
+    val probes = (0 until nBits).map(i => col("bkt").bitwiseXOR(lit(1L << i)))
+    val probed = prepared
+      .withColumn("probe_bkt", explode(array(col("bkt") +: probes: _*)))
+    val dropOld = probed
+      .join(index.select(col("vec_id").as("idx_id"), col("bkt").as("probe_bkt"),
+        col("v").as("iv"), col("nrm").as("inrm")), Seq("probe_bkt"))
+      .filter(col("vec_id") =!= col("idx_id")
+        && cosineWithNorms(col("v"), col("iv"), col("nrm"), col("inrm")) >= threshold)
+      .select("vec_id")
+    val dropNew = probed.as("x")
+      .join(prepared.as("y"),
+        col("x.probe_bkt") === col("y.bkt") && col("x.vec_id") > col("y.vec_id"))
+      .filter(cosineWithNorms(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")) >= threshold)
+      .select(col("x.vec_id").as("vec_id"))
+    val dropped = dropOld.unionByName(dropNew).distinct()
+    val survivors = newVecs.join(dropped, Seq("vec_id"), "left_anti")
+    val rows = prepared.join(survivors.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select("vec_id", "bkt", "v", "nrm")
+    (survivors, rows)
+  }
+
   /** Centroid per label — the reduction side of an IVF index build: one
     * pass, partial aggregation per partition (sums of 64-dim arrays). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {

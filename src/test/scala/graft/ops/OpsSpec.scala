@@ -203,6 +203,36 @@ class OpsSpec extends SparkSpec {
     assert(top.head.getAs[Long]("vec_id") === 1L)
   }
 
+  test("incremental embedding near-dup: colinear vectors are caught within batch and across runs") {
+    import spark.implicits._
+    val base = (1 to 64).map(i => math.sin(i.toDouble).toFloat).toArray
+    val ortho = (1 to 64).map(i => math.cos(i * 3.0).toFloat).toArray
+    val emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("nrm", org.apache.spark.sql.types.DoubleType))))
+    // batch 1: base + its scaled copy (cos = 1, bigger id loses) + an unrelated vec
+    val b1 = Seq((10L, base), (11L, base.map(x => x * 2.0f)), (12L, ortho))
+      .toDF("vec_id", "embedding")
+    val (s1, rows1) = Similarity.incrementalNearDup(b1, emptyIdx, threshold = 0.9)
+    assert(s1.select("vec_id").as[Long].collect().sorted === Array(10L, 12L))
+    assert(rows1.count() === 2, "one fixed-width index row per survivor")
+    // batch 2: a re-scaled copy of INDEXED 10, and a genuinely new vector
+    val fresh = (1 to 64).map(i => math.sin(i * 7.0 + 1.3).toFloat).toArray
+    val b2 = Seq((20L, base.map(x => x * 3.0f)), (21L, fresh))
+      .toDF("vec_id", "embedding")
+    val (s2, _) = Similarity.incrementalNearDup(b2, rows1, threshold = 0.9)
+    assert(s2.select("vec_id").as[Long].collect().sorted === Array(21L),
+      "the colinear copy of an indexed vector must be dropped across runs")
+    // replay safety: own rows already indexed -> same survivors
+    val (s1b, _) = Similarity.incrementalNearDup(b1, rows1, threshold = 0.9)
+    assert(s1b.select("vec_id").as[Long].collect().sorted === Array(10L, 12L))
+  }
+
   test("persisted IVF index: a cold session probes the file, not a re-derivation") {
     val live = Similarity.ivfTopK(spark, dir).collect()
     val path = Similarity.buildIvfIndex(spark, dir)
