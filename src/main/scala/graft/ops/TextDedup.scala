@@ -144,9 +144,6 @@ object TextDedup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), _ + _).cast("double") / NumHashes
 
-  /** MinHash-LSH band table over the session shingle index. */
-  private def bandTable(sh: DataFrame): DataFrame = bandsOf(sigTable(sh))
-
   /** MinHash-LSH near-dedup: candidates = pairs sharing any band key;
     * survivors = candidates whose exact Jaccard clears the threshold
     * (verification joins only the candidate docs' shingles, not the full
@@ -161,7 +158,7 @@ object TextDedup {
   private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionCache.getOrBuild(spark, "minhash_pairs", dir) {
       val sh = index(spark, dir).shingles
-      val bt = bandTable(sh)
+      val bt = bandsOf(cachedSigTable(spark, dir))
       val cands = bt.as("a")
         .join(bt.as("b"),
           col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
@@ -172,15 +169,22 @@ object TextDedup {
         .select("doc_a", "doc_b", "jaccard")
     }
 
+  /** The corpus signature table, session-cached: shared by the banded
+    * pair query (whose band self-join references it twice), the
+    * estimator query, and decontamination — the 32-column min-aggregate
+    * over the shingle index runs once per (session, dir). */
+  private def cachedSigTable(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionCache.getOrBuild(spark, "minhash_sigtable", dir) {
+      sigTable(index(spark, dir).shingles)
+    }
+
   /** Banded candidates scored by the SIGNATURE estimator instead of exact
     * Jaccard — the batch form of the curation pipeline's cross-run
     * near-dup gate (CurationPipeline.incrementalNearDedup verifies
     * incoming docs against PERSISTED signatures with exactly this
     * predicate; this query is its oracle-checkable face). */
   def minhashEst(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = graft.core.SessionCache.getOrBuild(spark, "minhash_sigtable", dir) {
-      sigTable(index(spark, dir).shingles)
-    }
+    val sigs = cachedSigTable(spark, dir)
     val bt = bandsOf(sigs)
     val cands = bt.as("a")
       .join(bt.as("b"),
@@ -235,9 +239,7 @@ object TextDedup {
     * table (a doc's signature is independent of the split), so the
     * corpus is shingled once per session, not once per side. */
   def decontamination(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = graft.core.SessionCache.getOrBuild(spark, "minhash_sigtable", dir) {
-      sigTable(index(spark, dir).shingles)
-    }
+    val sigs = cachedSigTable(spark, dir)
     crossCorpusNearDupsFromSigs(
       sigs.filter(col("doc_id") % 20 =!= 0),
       sigs.filter(col("doc_id") % 20 === 0), JaccardThreshold)
