@@ -215,6 +215,64 @@ object CurationPipeline {
       }
       .start()
 
+  /** Streaming EMBEDDING dedup — `streamingDedup`'s vector-modality
+    * sibling: each micro-batch of (vec_id, embedding) rows is gated by
+    * `Similarity.incrementalNearDup` against the PERSISTED fixed-width
+    * vector index, survivors land in batch_id-partitioned parquet with
+    * the same dynamic-overwrite replay idempotence, and the index grows
+    * append-only (one (vec_id, bkt, v, nrm) row per survivor). Same
+    * maintenance protocol: in-pipeline compaction every `compactEvery`
+    * batches keeps both read paths O(1) partitions. */
+  def streamingVectorDedup(
+      vecs: DataFrame, corpusDir: String, indexDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      threshold: Double = 0.9,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.types._
+        val spark = batch.sparkSession
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType), StructField("bkt", LongType),
+          StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType),
+          StructField("batch_id", LongType)))
+        val p = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(p)) spark.read.schema(schema).parquet(indexDir)
+            .select("vec_id", "bkt", "v", "nrm")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(schema.init))
+        val (survivors, _) =
+          graft.ops.Similarity.incrementalNearDup(batch, index, threshold)
+        // snapshot before the sink writes: the index write below
+        // invalidates every cached plan reading indexDir (see
+        // streamingDedup's near-dup path for the measured failure)
+        val out = survivors.localCheckpoint(true)
+        // index rows re-derived from the snapshot (no path deps)
+        val rows = graft.ops.Similarity.vectorIndexRows(out)
+        out.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusDir)
+        rows.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(indexDir)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          compactSink(spark, corpusDir)
+          compactSink(spark, indexDir)
+        }
+        ()
+      }
+      .start()
+
   /** Merge cold batch_id partitions of a streaming-dedup sink (corpus or
     * fingerprint index): thousands of micro-batches = thousands of tiny
     * partitions on the index read path every batch, so a periodic

@@ -232,13 +232,20 @@ object Similarity {
     * `newVecs`: (vec_id, embedding) raw frame. Returns (survivors in the
     * input shape, their index rows) — the caller appends the rows
     * (append-only, like the text indexes). */
-  def incrementalNearDup(
-      newVecs: DataFrame, index: DataFrame,
-      threshold: Double, nBits: Int = 4): (DataFrame, DataFrame) = {
-    val prepared = newVecs
+  /** The fixed-width index row for a raw (vec_id, embedding) frame:
+    * (vec_id, bkt, v, nrm) — what `incrementalNearDup` persists and
+    * verifies against. */
+  def vectorIndexRows(vecs: DataFrame, nBits: Int = 4): DataFrame =
+    vecs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(GraftExtensions.dot(col("v"), col("v"))))
       .withColumn("bkt", bucket(col("v"), nBits))
+      .select("vec_id", "bkt", "v", "nrm")
+
+  def incrementalNearDup(
+      newVecs: DataFrame, index: DataFrame,
+      threshold: Double, nBits: Int = 4): (DataFrame, DataFrame) = {
+    val prepared = vectorIndexRows(newVecs, nBits)
     val probes = (0 until nBits).map(i => col("bkt").bitwiseXOR(lit(1L << i)))
     val probed = prepared
       .withColumn("probe_bkt", explode(array(col("bkt") +: probes: _*)))

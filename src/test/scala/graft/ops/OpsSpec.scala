@@ -459,6 +459,32 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).select("text").distinct().count() === 4)
   }
 
+  test("streaming vector dedup: colinear embeddings never reach the sink across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Files.createTempDirectory("vdcorpus").toString + "/vecs"
+    val index = Files.createTempDirectory("vdindex").toString + "/idx"
+    val ckpt = Files.createTempDirectory("vdckpt").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = CurationPipeline.streamingVectorDedup(
+      stream.toDS().toDF("vec_id", "embedding"), corpus, index, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    val base = (1 to 64).map(i => math.sin(i.toDouble).toFloat).toArray
+    val other = (1 to 64).map(i => math.cos(i * 3.0).toFloat).toArray
+    try {
+      // batch 0: base + an in-batch colinear copy (bigger id loses)
+      stream.addData((1L, base), (2L, base.map(_ * 2.0f)))
+      q.processAllAvailable()
+      // batch 1: cross-batch colinear copy of 1 + a genuinely new vector
+      stream.addData((3L, base.map(_ * 0.5f)), (4L, other))
+      q.processAllAvailable()
+      val out = spark.read.parquet(corpus).select("vec_id").as[Long].collect().sorted
+      assert(out === Array(1L, 4L),
+        "in-batch and cross-batch colinear vectors must be dropped by the persisted index")
+      assert(spark.read.parquet(index).count() === 2, "one index row per survivor")
+    } finally q.stop()
+  }
+
   test("near-dup index dirs compact in-pipeline and the gate keeps working after") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
