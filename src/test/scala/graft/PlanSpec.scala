@@ -46,6 +46,15 @@ class PlanSpec extends SparkSpec {
     val p = plan(survivors)
     assert(!p.contains("CartesianProduct"), s"cartesian in near-dup gate:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in near-dup gate:\n$p")
+    // the embedding-modality gate: bucket-equality candidates only
+    val vecIdx = empty(StructType(Seq(
+      StructField("vec_id", LongType), StructField("bkt", LongType),
+      StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType))))
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val (vSurv, _) = Similarity.incrementalNearDup(vecs, vecIdx, threshold = 0.9)
+    val vp = plan(vSurv)
+    assert(!vp.contains("CartesianProduct"), s"cartesian in vector gate:\n$vp")
+    assert(!vp.contains("BroadcastNestedLoopJoin"), s"nested-loop join in vector gate:\n$vp")
   }
 
   test("similarity top-k: query side broadcast, no shuffle of the corpus for the join") {
