@@ -92,6 +92,34 @@ object CurationPipeline {
     (survivors, sigs.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
   }
 
+  /** Read a batch_id-partitioned index dir with an explicit schema
+    * (inference over an empty dir throws forever, wedging the stream)
+    * and WITHOUT any rows the current batch itself may have written on a
+    * crashed earlier attempt: a replay must see the index AS OF the
+    * batch's first attempt, or its own fp rows anti-join the whole batch
+    * away and the re-writes go empty — which dynamic overwrite treats as
+    * a no-op, permanently leaving any LATER index (bands/sigs written
+    * after the crashed fp write) without this batch's rows. Compacted
+    * partitions carry negative ids and keepRecent=1 keeps the only
+    * replayable batch in its own partition, so excluding
+    * `excludeBatchId` touches exactly the replayed attempt's output.
+    * Schema convention: batch_id is the LAST field and is dropped from
+    * the returned frame. */
+  private def readBatchIndex(
+      spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      excludeBatchId: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.schema(schema).parquet(dir)
+        .filter(col("batch_id") =!= excludeBatchId)
+        .select(schema.fieldNames.init.map(col).toSeq: _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(schema.init))
+  }
+
   /** Streaming curation: incoming documents are incrementally deduped
     * against a PERSISTED fingerprint index inside foreachBatch — the
     * streaming face of `incrementalDedup`. Each batch costs one anti join
@@ -118,20 +146,8 @@ object CurationPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
         val spark = batch.sparkSession
-        // explicit schemas: an index dir created by an empty batch holds no
-        // parquet files, and schema INFERENCE over it throws forever,
-        // wedging the stream — with the schema supplied it reads empty
-        def readIndex(dir: String, schema: StructType): DataFrame = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-            .select(schema.fieldNames.init.map(col).toSeq: _*) // drop batch_id
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(schema.init))
-        }
-        val index = readIndex(indexDir, StructType(Seq(
-          StructField("fp", StringType), StructField("batch_id", LongType))))
+        val index = readBatchIndex(spark, indexDir, StructType(Seq(
+          StructField("fp", StringType), StructField("batch_id", LongType))), batchId)
         val (exactSurvivors, _) = incrementalDedup(batch, index)
         // the near-dup gate (when enabled) runs on the exact survivors:
         // banded-candidate lookup against the persisted band index, then
@@ -140,12 +156,12 @@ object CurationPipeline {
         val out = nearDupDir match {
           case None => exactSurvivors.persist()
           case Some(nd) =>
-            val bandIdx = readIndex(s"$nd/bands", StructType(Seq(
+            val bandIdx = readBatchIndex(spark, s"$nd/bands", StructType(Seq(
               StructField("doc_id", LongType), StructField("band", IntegerType),
-              StructField("band_key", StringType), StructField("batch_id", LongType))))
-            val sigIdx = readIndex(s"$nd/sigs", StructType(Seq(
+              StructField("band_key", StringType), StructField("batch_id", LongType))), batchId)
+            val sigIdx = readBatchIndex(spark, s"$nd/sigs", StructType(Seq(
               StructField("doc_id", LongType), StructField("sig", ArrayType(LongType)),
-              StructField("batch_id", LongType))))
+              StructField("batch_id", LongType))), batchId)
             val (survivors, _) =
               incrementalNearDedup(exactSurvivors, bandIdx, sigIdx, nearDupThreshold)
             // eager localCheckpoint, NOT persist: writing the fp index
@@ -172,11 +188,11 @@ object CurationPipeline {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(indexDir)
-          // near-dup index appends, bands before sigs: a crash between the
-          // two leaves band rows whose sig rows are missing — on replay
-          // those candidates drop out of the (inner) sig join and the
-          // batch reproduces its survivors, then overwrites both
-          // partitions consistently
+          // replay consistency rests on readBatchIndex excluding this
+          // batch's own partitions: whatever prefix of the four writes a
+          // crash left behind, the re-run recomputes the same survivors
+          // against the pre-batch index state and dynamic-overwrites
+          // every partition it owns
           sigsOut.foreach { sigs =>
             val nd = nearDupDir.get
             TextDedup.bandsOf(sigs)
@@ -235,18 +251,10 @@ object CurationPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.types._
         val spark = batch.sparkSession
-        val schema = StructType(Seq(
+        val index = readBatchIndex(spark, indexDir, StructType(Seq(
           StructField("vec_id", LongType), StructField("bkt", LongType),
           StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType),
-          StructField("batch_id", LongType)))
-        val p = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val index =
-          if (fs.exists(p)) spark.read.schema(schema).parquet(indexDir)
-            .select("vec_id", "bkt", "v", "nrm")
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(schema.init))
+          StructField("batch_id", LongType))), batchId)
         val (survivors, _) =
           graft.ops.Similarity.incrementalNearDup(batch, index, threshold)
         // snapshot before the sink writes: the index write below

@@ -199,10 +199,17 @@ object GraphOps {
     }
     if (debug) println(s"[cc] converged after $iters rounds (+$flaps flatten laps)")
 
-    // nodes enter exactly once: the final composition join
+    // nodes enter exactly once: the final composition join. The result is
+    // materialized so every loop intermediate (notably the final comp)
+    // can be released NOW instead of riding along until the caller's
+    // DataFrame is garbage-collected; `labels` itself is freed by the
+    // ContextCleaner when the result goes unreachable.
     val labels = nRdd.map(n => (n, n)).reduceByKey(part, (a, _) => a)
       .leftOuterJoin(comp, part)
       .map { case (n, (_, o)) => (n, o.getOrElse(n)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    comp.unpersist(false)
     val out = sess.createDataFrame(
       labels.map { case (n, l) => Row(n, l) },
       StructType(Seq(StructField("node", LongType), StructField("label", LongType))))

@@ -249,16 +249,22 @@ object Similarity {
     val probes = (0 until nBits).map(i => col("bkt").bitwiseXOR(lit(1L << i)))
     val probed = prepared
       .withColumn("probe_bkt", explode(array(col("bkt") +: probes: _*)))
+    // nrm > 0 guards: a zero (failed/padded) embedding makes the cosine
+    // 0/0 = NaN, and Spark SQL orders NaN ABOVE every number — an
+    // unguarded `NaN >= threshold` is TRUE, so one indexed zero vector
+    // would silently swallow every later vector in its bucket
     val dropOld = probed
       .join(index.select(col("vec_id").as("idx_id"), col("bkt").as("probe_bkt"),
         col("v").as("iv"), col("nrm").as("inrm")), Seq("probe_bkt"))
       .filter(col("vec_id") =!= col("idx_id")
+        && col("nrm") > 0 && col("inrm") > 0
         && cosineWithNorms(col("v"), col("iv"), col("nrm"), col("inrm")) >= threshold)
       .select("vec_id")
     val dropNew = probed.as("x")
       .join(prepared.as("y"),
         col("x.probe_bkt") === col("y.bkt") && col("x.vec_id") > col("y.vec_id"))
-      .filter(cosineWithNorms(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")) >= threshold)
+      .filter(col("x.nrm") > 0 && col("y.nrm") > 0
+        && cosineWithNorms(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")) >= threshold)
       .select(col("x.vec_id").as("vec_id"))
     val dropped = dropOld.unionByName(dropNew).distinct()
     val survivors = newVecs.join(dropped, Seq("vec_id"), "left_anti")

@@ -228,20 +228,35 @@ final class WebSocketFrameClient(
   * yet drained the PREVIOUS ping gets this tick SKIPPED (sending anyway
   * would raise IllegalStateException from the JDK client, which the old
   * logic conflated with a dead connection — a slow-draining peer caused a
-  * spurious reconnect). Death is declared only where the JDK actually
-  * reports it: the send future completing exceptionally
-  * (the reference's WriteMessage-error path, ws/client.go:68-71). */
+  * spurious reconnect) — but only up to `maxConsecutiveSkips` in a row:
+  * a peer that can't drain one ping for that many intervals is wedged
+  * (TCP zero-window with the connection still "alive" — no FIN, no I/O
+  * error, the send future pends forever) and MUST be declared dead, or
+  * the source would look healthy while delivering nothing indefinitely.
+  * Otherwise death is declared only where the JDK actually reports it:
+  * the send future completing exceptionally (the reference's
+  * WriteMessage-error path, ws/client.go:68-71). */
 private[sources] final class HeartbeatTick(
-    send: () => CompletionStage[_], onDead: () => Unit) extends Runnable {
+    send: () => CompletionStage[_], onDead: () => Unit,
+    maxConsecutiveSkips: Int = 6) extends Runnable {
 
   @volatile private var inFlight: CompletableFuture[_] = _
+  @volatile private var consecutiveSkips: Int = 0
 
   /** Ticks observed to have been skipped because a ping was in flight. */
   @volatile var skipped: Int = 0
 
   override def run(): Unit = {
     val prev = inFlight
-    if (prev != null && !prev.isDone) { skipped += 1; return }
+    if (prev != null && !prev.isDone) {
+      skipped += 1
+      consecutiveSkips += 1
+      // fire exactly once at the threshold; the owner tears the
+      // connection down and this tick stops being scheduled
+      if (consecutiveSkips == maxConsecutiveSkips) onDead()
+      return
+    }
+    consecutiveSkips = 0
     try {
       val f = send().toCompletableFuture
       inFlight = f

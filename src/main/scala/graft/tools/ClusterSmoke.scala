@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
 object ClusterSmoke {
 
   def main(args: Array[String]): Unit = {
-    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val factor = if (args.length > 1) args(1).toInt else 4
+    val positional = args.filterNot(_.startsWith("--")) // flags are position-independent
+    val srcDir = if (positional.length > 0) positional(0) else "/root/testdata/sf0.01"
+    val factor = if (positional.length > 1) positional(1).toInt else 4
     // --stages-only: skip the quadratic PAIR-contract outputs (an m-doc
     // cluster emits m(m-1)/2 pair rows — at 10x sf0.1 that's the shape
     // this smoke exists to warn about) and time the cluster pipeline

@@ -485,6 +485,41 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayed batch sees the index AS OF its first attempt (crashed fp write recovered)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Files.createTempDirectory("rhcorpus").toString + "/docs"
+    val index = Files.createTempDirectory("rhindex").toString + "/fp"
+    val near = Files.createTempDirectory("rhnear").toString + "/nd"
+    val ckpt = Files.createTempDirectory("rhckpt").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = CurationPipeline.streamingDedup(
+      stream.toDS().toDF("doc_id", "text"), corpus, index, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      nearDupDir = Some(near))
+    def words(tag: String) = (1 to 25).map(i => s"$tag$i").mkString(" ")
+    try {
+      stream.addData((1L, words("aa"))); q.processAllAvailable() // batch 0
+      // simulate batch 1's CRASHED first attempt: its fp-index partition
+      // was written, the bands/sigs writes and the offset commit were not
+      val doomed = words("bb")
+      Seq(doomed).toDF("text")
+        .select(org.apache.spark.sql.functions.md5(lower(col("text"))).as("fp"))
+        .withColumn("batch_id", lit(1L))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(index)
+      // the replay: the SAME doc arrives as batch 1 — it must NOT be
+      // anti-joined away by its own crashed fp rows
+      stream.addData((2L, doomed)); q.processAllAvailable()
+      val out = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(out === Array(1L, 2L),
+        "the replayed batch must survive its own crashed index partition")
+      assert(spark.read.parquet(s"$near/bands").filter("doc_id = 2").count() === 8L,
+        "the near-dup index must gain the replayed batch's band rows")
+      assert(spark.read.parquet(s"$near/sigs").filter("doc_id = 2").count() === 1L)
+    } finally q.stop()
+  }
+
   test("near-dup index dirs compact in-pipeline and the gate keeps working after") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

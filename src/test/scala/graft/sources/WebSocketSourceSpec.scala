@@ -237,6 +237,20 @@ class WebSocketSourceSpec extends SparkSpec {
     val tick2 = new HeartbeatTick(() => failing, () => dead += 1)
     tick2.run()
     assert(dead === 1, "a failed ping send must trigger the reconnect path")
+    // ...and at the wedged-peer bound: a ping pending for
+    // maxConsecutiveSkips straight intervals (TCP zero-window, no error,
+    // no FIN) must ALSO declare death — exactly once — instead of
+    // skipping forever while the source delivers nothing
+    val wedged = new java.util.concurrent.CompletableFuture[AnyRef]()
+    var dead3 = 0
+    val tick3 = new HeartbeatTick(() => wedged, () => dead3 += 1, maxConsecutiveSkips = 3)
+    tick3.run()                       // sends; future never completes
+    (1 to 2).foreach(_ => tick3.run()) // 2 skips: still tolerated
+    assert(dead3 === 0, "below the bound a pending ping is just a slow peer")
+    tick3.run()                        // 3rd consecutive skip = the bound
+    assert(dead3 === 1, "a wedged peer must be declared dead at the bound")
+    tick3.run()
+    assert(dead3 === 1, "death fires once; the owner tears the connection down")
   }
 
   test("client releases its delivery resource on stop AND on self-retirement") {
