@@ -148,6 +148,34 @@ class OpsSpec extends SparkSpec {
       "reliable mode must write to the checkpoint dir")
   }
 
+  test("connected components: seeded random graphs match union-find (self-loops, dups, chains)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812L)
+    val n = 300
+    val ids = (0 until n).map(_ => rng.nextLong().abs % 1000000L).distinct
+    // sparse random edges (forces many components + odd topologies),
+    // plus a long chain, plus self-loops and duplicate edges
+    val random = (1 to 220).map { _ =>
+      (ids(rng.nextInt(ids.length)), ids(rng.nextInt(ids.length)))
+    }
+    val chain = ids.take(40).sliding(2).map(p => (p(0), p(1))).toSeq
+    val edges = (random ++ chain ++ random.take(30) /* dups */).toDF("a", "b")
+    val got = GraphOps.connectedComponents(ids.toDF("id"), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent ground truth
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    (random ++ chain).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert(got.keySet === ids.toSet)
+    ids.foreach { i =>
+      assert(got(i) === find(i), s"node $i: got ${got(i)}, union-find says ${find(i)}")
+    }
+  }
+
   test("connected components: an edge-free graph is all singletons (no loop rounds)") {
     import spark.implicits._
     val nodes = Seq(5L, 9L, 2L).toDF("id")
