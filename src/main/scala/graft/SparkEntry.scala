@@ -78,7 +78,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (Similarity.lshTopK _),
     "ann_ivf_topk" -> (Similarity.ivfTopK _),
     "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
-    "embedding_near_dup" -> (Similarity.embeddingNearDup _),
+    "embedding_near_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "label_centroids" -> (Similarity.labelCentroids _),
     // -- text analysis --
     "text_lang_stats" -> (TextAnalysis.langStats _),

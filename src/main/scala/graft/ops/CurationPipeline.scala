@@ -47,6 +47,16 @@ object CurationPipeline {
     * complement of `incrementalDedup`'s exact gate (a doc with one word
     * changed sails through an exact-fingerprint index).
     *
+    * Degenerate-text contract: empty/whitespace-only text still yields
+    * exactly one shingle (the empty string — `TextHashing.shinglesOf`'s
+    * short-doc arm), so such docs ARE signed, indexed, and deduped
+    * against each other. Only a NULL text produces no signature: the
+    * doc passes this gate un-indexed and is left to the exact
+    * fingerprint gate (where a null fp never matches an equi-join, so
+    * null-text docs never survive `incrementalDedup` — the decode-
+    * failure row is dropped by policy, not silently curated).
+    * `Graft.curateCorpus`'s minWords gate removes both shapes earlier.
+    *
     * State is two append-only tables, both fixed-width per doc:
     * `bandIndex` (doc_id, band, band_key — 8 rows/doc) and `sigIndex`
     * (doc_id, sig: 32 longs). Per batch: the incoming docs' band keys
@@ -212,6 +222,7 @@ object CurationPipeline {
         } finally {
           out.unpersist()
           sigsOut.foreach(_.unpersist())
+          releaseLocalCheckpoint(out)
         }
         // periodic sink maintenance from INSIDE the running pipeline (no
         // external scheduler): every `compactEvery` batches, cold batch
@@ -263,16 +274,18 @@ object CurationPipeline {
         val out = survivors.localCheckpoint(true)
         // index rows re-derived from the snapshot (no path deps)
         val rows = graft.ops.Similarity.vectorIndexRows(out)
-        out.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(corpusDir)
-        rows.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(indexDir)
+        try {
+          out.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpusDir)
+          rows.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(indexDir)
+        } finally releaseLocalCheckpoint(out)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           compactSink(spark, corpusDir)
           compactSink(spark, indexDir)
@@ -280,6 +293,21 @@ object CurationPipeline {
         ()
       }
       .start()
+
+  /** Release the RDD blocks behind a localCheckpoint'd frame.
+    * `Dataset.unpersist` is a NO-OP for a checkpointed frame — the
+    * snapshot is persisted at the RDD layer (outside the CacheManager),
+    * so an unbounded streaming run would otherwise accumulate one
+    * checkpoint block set per micro-batch in executor storage until
+    * driver GC lets the ContextCleaner reap them. Scoped precisely to
+    * THIS frame's plan (no global persistent-RDD sweep — concurrent
+    * streams' checkpoints must not be touched). Only call after every
+    * read of the frame has completed: a local checkpoint has no lineage
+    * to recompute from. No-op for non-checkpointed frames. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   /** Merge cold batch_id partitions of a streaming-dedup sink (corpus or
     * fingerprint index): thousands of micro-batches = thousands of tiny

@@ -58,13 +58,23 @@ object GraphOps {
     * checkpointing").
     *
     * `nodes`: first column = node id (any INTEGRAL type — doc ids and
-    * 64-bit signatures in this library). `pairs`: first two columns = an
-    * undirected edge, each edge listed once in either orientation.
-    * Returns (node, label) where label = the component's min node id, in
-    * the input's id type. */
+    * 64-bit signatures in this library; the integral-only contract is
+    * deliberate and enforced up front: non-integral ids would silently
+    * break the Long-keyed contraction, so callers with string ids must
+    * map them to longs first — e.g. `TextHashing.md5Long`). `pairs`:
+    * first two columns = an undirected edge, each edge listed once in
+    * either orientation. Returns (node, label) where label = the
+    * component's min node id, in the input's id type.
+    *
+    * `maxIters` is a safety valve, not a knob: contraction converges in
+    * O(log diameter) rounds, so 64 rounds covers any physically
+    * constructible graph. If the cap IS hit the loop fails loudly
+    * (IllegalStateException) instead of returning partial labels —
+    * an engine must never silently mislabel components. */
   def connectedComponents(
       nodes: DataFrame, pairs: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxIters: Int = 64): DataFrame = {
     val sess = nodes.sparkSession
     val sc = sess.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
@@ -105,7 +115,7 @@ object GraphOps {
     // full node set
     var comp: RDD[(Long, Long)] = sc.emptyRDD[(Long, Long)].partitionBy(part)
     var iters = 0
-    while (remaining > 0L && iters < 64) { // maps are monotone + every live edge forces a merge: terminates
+    while (remaining > 0L && iters < maxIters) { // maps are monotone + every live edge forces a merge: terminates
       // min neighbor rep per rep — edges are already in rep space, so
       // this is a plain map-side-combined reduction, no join
       val m1 = edges.reduceByKey(part, lMin)
@@ -168,11 +178,26 @@ object GraphOps {
       remaining = nextEdges.count()
       nextComp.count()
       edges.unpersist(false); comp.unpersist(false); newMap.unpersist(false)
+      // release the round's broadcast from EXECUTOR storage now — over a
+      // long run the per-round maps would otherwise accumulate there
+      // until driver GC lets the ContextCleaner reap them. unpersist,
+      // NOT destroy: checkpoint truncation does not strip the broadcast
+      // from every already-serialized task binary (a destroyed broadcast
+      // fails task serialization in later rounds), and an unpersisted
+      // broadcast is simply re-sent from the driver on the rare path
+      // that still needs it (lineage recompute after executor loss).
+      // Driver-side, the value is reaped by GC once the round's RDD
+      // graph goes unreachable.
+      bcast.foreach(_.unpersist(false))
       edges = nextEdges
       comp = nextComp
       iters += 1
       lap(s"round $iters (live directed edges=$remaining)")
     }
+    if (remaining > 0L)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($remaining live edges) — refusing to return partial labels")
     edges.unpersist(false)
 
     // flatten rep chains: newMap itself may contain chains (a->b, b->c —

@@ -125,10 +125,14 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: bucket by sign pattern, pair
     * within bucket, keep cosine >= threshold. (A near-dup pair almost
-    * surely agrees on coarse sign buckets; this is SimHash-for-vectors.) */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    * surely agrees on coarse sign buckets; this is SimHash-for-vectors.)
+    * The default threshold is the fixture-tuned oracle value (the
+    * fixture's max pairwise cosine is ~0.51); real corpora pass their
+    * own — 0.9+ for true near-dup gating. The candidate stage's recall
+    * vs brute-force pairs is measured in docs/SCALING.md (AnnRecall). */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.35): DataFrame = {
     val nBits = 4
-    val threshold = 0.35 // fixture embeddings: max pairwise cos ~0.51
     val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
     e.as("a").join(e.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))

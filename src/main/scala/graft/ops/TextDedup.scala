@@ -217,9 +217,15 @@ object TextDedup {
 
   private def crossCorpusNearDupsFromSigs(
       cSigs: DataFrame, bSigsRaw: DataFrame, threshold: Double): DataFrame = {
-    val bBands = bandsOf(bSigsRaw)
-      .select(col("doc_id").as("bench_id"), col("band"), col("band_key"))
-    val bSigs = bSigsRaw.select(col("doc_id").as("bench_id"), col("sig").as("bench_sig"))
+    // the benchmark side is tiny by definition (a held-out eval set vs a
+    // training corpus), so BOTH its band table and its signature table
+    // are broadcast explicitly — at 100 TB the corpus side must never
+    // shuffle for this join, and AQE's fixture-scale choice shouldn't
+    // decide the production plan shape
+    val bBands = broadcast(bandsOf(bSigsRaw)
+      .select(col("doc_id").as("bench_id"), col("band"), col("band_key")))
+    val bSigs = broadcast(
+      bSigsRaw.select(col("doc_id").as("bench_id"), col("sig").as("bench_sig")))
     val cands = bandsOf(cSigs)
       .join(bBands, Seq("band", "band_key"))
       .select("doc_id", "bench_id").distinct()

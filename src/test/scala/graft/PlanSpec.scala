@@ -57,6 +57,18 @@ class PlanSpec extends SparkSpec {
     assert(!vp.contains("BroadcastNestedLoopJoin"), s"nested-loop join in vector gate:\n$vp")
   }
 
+  test("decontamination: the benchmark side broadcasts (candidates AND verification)") {
+    val p = plan(TextDedup.decontamination(spark, dir))
+    // a real benchmark set is tiny vs the training corpus — both its
+    // band table (candidate join) and its signature table (verify join)
+    // must broadcast so the corpus side never shuffles for them; the
+    // explicit hint makes the plan shape scale-invariant rather than
+    // whatever AQE picks at fixture size
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"benchmark-side join must not shuffle-join at any scale:\n$p")
+  }
+
   test("similarity top-k: query side broadcast, no shuffle of the corpus for the join") {
     val p = plan(Similarity.bruteForceTopK(spark, dir))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

@@ -176,6 +176,53 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components: hitting the iteration cap fails loudly, never mislabels") {
+    import spark.implicits._
+    val nodes = (1L to 20L).toDF("id")
+    val edges = (1L to 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(nodes, edges, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"),
+      "a capped run must throw, not silently return partial labels")
+    // the same graph converges fine with the default cap
+    val ok = GraphOps.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.forall(_._2 === 1L))
+  }
+
+  test("gate contract for degenerate text: empty text is signed, null text falls to the exact gate") {
+    import spark.implicits._
+    val emptyBands = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band_key", org.apache.spark.sql.types.StringType))))
+    val emptySigs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
+    // empty + whitespace-only text: both collapse to the "" shingle, so
+    // they ARE signed and dedup against each other (min id survives)
+    val degenerate = Seq((1L, Some("   ")), (2L, Some("")), (3L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val (surv, sigs) = CurationPipeline.incrementalNearDedup(degenerate, emptyBands, emptySigs)
+    val kept = surv.select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L),
+      "whitespace and empty text are near-dups of each other; null text passes un-signed")
+    assert(sigs.select("doc_id").as[Long].collect().toSet === Set(1L),
+      "the null-text doc gets NO signature rows — it is not near-dup-indexed")
+    // ...and the exact gate is where null text dies: a null fp never
+    // matches an equi-join, so the row cannot survive incrementalDedup
+    val (exactSurv, _) = CurationPipeline.incrementalDedup(
+      Seq((3L, None: Option[String])).toDF("doc_id", "text"),
+      Seq.empty[String].toDF("fp"))
+    assert(exactSurv.count() === 0L, "null-text rows are dropped by policy at the exact gate")
+  }
+
   test("connected components: an edge-free graph is all singletons (no loop rounds)") {
     import spark.implicits._
     val nodes = Seq(5L, 9L, 2L).toDF("id")
