@@ -65,6 +65,12 @@ object SparkEntry {
     // -- dedup family --
     "dedup_exact" -> (TextDedup.exact _),
     "dedup_ngram" -> (TextDedup.ngramJaccard _),
+    // PPJoin-grade lossless filtering: same output as dedup_ngram by
+    // construction (the oracle IS the unfiltered SQL), so the hash gate
+    // proves the prefix+length+positional filters drop nothing
+    "dedup_ngram_ppjoin" -> ((s: SparkSession, d: String) =>
+      graft.ops.TextHashing.jaccardPairsPPJoin(
+        TextDedup.docs(s, d), TextDedup.JaccardThreshold).orderBy("doc_a", "doc_b")),
     "dedup_ngram_clusters" -> (TextDedup.ngramClusters _),
     "dedup_minhash" -> (TextDedup.minhashLsh _),
     "dedup_minhash_clusters" -> (TextDedup.minhashClusters _),
@@ -366,6 +372,13 @@ object SparkEntry {
         |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin,
 
     "dedup_ngram" ->
+      s"""WITH $JaccardCte
+         |SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin,
+
+    // deliberately the UNFILTERED formulation: the PPJoin filters are
+    // exact-preserving, so hash-equality against the full inverted-index
+    // oracle is the losslessness proof
+    "dedup_ngram_ppjoin" ->
       s"""WITH $JaccardCte
          |SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin,
 

@@ -88,6 +88,57 @@ object TextHashing {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** LOSSLESS prefix-filtered Jaccard (PPJoin-grade, public-textbook:
+    * Bayardo et al. "Scaling Up All Pairs", Xiao et al. PPJoin): exactly
+    * the `jaccardPairs` output, but candidates are generated from a
+    * PREFIX of each doc's shingles under a canonical global order
+    * (ascending document frequency, shingle text tie-break — rare
+    * shingles first, so hot shingles never enter the candidate join),
+    * with two further exact-preserving pruning predicates applied inside
+    * the candidate join itself:
+    *
+    *  - length filter: J(A,B) >= t forces min(|A|,|B|) >= t*max(|A|,|B|);
+    *  - positional filter: both shingle lists are sorted by the same
+    *    total order, so a shared shingle at positions (i, j) bounds the
+    *    overlap by min(i-1, j-1) + 1 + min(|A|-i, |B|-j) — any pair
+    *    whose bound can't reach t/(1+t)*(|A|+|B|) is pruned.
+    *
+    * Prefix length is |d| - ceil(t*|d|) + 1 (the classical Jaccard
+    * prefix): every pair with J >= t provably shares a prefix shingle,
+    * so — unlike `jaccardPairsPrefixFiltered`'s df cap — recall is 100%
+    * by construction. Epsilon slack on the float comparisons only ever
+    * ADMITS boundary pairs, never drops them. Verification is the same
+    * candidate-restricted exact-Jaccard join, so values are exact too.
+    * Cost: the candidate join touches sum over prefix shingles of df^2
+    * instead of sum over ALL shingles — the hot (high-df) shingles sit
+    * at the END of the canonical order and never reach a prefix at any
+    * realistic threshold (docs/SCALING.md 10x row). */
+  def jaccardPairsPPJoin(docs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docShingles(docs)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val pos = sh.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    // ceil never over-estimated (the -1e-9 guards 0.2*15 = 3.0000...4),
+    // so the prefix is never too short
+    val prefix = pos.filter(
+      col("pos") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+    val minOverlapNum = lit(threshold) / (lit(1.0) + lit(threshold)) // * (|A|+|B|)
+    val cands = prefix.as("pa")
+      .join(prefix.as("pb"),
+        col("pa.sh") === col("pb.sh") && col("pa.doc_id") < col("pb.doc_id")
+          && least(col("pa.n"), col("pb.n")).cast("double") >=
+            lit(threshold) * greatest(col("pa.n"), col("pb.n")).cast("double") - lit(1e-9)
+          && (least(col("pa.pos"), col("pb.pos")) +
+              least(col("pa.n") - col("pa.pos"), col("pb.n") - col("pb.pos"))).cast("double") >=
+            minOverlapNum * (col("pa.n") + col("pb.n")).cast("double") - lit(1e-9))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    jaccardFor(sh, threshold, restrictTo = Some(cands))
+  }
+
   /** Prefix-filtered Jaccard for web-scale corpora (docs/SCALING.md):
     * candidate pairs are generated ONLY from shingles with document
     * frequency <= maxShingleDf (the inverted-index cost is sum(df^2), so

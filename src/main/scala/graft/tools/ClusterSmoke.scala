@@ -77,7 +77,7 @@ object ClusterSmoke {
         "simhash: signatures", "simhash: sig pair graph", "simhash: fixpoint+output",
         "minhash: verified pairs", "minhash: fixpoint+output",
         "ngram: exact pairs", "ngram: fixpoint+output",
-        "ngram: prefix-filtered")
+        "ngram: prefix-filtered", "ngram: ppjoin (lossless)")
         .zip(Seq(
           timed(TextDedup.simhashSigs(spark, dir).count()),
           timed(TextDedup.sigPairs(spark, dir).count()),
@@ -91,7 +91,13 @@ object ClusterSmoke {
           // verified exactly — compare its growth against "exact pairs"
           timed(graft.ops.TextHashing.jaccardPairsPrefixFiltered(
             spark.read.parquet(s"$dir/documents.parquet"),
-            TextDedup.JaccardThreshold, maxShingleDf = 50).count())))
+            TextDedup.JaccardThreshold, maxShingleDf = 50).count()),
+          // the LOSSLESS mitigation: PPJoin prefix+length+positional
+          // filters, 100% recall by construction — compare its growth
+          // against both "exact pairs" (unfiltered) and the df-cap row
+          timed(graft.ops.TextHashing.jaccardPairsPPJoin(
+            spark.read.parquet(s"$dir/documents.parquet"),
+            TextDedup.JaccardThreshold).count())))
         .map { case (name, (n, t)) => (name, n, t) }
     }
 

@@ -648,6 +648,34 @@ class OpsSpec extends SparkSpec {
     tight.foreach { case (k, j) => assert(full(k) === j, s"value drifted for $k") }
   }
 
+  test("PPJoin filters are lossless: filtered pair set == unfiltered, values exact") {
+    // real-corpus scale check: sf0.001's 500 docs, several thresholds —
+    // the filters must drop NOTHING at any threshold, including pairs
+    // sitting exactly on a prefix-length or overlap boundary
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.2, 0.5, 0.9)) {
+      val full = TextHashing.jaccardPairs(corpus, t).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+      val pp = TextHashing.jaccardPairsPPJoin(corpus, t).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+      assert(pp === full, s"PPJoin must be lossless at t=$t")
+    }
+    // boundary fixture: identical docs (J=1.0) and a pair at exactly the
+    // threshold — 3-word docs sharing their single whole-text shingle
+    // have J=1; docs 5/6 share 1 of 2 shingles each (J = 1/3 >= 1/3)
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a b c"), (2L, "a b c"),
+      (5L, "p q r s"), (6L, "p q r t")).toDF("doc_id", "text")
+    val t = 1.0 / 3.0
+    val full = TextHashing.jaccardPairs(crafted, t).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    val pp = TextHashing.jaccardPairsPPJoin(crafted, t).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(full.contains((5L, 6L)), "fixture must include an at-threshold pair")
+    assert(pp === full, "boundary pairs must survive the epsilon-guarded filters")
+  }
+
   test("DedupIndex: persisted index serves identical results and reuses cache") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val idx = DedupIndex(docs)
