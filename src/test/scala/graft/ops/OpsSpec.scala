@@ -308,35 +308,54 @@ class OpsSpec extends SparkSpec {
     assert(s1b.select("vec_id").as[Long].collect().sorted === Array(10L, 12L))
   }
 
-  test("persisted IVF index: a cold session probes the file, not a re-derivation") {
+  test("persisted IVF index: trained quantizer, cold sessions probe the files with zero training") {
     val live = Similarity.ivfTopK(spark, dir).collect()
-    val path = Similarity.buildIvfIndex(spark, dir)
-    assert(new java.io.File(path).exists(), "index parquet must be written")
-    // a COLD session (no session-cache entries) must serve identical
-    // results straight from the persisted quantizer
-    val s2 = spark.newSession()
-    val cold = Similarity.ivfTopK(s2, dir).collect()
-    assert(cold.map(_.toString).toSeq === live.map(_.toString).toSeq,
-      "persisted and in-session quantizers must agree bit-for-bit")
-    // behavioral proof the file IS the quantizer source: doctor it (swap
-    // the cluster labels) and a fresh session's probe must follow the
-    // doctored file — impossible if centroids were re-derived from data
-    val doctored = spark.read.parquet(path).collect()
-    val schema = spark.read.parquet(path).schema
-    val swapped = doctored.map(r => org.apache.spark.sql.Row(
-      1 - r.getInt(0), r.getSeq[Double](1)))
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(swapped: _*)),
-      schema).write.mode("overwrite").parquet(path)
-    val s3 = spark.newSession()
-    val fromDoctored = Similarity.ivfTopK(s3, dir).collect()
-    assert(fromDoctored.map(_.toString).toSeq !== live.map(_.toString).toSeq,
-      "a doctored index must change the probe — proves no silent re-training")
-    // cleanup: drop the index so other tests see the compute path
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    assert(live.nonEmpty)
+    val idxPath = Similarity.ivfIndexPath(dir)
+    try {
+      Similarity.buildIvfIndex(spark, dir)
+      assert(new java.io.File(idxPath).exists(), "quantizer parquet must be written")
+      assert(new java.io.File(Similarity.ivfPostingsPath(dir)).exists(),
+        "posting lists must be written")
+      // a COLD session must serve identical results straight from the
+      // persisted index — and run NO k-means training at all
+      val trainedSoFar = Similarity.kmeansRuns.get()
+      val s2 = spark.newSession()
+      val cold = Similarity.ivfTopK(s2, dir).collect()
+      assert(cold.map(_.toString).toSeq === live.map(_.toString).toSeq,
+        "persisted and in-session quantizers must agree bit-for-bit")
+      assert(Similarity.kmeansRuns.get() === trainedSoFar,
+        "a cold session with a persisted index must not train")
+      // behavioral proof the files ARE the probe source: permute the
+      // quantizer's cluster ids and a fresh session must follow the
+      // doctored file — impossible if the quantizer were re-derived
+      val schema = spark.read.parquet(idxPath).schema
+      val rows = spark.read.parquet(idxPath).collect()
+      val ids = rows.map(_.getInt(0)).sorted
+      assert(ids.length >= 2, "fixture must produce at least two clusters")
+      val next = ids.zip(ids.tail :+ ids.head).toMap
+      val swapped = rows.map(r => org.apache.spark.sql.Row(
+        next(r.getInt(0)), r.getSeq[Double](1)))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(swapped: _*)),
+        schema).coalesce(1).write.mode("overwrite").parquet(idxPath)
+      val s3 = spark.newSession()
+      val fromDoctored = Similarity.ivfTopK(s3, dir).collect()
+      assert(fromDoctored.map(_.toString).toSeq !== live.map(_.toString).toSeq,
+        "a doctored quantizer must change the probe — proves no silent re-training")
+      assert(Similarity.kmeansRuns.get() === trainedSoFar,
+        "the doctored probe must not retrain either")
+    } finally {
+      // ALWAYS remove the (possibly doctored) index — a leftover file
+      // would silently corrupt every later test/session reading this dir
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(idxPath))
+      rm(new java.io.File(Similarity.ivfPostingsPath(dir)))
+      graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+      graft.core.SessionCache.invalidate(spark, "ivf_postings", dir)
     }
-    rm(new java.io.File(path))
   }
 
   test("fingerprints agree exactly for identical docs") {
