@@ -84,6 +84,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (Similarity.lshTopK _),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
+    "ann_lsh_multitable" -> (Similarity.lshMultiTableTopK _),
     "embedding_near_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "label_centroids" -> (Similarity.labelCentroids _),
     // -- text analysis --
@@ -529,6 +530,24 @@ object SparkEntry {
          |  FROM q JOIN bkt ON bkt = probe_bkt AND vec_id <> qid),
          |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
          |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
+
+    // 4 independent sign-bucket tables over disjoint dim slices
+    // (mirrors Similarity.lshMultiTableTopK)
+    "ann_lsh_multitable" -> {
+      def bktSql(j: Int) = (0 until 4).map(i =>
+        s"CASE WHEN v[${4 * j + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+      val tables = (0 until 4).map(j =>
+        s"SELECT vec_id, v, $j AS t, ${bktSql(j)} AS bkt FROM e").mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tb AS ($tables),
+         |q AS (SELECT vec_id AS qid, t, bkt FROM tb WHERE vec_id IN (0,1,2)),
+         |cand AS (SELECT DISTINCT q.qid, tb.vec_id FROM q JOIN tb USING (t, bkt)
+         |  WHERE tb.vec_id <> q.qid),
+         |s AS (SELECT c.qid, c.vec_id, round(list_cosine_similarity(eq.v, ev.v), 6) AS cos_sim
+         |  FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e ev ON ev.vec_id = c.vec_id),
+         |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+         |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
+    },
 
     // TRAINED quantizer, mirrored end-to-end: deterministic Lloyd's
     // k-means (sign-bucket min-vec_id seeds, exact-decimal mean updates,

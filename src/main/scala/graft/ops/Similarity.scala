@@ -53,75 +53,118 @@ object Similarity {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     GraftExtensions.dot(a, b) / (na * nb)
 
-  /** Brute-force exact top-k: broadcast the query vectors, one scan of the
-    * corpus, rank per query. Ranking is on the ROUNDED similarity with
-    * vec_id tie-break so cross-engine last-bit drift can't reorder. */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val q = e.filter(col("vec_id").isin(QueryIds: _*))
+  /** The query-vector frame for a query-id set. */
+  private def queriesOf(e: DataFrame, qids: Seq[Long]): DataFrame =
+    e.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+
+  /** Rank scored candidates, keep top k per query (rounded-similarity
+    * ordering with vec_id tie-break so cross-engine last-bit drift can't
+    * reorder). `scored` must carry qid, vec_id and the candidate v/nrm. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored
       .withColumn("cos_sim",
         round(cosineWithNorms(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
       .select("qid", "vec_id", "cos_sim")
       .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
   }
 
-  /** Sign-pattern LSH bucket over the first `nBits` dimensions — an
-    * axis-aligned random-hyperplane sketch (the dims of a trained embedding
-    * are effectively random directions). Deterministic and oracle-portable.
-    */
-  def bucket(v: Column, nBits: Int): Column =
+  /** Brute-force exact top-k for an arbitrary query set: broadcast the
+    * query vectors, one scan of the corpus, rank per query. This is the
+    * ground truth the recall measurements compare against. */
+  def bruteForceTopKFor(spark: SparkSession, dir: String,
+                        qids: Seq[Long], k: Int): DataFrame = {
+    val e = emb(spark, dir)
+    val scored = e.join(broadcast(queriesOf(e, qids)), col("vec_id") =!= col("qid"))
+    rankTopK(scored, k)
+  }
+
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopKFor(spark, dir, QueryIds.map(_.toLong), TopK)
+
+  /** Sign-pattern LSH bucket over `nBits` dimensions starting at
+    * `startDim` — an axis-aligned random-hyperplane sketch (the dims of
+    * a trained embedding are effectively random directions).
+    * Deterministic and oracle-portable. */
+  def bucketSlice(v: Column, startDim: Int, nBits: Int): Column =
     (0 until nBits).map { i =>
-      when(element_at(v, i + 1) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(element_at(v, startDim + i + 1) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  def bucket(v: Column, nBits: Int): Column = bucketSlice(v, 0, nBits)
 
   /** LSH-bucketed ANN top-k: candidates share the query's sign bucket, so
     * the per-query scan is corpus_size / 2^nBits in expectation. Equality
-    * join on the bucket key — shuffle-partitionable, no cross join. */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    * join on the bucket key — shuffle-partitionable, no cross join.
+    * Measured recall@k vs brute force: docs/SCALING.md (AnnRecall). */
+  def lshTopKFor(spark: SparkSession, dir: String,
+                 qids: Seq[Long], k: Int): DataFrame = {
     val nBits = 4
     val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
-    val q = e.filter(col("vec_id").isin(QueryIds: _*))
+    val q = e.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("bkt").as("qbkt"))
-    import org.apache.spark.sql.expressions.Window
-    val scored = e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim",
-        round(cosineWithNorms(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("qid", "vec_id", "cos_sim")
-      .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+    rankTopK(
+      e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid")), k)
   }
+
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshTopKFor(spark, dir, QueryIds.map(_.toLong), 5)
 
   /** Multi-probe sign-LSH top-k: each query also probes the 4 buckets at
     * Hamming distance 1 from its own (flip one sign bit per probe) —
     * the standard recall lever that keeps the same equality-join shape:
     * candidates ~= 5/16 of the corpus here instead of 1/16, still never
     * a scan. The probe list is a tiny generator on the broadcast side. */
-  def lshMultiProbeTopK(spark: SparkSession, dir: String): DataFrame = {
+  def lshMultiProbeTopKFor(spark: SparkSession, dir: String,
+                           qids: Seq[Long], k: Int): DataFrame = {
     val nBits = 4
     val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
     val probes = (0 until nBits).map(i => col("qbkt0").bitwiseXOR(lit(1L << i)))
-    val q = e.filter(col("vec_id").isin(QueryIds: _*))
+    val q = e.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         col("bkt").as("qbkt0"))
       .withColumn("probe_bkt", explode(array(col("qbkt0") +: probes: _*)))
-    import org.apache.spark.sql.expressions.Window
-    val scored = e.join(broadcast(q), col("bkt") === col("probe_bkt") && col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim",
-        round(cosineWithNorms(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("qid", "vec_id", "cos_sim")
-      .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+    rankTopK(
+      e.join(broadcast(q), col("bkt") === col("probe_bkt") && col("vec_id") =!= col("qid")), k)
   }
+
+  def lshMultiProbeTopK(spark: SparkSession, dir: String): DataFrame =
+    lshMultiProbeTopKFor(spark, dir, QueryIds.map(_.toLong), 5)
+
+  /** MULTI-TABLE sign-LSH top-k — the standard recall lever orthogonal
+    * to multi-probe: `nTables` independent hash tables, table j keyed by
+    * the sign bucket of dimension slice [j*nBits, (j+1)*nBits). A true
+    * neighbor missed by one table's bucketing is caught by another
+    * (recall ~ 1-(1-p)^L for per-table collision rate p — measured in
+    * docs/SCALING.md). The corpus side materializes one index row per
+    * (vector, table) — exactly the L-tables storage cost of classical
+    * LSH — and candidates still come from EQUALITY joins on (table,
+    * bucket); duplicates across tables collapse before scoring, so each
+    * candidate is verified once. */
+  def lshMultiTableTopKFor(spark: SparkSession, dir: String,
+                           qids: Seq[Long], k: Int, nTables: Int): DataFrame = {
+    val nBits = 4
+    val e = emb(spark, dir)
+    def tabled(df: DataFrame): DataFrame =
+      df.withColumn("tb", explode(array((0 until nTables).map(j =>
+          struct(lit(j).as("t"), bucketSlice(col("v"), j * nBits, nBits).as("b"))): _*)))
+        .withColumn("t", col("tb.t")).withColumn("bkt", col("tb.b")).drop("tb")
+    val q = tabled(queriesOf(e, qids).withColumnRenamed("qv", "v"))
+      .select(col("qid"), col("v").as("qv"), col("qnrm"), col("t"), col("bkt"))
+    val cands = tabled(e)
+      .join(broadcast(q), Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "qv", "qnrm", "vec_id", "v", "nrm")
+      .dropDuplicates("qid", "vec_id")
+    rankTopK(cands, k)
+  }
+
+  def lshMultiTableTopK(spark: SparkSession, dir: String): DataFrame =
+    lshMultiTableTopKFor(spark, dir, QueryIds.map(_.toLong), 5, nTables = 4)
 
   /** Embedding-cosine near-duplicate pairs: bucket by sign pattern, pair
     * within bucket, keep cosine >= threshold. (A near-dup pair almost
@@ -263,7 +306,11 @@ object Similarity {
     * depend on which path served the query. The probe key is the
     * TRAINED assignment (c_id) — never the fixture's ground-truth
     * label column. */
-  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 1): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 1): DataFrame =
+    ivfTopKFor(spark, dir, QueryIds.map(_.toLong), 5, nprobe)
+
+  def ivfTopKFor(spark: SparkSession, dir: String,
+                 qids: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     val e = emb(spark, dir)
     val centroids = graft.core.SessionCache.getOrBuild(spark, "ivf_centroids", dir) {
       if (pathExists(spark, ivfIndexPath(dir))) spark.read.parquet(ivfIndexPath(dir))
@@ -280,8 +327,7 @@ object Similarity {
         e.withColumn("c_id", assignCol(cents)).select("vec_id", "v", "nrm", "c_id")
       }
     }
-    val q = e.filter(col("vec_id").isin(QueryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val q = queriesOf(e, qids)
     import org.apache.spark.sql.expressions.Window
     val probe = Window.partitionBy("qid")
       .orderBy(col("c_sim").desc, col("c_id").asc)
@@ -293,15 +339,21 @@ object Similarity {
       .withColumn("crn", row_number().over(probe))
       .filter(col("crn") <= nprobe)
       .select(col("qid"), col("v").as("qv"), col("qnrm"), col("c_id"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    postings.join(broadcast(best), Seq("c_id"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim",
-        round(cosineWithNorms(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("qid", "vec_id", "cos_sim")
-      .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+    rankTopK(
+      postings.join(broadcast(best), Seq("c_id"))
+        .filter(col("vec_id") =!= col("qid")), k)
+  }
+
+  /** recall@k of `retrieved` against the brute-force `truth` (both in
+    * the (qid, vec_id, cos_sim) shape): fraction of true top-k neighbors
+    * the ANN method returned, averaged over queries. The one number an
+    * ANN user asks first — hash-determinism alone says nothing about
+    * retrieval quality. */
+  def recallAtK(retrieved: DataFrame, truth: DataFrame): Double = {
+    val t = truth.select("qid", "vec_id")
+    val hits = retrieved.select("qid", "vec_id").join(t, Seq("qid", "vec_id"), "left_semi").count()
+    val total = t.count()
+    if (total == 0L) 1.0 else hits.toDouble / total
   }
 
   /** Incremental EMBEDDING near-dup — the vector-modality counterpart of

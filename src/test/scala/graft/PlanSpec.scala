@@ -88,6 +88,7 @@ class PlanSpec extends SparkSpec {
   test("new query surface stays cartesian-free") {
     for (df <- Seq(
         graft.ops.Similarity.lshMultiProbeTopK(spark, dir),
+        graft.ops.Similarity.lshMultiTableTopK(spark, dir),
         graft.ops.Similarity.ivfTopK(spark, dir),
         MarketQueries.inactiveTokens(spark, dir),
         RelationalQueries.brandRevenue(spark, dir))) {

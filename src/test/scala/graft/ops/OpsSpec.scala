@@ -358,6 +358,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ANN recall: levers are monotone and clear measured floors on the real corpus") {
+    // hash-determinism proves engine parity; THIS measures retrieval
+    // quality. Floors are the sf0.01 measurements (AnnRecall tool,
+    // docs/SCALING.md) minus a safety margin; the monotonicity asserts
+    // are structural (each lever only ever widens the candidate set).
+    val d = "/root/testdata/sf0.01"
+    val qids = (0L until 50L).toSeq
+    val truth = Similarity.bruteForceTopKFor(spark, d, qids, 5)
+    truth.persist().count()
+    def rec(df: org.apache.spark.sql.DataFrame): Double = Similarity.recallAtK(df, truth)
+    try {
+      assert(rec(Similarity.bruteForceTopKFor(spark, d, qids, 5)) === 1.0,
+        "brute force IS the ground truth")
+      val lsh1 = rec(Similarity.lshTopKFor(spark, d, qids, 5))
+      val multi = rec(Similarity.lshMultiProbeTopKFor(spark, d, qids, 5))
+      val t4 = rec(Similarity.lshMultiTableTopKFor(spark, d, qids, 5, nTables = 4))
+      val t8 = rec(Similarity.lshMultiTableTopKFor(spark, d, qids, 5, nTables = 8))
+      val ivf1 = rec(Similarity.ivfTopKFor(spark, d, qids, 5, nprobe = 1))
+      val ivf2 = rec(Similarity.ivfTopKFor(spark, d, qids, 5, nprobe = 2))
+      val ivf4 = rec(Similarity.ivfTopKFor(spark, d, qids, 5, nprobe = 4))
+      assert(multi >= lsh1, "multi-probe candidates are a superset of single-bucket")
+      assert(t8 >= t4, "more tables can only widen the candidate union")
+      assert(ivf2 >= ivf1 && ivf4 >= ivf2, "larger nprobe scans strictly more clusters")
+      assert(multi >= 0.40, s"multi-probe recall regressed: $multi")
+      assert(t8 >= 0.55, s"8-table recall regressed: $t8")
+      assert(ivf4 >= 0.60, s"ivf nprobe=4 recall regressed: $ivf4")
+      assert(ivf1 > lsh1,
+        "the trained quantizer must beat raw sign buckets at the same scan fraction")
+    } finally truth.unpersist()
+  }
+
   test("fingerprints agree exactly for identical docs") {
     val fps = TextAnalysis.fingerprints(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
