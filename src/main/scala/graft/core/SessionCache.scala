@@ -67,11 +67,24 @@ object SessionCache {
   def getOrBuild(spark: SparkSession, kind: String, dir: String)(
       build: => DataFrame): DataFrame = {
     watch(spark)
-    tables.computeIfAbsent((spark, kind, dir), { _ =>
+    val key = (spark, kind, dir)
+    val existing = tables.get(key)
+    if (existing != null) existing
+    else {
+      // build OUTSIDE the map update: builders legitimately NEST
+      // getOrBuild calls (minhashPairs materializes the signature table,
+      // the vector gate materializes the normed corpus, ...), and
+      // ConcurrentHashMap.computeIfAbsent forbids reentrant updates — it
+      // throws "Recursive update" whenever the nested key happens to
+      // land in the same hash bin, a lottery on the dir string. The cost
+      // of the lock-free shape is a benign race: two threads may build
+      // the same entry concurrently; the loser unpersists its copy and
+      // adopts the winner's.
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       df.count()
-      df
-    })
+      val prior = tables.putIfAbsent(key, df)
+      if (prior != null) { df.unpersist(blocking = false); prior } else df
+    }
   }
 
   /** Drop one entry (unpersists). Call after rewriting `dir`'s files. */

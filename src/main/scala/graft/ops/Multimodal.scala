@@ -6,15 +6,19 @@ import java.security.MessageDigest
 
 /** Multimodal-column plumbing: media payloads ride through the engine as
   * opaque `binary` columns with typed metadata extracted by a per-partition
-  * decoder. The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake; the Spark-side shape — binary column,
-  * mapPartitions batching, reused decoder state per partition, typed output
-  * schema — is the real, tested contract a codec would drop into.
+  * decoder. PNG and JPEG payloads (sniffed by magic bytes) are decoded FOR
+  * REAL via the JDK's javax.imageio — actual width/height, no external
+  * dependency; every other payload falls to `decodeStub`, the
+  * clearly-marked deterministic stand-in for codecs the container lacks
+  * (audio/video). The Spark-side shape — binary column, mapPartitions
+  * batching, reused decoder state per partition, typed output schema — is
+  * the same either way.
   *
   * Scale posture: decode is embarrassingly parallel per partition; the
   * MessageDigest (stand-in for a codec context) is allocated once per
-  * partition, not per row — the pattern that matters when each "decode" is
-  * a 10 ms native call at 100 TB.
+  * partition, not per row — the pattern that matters when each decode is
+  * a 10 ms native call at 100 TB. The magic-byte sniff keeps the
+  * expensive ImageIO attempt off non-image payloads entirely.
   */
 object Multimodal {
 
@@ -23,8 +27,38 @@ object Multimodal {
       doc_id: Long, n_bytes: Long, media_md5: String, format: String,
       width: Long, height: Long, n_frames: Long)
 
+  /** Magic-byte sniff for the formats the JDK can decode natively. */
+  private def sniffImage(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89
+        && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF
+        && (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF) Some("jpeg")
+    else None
+
+  /** Decode one payload: REAL javax.imageio decode for PNG/JPEG (width,
+    * height, n_frames=1 from the actual pixels; headless-safe, JDK
+    * built-in), `decodeStub` for everything else — including a sniffed
+    * image that fails to parse (truncated/corrupt payloads must yield a
+    * row, not an exception, in a 100 TB batch). */
+  def decode(docId: Long, bytes: Array[Byte], md: MessageDigest): MediaFeatures =
+    sniffImage(bytes) match {
+      case Some(fmt) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) decodeStub(docId, bytes, md)
+        else {
+          md.reset()
+          val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+          MediaFeatures(docId, bytes.length.toLong, hex, fmt,
+            img.getWidth.toLong, img.getHeight.toLong, n_frames = 1L)
+        }
+      case None => decodeStub(docId, bytes, md)
+    }
+
   /** STUB decode: derives fake format/dimensions/frame-count
-    * deterministically from the payload hash + length. A real deployment
+    * deterministically from the payload hash + length — the labeled
+    * stand-in for codecs the container lacks. A real deployment
     * replaces the body with an actual codec call; the signature stays. */
   def decodeStub(docId: Long, bytes: Array[Byte], md: MessageDigest): MediaFeatures = {
     md.reset()
@@ -61,14 +95,21 @@ object Multimodal {
     * `SessionCache.invalidate(spark, "mmfeat", dir)` first. */
   def features(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionCache.getOrBuild(spark, "mmfeat", dir) {
-      import spark.implicits._
-      mediaTable(spark, dir)
-        .mapPartitions { rows =>
-          val md = MessageDigest.getInstance("MD5")
-          rows.map(r => decodeStub(r.doc_id, r.media, md))
-        }
-        .toDF()
+      featuresOf(mediaTable(spark, dir))
     }
+
+  /** Feature extraction over an arbitrary media frame — one decoder
+    * context per partition, real PNG/JPEG decode, stub for the rest
+    * (`decode`). The fixture tables carry text payloads (never image
+    * magic bytes), so the oracle-checked queries exercise the stub arm;
+    * MultimodalSpec drives this entry point with real encoded images. */
+  def featuresOf(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.map(r => decode(r.doc_id, r.media, md))
+    }.toDF()
+  }
 
   /** Feature-extraction pass: one codec context per partition, streamed
     * row batches, typed output (ordered for the oracle contract). */

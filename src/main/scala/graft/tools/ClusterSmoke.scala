@@ -88,10 +88,14 @@ object ClusterSmoke {
           timed(TextDedup.ngramClusters(spark, dir).count()),
           // the documented mitigation for the exact path's sum(df^2)
           // blowup: candidates from shingles with df <= 50 only, still
-          // verified exactly — compare its growth against "exact pairs"
-          timed(graft.ops.TextHashing.jaccardPairsPrefixFiltered(
-            spark.read.parquet(s"$dir/documents.parquet"),
-            TextDedup.JaccardThreshold, maxShingleDf = 50).count()),
+          // verified exactly — compare its growth against "exact pairs".
+          // Neither filter stage reads the session caches, so release
+          // them first: the 10x pair graphs + shingle index otherwise
+          // pin storage memory under the filter joins' big shuffles.
+          { TextDedup.invalidate(spark, dir)
+            timed(graft.ops.TextHashing.jaccardPairsPrefixFiltered(
+              spark.read.parquet(s"$dir/documents.parquet"),
+              TextDedup.JaccardThreshold, maxShingleDf = 50).count()) },
           // the LOSSLESS mitigation: PPJoin prefix+length+positional
           // filters, 100% recall by construction — compare its growth
           // against both "exact pairs" (unfiltered) and the df-cap row

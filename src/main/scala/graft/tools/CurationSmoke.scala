@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end curation throughput smoke: `Graft.curateCorpus` (and the
+  * vector gate's streaming sibling) over a k-fold replicated corpus,
+  * reporting wall seconds and docs/s for each configuration —
+  * correctness is spec- and oracle-proven elsewhere; THIS measures what
+  * the gates cost. Every replica is a true near-dup of its original
+  * (text gets a suffix token, vectors a scale factor), the adversarial
+  * shape for the near-dup gates. Results in docs/SCALING.md. Usage:
+  *   sbt "runMain graft.tools.CurationSmoke [srcSfDir] [factor]"
+  */
+object CurationSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docsJsonl(k: Int): (String, Long) = {
+      val out = Files.createTempDirectory(s"cursmoke$k").toString + "/docs"
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+        .select("doc_id", "text", "lang")
+      val rep = (0 until k).map { i =>
+        val d = docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        if (i == 0) d else d.withColumn("text", concat(col("text"), lit(s" replica$i")))
+      }.reduce(_ unionByName _)
+      rep.repartition(8).write.mode("overwrite").json(out)
+      (out, rep.count())
+    }
+
+    def vecsParquet(k: Int): (String, Long) = {
+      val out = Files.createTempDirectory(s"curvec$k").toString + "/vecs"
+      val vecs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val rep = (0 until k).map { i =>
+        val d = vecs.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        if (i == 0) d
+        else d.withColumn("embedding", transform(col("embedding"), x => x * lit(1.0f + i * 0.01f)))
+      }.reduce(_ unionByName _)
+      rep.repartition(8).write.mode("overwrite").parquet(out)
+      (out, rep.count())
+    }
+
+    def runText(name: String, glob: String, nIn: Long, nearDup: Boolean): Unit = {
+      val base = Files.createTempDirectory("curout").toString
+      val t0 = System.nanoTime()
+      val q = graft.Graft.curateCorpus(spark, glob,
+        s"$base/corpus", s"$base/index", s"$base/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"),
+        maxFilesPerTrigger = 4, compactEvery = 4,
+        nearDupDir = if (nearDup) Some(s"$base/near") else None)
+      q.processAllAvailable(); q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val out = spark.read.parquet(s"$base/corpus").count()
+      println(f"$name%-34s in=$nIn%7d out=$out%7d  $secs%6.1f s  ${nIn / secs}%8.0f docs/s")
+    }
+
+    def runVec(name: String, dir: String, nIn: Long): Unit = {
+      val base = Files.createTempDirectory("curvout").toString
+      val t0 = System.nanoTime()
+      val vecs = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(dir)
+      val q = graft.ops.CurationPipeline.streamingVectorDedup(
+        vecs, s"$base/corpus", s"$base/index", s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"),
+        threshold = 0.9, compactEvery = 4)
+      q.processAllAvailable(); q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val out = spark.read.parquet(s"$base/corpus").count()
+      println(f"$name%-34s in=$nIn%7d out=$out%7d  $secs%6.1f s  ${nIn / secs}%8.0f vecs/s")
+    }
+
+    for (k <- Seq(1, factor)) {
+      val (dglob, nd) = docsJsonl(k)
+      runText(s"curate ${k}x exact-only", s"$dglob/*.json", nd, nearDup = false)
+      runText(s"curate ${k}x + text near-dup gate", s"$dglob/*.json", nd, nearDup = true)
+      val (vdir, nv) = vecsParquet(k)
+      runVec(s"vector gate ${k}x", vdir, nv)
+    }
+    spark.stop()
+  }
+}

@@ -25,6 +25,8 @@ class PlanSpec extends SparkSpec {
         TextDedup.minhashClusters(spark, dir),
         TextDedup.ngramClusters(spark, dir),
         TextDedup.minhashEst(spark, dir), // round-6 banded estimator query
+        graft.ops.TextHashing.jaccardPairsPPJoin(
+          TextDedup.docs(spark, dir), TextDedup.JaccardThreshold), // round-7 lossless filter
         Similarity.embeddingNearDup(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")

@@ -29,6 +29,29 @@ class SessionCacheSpec extends SparkSpec {
     SessionCache.invalidate(spark, "spec_kind", "/spec/dir")
   }
 
+  test("nested getOrBuild is supported: builders may materialize their own dependencies") {
+    // minhashPairs -> cachedSigTable nests getOrBuild calls; the old
+    // computeIfAbsent shape threw "Recursive update" whenever the two
+    // keys landed in the same hash bin (a lottery on the dir string)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    var innerBuilds = 0
+    val outer = SessionCache.getOrBuild(spark, "spec_outer", "/spec/nested") {
+      val inner = SessionCache.getOrBuild(spark, "spec_inner", "/spec/nested") {
+        innerBuilds += 1
+        Seq(1, 2, 3).toDF("a")
+      }
+      inner.select((col("a") + 1).as("a"))
+    }
+    assert(outer.collect().map(_.getInt(0)).sorted.toSeq === Seq(2, 3, 4))
+    SessionCache.getOrBuild(spark, "spec_inner", "/spec/nested") {
+      innerBuilds += 1; Seq(9).toDF("a")
+    }
+    assert(innerBuilds === 1, "the nested build must have cached its entry")
+    SessionCache.invalidate(spark, "spec_outer", "/spec/nested")
+    SessionCache.invalidate(spark, "spec_inner", "/spec/nested")
+  }
+
   test("TextDedup shingle index is evicted with the session") {
     val dir = "/root/testdata/sf0.001"
     val first = graft.ops.TextDedup.index(spark, dir)

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.security.MessageDigest
+import javax.imageio.ImageIO
+
+/** Real-decode contract: PNG/JPEG payloads (JDK-encodable, so also
+  * JDK-decodable with zero extra dependencies) must yield their ACTUAL
+  * pixel dimensions through the same mapPartitions batch shape; anything
+  * else — including corrupt image payloads — falls to the deterministic
+  * stub. */
+class MultimodalSpec extends SparkSpec {
+
+  private def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8800) // non-degenerate content
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"JDK must encode $fmt")
+    bos.toByteArray
+  }
+
+  test("real PNG/JPEG payloads decode to actual dimensions; others keep the stub contract") {
+    import spark.implicits._
+    val textBytes = "plain text payload".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRow(1L, encoded("png", 123, 45)),
+      Multimodal.MediaRow(2L, encoded("jpg", 77, 33)),
+      Multimodal.MediaRow(3L, textBytes)).toDS()
+    val f = Multimodal.featuresOf(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(f(1L).getAs[String]("format") === "png")
+    assert(f(1L).getAs[Long]("width") === 123L)
+    assert(f(1L).getAs[Long]("height") === 45L)
+    assert(f(1L).getAs[Long]("n_frames") === 1L)
+
+    assert(f(2L).getAs[String]("format") === "jpeg")
+    assert(f(2L).getAs[Long]("width") === 77L)
+    assert(f(2L).getAs[Long]("height") === 33L)
+
+    // non-image payloads: byte-identical to the labeled stub
+    val stub = Multimodal.decodeStub(3L, textBytes, MessageDigest.getInstance("MD5"))
+    assert(f(3L).getAs[String]("format") === stub.format)
+    assert(f(3L).getAs[Long]("width") === stub.width)
+    assert(f(3L).getAs[Long]("height") === stub.height)
+    assert(f(3L).getAs[Long]("n_frames") === stub.n_frames)
+    assert(f(3L).getAs[String]("media_md5") === stub.media_md5)
+  }
+
+  test("a truncated image payload falls back to the stub instead of throwing") {
+    import spark.implicits._
+    val corrupt = encoded("png", 10, 10).take(12) // magic intact, body gone
+    val media = Seq(Multimodal.MediaRow(9L, corrupt)).toDS()
+    val row = Multimodal.featuresOf(media).collect()(0)
+    val stub = Multimodal.decodeStub(9L, corrupt, MessageDigest.getInstance("MD5"))
+    assert(row.getAs[String]("format") === stub.format,
+      "corrupt payloads must yield the deterministic stub row, not an exception")
+    assert(row.getAs[Long]("n_bytes") === 12L)
+  }
+
+  test("fixture text payloads never sniff as images (oracle parity of the stub arm)") {
+    val feats = Multimodal.extractFeatures(spark, "/root/testdata/sf0.001").collect()
+    assert(feats.nonEmpty)
+    // stub formats come from n_bytes % 3 — real decode would give n_frames=1
+    // for every 'png'/'jpeg' row, which the stub arm does not guarantee
+    val md = MessageDigest.getInstance("MD5")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "cast(text as binary) as media").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media")).toMap
+    feats.take(20).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val stub = Multimodal.decodeStub(id, docs(id), md)
+      assert(r.getAs[Long]("width") === stub.width && r.getAs[String]("format") === stub.format,
+        s"doc $id must take the stub arm")
+    }
+  }
+}
