@@ -69,8 +69,7 @@ object SparkEntry {
     // construction (the oracle IS the unfiltered SQL), so the hash gate
     // proves the prefix+length+positional filters drop nothing
     "dedup_ngram_ppjoin" -> ((s: SparkSession, d: String) =>
-      graft.ops.TextHashing.jaccardPairsPPJoin(
-        TextDedup.docs(s, d), TextDedup.JaccardThreshold).orderBy("doc_a", "doc_b")),
+      TextDedup.ppjoinPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_ngram_clusters" -> (TextDedup.ngramClusters _),
     "dedup_minhash" -> (TextDedup.minhashLsh _),
     "dedup_minhash_clusters" -> (TextDedup.minhashClusters _),

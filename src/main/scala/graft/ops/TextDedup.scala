@@ -69,6 +69,7 @@ object TextDedup {
     graft.core.SessionCache.invalidate(spark, "minhash_pairs", dir)
     graft.core.SessionCache.invalidate(spark, "minhash_sigtable", dir)
     graft.core.SessionCache.invalidate(spark, "ngram_pairs", dir)
+    graft.core.SessionCache.invalidate(spark, "ppjoin_pairs", dir)
   }
 
   /** Exact dedup by content hash: one surviving doc_id per distinct
@@ -89,6 +90,16 @@ object TextDedup {
   private def ngramPairsCached(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionCache.getOrBuild(spark, "ngram_pairs", dir) {
       index(spark, dir).ngramPairs(JaccardThreshold)
+    }
+
+  /** The PPJoin-filtered exact pair list, session-cached like its
+    * siblings (`ngram_pairs`, `minhash_pairs`) — identical rows to
+    * `ngramJaccard` by losslessness (the oracle proves it), produced
+    * through the prefix+length+positional candidate path. The UNCACHED
+    * cost profile lives in docs/SCALING.md (PpjoinProbe). */
+  def ppjoinPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionCache.getOrBuild(spark, "ppjoin_pairs", dir) {
+      TextHashing.ppjoinFor(index(spark, dir).shingles, JaccardThreshold)
     }
 
   /** Cluster-representative dedup over the EXACT Jaccard pair graph —

@@ -113,9 +113,15 @@ object TextHashing {
     * instead of sum over ALL shingles — the hot (high-df) shingles sit
     * at the END of the canonical order and never reach a prefix at any
     * realistic threshold (docs/SCALING.md 10x row). */
-  def jaccardPairsPPJoin(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairsPPJoin(docs: DataFrame, threshold: Double): DataFrame =
+    ppjoinFor(docShingles(docs), threshold)
+
+  /** PPJoin over a prepared (doc_id, sh) table — pass a materialized/
+    * session-cached shingle index (`TextDedup.index(..).shingles`) so
+    * the scan+shingle+distinct subtree isn't recomputed for the window,
+    * both candidate sides, and the verification. */
+  def ppjoinFor(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docShingles(docs)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
     val pos = sh.join(dfreq, "sh")
