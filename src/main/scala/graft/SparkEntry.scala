@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_ngram_clusters" -> (TextDedup.ngramClusters _),
     "dedup_minhash" -> (TextDedup.minhashLsh _),
     "dedup_minhash_clusters" -> (TextDedup.minhashClusters _),
+    "dedup_cluster_histogram" -> (TextDedup.minhashClusterHistogram _),
     "dedup_minhash_est" -> (TextDedup.minhashEst _),
     "decontamination" -> (TextDedup.decontamination _),
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
@@ -125,7 +126,7 @@ object SparkEntry {
     * the ngram/minhash cluster oracles (the simhash variant closes over
     * sig nodes instead and keeps its own form). Requires WITH RECURSIVE
     * on the enclosing query. */
-  private def docComponentsSql(rel: String): String =
+  private def docComponentsCtes(rel: String): String =
     s"""edges AS (SELECT doc_a AS sa, doc_b AS sb FROM $rel UNION ALL SELECT doc_b AS sa, doc_a AS sb FROM $rel),
        |pn AS (SELECT DISTINCT sa AS id FROM edges),
        |reach(src, dst) AS (SELECT id, id FROM pn
@@ -134,9 +135,25 @@ object SparkEntry {
        |allc AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
        |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN comp c USING (doc_id)),
        |rep AS (SELECT comp, min(doc_id) AS cluster_rep, count(*) AS cluster_size
-       |  FROM allc GROUP BY comp)
+       |  FROM allc GROUP BY comp)""".stripMargin
+
+  private def docComponentsSql(rel: String): String =
+    s"""${docComponentsCtes(rel)}
        |SELECT doc_id, cluster_rep, cluster_size FROM allc JOIN rep USING (comp)
        |ORDER BY doc_id""".stripMargin
+
+  /** Shared banded-MinHash verified-pair CTE chain (preamble of the
+    * minhash cluster oracles): jac + signature bands + candidates +
+    * verified pairs as `mhp`. Requires WITH RECURSIVE + $JaccardCte. */
+  private val MinhashPairsCtes: String =
+    s"""hsh AS (SELECT doc_id, ${md5LongSql("sh")} % 2147483647 AS hm FROM sh),
+       |mh AS (SELECT doc_id, i, min(((2*i+1)*hm + i*i+7) % 2147483647) AS mh
+       |  FROM hsh CROSS JOIN (SELECT unnest(generate_series(0,31)) AS i) GROUP BY 1, 2),
+       |bt AS (SELECT doc_id, i//4 AS band, string_agg(concat(i%4, ':', mh), ',' ORDER BY i%4) AS band_key
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bt a
+       |  JOIN bt b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |mhp AS (SELECT j.doc_a, j.doc_b FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b)""".stripMargin
 
   /** 60-bit md5 integer hash of an expression (mirrors TextHashing.md5Long). */
   private def md5LongSql(e: String) =
@@ -445,15 +462,15 @@ object SparkEntry {
     // un-paired docs become singleton clusters via the LEFT JOIN
     "dedup_minhash_clusters" ->
       s"""WITH RECURSIVE $JaccardCte,
-         |hsh AS (SELECT doc_id, ${md5LongSql("sh")} % 2147483647 AS hm FROM sh),
-         |mh AS (SELECT doc_id, i, min(((2*i+1)*hm + i*i+7) % 2147483647) AS mh
-         |  FROM hsh CROSS JOIN (SELECT unnest(generate_series(0,31)) AS i) GROUP BY 1, 2),
-         |bt AS (SELECT doc_id, i//4 AS band, string_agg(concat(i%4, ':', mh), ',' ORDER BY i%4) AS band_key
-         |  FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bt a
-         |  JOIN bt b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |mhp AS (SELECT j.doc_a, j.doc_b FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b),
+         |$MinhashPairsCtes,
          |${docComponentsSql("mhp")}""".stripMargin,
+
+    // cluster-size histogram over the same verified minhash components
+    "dedup_cluster_histogram" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |${docComponentsCtes("mhp")}
+         |SELECT cluster_size, count(*) AS n_clusters FROM rep GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "simhash_sigs" ->
       s"""WITH dw AS (SELECT DISTINCT doc_id, w FROM

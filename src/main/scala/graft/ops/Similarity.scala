@@ -230,12 +230,12 @@ object Similarity {
     *
     *  Each round collects exactly n_clusters rows (<= 16 x 64 doubles)
     *  to the driver — bounded, like GraphOps' broadcast relabel. */
-  private def kmeansTrain(e: DataFrame): Seq[(Int, Seq[Double])] = {
+  private def kmeansTrain(e: DataFrame, seedBits: Int = 4): Seq[(Int, Seq[Double])] = {
     kmeansRuns.incrementAndGet()
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("bkt").orderBy("vec_id")
     var centroids: Seq[(Int, Seq[Double])] =
-      e.withColumn("bkt", bucket(col("v"), 4).cast("int"))
+      e.withColumn("bkt", bucket(col("v"), seedBits).cast("int"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("bkt"), col("v")).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
@@ -271,18 +271,23 @@ object Similarity {
     * probe-time verification payload, standard IVF). A cold session (or
     * another JVM) then probes with zero training work. `at` redirects
     * the whole index to an explicit base dir (tests; side-by-side
-    * rebuilds). Rebuild after rewriting embeddings.parquet. */
-  def buildIvfIndex(spark: SparkSession, dir: String, at: Option[String] = None): String = {
+    * rebuilds). `seedBits` sizes the quantizer: k <= 2^seedBits clusters
+    * (the session-computed fallback uses the default 4 for oracle
+    * stability; a 100 TB corpus builds its index once with seedBits
+    * sized so k ~ sqrt(n), the standard IVF rule of thumb — every
+    * consumer then reads THAT index, so the two never disagree).
+    * Rebuild after rewriting embeddings.parquet. */
+  def buildIvfIndex(spark: SparkSession, dir: String, at: Option[String] = None,
+                    seedBits: Int = 4): String = {
     val base = at.getOrElse(dir)
     val e = emb(spark, dir)
-    val cents = kmeansTrain(e)
+    val cents = kmeansTrain(e, seedBits)
     centroidsToDf(spark, cents).coalesce(1)
       .write.mode("overwrite").parquet(ivfIndexPath(base))
     e.withColumn("c_id", assignCol(cents))
       .select("vec_id", "v", "nrm", "c_id")
       .write.mode("overwrite").partitionBy("c_id").parquet(ivfPostingsPath(base))
     graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
-    graft.core.SessionCache.invalidate(spark, "ivf_postings", dir)
     base
   }
 
@@ -316,7 +321,13 @@ object Similarity {
       if (pathExists(spark, ivfIndexPath(dir))) spark.read.parquet(ivfIndexPath(dir))
       else centroidsToDf(spark, kmeansTrain(e))
     }
-    val postings = graft.core.SessionCache.getOrBuild(spark, "ivf_postings", dir) {
+    // postings are deliberately NOT session-cached as a frame: persisting
+    // the whole posting table would defeat partition pruning (the probe
+    // must read only its clusters' c_id partitions from disk) and at
+    // 100 TB would pin the entire corpus index in cluster memory. The
+    // persisted path is a plain partitioned scan; the computed path is a
+    // cheap projection over the (session-cached) normed corpus.
+    val postings =
       if (pathExists(spark, ivfPostingsPath(dir)))
         spark.read.parquet(ivfPostingsPath(dir)).select("vec_id", "v", "nrm", "c_id")
       else {
@@ -326,7 +337,6 @@ object Similarity {
           .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
         e.withColumn("c_id", assignCol(cents)).select("vec_id", "v", "nrm", "c_id")
       }
-    }
     val q = queriesOf(e, qids)
     import org.apache.spark.sql.expressions.Window
     val probe = Window.partitionBy("qid")
@@ -339,8 +349,18 @@ object Similarity {
       .withColumn("crn", row_number().over(probe))
       .filter(col("crn") <= nprobe)
       .select(col("qid"), col("v").as("qv"), col("qnrm"), col("c_id"))
+    // probe planning: the probed cluster ids (<= nprobe x |queries|,
+    // bounded like the quantizer collect above) become a LITERAL
+    // partition filter on the posting lists — static partition pruning
+    // that holds at any scale, instead of leaving the IO cut to the
+    // dynamic-pruning benefit heuristic. The broadcast join then does
+    // the per-query association over only the probed partitions.
+    val probedIds = best.select("c_id").distinct().collect().map(_.getInt(0)).sorted
+    val pruned =
+      if (probedIds.isEmpty) postings.filter(lit(false))
+      else postings.filter(col("c_id").isin(probedIds.toSeq: _*))
     rankTopK(
-      postings.join(broadcast(best), Seq("c_id"))
+      pruned.join(broadcast(best), Seq("c_id"))
         .filter(col("vec_id") =!= col("qid")), k)
   }
 

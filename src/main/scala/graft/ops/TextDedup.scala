@@ -379,6 +379,18 @@ object TextDedup {
   def minhashClusters(spark: SparkSession, dir: String): DataFrame =
     clustersFromPairs(spark, dir, minhashPairs(spark, dir).select("doc_a", "doc_b"))
 
+  /** Cluster-size histogram over the MinHash near-dup clusters — the
+    * dataset-card number ("how much of the corpus is duplicated, at
+    * what multiplicity"): one row per distinct cluster size with the
+    * number of clusters of that size. Derived from the cluster
+    * contract, so it stays linear in docs no matter how dense the
+    * duplication (the pair contract would be quadratic). */
+  def minhashClusterHistogram(spark: SparkSession, dir: String): DataFrame =
+    minhashClusters(spark, dir)
+      .select("cluster_rep", "cluster_size").distinct()
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Components over a doc-level near-dup pair graph, singletons kept:
     * the loop runs only over paired docs (tiny by construction); the
     * corpus enters once, through the singleton anti join. `pairs` must

@@ -326,6 +326,13 @@ class OpsSpec extends SparkSpec {
         "persisted and in-session quantizers must agree bit-for-bit")
       assert(Similarity.kmeansRuns.get() === trainedSoFar,
         "a cold session with a persisted index must not train")
+      // the scale claim made concrete: probe planning pushes the probed
+      // cluster ids as a LITERAL partition filter, so the posting-list
+      // scan reads only those c_id partitions (static pruning — no
+      // dependence on the dynamic-pruning benefit heuristic)
+      val coldPlan = Similarity.ivfTopK(s2, dir).queryExecution.executedPlan.toString
+      assert(coldPlan.toLowerCase.contains("partitionfilters: [c_id"),
+        s"persisted-postings probe must carry a c_id partition filter:\n$coldPlan")
       // behavioral proof the files ARE the probe source: permute the
       // quantizer's cluster ids and a fresh session must follow the
       // doctored file — impossible if the quantizer were re-derived
@@ -354,7 +361,6 @@ class OpsSpec extends SparkSpec {
       rm(new java.io.File(idxPath))
       rm(new java.io.File(Similarity.ivfPostingsPath(dir)))
       graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
-      graft.core.SessionCache.invalidate(spark, "ivf_postings", dir)
     }
   }
 
