@@ -148,6 +148,10 @@ object Similarity {
   def lshMultiTableTopKFor(spark: SparkSession, dir: String,
                            qids: Seq[Long], k: Int, nTables: Int): DataFrame = {
     val nBits = 4
+    // element_at past the vector length would return null and silently
+    // collapse those tables onto bucket 0 — fail loudly instead
+    require(nTables * nBits <= Dim,
+      s"nTables=$nTables needs ${nTables * nBits} dims, corpus has $Dim")
     val e = emb(spark, dir)
     def tabled(df: DataFrame): DataFrame =
       df.withColumn("tb", explode(array((0 until nTables).map(j =>
@@ -206,7 +210,13 @@ object Similarity {
     * round, and partial aggregation does the rest). argmax by (rounded
     * cosine DESC, c_id ASC) via struct ordering: max of (sim, -c_id)
     * structs is the best similarity with smallest-id tie-break — the
-    * same deterministic rule the oracle's row_number window applies. */
+    * same deterministic rule the oracle's row_number window applies.
+    *
+    * A zero (failed/padded) embedding makes every cosine NaN; Spark's
+    * struct ordering ranks NaN above numbers, so such a vector lands
+    * deterministically in the smallest-id cluster — assignment never
+    * throws mid-pipeline, and downstream similarity math guards zero
+    * norms explicitly (`incrementalNearDup`'s nrm > 0 filter). */
   private def assignCol(centroids: Seq[(Int, Seq[Double])]): Column = {
     val scored = centroids.map { case (cid, cv) =>
       struct(
@@ -231,6 +241,14 @@ object Similarity {
     *  Each round collects exactly n_clusters rows (<= 16 x 64 doubles)
     *  to the driver — bounded, like GraphOps' broadcast relabel. */
   private def kmeansTrain(e: DataFrame, seedBits: Int = 4): Seq[(Int, Seq[Double])] = {
+    // the literal-centroid assignment expression carries k x Dim double
+    // literals through codegen — the design assumes a SMALL coarse
+    // quantizer (IVF's k ~ sqrt(n) stays well under 256 for any corpus
+    // this library meets; a million-cluster quantizer needs a join-based
+    // assignment instead, which this deliberately is not)
+    require(seedBits >= 1 && seedBits <= 8,
+      s"seedBits=$seedBits outside [1, 8] (k <= 256 literal quantizer)")
+    require(seedBits <= Dim, s"seedBits=$seedBits exceeds Dim=$Dim")
     kmeansRuns.incrementAndGet()
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("bkt").orderBy("vec_id")
@@ -327,8 +345,9 @@ object Similarity {
     // 100 TB would pin the entire corpus index in cluster memory. The
     // persisted path is a plain partitioned scan; the computed path is a
     // cheap projection over the (session-cached) normed corpus.
+    val filesBacked = pathExists(spark, ivfPostingsPath(dir))
     val postings =
-      if (pathExists(spark, ivfPostingsPath(dir)))
+      if (filesBacked)
         spark.read.parquet(ivfPostingsPath(dir)).select("vec_id", "v", "nrm", "c_id")
       else {
         // derive posting lists from the (possibly persisted) quantizer so
@@ -349,16 +368,21 @@ object Similarity {
       .withColumn("crn", row_number().over(probe))
       .filter(col("crn") <= nprobe)
       .select(col("qid"), col("v").as("qv"), col("qnrm"), col("c_id"))
-    // probe planning: the probed cluster ids (<= nprobe x |queries|,
-    // bounded like the quantizer collect above) become a LITERAL
-    // partition filter on the posting lists — static partition pruning
-    // that holds at any scale, instead of leaving the IO cut to the
-    // dynamic-pruning benefit heuristic. The broadcast join then does
-    // the per-query association over only the probed partitions.
-    val probedIds = best.select("c_id").distinct().collect().map(_.getInt(0)).sorted
+    // probe planning — FILE-backed postings only: the probed cluster ids
+    // (<= nprobe x |queries|, bounded like the quantizer collect above)
+    // become a LITERAL c_id partition filter, so the scan reads only the
+    // probed partitions — static pruning that holds at any scale,
+    // independent of the dynamic-pruning benefit heuristic. The computed
+    // path has no IO to prune (it projects the session-cached corpus),
+    // so it skips the extra planning job and lets the broadcast join
+    // restrict compute.
     val pruned =
-      if (probedIds.isEmpty) postings.filter(lit(false))
-      else postings.filter(col("c_id").isin(probedIds.toSeq: _*))
+      if (!filesBacked) postings
+      else {
+        val probedIds = best.select("c_id").distinct().collect().map(_.getInt(0)).sorted
+        if (probedIds.isEmpty) postings.filter(lit(false))
+        else postings.filter(col("c_id").isin(probedIds.toSeq: _*))
+      }
     rankTopK(
       pruned.join(broadcast(best), Seq("c_id"))
         .filter(col("vec_id") =!= col("qid")), k)
