@@ -22,6 +22,22 @@ object SessionCache {
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Per-key invalidation generation: bumped by invalidate/clear so a
+    * build that was in flight when its files were rewritten can detect
+    * the race and rebuild instead of installing a stale frame (the old
+    * computeIfAbsent serialized invalidate behind the build; the
+    * reentrancy-safe shape needs this explicit check). */
+  private val gens =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+
+  private def genOf(key: (SparkSession, String, String)): Long = {
+    val g = gens.get(key)
+    if (g == null) 0L else g.longValue()
+  }
+
+  private def bumpGen(key: (SparkSession, String, String)): Unit =
+    gens.merge(key, java.lang.Long.valueOf(1L), (a, b) => java.lang.Long.valueOf(a + b))
+
   /** Cleanup callbacks fired when a watched session's application ends —
     * other session-keyed caches (e.g. TextDedup's shingle indexes)
     * register here so one listener evicts everything and no stopped
@@ -76,20 +92,38 @@ object SessionCache {
       // the vector gate materializes the normed corpus, ...), and
       // ConcurrentHashMap.computeIfAbsent forbids reentrant updates — it
       // throws "Recursive update" whenever the nested key happens to
-      // land in the same hash bin, a lottery on the dir string. The cost
-      // of the lock-free shape is a benign race: two threads may build
-      // the same entry concurrently; the loser unpersists its copy and
-      // adopts the winner's.
-      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      // land in the same hash bin, a lottery on the dir string. Two
+      // races follow from the lock-free shape, both handled: (a) two
+      // threads build concurrently — the putIfAbsent loser unpersists
+      // its copy and adopts the winner's; (b) invalidate() fires DURING
+      // a build (files rewritten mid-flight) — detected via the
+      // generation counter, the stale frame is dropped and rebuilt once
+      // against the new files (a second mid-build invalidate returns
+      // the freshest build uncached rather than looping).
+      var genBefore = genOf(key)
+      var df = build.persist(StorageLevel.MEMORY_AND_DISK)
       df.count()
-      val prior = tables.putIfAbsent(key, df)
-      if (prior != null) { df.unpersist(blocking = false); prior } else df
+      if (genOf(key) != genBefore) {
+        df.unpersist(blocking = false)
+        genBefore = genOf(key)
+        df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+      }
+      if (genOf(key) != genBefore) df
+      else {
+        val prior = tables.putIfAbsent(key, df)
+        if (prior != null) { df.unpersist(blocking = false); prior } else df
+      }
     }
   }
 
-  /** Drop one entry (unpersists). Call after rewriting `dir`'s files. */
+  /** Drop one entry (unpersists). Call after rewriting `dir`'s files.
+    * Also bumps the key's generation so an in-flight build of the same
+    * entry discards its (now stale) result instead of installing it. */
   def invalidate(spark: SparkSession, kind: String, dir: String): Unit = {
-    val df = tables.remove((spark, kind, dir))
+    val key = (spark, kind, dir)
+    bumpGen(key)
+    val df = tables.remove(key)
     if (df != null) df.unpersist(blocking = false)
   }
 
@@ -99,6 +133,7 @@ object SessionCache {
     while (it.hasNext) {
       val k = it.next()
       if (k._1 eq spark) {
+        bumpGen(k) // in-flight builds of this session discard their result
         val df = tables.remove(k)
         if (df != null) {
           // unpersist on an already-stopping context can throw; the map
@@ -107,5 +142,9 @@ object SessionCache {
         }
       }
     }
+    // generation counters are deliberately NOT removed here: resetting
+    // one to 0 could make an in-flight build that snapshotted 0 see "no
+    // change" and re-install into the cleared cache. A Long per distinct
+    // (session, kind, dir) ever used is negligible.
   }
 }

@@ -194,10 +194,16 @@ object GraphOps {
       iters += 1
       lap(s"round $iters (live directed edges=$remaining)")
     }
-    if (remaining > 0L)
+    if (remaining > 0L) {
+      // release the final round's blocks before failing: the caller
+      // catches this (it's the documented fail-loudly signal) and the
+      // session lives on — leaked MEMORY_AND_DISK blocks would squeeze
+      // storage for every later job
+      edges.unpersist(false); comp.unpersist(false)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($remaining live edges) — refusing to return partial labels")
+    }
     edges.unpersist(false)
 
     // flatten rep chains: newMap itself may contain chains (a->b, b->c —

@@ -43,9 +43,13 @@ object Multimodal {
   def decode(docId: Long, bytes: Array[Byte], md: MessageDigest): MediaFeatures =
     sniffImage(bytes) match {
       case Some(fmt) =>
+        // NonFatal, not just IOException: the JDK readers throw unchecked
+        // exceptions on fuzzed/corrupt bodies (CMMException, IAE, AIOOBE
+        // from JPEGImageReader) — a bad blob must yield a stub row, never
+        // abort a 100 TB batch
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) decodeStub(docId, bytes, md)
         else {
           md.reset()
@@ -106,6 +110,10 @@ object Multimodal {
   def featuresOf(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      // default ImageIO behavior spools every InputStream to a disk temp
+      // file before decoding (FileCacheImageInputStream) — pure waste
+      // when the payload is already in memory; JVM-global, idempotent
+      javax.imageio.ImageIO.setUseCache(false)
       val md = MessageDigest.getInstance("MD5")
       rows.map(r => decode(r.doc_id, r.media, md))
     }.toDF()

@@ -300,11 +300,19 @@ object Similarity {
     val base = at.getOrElse(dir)
     val e = emb(spark, dir)
     val cents = kmeansTrain(e, seedBits)
-    centroidsToDf(spark, cents).coalesce(1)
-      .write.mode("overwrite").parquet(ivfIndexPath(base))
+    // the QUANTIZER file is the index's commit marker: delete it first,
+    // write the (large, many-task) posting lists, and only then publish
+    // the centroids. A crash mid-postings leaves centroids absent, so
+    // readers fall back to in-session training instead of silently
+    // probing a partially-written index (mere path existence is NOT
+    // completeness under task-commit writers at scale).
+    val idxP = new org.apache.hadoop.fs.Path(ivfIndexPath(base))
+    idxP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(idxP, true)
     e.withColumn("c_id", assignCol(cents))
       .select("vec_id", "v", "nrm", "c_id")
       .write.mode("overwrite").partitionBy("c_id").parquet(ivfPostingsPath(base))
+    centroidsToDf(spark, cents).coalesce(1)
+      .write.mode("overwrite").parquet(ivfIndexPath(base))
     graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
     base
   }
@@ -345,7 +353,12 @@ object Similarity {
     // 100 TB would pin the entire corpus index in cluster memory. The
     // persisted path is a plain partitioned scan; the computed path is a
     // cheap projection over the (session-cached) normed corpus.
-    val filesBacked = pathExists(spark, ivfPostingsPath(dir))
+    // BOTH halves must exist: the centroids file is buildIvfIndex's
+    // commit marker (written last), so postings without centroids mean
+    // a crashed build — fall back to in-session training rather than
+    // probe a possibly-partial index
+    val filesBacked = pathExists(spark, ivfPostingsPath(dir)) &&
+      pathExists(spark, ivfIndexPath(dir))
     val postings =
       if (filesBacked)
         spark.read.parquet(ivfPostingsPath(dir)).select("vec_id", "v", "nrm", "c_id")
@@ -389,10 +402,14 @@ object Similarity {
   }
 
   /** recall@k of `retrieved` against the brute-force `truth` (both in
-    * the (qid, vec_id, cos_sim) shape): fraction of true top-k neighbors
-    * the ANN method returned, averaged over queries. The one number an
-    * ANN user asks first — hash-determinism alone says nothing about
-    * retrieval quality. */
+    * the (qid, vec_id, cos_sim) shape): the POOLED fraction of true
+    * top-k rows the ANN method returned — hits / |truth| over all
+    * queries together. When every query contributes exactly k truth
+    * rows (corpus > k, qids present — the harness's case) this equals
+    * the per-query mean; a qid absent from the corpus contributes no
+    * truth rows and therefore doesn't dilute the metric. The one number
+    * an ANN user asks first — hash-determinism alone says nothing
+    * about retrieval quality. */
   def recallAtK(retrieved: DataFrame, truth: DataFrame): Double = {
     val t = truth.select("qid", "vec_id")
     val hits = retrieved.select("qid", "vec_id").join(t, Seq("qid", "vec_id"), "left_semi").count()

@@ -39,11 +39,7 @@ object ClusterSmoke {
 
     def replicated(k: Int): String = {
       val out = java.nio.file.Files.createTempDirectory(s"clsmoke$k").toString
-      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-      (0 until k).map { i =>
-        val d = docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-        if (i == 0) d else d.withColumn("text", concat(col("text"), lit(s" replica$i")))
-      }.reduce(_ unionByName _)
+      Replicas.docs(spark.read.parquet(s"$srcDir/documents.parquet"), k)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       out
     }

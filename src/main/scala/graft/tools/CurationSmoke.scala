@@ -27,27 +27,20 @@ object CurationSmoke {
 
     def docsJsonl(k: Int): (String, Long) = {
       val out = Files.createTempDirectory(s"cursmoke$k").toString + "/docs"
-      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-        .select("doc_id", "text", "lang")
-      val rep = (0 until k).map { i =>
-        val d = docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-        if (i == 0) d else d.withColumn("text", concat(col("text"), lit(s" replica$i")))
-      }.reduce(_ unionByName _)
-      rep.repartition(8).write.mode("overwrite").json(out)
-      (out, rep.count())
+      Replicas.docs(
+          spark.read.parquet(s"$srcDir/documents.parquet").select("doc_id", "text", "lang"), k)
+        .repartition(8).write.mode("overwrite").json(out)
+      // count the WRITTEN corpus — re-counting the union plan would
+      // rescan the source a second time just to size the benchmark
+      (out, spark.read.json(out).count())
     }
 
     def vecsParquet(k: Int): (String, Long) = {
       val out = Files.createTempDirectory(s"curvec$k").toString + "/vecs"
-      val vecs = spark.read.parquet(s"$srcDir/embeddings.parquet")
-        .select("vec_id", "embedding")
-      val rep = (0 until k).map { i =>
-        val d = vecs.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
-        if (i == 0) d
-        else d.withColumn("embedding", transform(col("embedding"), x => x * lit(1.0f + i * 0.01f)))
-      }.reduce(_ unionByName _)
-      rep.repartition(8).write.mode("overwrite").parquet(out)
-      (out, rep.count())
+      Replicas.vecs(
+          spark.read.parquet(s"$srcDir/embeddings.parquet").select("vec_id", "embedding"), k)
+        .repartition(8).write.mode("overwrite").parquet(out)
+      (out, spark.read.parquet(out).count())
     }
 
     def runText(name: String, glob: String, nIn: Long, nearDup: Boolean): Unit = {

@@ -28,10 +28,7 @@ object PpjoinProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val src = spark.read.parquet(s"$srcDir/documents.parquet")
-    val docs = (0 until factor).map { i =>
-      val d = src.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-      if (i == 0) d else d.withColumn("text", concat(col("text"), lit(s" replica$i")))
-    }.reduce(_ unionByName _).persist()
+    val docs = Replicas.docs(src, factor).persist()
     println(s"${docs.count()} docs (${factor}x $srcDir)")
 
     def timed(f: => Long): (Long, Double) = {

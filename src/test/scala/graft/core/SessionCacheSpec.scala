@@ -52,6 +52,26 @@ class SessionCacheSpec extends SparkSpec {
     SessionCache.invalidate(spark, "spec_inner", "/spec/nested")
   }
 
+  test("an invalidate landing during a build discards the stale frame and rebuilds") {
+    // simulates "files rewritten while the first build was in flight":
+    // the builder itself fires the invalidate mid-build, so the result
+    // it returns is stale by definition and must not be installed
+    import spark.implicits._
+    var builds = 0
+    val df = SessionCache.getOrBuild(spark, "spec_race", "/spec/race") {
+      builds += 1
+      if (builds == 1) SessionCache.invalidate(spark, "spec_race", "/spec/race")
+      Seq(builds).toDF("b")
+    }
+    assert(builds === 2, "the stale first build must be discarded and retried")
+    assert(df.collect()(0).getInt(0) === 2, "the caller gets the post-invalidation build")
+    SessionCache.getOrBuild(spark, "spec_race", "/spec/race") {
+      builds += 1; Seq(9).toDF("b")
+    }
+    assert(builds === 2, "the retried build must have been installed in the cache")
+    SessionCache.invalidate(spark, "spec_race", "/spec/race")
+  }
+
   test("TextDedup shingle index is evicted with the session") {
     val dir = "/root/testdata/sf0.001"
     val first = graft.ops.TextDedup.index(spark, dir)
