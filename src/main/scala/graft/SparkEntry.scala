@@ -83,6 +83,9 @@ object SparkEntry {
     "similarity_topk" -> (Similarity.bruteForceTopK _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    // the nprobe recall lever, oracle-verified (not just spec-asserted):
+    // probing the 2 best clusters must produce exactly the oracle's rows
+    "ann_ivf_nprobe2" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d, nprobe = 2)),
     "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "ann_lsh_multitable" -> (Similarity.lshMultiTableTopK _),
     "embedding_near_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
@@ -181,6 +184,40 @@ object SparkEntry {
   private val centroidCols: String =
     (0 until 64).map(i =>
       s"round(CAST(sum(CAST(v[${i + 1}] AS DECIMAL(27,12))) AS DOUBLE),3) AS s${"%02d".format(i)}").mkString(", ")
+
+  /** The unrolled deterministic-k-means IVF oracle (mirrors
+    * Similarity.kmeansTrain + ivfTopK step for step), parameterized by
+    * how many best clusters the probe scans. */
+  private def ivfOracleSql(nprobe: Int): String = {
+    val meanArr = "[" + (1 to 64).map(i =>
+      s"CAST(sum(CAST(v[$i] AS DECIMAL(27,12))) AS DOUBLE)/count(*)").mkString(", ") + "]"
+    def assign(src: String, cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, v, c_id FROM (
+         |  SELECT b.vec_id, b.v, c.c_id, row_number() OVER (PARTITION BY b.vec_id
+         |    ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.c_id) AS rn
+         |  FROM $src b CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def update(asg: String, out: String) =
+      s"$out AS (SELECT c_id, $meanArr AS cv FROM $asg GROUP BY c_id)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v,
+       |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+       |   + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt FROM e),
+       |seedid AS (SELECT bkt AS c_id, min(vec_id) AS svid FROM bk GROUP BY bkt),
+       |c0 AS (SELECT s.c_id, b.v AS cv FROM seedid s JOIN bk b ON b.vec_id = s.svid),
+       |${assign("e", "c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("e", "c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("e", "c2", "af")},
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+       |pc AS (SELECT qid, qv, c_id, row_number() OVER (PARTITION BY qid
+       |  ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, c_id) AS crn FROM q CROSS JOIN c2),
+       |best AS (SELECT qid, qv, c_id FROM pc WHERE crn <= $nprobe),
+       |s AS (SELECT qid, a.vec_id, round(list_cosine_similarity(qv, a.v), 6) AS cos_sim
+       |  FROM best b JOIN af a ON a.c_id = b.c_id AND a.vec_id <> b.qid),
+       |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+       |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "latest_tick" ->
@@ -568,38 +605,10 @@ object SparkEntry {
     // TRAINED quantizer, mirrored end-to-end: deterministic Lloyd's
     // k-means (sign-bucket min-vec_id seeds, exact-decimal mean updates,
     // IvfIterations=2 unrolled), final assignment as posting lists,
-    // probe = best centroid by rounded cosine. No ground-truth label
-    // anywhere on either side.
-    "ann_ivf_topk" -> {
-      val meanArr = "[" + (1 to 64).map(i =>
-        s"CAST(sum(CAST(v[$i] AS DECIMAL(27,12))) AS DOUBLE)/count(*)").mkString(", ") + "]"
-      def assign(src: String, cents: String, out: String) =
-        s"""$out AS (SELECT vec_id, v, c_id FROM (
-           |  SELECT b.vec_id, b.v, c.c_id, row_number() OVER (PARTITION BY b.vec_id
-           |    ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.c_id) AS rn
-           |  FROM $src b CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-      def update(asg: String, out: String) =
-        s"$out AS (SELECT c_id, $meanArr AS cv FROM $asg GROUP BY c_id)"
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |bk AS (SELECT vec_id, v,
-         |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
-         |   + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt FROM e),
-         |seedid AS (SELECT bkt AS c_id, min(vec_id) AS svid FROM bk GROUP BY bkt),
-         |c0 AS (SELECT s.c_id, b.v AS cv FROM seedid s JOIN bk b ON b.vec_id = s.svid),
-         |${assign("e", "c0", "a1")},
-         |${update("a1", "c1")},
-         |${assign("e", "c1", "a2")},
-         |${update("a2", "c2")},
-         |${assign("e", "c2", "af")},
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),
-         |pc AS (SELECT qid, qv, c_id, row_number() OVER (PARTITION BY qid
-         |  ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, c_id) AS crn FROM q CROSS JOIN c2),
-         |best AS (SELECT qid, qv, c_id FROM pc WHERE crn <= 1),
-         |s AS (SELECT qid, a.vec_id, round(list_cosine_similarity(qv, a.v), 6) AS cos_sim
-         |  FROM best b JOIN af a ON a.c_id = b.c_id AND a.vec_id <> b.qid),
-         |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
-         |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
-    },
+    // probe = best `nprobe` centroids by rounded cosine. No ground-truth
+    // label anywhere on either side.
+    "ann_ivf_topk" -> ivfOracleSql(nprobe = 1),
+    "ann_ivf_nprobe2" -> ivfOracleSql(nprobe = 2),
 
     "embedding_near_dup" ->
       s"""WITH $EmbBucketCte

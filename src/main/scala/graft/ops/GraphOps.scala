@@ -82,6 +82,12 @@ object GraphOps {
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(nodeField.dataType),
       s"connectedComponents needs an integral node id, got ${nodeField.dataType}")
 
+    // observable without the debug env: round/flatten counts publish as
+    // named accumulators (Spark UI / status store / listeners), so a
+    // production job can alert on an unusually deep fixpoint long before
+    // the maxIters backstop trips
+    val roundsAcc = sc.longAccumulator("graft.cc.rounds")
+    val flattenAcc = sc.longAccumulator("graft.cc.flattenLaps")
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var t0 = System.nanoTime()
     def lap(name: => String): Unit =
@@ -192,6 +198,7 @@ object GraphOps {
       edges = nextEdges
       comp = nextComp
       iters += 1
+      roundsAcc.add(1L)
       lap(s"round $iters (live directed edges=$remaining)")
     }
     if (remaining > 0L) {
@@ -227,6 +234,7 @@ object GraphOps {
       comp.unpersist(false)
       comp = next
       flaps += 1
+      flattenAcc.add(1L)
     }
     if (debug) println(s"[cc] converged after $iters rounds (+$flaps flatten laps)")
 
