@@ -168,6 +168,44 @@ object Graft {
       nearDupDir, nearDupThreshold)
   }
 
+  /** The vector-modality sibling of `curateCorpus` as ONE call: stream
+    * (vec_id, embedding) parquet files -> incremental near-dup gate
+    * against the PERSISTED fixed-width vector index (sign-bucket
+    * candidates + Hamming-1 multi-probe, cosine verify from stored
+    * vector+norm) -> curated batch_id-partitioned parquet with the same
+    * replay-idempotent sink scheme and in-pipeline compaction. New
+    * files dropped into `vecsDir` are picked up by later triggers;
+    * restart with the same checkpoint resumes incrementally. */
+  def curateVectors(
+      spark: SparkSession, vecsDir: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      threshold: Double = 0.9,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 16,
+      compactEvery: Int = 8): StreamingQuery = {
+    val schema = spark.read.parquet(vecsDir).schema
+    val vecs = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(vecsDir)
+      .select("vec_id", "embedding")
+    ops.CurationPipeline.streamingVectorDedup(
+      vecs, corpusDir, indexDir, checkpointDir, trigger, threshold, compactEvery)
+  }
+
+  /** Build (train + persist) the IVF ANN index for an embeddings dir —
+    * deterministic k-means centroids plus c_id-partitioned posting
+    * lists; cold sessions then probe with zero training work
+    * (ops.Similarity.buildIvfIndex). */
+  def buildVectorIndex(spark: SparkSession, dir: String, seedBits: Int = 4): String =
+    ops.Similarity.buildIvfIndex(spark, dir, seedBits = seedBits)
+
+  /** ANN top-k over the (persisted-first) IVF index: best `nprobe`
+    * clusters per query, statically partition-pruned posting scan. */
+  def annSearch(spark: SparkSession, dir: String,
+                queryIds: Seq[Long], k: Int = 10, nprobe: Int = 1): org.apache.spark.sql.DataFrame =
+    ops.Similarity.ivfTopKFor(spark, dir, queryIds, k, nprobe)
+
   /** Start serving /metrics and /health for a running ingest; returns the
     * server (stop() when done) after registering the listener. */
   def serveMetrics(spark: SparkSession, port: Int = 0): (obs.IngestMetricsListener, obs.MetricsHttpServer) = {

@@ -290,4 +290,33 @@ class GraftFacadeSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("batch_id=")).sorted
     assert(batchDirs.length === 2, s"one partition per run's batch (saw ${batchDirs.toSeq})")
   }
+
+  test("vector curation end-to-end: parquet stream -> near-dup gate -> curated vectors") {
+    val spark = Graft.session(cores = 4)
+    import spark.implicits._
+    val vecsDir = Files.createTempDirectory("gvec_in").toString
+    val corpusDir = Files.createTempDirectory("gvec_out").toString + "/vecs"
+    val indexDir = Files.createTempDirectory("gvec_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("gvec_ck").toString
+    val base = (1 to 64).map(i => math.sin(i.toDouble).toFloat).toArray
+    val other = (1 to 64).map(i => math.cos(i * 3.0).toFloat).toArray
+
+    // run 1: a vector + its colinear copy (in-batch dup) land as files
+    Seq((1L, base), (2L, base.map(_ * 2.0f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(vecsDir)
+    val q1 = Graft.curateVectors(spark, vecsDir, corpusDir, indexDir, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(corpusDir).select("vec_id").as[Long].collect().sorted
+      === Array(1L), "in-batch colinear copy dropped, min id kept")
+
+    // run 2 (same checkpoint): a cross-RUN colinear copy + a new vector
+    Seq((3L, base.map(_ * 0.5f)), (4L, other))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(vecsDir)
+    val q2 = Graft.curateVectors(spark, vecsDir, corpusDir, indexDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(corpusDir).select("vec_id").as[Long].collect().sorted
+      === Array(1L, 4L),
+      "the persisted index drops the cross-run colinear copy; the novel vector survives")
+    assert(spark.read.parquet(indexDir).count() === 2L, "one fixed-width index row per survivor")
+  }
 }

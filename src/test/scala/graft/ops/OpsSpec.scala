@@ -395,6 +395,30 @@ class OpsSpec extends SparkSpec {
     } finally truth.unpersist()
   }
 
+  test("a crashed index build (postings without the centroid marker) is ignored, not probed") {
+    val live = Similarity.ivfTopK(spark, dir).collect()
+    try {
+      Similarity.buildIvfIndex(spark, dir)
+      // simulate the crash window: postings committed, centroids (the
+      // commit marker, written LAST) never published
+      def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+      rm(new java.io.File(Similarity.ivfIndexPath(dir)))
+      graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+      val before = Similarity.kmeansRuns.get()
+      val s2 = spark.newSession()
+      val recovered = Similarity.ivfTopK(s2, dir).collect()
+      assert(Similarity.kmeansRuns.get() === before + 1,
+        "without the commit marker the session must retrain, not trust the partial index")
+      assert(recovered.map(_.toString).toSeq === live.map(_.toString).toSeq,
+        "retraining reproduces the deterministic k-means results")
+    } finally {
+      def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+      rm(new java.io.File(Similarity.ivfIndexPath(dir)))
+      rm(new java.io.File(Similarity.ivfPostingsPath(dir)))
+      graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+    }
+  }
+
   test("fingerprints agree exactly for identical docs") {
     val fps = TextAnalysis.fingerprints(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
