@@ -86,6 +86,7 @@ object SparkEntry {
     // the nprobe recall lever, oracle-verified (not just spec-asserted):
     // probing the 2 best clusters must produce exactly the oracle's rows
     "ann_ivf_nprobe2" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d, nprobe = 2)),
+    "ann_pq_topk" -> (Similarity.pqTopK _),
     "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "ann_lsh_multitable" -> (Similarity.lshMultiTableTopK _),
     "embedding_near_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
@@ -217,6 +218,60 @@ object SparkEntry {
        |  FROM best b JOIN af a ON a.c_id = b.c_id AND a.vec_id <> b.qid),
        |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
        |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
+  }
+
+  /** Product-quantization oracle: 8 independent 8-dim sub-k-means
+    * (same deterministic recipe, squared-L2 assignment), codes from the
+    * final assignments, ADC scoring with explicit left-associated term
+    * order mirroring Similarity.pqTopKFor's driver-side lookup tables. */
+  private def pqOracleSql: String = {
+    val M = 8; val dsub = 8
+    def off(j: Int) = j * dsub
+    def distSql(j: Int) = (1 to dsub).map(d =>
+      s"(b.v[${off(j) + d}] - c.cv[$d])*(b.v[${off(j) + d}] - c.cv[$d])").mkString(" + ")
+    def seedCtes(j: Int) = {
+      val bkt = (0 until 4).map(i =>
+        s"CASE WHEN v[${off(j) + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+      val sub = (1 to dsub).map(d => s"b.v[${off(j) + d}]").mkString(", ")
+      s"""sb$j AS (SELECT vec_id, v, ($bkt) AS bkt FROM e),
+         |sd$j AS (SELECT bkt AS c_id, min(vec_id) AS svid FROM sb$j GROUP BY bkt),
+         |c${j}_0 AS (SELECT s.c_id, [$sub] AS cv FROM sd$j s JOIN sb$j b ON b.vec_id = s.svid)""".stripMargin
+    }
+    def assignCte(j: Int, r: Int) =
+      s"""a${j}_$r AS (SELECT vec_id, v, c_id FROM (
+         |  SELECT b.vec_id, b.v, c.c_id, row_number() OVER (PARTITION BY b.vec_id
+         |    ORDER BY round(${distSql(j)}, 6) ASC, c.c_id) AS rn
+         |  FROM e b CROSS JOIN c${j}_${r - 1} c) WHERE rn = 1)""".stripMargin
+    def updateCte(j: Int, r: Int) = {
+      val means = (1 to dsub).map(d =>
+        s"CAST(sum(CAST(v[${off(j) + d}] AS DECIMAL(27,12))) AS DOUBLE)/count(*)").mkString(", ")
+      s"c${j}_$r AS (SELECT c_id, [$means] AS cv FROM a${j}_$r GROUP BY c_id)"
+    }
+    def finalAssign(j: Int) =
+      s"""af$j AS (SELECT vec_id, c_id FROM (
+         |  SELECT b.vec_id, c.c_id, row_number() OVER (PARTITION BY b.vec_id
+         |    ORDER BY round(${distSql(j)}, 6) ASC, c.c_id) AS rn
+         |  FROM e b CROSS JOIN c${j}_2 c) WHERE rn = 1)""".stripMargin
+    val per = (0 until M).map(j => Seq(seedCtes(j), assignCte(j, 1), updateCte(j, 1),
+      assignCte(j, 2), updateCte(j, 2), finalAssign(j)).mkString(",\n")).mkString(",\n")
+    val codeSel = (0 until M).map(j => s"af$j.c_id AS k$j").mkString(", ")
+    val codeJoin = (0 until M).map(j => s"JOIN af$j ON af$j.vec_id = x.vec_id").mkString(" ")
+    val cbJoin = (0 until M).map(j => s"JOIN c${j}_2 cb$j ON cb$j.c_id = k.k$j").mkString(" ")
+    val dotSum = (0 until M).map(j =>
+      "(" + (1 to dsub).map(d => s"q.qv[${off(j) + d}]*cb$j.cv[$d]").mkString(" + ") + ")").mkString(" + ")
+    val normSum = (0 until M).map(j =>
+      "(" + (1 to dsub).map(d => s"cb$j.cv[$d]*cb$j.cv[$d]").mkString(" + ") + ")").mkString(" + ")
+    val qnrm = (1 to 64).map(d => s"q.qv[$d]*q.qv[$d]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$per,
+       |codes AS (SELECT x.vec_id, $codeSel FROM e x $codeJoin),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+       |s AS (SELECT q.qid, k.vec_id,
+       |  round(($dotSum) / (sqrt($normSum) * sqrt($qnrm)), 6) AS approx_sim
+       |  FROM q CROSS JOIN codes k $cbJoin
+       |  WHERE k.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, approx_sim, row_number() OVER (PARTITION BY qid ORDER BY approx_sim DESC, vec_id) AS rn FROM s)
+       |SELECT qid, vec_id, approx_sim FROM r WHERE rn <= 5 ORDER BY qid, approx_sim DESC, vec_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -609,6 +664,7 @@ object SparkEntry {
     // label anywhere on either side.
     "ann_ivf_topk" -> ivfOracleSql(nprobe = 1),
     "ann_ivf_nprobe2" -> ivfOracleSql(nprobe = 2),
+    "ann_pq_topk" -> pqOracleSql,
 
     "embedding_near_dup" ->
       s"""WITH $EmbBucketCte

@@ -473,6 +473,158 @@ object Similarity {
     (survivors, rows)
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): the MEMORY lever for ANN at 100 TB.
+  // The 64-dim double vector (512 B) compresses to ONE 32-bit code
+  // (8 subspaces x 4-bit centroid ids — 128x smaller), and queries
+  // score candidates from per-subspace lookup tables (ADC) without
+  // touching the raw vectors. Training is the same deterministic
+  // k-means recipe as the IVF quantizer (sign-bucket min-vec_id seeds,
+  // exact-decimal mean updates, fixed iterations), run independently
+  // per 8-dim subspace with squared-L2 assignment — so the DuckDB
+  // oracle can unroll it step for step and the index is reproducible
+  // across engines and sessions.
+
+  /** Subspaces and dims per subspace: PqM * PqDsub == Dim. */
+  val PqM = 8
+  val PqDsub = 8
+
+  /** Squared-L2 nearest-sub-centroid assignment for subspace at `off`,
+    * as one codegen'd literal projection: argmin via ascending struct
+    * ordering on (rounded distance, c_id) — the oracle's row_number
+    * (dist ASC, c_id ASC) rule exactly. Term order is the left fold
+    * d = 0..7, mirrored by the generated SQL. */
+  private def pqAssignCol(off: Int, cents: Seq[(Int, Seq[Double])]): Column = {
+    // HOF formulation: the candidate distances evaluate in a codegen
+    // LOOP over a literal codebook array instead of 16x8 unrolled terms
+    // — the unrolled form blew Janino's 64KB method limit once all 8
+    // subspaces packed into one projection (Spark then fell back to
+    // interpreted execution). Fold order mirrors the oracle exactly:
+    // 0.0 + d1^2 + d2^2 + ... left-associated (0.0 + x == x in IEEE
+    // for the non-negative squares, so the leading init is value-free).
+    val lits = typedLit(cents.map { case (cid, cv) => (cid, cv) })
+    val sub = slice(col("v"), off + 1, PqDsub)
+    array_min(transform(lits, c => struct(
+      round(aggregate(zip_with(sub, c.getField("_2"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t), 6).as("dist"),
+      c.getField("_1").as("cid")))).getField("cid")
+  }
+
+  /** Train one subspace's codebook: seeds = the min-vec_id subvector of
+    * each non-empty 4-bit sign bucket (of the subspace's FIRST 4 dims),
+    * then `IvfIterations` (assign, exact-decimal-mean update) rounds. */
+  private def pqTrainSub(e: DataFrame, off: Int): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.sql.expressions.Window
+    val bktCol = (0 until 4).map { i =>
+      when(element_at(col("v"), off + i + 1) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("int")
+    val w = Window.partitionBy("bkt").orderBy("vec_id")
+    val subCols = (0 until PqDsub).map(d => element_at(col("v"), off + d + 1).as(s"s$d"))
+    var cents: Seq[(Int, Seq[Double])] =
+      e.withColumn("bkt", bktCol)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("bkt") +: subCols: _*).collect()
+        .map(r => (r.getInt(0), (1 to PqDsub).map(r.getDouble).toSeq)).sortBy(_._1).toSeq
+    val avgCols = (0 until PqDsub).map(d =>
+      (sum(element_at(col("v"), off + d + 1).cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as(s"a$d"))
+    for (_ <- 0 until IvfIterations) {
+      cents = e.withColumn("c_id", pqAssignCol(off, cents))
+        .groupBy("c_id").agg(avgCols.head, avgCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), (0 until PqDsub).map(d => r.getDouble(1 + d)).toSeq))
+        .sortBy(_._1).toSeq
+    }
+    cents
+  }
+
+  /** Diagnostic counter like `kmeansRuns`, for the PQ codebooks. */
+  private[graft] val pqTrainRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Session-scoped PQ codebooks (driver-side values, a few KB). */
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Seq[(Int, Seq[Double])]]]()
+
+  private def codebooksOf(spark: SparkSession, dir: String): Seq[Seq[(Int, Seq[Double])]] = {
+    graft.core.SessionCache.watch(spark)
+    pqCodebooks.computeIfAbsent((spark, dir), { _ =>
+      pqTrainRuns.incrementAndGet()
+      val e = emb(spark, dir)
+      (0 until PqM).map(j => pqTrainSub(e, j * PqDsub))
+    })
+  }
+
+  // evict with the session, like TextDedup's indexes
+  graft.core.SessionCache.onSessionEnd { spark =>
+    val it = pqCodebooks.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
+
+  /** One packed 32-bit-in-a-long PQ code per vector: subspace j's 4-bit
+    * centroid id at bit offset 4j. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val cbs = codebooksOf(spark, dir)
+    graft.core.SessionCache.getOrBuild(spark, "pq_codes", dir) {
+      val codeCol = (0 until PqM).map(j =>
+        shiftleft(pqAssignCol(j * PqDsub, cbs(j)).cast("long"), 4 * j)).reduce(_ + _)
+      emb(spark, dir).select(col("vec_id"), codeCol.as("code"))
+    }
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation: each query builds
+    * per-subspace lookup tables driver-side (dot(q_sub, centroid) and
+    * ||centroid||^2 — PqM x 16 doubles), and every candidate is scored
+    * from its CODE alone:
+    *
+    *   approx_cos(q, v) = sum_j tab_j[code_j]
+    *                      / (sqrt(sum_j ||c_{j,code_j}||^2) * ||q||)
+    *
+    * — one projection over the packed-code table, no raw-vector reads.
+    * At 100 TB this is the candidate-scoring stage that keeps the whole
+    * index in memory (4 B/vector); exact re-ranking of the top
+    * candidates (via the stored vectors, `bruteForceTopKFor`-style) is
+    * the standard refinement and is measured in AnnRecall. */
+  def pqTopKFor(spark: SparkSession, dir: String,
+                qids: Seq[Long], k: Int): DataFrame = {
+    val cbs = codebooksOf(spark, dir)
+    val codes = pqCodes(spark, dir)
+    val e = emb(spark, dir)
+    val qrows = e.filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    // ||c||^2 tables are query-independent; index c_id + 1 (element_at is
+    // 1-based) with 0.0 holes for empty (never-assigned) centroid ids
+    def table(j: Int)(value: Seq[Double] => Double): Seq[Double] = {
+      val m = cbs(j).map { case (cid, cv) => cid -> value(cv) }.toMap
+      (0 until 16).map(c => m.getOrElse(c, 0.0))
+    }
+    val normTabs = (0 until PqM).map(j => table(j)(cv => (0 until PqDsub).map(d => cv(d) * cv(d)).reduce(_ + _)))
+    import org.apache.spark.sql.expressions.Window
+    val perQuery = qrows.map { case (qid, qv, qnrm) =>
+      val dotTabs = (0 until PqM).map { j =>
+        table(j)(cv => (0 until PqDsub).map(d => qv(j * PqDsub + d) * cv(d)).reduce(_ + _))
+      }
+      def lookup(tabs: Seq[Seq[Double]]): Column =
+        (0 until PqM).map { j =>
+          element_at(typedLit(tabs(j)),
+            (shiftright(col("code"), 4 * j).bitwiseAND(lit(15L)) + 1).cast("int"))
+        }.reduce(_ + _)
+      codes.select(
+        lit(qid).as("qid"), col("vec_id"),
+        round(lookup(dotTabs) / (sqrt(lookup(normTabs)) * lit(qnrm)), 6).as("approx_sim"))
+    }
+    val scored = perQuery.reduce(_ unionByName _).filter(col("vec_id") =!= col("qid"))
+    val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "approx_sim")
+      .orderBy(col("qid"), col("approx_sim").desc, col("vec_id"))
+  }
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopKFor(spark, dir, QueryIds.map(_.toLong), 5)
+
   /** Centroid per label — the reduction side of an IVF index build: one
     * pass, partial aggregation per partition (sums of 64-dim arrays). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {

@@ -43,6 +43,24 @@ object AnnRecall {
     report("ivf (trained, nprobe=1)", Similarity.ivfTopKFor(spark, sfDir, qids, k, nprobe = 1))
     report("ivf (trained, nprobe=2)", Similarity.ivfTopKFor(spark, sfDir, qids, k, nprobe = 2))
     report("ivf (trained, nprobe=4)", Similarity.ivfTopKFor(spark, sfDir, qids, k, nprobe = 4))
+    report("pq (adc over 32-bit codes)",
+      Similarity.pqTopKFor(spark, sfDir, qids, k).withColumnRenamed("approx_sim", "cos_sim"))
+    // the standard PQ refinement: score EVERYTHING by code (cheap), then
+    // exact-rerank the top 4k candidates — recall of the reranked top-k
+    val pqWide = Similarity.pqTopKFor(spark, sfDir, qids, 4 * k)
+    val rerank = Similarity.emb(spark, sfDir).as("e")
+      .join(pqWide.as("p"), col("e.vec_id") === col("p.vec_id"))
+      .join(broadcast(Similarity.emb(spark, sfDir)
+        .filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))), Seq("qid"))
+      .withColumn("cos_sim", round(
+        Similarity.cosineWithNorms(col("qv"), col("e.v"), col("qnrm"), col("e.nrm")), 6))
+      .select(col("qid"), col("e.vec_id").as("vec_id"), col("cos_sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    report(s"pq + exact rerank of top ${4 * k}",
+      rerank.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("qid", "vec_id", "cos_sim"))
     truth.unpersist()
 
     // candidate-stage recall of the vector near-dup gate: of all TRUE

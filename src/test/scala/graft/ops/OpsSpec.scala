@@ -364,6 +364,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("product quantization: 32-bit codes, deterministic across sessions, sane ADC scores") {
+    val d = "/root/testdata/sf0.01"
+    val codes = Similarity.pqCodes(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes.size === 500, "one packed code per vector")
+    assert(codes.values.forall(c => c >= 0L && c < (1L << 32)),
+      "8 x 4-bit sub-codes must fit 32 bits (128x compression vs 64 doubles)")
+    val live = Similarity.pqTopK(spark, d).collect()
+    assert(live.length === 15)
+    // retraining in a fresh session reproduces codes AND rankings exactly
+    val s2 = spark.newSession()
+    val cold = Similarity.pqTopK(s2, d).collect()
+    assert(cold.map(_.toString).toSeq === live.map(_.toString).toSeq,
+      "deterministic k-means codebooks must reproduce bit-for-bit")
+    // ADC approximation sanity: every approx_sim is a valid cosine-like
+    // value, and the PQ ranking overlaps the exact ranking (recall floor
+    // measured properly in AnnRecall / docs/SCALING.md)
+    assert(live.forall(r => math.abs(r.getAs[Double]("approx_sim")) <= 1.5))
+    val truth = Similarity.bruteForceTopKFor(spark, d, Similarity.QueryIds.map(_.toLong), 5)
+    val recall = Similarity.recallAtK(
+      Similarity.pqTopK(spark, d).withColumnRenamed("approx_sim", "cos_sim"), truth)
+    assert(recall >= 0.2, s"PQ recall collapsed on the fixture: $recall")
+  }
+
   test("ANN recall: levers are monotone and clear measured floors on the real corpus") {
     // hash-determinism proves engine parity; THIS measures retrieval
     // quality. Floors are the sf0.01 measurements (AnnRecall tool,
