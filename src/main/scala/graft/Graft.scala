@@ -183,7 +183,14 @@ object Graft {
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Int = 16,
       compactEvery: Int = 8): StreamingQuery = {
-    val schema = spark.read.parquet(vecsDir).schema
+    // FIXED contract schema, not inference: inferring needs files to
+    // already exist, but the documented contract is that files may be
+    // dropped into vecsDir AFTER the stream starts (curateCorpus makes
+    // the same choice with DocSources.documentSchema)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
     val vecs = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)

@@ -83,9 +83,11 @@ object GraphOps {
       s"connectedComponents needs an integral node id, got ${nodeField.dataType}")
 
     // observable without the debug env: round/flatten counts publish as
-    // named accumulators (Spark UI / status store / listeners), so a
-    // production job can alert on an unusually deep fixpoint long before
-    // the maxIters backstop trips
+    // named accumulators. They are added from INSIDE a task of the final
+    // labels job (driver-side .add never reaches the UI/status store —
+    // accumulators surface through task-end updates only); a retried
+    // task could double-count, which is acceptable for a gauge read as
+    // "how deep did the fixpoint go"
     val roundsAcc = sc.longAccumulator("graft.cc.rounds")
     val flattenAcc = sc.longAccumulator("graft.cc.flattenLaps")
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
@@ -198,7 +200,6 @@ object GraphOps {
       edges = nextEdges
       comp = nextComp
       iters += 1
-      roundsAcc.add(1L)
       lap(s"round $iters (live directed edges=$remaining)")
     }
     if (remaining > 0L) {
@@ -234,7 +235,6 @@ object GraphOps {
       comp.unpersist(false)
       comp = next
       flaps += 1
-      flattenAcc.add(1L)
     }
     if (debug) println(s"[cc] converged after $iters rounds (+$flaps flatten laps)")
 
@@ -243,9 +243,15 @@ object GraphOps {
     // can be released NOW instead of riding along until the caller's
     // DataFrame is garbage-collected; `labels` itself is freed by the
     // ContextCleaner when the result goes unreachable.
+    val finalIters = iters.toLong
+    val finalFlaps = flaps.toLong
     val labels = nRdd.map(n => (n, n)).reduceByKey(part, (a, _) => a)
       .leftOuterJoin(comp, part)
       .map { case (n, (_, o)) => (n, o.getOrElse(n)) }
+      .mapPartitionsWithIndex({ (i, it) =>
+        if (i == 0) { roundsAcc.add(finalIters); flattenAcc.add(finalFlaps) }
+        it
+      }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels.count()
     comp.unpersist(false)

@@ -313,7 +313,11 @@ object Similarity {
       .write.mode("overwrite").partitionBy("c_id").parquet(ivfPostingsPath(base))
     centroidsToDf(spark, cents).coalesce(1)
       .write.mode("overwrite").parquet(ivfIndexPath(base))
+    // invalidate BOTH the source dir's and (when redirected via `at`)
+    // the target base's session cache — a session that already probed
+    // `base` must not keep serving pre-build centroids
     graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+    if (base != dir) graft.core.SessionCache.invalidate(spark, "ivf_centroids", base)
     base
   }
 
@@ -515,9 +519,7 @@ object Similarity {
     * then `IvfIterations` (assign, exact-decimal-mean update) rounds. */
   private def pqTrainSub(e: DataFrame, off: Int): Seq[(Int, Seq[Double])] = {
     import org.apache.spark.sql.expressions.Window
-    val bktCol = (0 until 4).map { i =>
-      when(element_at(col("v"), off + i + 1) >= 0.0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _).cast("int")
+    val bktCol = bucketSlice(col("v"), off, 4).cast("int")
     val w = Window.partitionBy("bkt").orderBy("vec_id")
     val subCols = (0 until PqDsub).map(d => element_at(col("v"), off + d + 1).as(s"s$d"))
     var cents: Seq[(Int, Seq[Double])] =
@@ -545,13 +547,71 @@ object Similarity {
   private val pqCodebooks =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Seq[(Int, Seq[Double])]]]()
 
+  /** On-disk PQ index locations: the codebooks file doubles as the
+    * commit marker (written LAST by `buildPqIndex`, like the IVF
+    * centroids file). */
+  def pqIndexPath(dir: String): String = s"$dir/pq_index.parquet"
+  def pqCodesPath(dir: String): String = s"$dir/pq_codes.parquet"
+
   private def codebooksOf(spark: SparkSession, dir: String): Seq[Seq[(Int, Seq[Double])]] = {
     graft.core.SessionCache.watch(spark)
     pqCodebooks.computeIfAbsent((spark, dir), { _ =>
-      pqTrainRuns.incrementAndGet()
-      val e = emb(spark, dir)
-      (0 until PqM).map(j => pqTrainSub(e, j * PqDsub))
+      if (pathExists(spark, pqIndexPath(dir))) {
+        // persisted-first: doubles round-trip parquet losslessly, so a
+        // cold session reproduces the training session bit for bit with
+        // zero training work
+        spark.read.parquet(pqIndexPath(dir))
+          .select("j", "c_id", "cv").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (_, rows) => rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+      } else trainAllSubspaces(emb(spark, dir))
     })
+  }
+
+  /** The packed-code column for a trained codebook set — THE one
+    * definition of the 4-bits-per-subspace layout, shared by the
+    * persisted build and the session-computed path so the two can
+    * never drift. */
+  private def codeColOf(cbs: Seq[Seq[(Int, Seq[Double])]]): Column =
+    (0 until PqM).map(j =>
+      shiftleft(pqAssignCol(j * PqDsub, cbs(j)).cast("long"), 4 * j)).reduce(_ + _)
+
+  private def trainAllSubspaces(e: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+    pqTrainRuns.incrementAndGet()
+    (0 until PqM).map(j => pqTrainSub(e, j * PqDsub))
+  }
+
+  /** Train and persist BOTH halves of the PQ index: packed codes first,
+    * the codebooks (the commit marker) last — a crash mid-build leaves
+    * no marker and readers retrain, never trusting partial codes. */
+  def buildPqIndex(spark: SparkSession, dir: String, at: Option[String] = None): String = {
+    val base = at.getOrElse(dir)
+    val e = emb(spark, dir)
+    val cbs = trainAllSubspaces(e)
+    val markerP = new org.apache.hadoop.fs.Path(pqIndexPath(base))
+    markerP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(markerP, true)
+    e.select(col("vec_id"), codeColOf(cbs).as("code"))
+      .write.mode("overwrite").parquet(pqCodesPath(base))
+    val rows = for { (cb, j) <- cbs.zipWithIndex; (cid, cv) <- cb } yield (j, cid, cv)
+    locally {
+      import spark.implicits._
+      rows.toDF("j", "c_id", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(pqIndexPath(base))
+    }
+    // invalidate the session state of BOTH the source dir and (when
+    // redirected) the base the index was written to — a session that
+    // already probed `base` must not keep serving pre-build state
+    invalidatePq(spark, dir)
+    if (base != dir) invalidatePq(spark, base)
+    base
+  }
+
+  /** Drop this (session, dir)'s PQ state (codebooks + code table) —
+    * call after rewriting embeddings.parquet or the on-disk PQ index. */
+  def invalidatePq(spark: SparkSession, dir: String): Unit = {
+    pqCodebooks.remove((spark, dir))
+    graft.core.SessionCache.invalidate(spark, "pq_codes", dir)
   }
 
   // evict with the session, like TextDedup's indexes
@@ -561,15 +621,17 @@ object Similarity {
   }
 
   /** One packed 32-bit-in-a-long PQ code per vector: subspace j's 4-bit
-    * centroid id at bit offset 4j. */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val cbs = codebooksOf(spark, dir)
+    * centroid id at bit offset 4j. Persisted-first (both halves of the
+    * on-disk index present), else computed once per (session, dir). The
+    * code table is tiny (one long per vector), so session-caching it is
+    * safe either way. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionCache.getOrBuild(spark, "pq_codes", dir) {
-      val codeCol = (0 until PqM).map(j =>
-        shiftleft(pqAssignCol(j * PqDsub, cbs(j)).cast("long"), 4 * j)).reduce(_ + _)
-      emb(spark, dir).select(col("vec_id"), codeCol.as("code"))
+      if (pathExists(spark, pqCodesPath(dir)) && pathExists(spark, pqIndexPath(dir)))
+        spark.read.parquet(pqCodesPath(dir)).select("vec_id", "code")
+      else
+        emb(spark, dir).select(col("vec_id"), codeColOf(codebooksOf(spark, dir)).as("code"))
     }
-  }
 
   /** PQ ANN top-k by asymmetric distance computation: each query builds
     * per-subspace lookup tables driver-side (dot(q_sub, centroid) and
@@ -589,9 +651,13 @@ object Similarity {
     val cbs = codebooksOf(spark, dir)
     val codes = pqCodes(spark, dir)
     val e = emb(spark, dir)
+    // a zero query vector (qnrm = 0) can only produce 0/0 = NaN scores —
+    // drop it here like incrementalNearDup's nrm > 0 guard drops its
+    // counterpart, rather than letting NaN outrank every real similarity
     val qrows = e.filter(col("vec_id").isin(qids: _*))
       .select("vec_id", "v", "nrm").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .filter(_._3 > 0.0)
       .sortBy(_._1)
     // ||c||^2 tables are query-independent; index c_id + 1 (element_at is
     // 1-based) with 0.0 holes for empty (never-assigned) centroid ids
@@ -599,22 +665,46 @@ object Similarity {
       val m = cbs(j).map { case (cid, cv) => cid -> value(cv) }.toMap
       (0 until 16).map(c => m.getOrElse(c, 0.0))
     }
-    val normTabs = (0 until PqM).map(j => table(j)(cv => (0 until PqDsub).map(d => cv(d) * cv(d)).reduce(_ + _)))
-    import org.apache.spark.sql.expressions.Window
-    val perQuery = qrows.map { case (qid, qv, qnrm) =>
+    val normTabs = (0 until PqM).map(j =>
+      table(j)(cv => (0 until PqDsub).map(d => cv(d) * cv(d)).reduce(_ + _)))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("approx_sim", org.apache.spark.sql.types.DoubleType)))
+    if (qrows.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    // ONE scan of the code table for ALL queries: the query frame is a
+    // broadcast of (qid, qnrm, per-subspace dot tables) rows, and every
+    // candidate scores against every query in a single projection —
+    // term order (subspace-major left fold) identical to the oracle.
+    val qSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType) +:
+      org.apache.spark.sql.types.StructField("qnrm", org.apache.spark.sql.types.DoubleType) +:
+      (0 until PqM).map(j => org.apache.spark.sql.types.StructField(s"dt$j",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val qRowsSpark = qrows.map { case (qid, qv, qnrm) =>
       val dotTabs = (0 until PqM).map { j =>
         table(j)(cv => (0 until PqDsub).map(d => qv(j * PqDsub + d) * cv(d)).reduce(_ + _))
       }
-      def lookup(tabs: Seq[Seq[Double]]): Column =
-        (0 until PqM).map { j =>
-          element_at(typedLit(tabs(j)),
-            (shiftright(col("code"), 4 * j).bitwiseAND(lit(15L)) + 1).cast("int"))
-        }.reduce(_ + _)
-      codes.select(
-        lit(qid).as("qid"), col("vec_id"),
-        round(lookup(dotTabs) / (sqrt(lookup(normTabs)) * lit(qnrm)), 6).as("approx_sim"))
+      org.apache.spark.sql.Row.fromSeq(qid +: qnrm +: dotTabs)
     }
-    val scored = perQuery.reduce(_ unionByName _).filter(col("vec_id") =!= col("qid"))
+    val qdf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(qRowsSpark: _*)), qSchema)
+    def idx(j: Int): Column =
+      (shiftright(col("code"), 4 * j).bitwiseAND(lit(15L)) + 1).cast("int")
+    val dotLookup = (0 until PqM).map(j => element_at(col(s"dt$j"), idx(j))).reduce(_ + _)
+    val normLookup = (0 until PqM).map(j => element_at(typedLit(normTabs(j)), idx(j))).reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val scored = codes.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dotLookup / (sqrt(normLookup) * col("qnrm")), 6).as("approx_sim"))
+      // an all-zero candidate reconstruction (norm 0) scores NaN, which
+      // Spark ranks ABOVE every number — exclude it instead of letting
+      // padded/failed vectors crowd out real neighbors
+      .filter(!isnan(col("approx_sim")))
     val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

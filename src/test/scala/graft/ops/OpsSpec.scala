@@ -388,6 +388,35 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"PQ recall collapsed on the fixture: $recall")
   }
 
+  test("persisted PQ index: cold sessions read codebooks + codes with zero training") {
+    val live = Similarity.pqTopK(spark, dir).collect()
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+    try {
+      Similarity.buildPqIndex(spark, dir)
+      assert(new java.io.File(Similarity.pqIndexPath(dir)).exists())
+      assert(new java.io.File(Similarity.pqCodesPath(dir)).exists())
+      val before = Similarity.pqTrainRuns.get()
+      val s2 = spark.newSession()
+      val cold = Similarity.pqTopK(s2, dir).collect()
+      assert(cold.map(_.toString).toSeq === live.map(_.toString).toSeq,
+        "persisted codebooks/codes must reproduce the in-session results bit-for-bit")
+      assert(Similarity.pqTrainRuns.get() === before,
+        "a cold session with a persisted PQ index must not train")
+      // crashed-build window: codes present, codebook marker absent ->
+      // a fresh session retrains instead of trusting partial codes
+      rm(new java.io.File(Similarity.pqIndexPath(dir)))
+      val s3 = spark.newSession()
+      val recovered = Similarity.pqTopK(s3, dir).collect()
+      assert(Similarity.pqTrainRuns.get() === before + 1,
+        "codes without the commit marker must trigger retraining")
+      assert(recovered.map(_.toString).toSeq === live.map(_.toString).toSeq)
+    } finally {
+      rm(new java.io.File(Similarity.pqIndexPath(dir)))
+      rm(new java.io.File(Similarity.pqCodesPath(dir)))
+      Similarity.invalidatePq(spark, dir)
+    }
+  }
+
   test("ANN recall: levers are monotone and clear measured floors on the real corpus") {
     // hash-determinism proves engine parity; THIS measures retrieval
     // quality. Floors are the sf0.01 measurements (AnnRecall tool,
