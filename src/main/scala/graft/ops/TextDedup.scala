@@ -70,6 +70,9 @@ object TextDedup {
     graft.core.SessionCache.invalidate(spark, "minhash_sigtable", dir)
     graft.core.SessionCache.invalidate(spark, "ngram_pairs", dir)
     graft.core.SessionCache.invalidate(spark, "ppjoin_pairs", dir)
+    graft.core.SessionCache.invalidate(spark, "ngram_clusters", dir)
+    graft.core.SessionCache.invalidate(spark, "minhash_clusters", dir)
+    graft.core.SessionCache.invalidate(spark, "simhash_clusters", dir)
   }
 
   /** Exact dedup by content hash: one surviving doc_id per distinct
@@ -108,7 +111,8 @@ object TextDedup {
     * shape as `minhashClusters`: the component loop touches only docs
     * that appear in a pair, singletons join via one anti join. */
   def ngramClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(spark, dir, ngramPairsCached(spark, dir).select("doc_a", "doc_b"))
+    clustersFromPairs(spark, dir,
+      ngramPairsCached(spark, dir).select("doc_a", "doc_b"), "ngram_clusters")
 
   /** 32-minima MinHash signature per doc, one array column: 32 affine
     * permutations h_i(x) = ((2i+1)*x' + i^2+7) mod p over md5-hashed
@@ -359,14 +363,15 @@ object TextDedup {
     * handful of sub-second distributed rounds even at corpus scale.
     * Each round is lineage-truncated (localCheckpoint) so plans stay
     * flat no matter the iteration count. */
-  def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSigs(spark, dir)
-    val comp = GraphOps.connectedComponents(
-      sigs.select("sig"), sigPairs(spark, dir).select("sig_a", "sig_b"))
-    val docComp = sigs.join(comp.withColumnRenamed("node", "sig"), Seq("sig"))
-      .select(col("doc_id"), col("label").as("comp"))
-    clusterOutput(docComp)
-  }
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionCache.getOrBuild(spark, "simhash_clusters", dir) {
+      val sigs = simhashSigs(spark, dir)
+      val comp = GraphOps.connectedComponents(
+        sigs.select("sig"), sigPairs(spark, dir).select("sig_a", "sig_b"))
+      val docComp = sigs.join(comp.withColumnRenamed("node", "sig"), Seq("sig"))
+        .select(col("doc_id"), col("label").as("comp"))
+      clusterOutput(docComp)
+    }
 
   /** Cluster-representative dedup over the MINHASH near-dup graph — the
     * same scale-safe contract as `simhashClusters`, for the banded
@@ -377,7 +382,8 @@ object TextDedup {
     * anti join — at 100 TB the corpus is never shuffled through the
     * fixpoint rounds. */
   def minhashClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(spark, dir, minhashPairs(spark, dir).select("doc_a", "doc_b"))
+    clustersFromPairs(spark, dir,
+      minhashPairs(spark, dir).select("doc_a", "doc_b"), "minhash_clusters")
 
   /** Cluster-size histogram over the MinHash near-dup clusters — the
     * dataset-card number ("how much of the corpus is duplicated, at
@@ -396,8 +402,21 @@ object TextDedup {
     * corpus enters once, through the singleton anti join. `pairs` must
     * be materialized (session cache / checkpoint) — it is referenced by
     * the node union, the edge symmetrization, and indirectly each
-    * component round. */
+    * component round.
+    *
+    * The OUTPUT is session-cached under `cacheKind` like the pair lists
+    * it derives from: the cluster table is a small deterministic derived
+    * table (one row per doc), and both the cluster query and every
+    * consumer built on it (histogram, curation joins) would otherwise
+    * re-run the RDD fixpoint per reference. */
   private def clustersFromPairs(
+      spark: SparkSession, dir: String, pairs: DataFrame,
+      cacheKind: String): DataFrame =
+    graft.core.SessionCache.getOrBuild(spark, cacheKind, dir) {
+      clustersFromPairsUncached(spark, dir, pairs)
+    }
+
+  private def clustersFromPairsUncached(
       spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     // no distinct here: connectedComponents distincts its node input,
     // and the anti join below only checks existence
