@@ -22,6 +22,19 @@ object SessionCache {
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Per-key build locks: builds are serialized per key (not globally,
+    * and not via computeIfAbsent — see getOrBuild) so two threads never
+    * construct the same entry concurrently. Without this, the loser's
+    * unpersist would evict the WINNER's data too: Spark's CacheManager
+    * keys cached plans by sameResult, and the deterministic builders
+    * produce identical plans in both threads. Builders may nest
+    * getOrBuild for OTHER keys (pairs → signatures → corpus); the key
+    * graph is a DAG, so per-key monitors cannot deadlock. Entries are a
+    * bare Object per distinct key ever used — same negligible footprint
+    * argument as `gens` below. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Object]()
+
   /** Per-key invalidation generation: bumped by invalidate/clear so a
     * build that was in flight when its files were rewritten can detect
     * the race and rebuild instead of installing a stale frame (the old
@@ -85,36 +98,46 @@ object SessionCache {
     watch(spark)
     val key = (spark, kind, dir)
     val existing = tables.get(key)
-    if (existing != null) existing
-    else {
-      // build OUTSIDE the map update: builders legitimately NEST
-      // getOrBuild calls (minhashPairs materializes the signature table,
-      // the vector gate materializes the normed corpus, ...), and
-      // ConcurrentHashMap.computeIfAbsent forbids reentrant updates — it
-      // throws "Recursive update" whenever the nested key happens to
-      // land in the same hash bin, a lottery on the dir string. Two
-      // races follow from the lock-free shape, both handled: (a) two
-      // threads build concurrently — the putIfAbsent loser unpersists
-      // its copy and adopts the winner's; (b) invalidate() fires DURING
-      // a build (files rewritten mid-flight) — detected via the
-      // generation counter, the stale frame is dropped and rebuilt once
-      // against the new files (a second mid-build invalidate returns
-      // the freshest build uncached rather than looping).
-      var genBefore = genOf(key)
-      var df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      if (genOf(key) != genBefore) {
-        df.unpersist(blocking = false)
-        genBefore = genOf(key)
-        df = build.persist(StorageLevel.MEMORY_AND_DISK)
+    if (existing != null) return existing
+    // Build OUTSIDE any map update: builders legitimately NEST
+    // getOrBuild calls (minhashPairs materializes the signature table,
+    // the vector gate materializes the normed corpus, ...), and
+    // ConcurrentHashMap.computeIfAbsent forbids reentrant updates — it
+    // throws "Recursive update" whenever the nested key happens to land
+    // in the same hash bin, a lottery on the dir string. Builds are
+    // serialized per key by `locks` (concurrent duplicate builds would
+    // cross-evict each other's CacheManager entries — see `locks` doc).
+    // invalidate() does NOT take the lock (it must not block behind a
+    // build), so the generation counter detects files rewritten while a
+    // build was in flight. The post-install re-check closes the last
+    // window: an invalidate that ran ENTIRELY between the generation
+    // snapshot and the install finds nothing to remove — if the
+    // generation moved by install time, we take our own entry back out
+    // and rebuild; if it did not move, any later invalidate's remove is
+    // ordered after our install and evicts the entry itself.
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      var attempt = 0
+      while (attempt < 3) {
+        val cached = tables.get(key)
+        if (cached != null) return cached
+        val genBefore = genOf(key)
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
-      }
-      if (genOf(key) != genBefore) df
-      else {
-        val prior = tables.putIfAbsent(key, df)
-        if (prior != null) { df.unpersist(blocking = false); prior } else df
+        if (genOf(key) == genBefore) {
+          tables.put(key, df)
+          if (genOf(key) == genBefore) return df
+          tables.remove(key, df) // TOCTOU'd invalidate missed it; undo
+        }
+        df.unpersist(blocking = false)
+        attempt += 1
       }
     }
+    // Invalidate storm (3 builds each raced by an invalidate): hand the
+    // caller a correct, freshly planned frame WITHOUT persisting it —
+    // the caller can't know it would have to unpersist, so caching here
+    // would leak the blocks; the next call re-attempts installation.
+    build
   }
 
   /** Drop one entry (unpersists). Call after rewriting `dir`'s files.

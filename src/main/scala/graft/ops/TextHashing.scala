@@ -127,19 +127,26 @@ object TextHashing {
     val pos = sh.join(dfreq, "sh")
       .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
       .withColumn("n", count(lit(1)).over(byDoc))
-    // ceil never over-estimated (the -1e-9 guards 0.2*15 = 3.0000...4),
-    // so the prefix is never too short
+    // The slack must scale with the magnitude of t*n: an absolute 1e-9
+    // guards small products (0.2*15 = 3.0000...4) but ulp(t*n) passes
+    // 1e-9 once t*n reaches the millions (multi-million-shingle docs),
+    // where one upward FP rounding of an exactly-integral t*n would
+    // over-ceil and cut the prefix short — a lost pair. The relative
+    // 1e-12 term dominates double rounding error (~1.1e-16 relative) at
+    // every magnitude; over-LONG prefixes only admit extra candidates,
+    // which the exact verification below discards.
+    def admitSlack(v: Column): Column = v * lit(1.0 - 1e-12) - lit(1e-9)
     val prefix = pos.filter(
-      col("pos") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      col("pos") <= col("n") - ceil(admitSlack(lit(threshold) * col("n"))) + 1)
     val minOverlapNum = lit(threshold) / (lit(1.0) + lit(threshold)) // * (|A|+|B|)
     val cands = prefix.as("pa")
       .join(prefix.as("pb"),
         col("pa.sh") === col("pb.sh") && col("pa.doc_id") < col("pb.doc_id")
           && least(col("pa.n"), col("pb.n")).cast("double") >=
-            lit(threshold) * greatest(col("pa.n"), col("pb.n")).cast("double") - lit(1e-9)
+            admitSlack(lit(threshold) * greatest(col("pa.n"), col("pb.n")).cast("double"))
           && (least(col("pa.pos"), col("pb.pos")) +
               least(col("pa.n") - col("pa.pos"), col("pb.n") - col("pb.pos"))).cast("double") >=
-            minOverlapNum * (col("pa.n") + col("pb.n")).cast("double") - lit(1e-9))
+            admitSlack(minOverlapNum * (col("pa.n") + col("pb.n")).cast("double")))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
     jaccardFor(sh, threshold, restrictTo = Some(cands))

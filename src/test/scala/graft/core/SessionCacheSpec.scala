@@ -72,6 +72,30 @@ class SessionCacheSpec extends SparkSpec {
     SessionCache.invalidate(spark, "spec_race", "/spec/race")
   }
 
+  test("an invalidate storm yields a correct, uncached, unpersisted frame (no block leak)") {
+    // every build attempt is raced by an invalidate: getOrBuild must
+    // give up after its bounded retries and hand back a frame that is
+    // (a) correct, (b) NOT installed, and (c) NOT persisted — the
+    // caller can't know it would have to unpersist (ADVICE r7 low)
+    import spark.implicits._
+    var builds = 0
+    val df = SessionCache.getOrBuild(spark, "spec_storm", "/spec/storm") {
+      builds += 1
+      SessionCache.invalidate(spark, "spec_storm", "/spec/storm")
+      Seq(builds).toDF("b")
+    }
+    assert(builds === 4, "three persisted attempts + one final unpersisted build")
+    assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "the storm-path frame must not be persisted (leak)")
+    assert(df.collect()(0).getInt(0) === 4, "the caller still gets a correct frame")
+    val installed = SessionCache.getOrBuild(spark, "spec_storm", "/spec/storm") {
+      builds += 1; Seq(builds).toDF("b")
+    }
+    assert(builds === 5, "the storm result must not have been installed")
+    assert(installed.collect()(0).getInt(0) === 5)
+    SessionCache.invalidate(spark, "spec_storm", "/spec/storm")
+  }
+
   test("TextDedup shingle index is evicted with the session") {
     val dir = "/root/testdata/sf0.001"
     val first = graft.ops.TextDedup.index(spark, dir)
