@@ -200,18 +200,58 @@ object Graft {
       vecs, corpusDir, indexDir, checkpointDir, trigger, threshold, compactEvery)
   }
 
-  /** Build (train + persist) the IVF ANN index for an embeddings dir —
-    * deterministic k-means centroids plus c_id-partitioned posting
-    * lists; cold sessions then probe with zero training work
-    * (ops.Similarity.buildIvfIndex). */
-  def buildVectorIndex(spark: SparkSession, dir: String, seedBits: Int = 4): String =
-    ops.Similarity.buildIvfIndex(spark, dir, seedBits = seedBits)
+  /** Build (train + persist) an ANN index for an embeddings dir —
+    * deterministic training, cold sessions then probe with zero
+    * training work. `method` picks the layout:
+    *   - "ivf"   — k-means centroids + c_id-partitioned posting lists
+    *               (the I/O-pruning lever; ops.Similarity.buildIvfIndex);
+    *   - "pq"    — 32-bit product-quantization codes + codebooks (the
+    *               memory lever; ops.Similarity.buildPqIndex);
+    *   - "ivfpq" — the composed 100 TB layout: code-bearing posting
+    *               lists partitioned by c_id, so probes prune I/O, score
+    *               from codes AND rerank from the same rows
+    *               (ops.Similarity.buildIvfPqIndex). */
+  def buildVectorIndex(spark: SparkSession, dir: String, seedBits: Int = 4,
+                       method: String = "ivf"): String = method match {
+    case "ivf"   => ops.Similarity.buildIvfIndex(spark, dir, seedBits = seedBits)
+    case "pq"    => ops.Similarity.buildPqIndex(spark, dir)
+    case "ivfpq" => ops.Similarity.buildIvfPqIndex(spark, dir, seedBits = seedBits)
+    case other => throw new IllegalArgumentException(
+      s"unknown index method '$other' (expected ivf | pq | ivfpq)")
+  }
 
-  /** ANN top-k over the (persisted-first) IVF index: best `nprobe`
-    * clusters per query, statically partition-pruned posting scan. */
+  /** ANN top-k, routed across every search path the library implements
+    * (all persisted-index-first where an index applies). `method`:
+    *   - "ivf" (default) — best `nprobe` clusters per query, statically
+    *     partition-pruned posting scan; exact similarities;
+    *   - "brute" — exact full-scan ground truth;
+    *   - "lsh" / "lsh_multiprobe" / "lsh_multitable" — sign-bucket
+    *     equality joins (+ Hamming-1 probes / `nTables` tables);
+    *   - "pq" — ADC over 32-bit codes (approximate similarities, column
+    *     `approx_sim`);
+    *   - "pq_rerank" — ADC shortlist (`shortlist`, default 4k) then
+    *     exact rerank from stored vectors;
+    *   - "ivfpq" — composed: nprobe-pruned partitions, ADC shortlist,
+    *     exact rerank from the posting rows. */
   def annSearch(spark: SparkSession, dir: String,
-                queryIds: Seq[Long], k: Int = 10, nprobe: Int = 1): org.apache.spark.sql.DataFrame =
-    ops.Similarity.ivfTopKFor(spark, dir, queryIds, k, nprobe)
+                queryIds: Seq[Long], k: Int = 10, nprobe: Int = 1,
+                method: String = "ivf", shortlist: Int = 0,
+                nTables: Int = 4): org.apache.spark.sql.DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    method match {
+      case "ivf"            => ops.Similarity.ivfTopKFor(spark, dir, queryIds, k, nprobe)
+      case "brute"          => ops.Similarity.bruteForceTopKFor(spark, dir, queryIds, k)
+      case "lsh"            => ops.Similarity.lshTopKFor(spark, dir, queryIds, k)
+      case "lsh_multiprobe" => ops.Similarity.lshMultiProbeTopKFor(spark, dir, queryIds, k)
+      case "lsh_multitable" => ops.Similarity.lshMultiTableTopKFor(spark, dir, queryIds, k, nTables)
+      case "pq"             => ops.Similarity.pqTopKFor(spark, dir, queryIds, k)
+      case "pq_rerank"      => ops.Similarity.pqTopKReranked(spark, dir, queryIds, k, sl)
+      case "ivfpq"          => ops.Similarity.ivfPqTopKFor(spark, dir, queryIds, k, nprobe, sl)
+      case other => throw new IllegalArgumentException(
+        s"unknown ANN method '$other' (expected ivf | brute | lsh | lsh_multiprobe | " +
+          "lsh_multitable | pq | pq_rerank | ivfpq)")
+    }
+  }
 
   /** Start serving /metrics and /health for a running ingest; returns the
     * server (stop() when done) after registering the listener. */

@@ -87,6 +87,12 @@ object SparkEntry {
     // probing the 2 best clusters must produce exactly the oracle's rows
     "ann_ivf_nprobe2" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d, nprobe = 2)),
     "ann_pq_topk" -> (Similarity.pqTopK _),
+    // the standard PQ deployment shape: ADC shortlist of 20, exact
+    // rerank from stored vectors — output similarities are EXACT
+    "ann_pq_rerank" -> (Similarity.pqTopKRerank _),
+    // the composed 100 TB layout: nprobe-pruned partitions, ADC
+    // shortlist inside them, exact rerank from the same posting rows
+    "ann_ivfpq_topk" -> (Similarity.ivfPqTopK _),
     "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "ann_lsh_multitable" -> (Similarity.lshMultiTableTopK _),
     "embedding_near_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
@@ -186,10 +192,11 @@ object SparkEntry {
     (0 until 64).map(i =>
       s"round(CAST(sum(CAST(v[${i + 1}] AS DECIMAL(27,12))) AS DOUBLE),3) AS s${"%02d".format(i)}").mkString(", ")
 
-  /** The unrolled deterministic-k-means IVF oracle (mirrors
-    * Similarity.kmeansTrain + ivfTopK step for step), parameterized by
-    * how many best clusters the probe scans. */
-  private def ivfOracleSql(nprobe: Int): String = {
+  /** The unrolled deterministic-k-means IVF training (mirrors
+    * Similarity.kmeansTrain step for step): coarse centroids `c2` and
+    * final assignment `af(vec_id, v, c_id)`. Assumes a CTE
+    * `e(vec_id, v)` is already defined. */
+  private def ivfTrainCtes: String = {
     val meanArr = "[" + (1 to 64).map(i =>
       s"CAST(sum(CAST(v[$i] AS DECIMAL(27,12))) AS DOUBLE)/count(*)").mkString(", ") + "]"
     def assign(src: String, cents: String, out: String) =
@@ -199,8 +206,7 @@ object SparkEntry {
          |  FROM $src b CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
     def update(asg: String, out: String) =
       s"$out AS (SELECT c_id, $meanArr AS cv FROM $asg GROUP BY c_id)"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |bk AS (SELECT vec_id, v,
+    s"""bk AS (SELECT vec_id, v,
        |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
        |   + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt FROM e),
        |seedid AS (SELECT bkt AS c_id, min(vec_id) AS svid FROM bk GROUP BY bkt),
@@ -209,23 +215,36 @@ object SparkEntry {
        |${update("a1", "c1")},
        |${assign("e", "c1", "a2")},
        |${update("a2", "c2")},
-       |${assign("e", "c2", "af")},
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+       |${assign("e", "c2", "af")}""".stripMargin
+  }
+
+  /** Probe planning shared by the IVF-family oracles: queries 0-2 rank
+    * the trained centroids, `best` keeps each query's `nprobe` closest. */
+  private def ivfProbeCtes(nprobe: Int): String =
+    s"""q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),
        |pc AS (SELECT qid, qv, c_id, row_number() OVER (PARTITION BY qid
        |  ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, c_id) AS crn FROM q CROSS JOIN c2),
-       |best AS (SELECT qid, qv, c_id FROM pc WHERE crn <= $nprobe),
+       |best AS (SELECT qid, qv, c_id FROM pc WHERE crn <= $nprobe)""".stripMargin
+
+  /** The full IVF oracle (mirrors Similarity.ivfTopK), parameterized by
+    * how many best clusters the probe scans. */
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$ivfTrainCtes,
+       |${ivfProbeCtes(nprobe)},
        |s AS (SELECT qid, a.vec_id, round(list_cosine_similarity(qv, a.v), 6) AS cos_sim
        |  FROM best b JOIN af a ON a.c_id = b.c_id AND a.vec_id <> b.qid),
        |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
        |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
-  }
 
-  /** Product-quantization oracle: 8 independent 8-dim sub-k-means
-    * (same deterministic recipe, squared-L2 assignment), codes from the
-    * final assignments, ADC scoring with explicit left-associated term
-    * order mirroring Similarity.pqTopKFor's driver-side lookup tables. */
-  private def pqOracleSql: String = {
-    val M = 8; val dsub = 8
+  private val PqMOracle = 8; private val PqDsubOracle = 8
+
+  /** Product-quantization training CTEs: 8 independent 8-dim sub-k-means
+    * (same deterministic recipe, squared-L2 assignment) ending in the
+    * per-vector code relation `codes(vec_id, k0..k7)` and codebooks
+    * `c{j}_2`. Assumes a CTE `e(vec_id, v)` is already defined. */
+  private def pqTrainCtes: String = {
+    val M = PqMOracle; val dsub = PqDsubOracle
     def off(j: Int) = j * dsub
     def distSql(j: Int) = (1 to dsub).map(d =>
       s"(b.v[${off(j) + d}] - c.cv[$d])*(b.v[${off(j) + d}] - c.cv[$d])").mkString(" + ")
@@ -256,22 +275,78 @@ object SparkEntry {
       assignCte(j, 2), updateCte(j, 2), finalAssign(j)).mkString(",\n")).mkString(",\n")
     val codeSel = (0 until M).map(j => s"af$j.c_id AS k$j").mkString(", ")
     val codeJoin = (0 until M).map(j => s"JOIN af$j ON af$j.vec_id = x.vec_id").mkString(" ")
+    s"""$per,
+       |codes AS (SELECT x.vec_id, $codeSel FROM e x $codeJoin)""".stripMargin
+  }
+
+  /** ADC-score SQL fragments against a codes row aliased `k` and a query
+    * row aliased `qa`: (codebook joins, approx_sim expression) — term
+    * order mirrors Similarity's driver-side lookup tables exactly. */
+  private def pqAdcSql(qa: String): (String, String) = {
+    val M = PqMOracle; val dsub = PqDsubOracle
+    def off(j: Int) = j * dsub
     val cbJoin = (0 until M).map(j => s"JOIN c${j}_2 cb$j ON cb$j.c_id = k.k$j").mkString(" ")
     val dotSum = (0 until M).map(j =>
-      "(" + (1 to dsub).map(d => s"q.qv[${off(j) + d}]*cb$j.cv[$d]").mkString(" + ") + ")").mkString(" + ")
+      "(" + (1 to dsub).map(d => s"$qa.qv[${off(j) + d}]*cb$j.cv[$d]").mkString(" + ") + ")").mkString(" + ")
     val normSum = (0 until M).map(j =>
       "(" + (1 to dsub).map(d => s"cb$j.cv[$d]*cb$j.cv[$d]").mkString(" + ") + ")").mkString(" + ")
-    val qnrm = (1 to 64).map(d => s"q.qv[$d]*q.qv[$d]").mkString(" + ")
+    val qnrm = (1 to 64).map(d => s"$qa.qv[$d]*$qa.qv[$d]").mkString(" + ")
+    (cbJoin, s"round(($dotSum) / (sqrt($normSum) * sqrt($qnrm)), 6)")
+  }
+
+  /** The PQ-ADC oracle (mirrors Similarity.pqTopK): approximate
+    * similarities straight from the codes. */
+  private def pqOracleSql: String = {
+    val (cbJoin, approx) = pqAdcSql("q")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |$per,
-       |codes AS (SELECT x.vec_id, $codeSel FROM e x $codeJoin),
+       |$pqTrainCtes,
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),
-       |s AS (SELECT q.qid, k.vec_id,
-       |  round(($dotSum) / (sqrt($normSum) * sqrt($qnrm)), 6) AS approx_sim
+       |s AS (SELECT q.qid, k.vec_id, $approx AS approx_sim
        |  FROM q CROSS JOIN codes k $cbJoin
        |  WHERE k.vec_id <> q.qid),
        |r AS (SELECT qid, vec_id, approx_sim, row_number() OVER (PARTITION BY qid ORDER BY approx_sim DESC, vec_id) AS rn FROM s)
        |SELECT qid, vec_id, approx_sim FROM r WHERE rn <= 5 ORDER BY qid, approx_sim DESC, vec_id""".stripMargin
+  }
+
+  /** PQ + exact rerank oracle (mirrors Similarity.pqTopKReranked): ADC
+    * shortlist of `shortlist` per query, exact cosine over the stored
+    * vectors, top `k`. */
+  private def pqRerankOracleSql(shortlist: Int, k: Int): String = {
+    val (cbJoin, approx) = pqAdcSql("q")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$pqTrainCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+       |s AS (SELECT q.qid, k.vec_id, $approx AS approx_sim
+       |  FROM q CROSS JOIN codes k $cbJoin
+       |  WHERE k.vec_id <> q.qid),
+       |sl AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY approx_sim DESC, vec_id) AS srn FROM s)
+       |  WHERE srn <= $shortlist),
+       |x AS (SELECT sl.qid, sl.vec_id, round(list_cosine_similarity(q2.qv, e2.v), 6) AS cos_sim
+       |  FROM sl JOIN q q2 ON q2.qid = sl.qid JOIN e e2 ON e2.vec_id = sl.vec_id),
+       |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM x)
+       |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= $k ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
+  }
+
+  /** Composed IVF+PQ oracle (mirrors Similarity.ivfPqTopK): both
+    * training unrolls, candidates restricted to each query's `nprobe`
+    * best coarse clusters, ADC shortlist, exact rerank, top `k`. */
+  private def ivfPqOracleSql(nprobe: Int, shortlist: Int, k: Int): String = {
+    val (cbJoin, approx) = pqAdcSql("b")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$ivfTrainCtes,
+       |$pqTrainCtes,
+       |${ivfProbeCtes(nprobe)},
+       |s AS (SELECT b.qid, a.vec_id, $approx AS approx_sim
+       |  FROM best b JOIN af a ON a.c_id = b.c_id AND a.vec_id <> b.qid
+       |  JOIN codes k ON k.vec_id = a.vec_id $cbJoin),
+       |sl AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY approx_sim DESC, vec_id) AS srn FROM s)
+       |  WHERE srn <= $shortlist),
+       |x AS (SELECT sl.qid, sl.vec_id, round(list_cosine_similarity(q2.qv, e2.v), 6) AS cos_sim
+       |  FROM sl JOIN q q2 ON q2.qid = sl.qid JOIN e e2 ON e2.vec_id = sl.vec_id),
+       |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM x)
+       |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= $k ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -665,6 +740,8 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfOracleSql(nprobe = 1),
     "ann_ivf_nprobe2" -> ivfOracleSql(nprobe = 2),
     "ann_pq_topk" -> pqOracleSql,
+    "ann_pq_rerank" -> pqRerankOracleSql(shortlist = 20, k = 5),
+    "ann_ivfpq_topk" -> ivfPqOracleSql(nprobe = 2, shortlist = 20, k = 5),
 
     "embedding_near_dup" ->
       s"""WITH $EmbBucketCte

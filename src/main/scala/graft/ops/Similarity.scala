@@ -344,13 +344,24 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 1): DataFrame =
     ivfTopKFor(spark, dir, QueryIds.map(_.toLong), 5, nprobe)
 
+  /** The coarse quantizer, persisted-first (the on-disk centroids file is
+    * the IVF build's commit marker) else trained once per (session, dir). */
+  private def ivfCentroidsOf(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionCache.getOrBuild(spark, "ivf_centroids", dir) {
+      if (pathExists(spark, ivfIndexPath(dir))) spark.read.parquet(ivfIndexPath(dir))
+      else centroidsToDf(spark, kmeansTrain(emb(spark, dir)))
+    }
+
+  /** The collected (bounded: n_clusters rows) quantizer, for literal
+    * assignment projections. */
+  private def collectedCentroids(centroids: DataFrame): Seq[(Int, Seq[Double])] =
+    centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+
   def ivfTopKFor(spark: SparkSession, dir: String,
                  qids: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     val e = emb(spark, dir)
-    val centroids = graft.core.SessionCache.getOrBuild(spark, "ivf_centroids", dir) {
-      if (pathExists(spark, ivfIndexPath(dir))) spark.read.parquet(ivfIndexPath(dir))
-      else centroidsToDf(spark, kmeansTrain(e))
-    }
+    val centroids = ivfCentroidsOf(spark, dir)
     // postings are deliberately NOT session-cached as a frame: persisting
     // the whole posting table would defeat partition pruning (the probe
     // must read only its clusters' c_id partitions from disk) and at
@@ -369,9 +380,8 @@ object Similarity {
       else {
         // derive posting lists from the (possibly persisted) quantizer so
         // both halves always agree; n_clusters rows collected, bounded
-        val cents = centroids.collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
-        e.withColumn("c_id", assignCol(cents)).select("vec_id", "v", "nrm", "c_id")
+        e.withColumn("c_id", assignCol(collectedCentroids(centroids)))
+          .select("vec_id", "v", "nrm", "c_id")
       }
     val q = queriesOf(e, qids)
     import org.apache.spark.sql.expressions.Window
@@ -585,20 +595,29 @@ object Similarity {
   /** Train and persist BOTH halves of the PQ index: packed codes first,
     * the codebooks (the commit marker) last — a crash mid-build leaves
     * no marker and readers retrain, never trusting partial codes. */
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Publish the PQ codebooks file — the commit marker of every
+    * PQ-bearing index, so it is always written LAST. */
+  private def writeCodebooks(spark: SparkSession, base: String,
+      cbs: Seq[Seq[(Int, Seq[Double])]]): Unit = {
+    val rows = for { (cb, j) <- cbs.zipWithIndex; (cid, cv) <- cb } yield (j, cid, cv)
+    import spark.implicits._
+    rows.toDF("j", "c_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(pqIndexPath(base))
+  }
+
   def buildPqIndex(spark: SparkSession, dir: String, at: Option[String] = None): String = {
     val base = at.getOrElse(dir)
     val e = emb(spark, dir)
     val cbs = trainAllSubspaces(e)
-    val markerP = new org.apache.hadoop.fs.Path(pqIndexPath(base))
-    markerP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(markerP, true)
+    deletePath(spark, pqIndexPath(base))
     e.select(col("vec_id"), codeColOf(cbs).as("code"))
       .write.mode("overwrite").parquet(pqCodesPath(base))
-    val rows = for { (cb, j) <- cbs.zipWithIndex; (cid, cv) <- cb } yield (j, cid, cv)
-    locally {
-      import spark.implicits._
-      rows.toDF("j", "c_id", "cv")
-        .coalesce(1).write.mode("overwrite").parquet(pqIndexPath(base))
-    }
+    writeCodebooks(spark, base, cbs)
     // invalidate the session state of BOTH the source dir and (when
     // redirected) the base the index was written to — a session that
     // already probed `base` must not keep serving pre-build state
@@ -646,74 +665,241 @@ object Similarity {
     * index in memory (4 B/vector); exact re-ranking of the top
     * candidates (via the stored vectors, `bruteForceTopKFor`-style) is
     * the standard refinement and is measured in AnnRecall. */
-  def pqTopKFor(spark: SparkSession, dir: String,
-                qids: Seq[Long], k: Int): DataFrame = {
-    val cbs = codebooksOf(spark, dir)
-    val codes = pqCodes(spark, dir)
-    val e = emb(spark, dir)
-    // a zero query vector (qnrm = 0) can only produce 0/0 = NaN scores —
-    // drop it here like incrementalNearDup's nrm > 0 guard drops its
-    // counterpart, rather than letting NaN outrank every real similarity
-    val qrows = e.filter(col("vec_id").isin(qids: _*))
+  /** 16-entry driver-side lookup table for subspace `j`: one `value` per
+    * centroid id, 0.0 holes for empty (never-assigned) ids — element_at
+    * is 1-based, so consumers index with c_id + 1. */
+  private def pqLookupTable(cbs: Seq[Seq[(Int, Seq[Double])]], j: Int)(
+      value: Seq[Double] => Double): Seq[Double] = {
+    val m = cbs(j).map { case (cid, cv) => cid -> value(cv) }.toMap
+    (0 until 16).map(c => m.getOrElse(c, 0.0))
+  }
+
+  /** The broadcastable ADC query frame: one row per live query with its
+    * raw vector + norm (for probe planning / exact rerank) and the PqM
+    * per-subspace dot tables (dot(q_sub, centroid) per centroid id).
+    * None when every requested query vector is missing or zero-norm
+    * (a zero query can only produce 0/0 = NaN scores — dropped like
+    * incrementalNearDup's nrm > 0 guard, rather than letting NaN
+    * outrank every real similarity). */
+  private def adcQueryFrame(spark: SparkSession, dir: String,
+      cbs: Seq[Seq[(Int, Seq[Double])]], qids: Seq[Long]): Option[DataFrame] = {
+    val qrows = emb(spark, dir).filter(col("vec_id").isin(qids: _*))
       .select("vec_id", "v", "nrm").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .filter(_._3 > 0.0)
       .sortBy(_._1)
-    // ||c||^2 tables are query-independent; index c_id + 1 (element_at is
-    // 1-based) with 0.0 holes for empty (never-assigned) centroid ids
-    def table(j: Int)(value: Seq[Double] => Double): Seq[Double] = {
-      val m = cbs(j).map { case (cid, cv) => cid -> value(cv) }.toMap
-      (0 until 16).map(c => m.getOrElse(c, 0.0))
-    }
-    val normTabs = (0 until PqM).map(j =>
-      table(j)(cv => (0 until PqDsub).map(d => cv(d) * cv(d)).reduce(_ + _)))
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("approx_sim", org.apache.spark.sql.types.DoubleType)))
-    if (qrows.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    // ONE scan of the code table for ALL queries: the query frame is a
-    // broadcast of (qid, qnrm, per-subspace dot tables) rows, and every
-    // candidate scores against every query in a single projection —
-    // term order (subspace-major left fold) identical to the oracle.
-    val qSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType) +:
-      org.apache.spark.sql.types.StructField("qnrm", org.apache.spark.sql.types.DoubleType) +:
-      (0 until PqM).map(j => org.apache.spark.sql.types.StructField(s"dt$j",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    if (qrows.isEmpty) return None
+    import org.apache.spark.sql.types._
+    val qSchema = StructType(
+      StructField("qid", LongType) +:
+      StructField("qv", ArrayType(DoubleType)) +:
+      StructField("qnrm", DoubleType) +:
+      (0 until PqM).map(j => StructField(s"dt$j", ArrayType(DoubleType))))
     val qRowsSpark = qrows.map { case (qid, qv, qnrm) =>
       val dotTabs = (0 until PqM).map { j =>
-        table(j)(cv => (0 until PqDsub).map(d => qv(j * PqDsub + d) * cv(d)).reduce(_ + _))
+        pqLookupTable(cbs, j)(cv =>
+          (0 until PqDsub).map(d => qv(j * PqDsub + d) * cv(d)).reduce(_ + _))
       }
-      org.apache.spark.sql.Row.fromSeq(qid +: qnrm +: dotTabs)
+      org.apache.spark.sql.Row.fromSeq(qid +: qv.toSeq +: qnrm +: dotTabs)
     }
-    val qdf = spark.createDataFrame(
+    Some(spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
-        java.util.Arrays.asList(qRowsSpark: _*)), qSchema)
+        java.util.Arrays.asList(qRowsSpark: _*)), qSchema))
+  }
+
+  /** The ADC score as ONE codegen'd expression over a candidate row that
+    * carries `code` plus a joined ADC query row (dt0..dt7, qnrm):
+    *
+    *   approx_cos(q, v) = sum_j tab_j[code_j]
+    *                      / (sqrt(sum_j ||c_{j,code_j}||^2) * ||q||)
+    *
+    * — term order (subspace-major left fold) identical to the oracle. */
+  private def adcApproxCol(cbs: Seq[Seq[(Int, Seq[Double])]]): Column = {
+    val normTabs = (0 until PqM).map(j =>
+      pqLookupTable(cbs, j)(cv => (0 until PqDsub).map(d => cv(d) * cv(d)).reduce(_ + _)))
     def idx(j: Int): Column =
       (shiftright(col("code"), 4 * j).bitwiseAND(lit(15L)) + 1).cast("int")
     val dotLookup = (0 until PqM).map(j => element_at(col(s"dt$j"), idx(j))).reduce(_ + _)
     val normLookup = (0 until PqM).map(j => element_at(typedLit(normTabs(j)), idx(j))).reduce(_ + _)
-    import org.apache.spark.sql.expressions.Window
-    val scored = codes.crossJoin(broadcast(qdf))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(dotLookup / (sqrt(normLookup) * col("qnrm")), 6).as("approx_sim"))
-      // an all-zero candidate reconstruction (norm 0) scores NaN, which
-      // Spark ranks ABOVE every number — exclude it instead of letting
-      // padded/failed vectors crowd out real neighbors
-      .filter(!isnan(col("approx_sim")))
-    val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "vec_id", "approx_sim")
-      .orderBy(col("qid"), col("approx_sim").desc, col("vec_id"))
+    round(dotLookup / (sqrt(normLookup) * col("qnrm")), 6)
+  }
+
+  private def emptyTopK(spark: SparkSession, simName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("qid", LongType), StructField("vec_id", LongType),
+        StructField(simName, DoubleType))))
+  }
+
+  def pqTopKFor(spark: SparkSession, dir: String,
+                qids: Seq[Long], k: Int): DataFrame = {
+    val cbs = codebooksOf(spark, dir)
+    val codes = pqCodes(spark, dir)
+    adcQueryFrame(spark, dir, cbs, qids) match {
+      case None => emptyTopK(spark, "approx_sim")
+      case Some(qdf) =>
+        // ONE scan of the code table for ALL queries: every candidate
+        // scores against every broadcast query row in a single projection
+        val scored = codes.crossJoin(broadcast(qdf.drop("qv")))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), adcApproxCol(cbs).as("approx_sim"))
+          // an all-zero candidate reconstruction (norm 0) scores NaN, which
+          // Spark ranks ABOVE every number — exclude it instead of letting
+          // padded/failed vectors crowd out real neighbors
+          .filter(!isnan(col("approx_sim")))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col("vec_id").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select("qid", "vec_id", "approx_sim")
+          .orderBy(col("qid"), col("approx_sim").desc, col("vec_id"))
+    }
   }
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame =
     pqTopKFor(spark, dir, QueryIds.map(_.toLong), 5)
+
+  /** PQ with exact rerank — the standard PQ deployment shape (and the
+    * recall-doubling refinement measured in docs/SCALING.md, previously
+    * buildable only by hand): ADC-score the WHOLE code table (cheap —
+    * the 4 B/vector in-memory stage), keep the top `shortlist`
+    * candidates per query by approximate score, then rerank ONLY those
+    * from the stored vectors with the exact cosine. The exact pass
+    * touches shortlist x |queries| rows — the raw-vector reads stay
+    * O(shortlist), never O(corpus), so the memory lever keeps its
+    * compression while recall approaches the shortlist's ceiling.
+    * Output is (qid, vec_id, cos_sim) with EXACT similarities. */
+  def pqTopKReranked(spark: SparkSession, dir: String,
+                     qids: Seq[Long], k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cbs = codebooksOf(spark, dir)
+    val codes = pqCodes(spark, dir)
+    adcQueryFrame(spark, dir, cbs, qids) match {
+      case None => emptyTopK(spark, "cos_sim")
+      case Some(qdf) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col("vec_id").asc)
+        val short = codes.crossJoin(broadcast(qdf))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("qv"), col("qnrm"),
+            adcApproxCol(cbs).as("approx_sim"))
+          .filter(!isnan(col("approx_sim")))
+          .withColumn("srn", row_number().over(w))
+          .filter(col("srn") <= shortlist)
+          .select("qid", "vec_id", "qv", "qnrm")
+        // the shortlist (<= |queries| x shortlist rows) broadcasts; the
+        // corpus side is a semi-join-shaped probe into the stored vectors
+        rankTopK(emb(spark, dir).join(broadcast(short), Seq("vec_id")), k)
+    }
+  }
+
+  def pqTopKRerank(spark: SparkSession, dir: String): DataFrame =
+    pqTopKReranked(spark, dir, QueryIds.map(_.toLong), 5, shortlist = 20)
+
+  // ------------------------------------------------------------------
+  // IVF+PQ: the composed 100 TB ANN layout. IVF prunes I/O (a probe
+  // reads only its nprobe clusters' c_id partitions), PQ compresses
+  // the scoring inside each partition (candidates score from 32-bit
+  // codes, no raw-vector math), and the posting rows carry the stored
+  // vector + norm so the exact rerank of the ADC shortlist reads no
+  // second table. One index, all three levers: scan fraction (nprobe),
+  // memory (codes), recall ceiling (shortlist).
+
+  /** Posting lists of the composed index: (vec_id, v, nrm, code), one
+    * fixed-width row per vector, PARTITIONED by c_id. */
+  def ivfPqPostingsPath(dir: String): String = s"$dir/ivfpq_postings.parquet"
+
+  /** Train BOTH quantizers (deterministic — same recipes as the plain
+    * IVF/PQ builds, so all three indexes of a dir can never disagree)
+    * and persist the composed index: code-bearing c_id-partitioned
+    * posting lists first, then the centroids file, then the codebooks
+    * file. The two small files are the commit markers — `ivfPqTopKFor`
+    * trusts the postings only when all three paths exist, so a crash
+    * anywhere mid-build leaves readers on the in-session fallback,
+    * never on partial postings. */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, at: Option[String] = None,
+                      seedBits: Int = 4): String = {
+    val base = at.getOrElse(dir)
+    val e = emb(spark, dir)
+    val cents = kmeansTrain(e, seedBits)
+    val cbs = trainAllSubspaces(e)
+    deletePath(spark, ivfIndexPath(base))
+    deletePath(spark, pqIndexPath(base))
+    e.withColumn("c_id", assignCol(cents))
+      .withColumn("code", codeColOf(cbs))
+      .select("vec_id", "v", "nrm", "code", "c_id")
+      .write.mode("overwrite").partitionBy("c_id").parquet(ivfPqPostingsPath(base))
+    centroidsToDf(spark, cents).coalesce(1)
+      .write.mode("overwrite").parquet(ivfIndexPath(base))
+    writeCodebooks(spark, base, cbs)
+    graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+    invalidatePq(spark, dir)
+    if (base != dir) {
+      graft.core.SessionCache.invalidate(spark, "ivf_centroids", base)
+      invalidatePq(spark, base)
+    }
+    base
+  }
+
+  /** ANN over the composed index: rank the (broadcast) centroids, probe
+    * the best `nprobe` clusters, ADC-score ONLY those clusters' posting
+    * rows from their codes, keep the top `shortlist` per query, exact-
+    * rerank the shortlist from the stored vectors in the SAME rows.
+    * File-backed postings are statically partition-pruned to the probed
+    * c_ids (like `ivfTopKFor`); without a persisted index both
+    * assignments are computed in-session from the (session-cached)
+    * corpus — identical values either way, the training is
+    * deterministic. Output is (qid, vec_id, cos_sim), exact. */
+  def ivfPqTopKFor(spark: SparkSession, dir: String, qids: Seq[Long],
+                   k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val centroids = ivfCentroidsOf(spark, dir)
+    val cbs = codebooksOf(spark, dir)
+    val filesBacked = pathExists(spark, ivfPqPostingsPath(dir)) &&
+      pathExists(spark, ivfIndexPath(dir)) && pathExists(spark, pqIndexPath(dir))
+    val postings =
+      if (filesBacked)
+        spark.read.parquet(ivfPqPostingsPath(dir))
+          .select("vec_id", "v", "nrm", "code", "c_id")
+      else
+        emb(spark, dir)
+          .withColumn("c_id", assignCol(collectedCentroids(centroids)))
+          .withColumn("code", codeColOf(cbs))
+          .select("vec_id", "v", "nrm", "code", "c_id")
+    adcQueryFrame(spark, dir, cbs, qids) match {
+      case None => emptyTopK(spark, "cos_sim")
+      case Some(qdf) =>
+        import org.apache.spark.sql.expressions.Window
+        val probe = Window.partitionBy("qid").orderBy(col("c_sim").desc, col("c_id").asc)
+        val best = qdf.crossJoin(broadcast(centroids))
+          .withColumn("c_sim", round(GraftExtensions.cosine(col("qv"), col("cv")), 6))
+          .withColumn("crn", row_number().over(probe))
+          .filter(col("crn") <= nprobe)
+          .drop("cv", "c_sim", "crn") // (qid, qv, qnrm, dt0..dt7, c_id)
+        // static partition pruning, file-backed postings only (the
+        // computed path has no IO to prune) — probed ids bounded by
+        // nprobe x |queries|, like ivfTopKFor's probe planning
+        val pruned =
+          if (!filesBacked) postings
+          else {
+            val probedIds = best.select("c_id").distinct().collect().map(_.getInt(0)).sorted
+            if (probedIds.isEmpty) postings.filter(lit(false))
+            else postings.filter(col("c_id").isin(probedIds.toSeq: _*))
+          }
+        val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col("vec_id").asc)
+        val short = pruned.join(broadcast(best), Seq("c_id"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
+            col("qv"), col("qnrm"), adcApproxCol(cbs).as("approx_sim"))
+          .filter(!isnan(col("approx_sim")))
+          .withColumn("srn", row_number().over(w))
+          .filter(col("srn") <= shortlist)
+        rankTopK(short, k)
+    }
+  }
+
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopKFor(spark, dir, QueryIds.map(_.toLong), 5, nprobe = 2, shortlist = 20)
 
   /** Centroid per label — the reduction side of an IVF index build: one
     * pass, partial aggregation per partition (sums of 64-dim arrays). */

@@ -45,22 +45,18 @@ object AnnRecall {
     report("ivf (trained, nprobe=4)", Similarity.ivfTopKFor(spark, sfDir, qids, k, nprobe = 4))
     report("pq (adc over 32-bit codes)",
       Similarity.pqTopKFor(spark, sfDir, qids, k).withColumnRenamed("approx_sim", "cos_sim"))
-    // the standard PQ refinement: score EVERYTHING by code (cheap), then
-    // exact-rerank the top 4k candidates — recall of the reranked top-k
-    val pqWide = Similarity.pqTopKFor(spark, sfDir, qids, 4 * k)
-    val rerank = Similarity.emb(spark, sfDir).as("e")
-      .join(pqWide.as("p"), col("e.vec_id") === col("p.vec_id"))
-      .join(broadcast(Similarity.emb(spark, sfDir)
-        .filter(col("vec_id").isin(qids: _*))
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))), Seq("qid"))
-      .withColumn("cos_sim", round(
-        Similarity.cosineWithNorms(col("qv"), col("e.v"), col("qnrm"), col("e.nrm")), 6))
-      .select(col("qid"), col("e.vec_id").as("vec_id"), col("cos_sim"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    // the standard PQ refinement, now a first-class operator: score
+    // EVERYTHING by code (cheap), exact-rerank the top-shortlist
     report(s"pq + exact rerank of top ${4 * k}",
-      rerank.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-        .select("qid", "vec_id", "cos_sim"))
+      Similarity.pqTopKReranked(spark, sfDir, qids, k, shortlist = 4 * k))
+    report(s"pq + exact rerank of top ${8 * k}",
+      Similarity.pqTopKReranked(spark, sfDir, qids, k, shortlist = 8 * k))
+    // the composed index: IVF prunes I/O, ADC scores the probed
+    // partitions, rerank reads the same posting rows
+    report(s"ivfpq (nprobe=2, shortlist=${4 * k})",
+      Similarity.ivfPqTopKFor(spark, sfDir, qids, k, nprobe = 2, shortlist = 4 * k))
+    report(s"ivfpq (nprobe=4, shortlist=${8 * k})",
+      Similarity.ivfPqTopKFor(spark, sfDir, qids, k, nprobe = 4, shortlist = 8 * k))
     truth.unpersist()
 
     // candidate-stage recall of the vector near-dup gate: of all TRUE

@@ -189,6 +189,45 @@ class GraftFacadeSpec extends AnyFunSuite {
   private def goodText(tag: String): String =
     (1 to 25).map(i => s"${tag}x$i").mkString(" ")
 
+  test("annSearch routes every ANN method; buildVectorIndex routes every layout") {
+    val spark = Graft.session(cores = 4)
+    val dir = "/root/testdata/sf0.001"
+    val qids = Seq(0L, 1L, 2L)
+    // every exact-similarity method returns the (qid, vec_id, cos_sim)
+    // contract and finds neighbors on the real corpus
+    for (m <- Seq("brute", "lsh", "lsh_multiprobe", "lsh_multitable",
+                  "ivf", "pq_rerank", "ivfpq")) {
+      val rows = Graft.annSearch(spark, dir, qids, k = 3, nprobe = 2, method = m)
+      assert(rows.columns.toSeq === Seq("qid", "vec_id", "cos_sim"), s"method $m")
+      assert(rows.count() > 0, s"method $m returned nothing")
+    }
+    // the ADC-only method is the one path whose similarities are
+    // approximate, and its column name says so
+    val pq = Graft.annSearch(spark, dir, qids, k = 3, method = "pq")
+    assert(pq.columns.toSeq === Seq("qid", "vec_id", "approx_sim"))
+    assert(pq.count() > 0)
+    intercept[IllegalArgumentException] {
+      Graft.annSearch(spark, dir, qids, method = "annoy")
+    }
+    // index builds: each layout writes its files (into a copied dir —
+    // the shared testdata stays read-only)
+    val tmp = Files.createTempDirectory("gidx").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    Graft.buildVectorIndex(spark, tmp, method = "ivf")
+    assert(new java.io.File(ops.Similarity.ivfPostingsPath(tmp)).exists())
+    Graft.buildVectorIndex(spark, tmp, method = "pq")
+    assert(new java.io.File(ops.Similarity.pqCodesPath(tmp)).exists())
+    Graft.buildVectorIndex(spark, tmp, method = "ivfpq")
+    assert(new java.io.File(ops.Similarity.ivfPqPostingsPath(tmp)).exists())
+    // the composed index now serves annSearch(method = "ivfpq") from files
+    val served = Graft.annSearch(spark, tmp, qids, k = 3, nprobe = 2, method = "ivfpq")
+    assert(served.count() > 0)
+    intercept[IllegalArgumentException] {
+      Graft.buildVectorIndex(spark, tmp, method = "hnsw")
+    }
+  }
+
   test("corpus curation end-to-end: .jsonl.gz -> quality gate -> dedup -> compacted parquet") {
     val spark = Graft.session(cores = 4)
     val docsDir = Files.createTempDirectory("gcorpus_in").toString

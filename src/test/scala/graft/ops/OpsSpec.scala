@@ -445,7 +445,67 @@ class OpsSpec extends SparkSpec {
       assert(ivf4 >= 0.60, s"ivf nprobe=4 recall regressed: $ivf4")
       assert(ivf1 > lsh1,
         "the trained quantizer must beat raw sign buckets at the same scan fraction")
+      // PQ rerank: hits(rerank of shortlist S) = |truth ∩ S|, and the
+      // ADC top-5 ⊆ top-20 shortlist ⊆ top-40 shortlist — so both gains
+      // are STRUCTURAL, not just measured (any true top-5 neighbor
+      // inside the shortlist outranks every non-truth candidate in the
+      // exact pass, so it always survives to the reranked top-5)
+      val pqAdc = rec(Similarity.pqTopKFor(spark, d, qids, 5)
+        .withColumnRenamed("approx_sim", "cos_sim"))
+      val pqr20 = rec(Similarity.pqTopKReranked(spark, d, qids, 5, shortlist = 20))
+      val pqr40 = rec(Similarity.pqTopKReranked(spark, d, qids, 5, shortlist = 40))
+      assert(pqr20 >= pqAdc, "rerank of a shortlist ⊇ ADC top-5 cannot lose hits")
+      assert(pqr40 >= pqr20, "a wider shortlist cannot lose hits")
+      assert(pqr20 >= 0.40, s"pq+rerank(20) recall regressed: $pqr20 (measured 0.504)")
+      val ivfpq2 = rec(Similarity.ivfPqTopKFor(spark, d, qids, 5, nprobe = 2, shortlist = 20))
+      val ivfpq4 = rec(Similarity.ivfPqTopKFor(spark, d, qids, 5, nprobe = 4, shortlist = 40))
+      assert(ivfpq2 >= 0.35, s"ivfpq(2,20) recall regressed: $ivfpq2 (measured 0.464)")
+      assert(ivfpq4 >= 0.50, s"ivfpq(4,40) recall regressed: $ivfpq4 (measured 0.628)")
     } finally truth.unpersist()
+  }
+
+  test("persisted IVF+PQ composed index: pruned probe, zero cold-session training, crash recovery") {
+    val live = Similarity.ivfPqTopK(spark, dir).collect()
+    assert(live.nonEmpty)
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+    try {
+      Similarity.buildIvfPqIndex(spark, dir)
+      assert(new java.io.File(Similarity.ivfPqPostingsPath(dir)).exists(),
+        "code-bearing posting lists must be written")
+      assert(new java.io.File(Similarity.ivfIndexPath(dir)).exists(),
+        "centroid marker must be written")
+      assert(new java.io.File(Similarity.pqIndexPath(dir)).exists(),
+        "codebook marker must be written")
+      // a cold session serves identical results with ZERO training of
+      // either quantizer
+      val km = Similarity.kmeansRuns.get()
+      val pq = Similarity.pqTrainRuns.get()
+      val s2 = spark.newSession()
+      val cold = Similarity.ivfPqTopK(s2, dir).collect()
+      assert(cold.map(_.toString).toSeq === live.map(_.toString).toSeq,
+        "persisted composed index must reproduce in-session results bit-for-bit")
+      assert(Similarity.kmeansRuns.get() === km, "cold session must not train the coarse quantizer")
+      assert(Similarity.pqTrainRuns.get() === pq, "cold session must not train the codebooks")
+      // the probe is statically partition-pruned to the probed c_ids
+      val coldPlan = Similarity.ivfPqTopK(s2, dir).queryExecution.executedPlan.toString
+      assert(coldPlan.toLowerCase.contains("partitionfilters: [c_id"),
+        s"composed-index probe must carry a c_id partition filter:\n$coldPlan")
+      // crash window: postings + centroids committed, codebook marker
+      // (written LAST) absent -> a fresh session retrains the codebooks
+      // and ignores the composed postings, still reproducing the values
+      rm(new java.io.File(Similarity.pqIndexPath(dir)))
+      val s3 = spark.newSession()
+      val recovered = Similarity.ivfPqTopK(s3, dir).collect()
+      assert(Similarity.pqTrainRuns.get() === pq + 1,
+        "missing codebook marker must trigger codebook retraining")
+      assert(recovered.map(_.toString).toSeq === live.map(_.toString).toSeq)
+    } finally {
+      rm(new java.io.File(Similarity.ivfPqPostingsPath(dir)))
+      rm(new java.io.File(Similarity.ivfIndexPath(dir)))
+      rm(new java.io.File(Similarity.pqIndexPath(dir)))
+      graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+      Similarity.invalidatePq(spark, dir)
+    }
   }
 
   test("a crashed index build (postings without the centroid marker) is ignored, not probed") {
