@@ -253,6 +253,19 @@ object Graft {
     }
   }
 
+  /** ANN with a recall CONTRACT instead of lever constants: calibrate
+    * once (ops.Similarity.planAnn — cheapest lever setting whose
+    * measured recall on a deterministic sample clears `targetRecall`),
+    * then run the chosen plan for the real queries. At 100 TB pass a
+    * sampled sub-corpus as `calibDir` so calibration (including its
+    * brute-force truth pass) runs at sample cost. */
+  def annSearchTuned(spark: SparkSession, dir: String, queryIds: Seq[Long],
+                     targetRecall: Double, k: Int = 10,
+                     calibDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val plan = ops.Similarity.planAnn(spark, calibDir.getOrElse(dir), targetRecall, k = k)
+    ops.Similarity.runAnnPlan(spark, dir, plan, queryIds, k)
+  }
+
   /** Start serving /metrics and /health for a running ingest; returns the
     * server (stop() when done) after registering the listener. */
   def serveMetrics(spark: SparkSession, port: Int = 0): (obs.IngestMetricsListener, obs.MetricsHttpServer) = {

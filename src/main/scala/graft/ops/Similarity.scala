@@ -901,6 +901,81 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopKFor(spark, dir, QueryIds.map(_.toLong), 5, nprobe = 2, shortlist = 20)
 
+  // ------------------------------------------------------------------
+  // Self-tuning: "give me recall >= r at minimum scan". Every recall
+  // lever above (nprobe, probes, tables, shortlist) is a constant a
+  // caller would otherwise have to guess; planAnn measures them on a
+  // deterministic calibration sample and picks the cheapest setting
+  // that clears the target — the operator a 100 TB deployment actually
+  // wants, where re-guessing a constant means re-scanning petabytes.
+
+  /** A calibrated ANN execution plan: which path to run and with what
+    * lever values, plus what it costs (approximate fraction of the
+    * corpus each query touches) and the recall it measured on the
+    * calibration sample. Fields not used by `method` are 0. */
+  case class AnnPlan(method: String, nprobe: Int, nTables: Int, shortlist: Int,
+                     scanFraction: Double, calibratedRecall: Double)
+
+  /** Run a calibrated plan for an arbitrary query set (the dispatch
+    * mirrors Graft.annSearch's method switch). `k` may differ from the
+    * calibration k; shortlist-bearing methods never shortlist below it. */
+  def runAnnPlan(spark: SparkSession, dir: String, plan: AnnPlan,
+                 qids: Seq[Long], k: Int): DataFrame = plan.method match {
+    case "brute"          => bruteForceTopKFor(spark, dir, qids, k)
+    case "lsh"            => lshTopKFor(spark, dir, qids, k)
+    case "lsh_multiprobe" => lshMultiProbeTopKFor(spark, dir, qids, k)
+    case "lsh_multitable" => lshMultiTableTopKFor(spark, dir, qids, k, plan.nTables)
+    case "ivf"            => ivfTopKFor(spark, dir, qids, k, plan.nprobe)
+    case "ivfpq"          => ivfPqTopKFor(spark, dir, qids, k, plan.nprobe,
+                               math.max(plan.shortlist, k))
+    case other => throw new IllegalArgumentException(s"unplannable method '$other'")
+  }
+
+  /** The candidate ladder, ordered by cost: scan fraction ascending
+    * (nBits = 4 => 16 sign buckets / coarse clusters, so one probe
+    * reads ~1/16 of the corpus), and at EQUAL scan fraction the
+    * memory-compressed path (ivfpq scores 4 B codes) before the
+    * raw-vector one, and the trained quantizer before blind hashing.
+    * Multi-table fractions are upper bounds (candidate sets overlap). */
+  private def annLadder(k: Int): Seq[AnnPlan] = Seq(
+    AnnPlan("lsh",            0, 0,  0,     1.0 / 16, 0.0),
+    AnnPlan("ivf",            1, 0,  0,     1.0 / 16, 0.0),
+    AnnPlan("ivfpq",          2, 0,  4 * k, 2.0 / 16, 0.0),
+    AnnPlan("ivf",            2, 0,  0,     2.0 / 16, 0.0),
+    AnnPlan("lsh_multitable", 0, 4,  0,     4.0 / 16, 0.0),
+    AnnPlan("ivfpq",          4, 0,  8 * k, 4.0 / 16, 0.0),
+    AnnPlan("ivf",            4, 0,  0,     4.0 / 16, 0.0),
+    AnnPlan("lsh_multiprobe", 0, 0,  0,     5.0 / 16, 0.0),
+    AnnPlan("lsh_multitable", 0, 8,  0,     8.0 / 16, 0.0),
+    AnnPlan("ivf",            8, 0,  0,     8.0 / 16, 0.0),
+    AnnPlan("ivf",           12, 0,  0,    12.0 / 16, 0.0))
+
+  /** Pick the cheapest lever setting whose measured recall@k on a
+    * deterministic calibration sample clears `targetRecall`; falls back
+    * to brute force (recall 1.0 by definition) when no sublinear
+    * setting does. Calibration queries are the `calibQueries` smallest
+    * vec_ids — deterministic, so the same corpus always yields the
+    * same plan. Truth is one brute-force pass over THIS dir: at 100 TB
+    * the caller points `dir` at a sampled sub-corpus (the operators
+    * are dir-bound, so the whole calibration — truth included — runs
+    * at sample cost), then runs the returned plan on the full corpus. */
+  def planAnn(spark: SparkSession, dir: String, targetRecall: Double,
+              calibQueries: Int = 32, k: Int = 5): AnnPlan = {
+    require(targetRecall >= 0.0 && targetRecall <= 1.0,
+      s"targetRecall=$targetRecall outside [0, 1]")
+    val qids = emb(spark, dir).select("vec_id").orderBy("vec_id")
+      .limit(calibQueries).collect().map(_.getLong(0)).toSeq
+    val truth = bruteForceTopKFor(spark, dir, qids, k)
+    truth.persist(); truth.count()
+    try {
+      for (cand <- annLadder(k)) {
+        val r = recallAtK(runAnnPlan(spark, dir, cand, qids, k), truth)
+        if (r >= targetRecall) return cand.copy(calibratedRecall = r)
+      }
+      AnnPlan("brute", 0, 0, 0, 1.0, 1.0)
+    } finally truth.unpersist()
+  }
+
   /** Centroid per label — the reduction side of an IVF index build: one
     * pass, partial aggregation per partition (sums of 64-dim arrays). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {

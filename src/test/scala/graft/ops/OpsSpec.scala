@@ -464,6 +464,30 @@ class OpsSpec extends SparkSpec {
     } finally truth.unpersist()
   }
 
+  test("planAnn picks the cheapest lever setting clearing the recall target, deterministically") {
+    val d = "/root/testdata/sf0.01"
+    // the naive setting is brute force (scan fraction 1.0): the chosen
+    // plan must clear the target at a STRICTLY smaller scan fraction
+    val plan = Similarity.planAnn(spark, d, targetRecall = 0.5)
+    assert(plan.calibratedRecall >= 0.5,
+      s"chosen plan misses its own target: $plan")
+    assert(plan.scanFraction < 1.0,
+      s"a sublinear setting clears 0.5 on this corpus (ivf nprobe=2 measured 0.54): $plan")
+    // deterministic: same corpus, same target -> same plan, same measurement
+    assert(Similarity.planAnn(spark, d, targetRecall = 0.5) === plan)
+    // the ladder is cost-ordered, so a higher target can never pick a
+    // cheaper setting
+    val low = Similarity.planAnn(spark, d, targetRecall = 0.2)
+    assert(low.scanFraction <= plan.scanFraction)
+    assert(low.calibratedRecall >= 0.2)
+    // an unreachable target falls back to the exact scan, recall 1.0
+    val exact = Similarity.planAnn(spark, d, targetRecall = 0.99)
+    assert(exact.method === "brute" && exact.scanFraction === 1.0)
+    // the plan is runnable for OTHER queries than the calibration set
+    val served = Similarity.runAnnPlan(spark, d, plan, Seq(100L, 101L), k = 5)
+    assert(served.select("qid").distinct().count() === 2)
+  }
+
   test("persisted IVF+PQ composed index: pruned probe, zero cold-session training, crash recovery") {
     val live = Similarity.ivfPqTopK(spark, dir).collect()
     assert(live.nonEmpty)
