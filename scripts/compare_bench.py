@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison that flags only CODE-ATTRIBUTABLE
+regressions.
+
+Round 7's driver bench showed four 3-4x "regressions" on queries whose
+code was byte-identical to the previous round — pure box load. This
+script separates the two failure modes:
+
+  1. a query marked `noisy` by Bench's own spread detector (in either
+     round) is excluded from regression verdicts outright;
+  2. a slower query whose implementing source files did NOT change in
+     the given git range is reported as "environmental", never as a
+     regression.
+
+Usage:
+  python3 scripts/compare_bench.py OLD.json NEW.json [GIT_RANGE]
+
+GIT_RANGE (e.g. "2c75a71..HEAD") scopes `git diff --name-only`; when
+omitted, every query is treated as potentially code-attributable (no
+exclusion by file).
+
+Exit code 1 iff at least one code-attributable regression was found.
+"""
+import json
+import subprocess
+import sys
+
+RATIO = 1.5          # min must slow by >= this factor ...
+ABS_FLOOR = 0.10     # ... and by >= this many seconds, to count at all
+
+# Query-name prefix -> the src/main/scala files that implement that
+# family (beyond the global files every query shares). Kept coarse on
+# purpose: a false "changed" only means we REPORT a regression that a
+# human then reads; a false "unchanged" would hide one.
+FAMILY_FILES = {
+    ("tpch_", "revenue_", "brand_", "supplier_"): ["queries/RelationalQueries.scala"],
+    ("dedup_", "simhash_", "decontamination"): [
+        "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
+        "core/SessionCache.scala"],
+    ("ann_", "similarity_", "embedding_", "label_centroids"): [
+        "ops/Similarity.scala", "core/SessionCache.scala"],
+    ("text_", "token_histogram", "stratified_sample", "cross_modal"): [
+        "ops/TextAnalysis.scala", "ops/TextHashing.scala"],
+    ("multimodal_",): ["ops/Multimodal.scala"],
+    ("pipeline_",): ["ops/CurationPipeline.scala", "ops/TextAnalysis.scala",
+                     "ops/TextDedup.scala"],
+}
+# changes to these can shift ANY query
+GLOBAL_FILES = ["SparkEntry.scala", "Bench.scala", "core/GraftConf.scala",
+                "plans/"]
+DEFAULT_FILES = ["queries/MarketQueries.scala", "queries/TickQueries.scala",
+                 "ops/RangeJoin.scala", "ops/Skew.scala", "streaming/"]
+
+
+def family_files(query):
+    for prefixes, files in FAMILY_FILES.items():
+        if any(query.startswith(p) for p in prefixes):
+            return files
+    return DEFAULT_FILES
+
+
+def changed_files(git_range):
+    out = subprocess.check_output(
+        ["git", "diff", "--name-only", git_range], text=True)
+    return [l for l in out.splitlines() if l.endswith(".scala")]
+
+
+def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    def load(path):
+        d = json.load(open(path))
+        if "queries" in d:
+            return d  # Bench's own line
+        # the driver's BENCH_r{N}.json wraps Bench's line under "parsed",
+        # with the raw output (possibly front-truncated) under "tail"
+        if d.get("parsed"):
+            return d["parsed"]
+        import re
+        m = re.search(r'\{"metric".*\}', d.get("tail", ""))
+        if m:
+            return json.loads(m.group(0))
+        sys.exit(f"{path}: no parseable bench line ('parsed' empty, 'tail' truncated)")
+
+    old = load(sys.argv[1])
+    new = load(sys.argv[2])
+    git_range = sys.argv[3] if len(sys.argv) > 3 else None
+    changed = changed_files(git_range) if git_range else None
+
+    noisy = set(old.get("noisy", [])) | set(new.get("noisy", []))
+    regressions, environmental, improved = [], [], []
+    for q, t_new in sorted(new["queries"].items()):
+        t_old = old["queries"].get(q)
+        if t_old is None or t_old < 0 or t_new < 0:
+            continue
+        if t_new <= t_old / RATIO and t_old - t_new >= ABS_FLOOR:
+            improved.append((q, t_old, t_new))
+            continue
+        if t_new < t_old * RATIO or t_new - t_old < ABS_FLOOR:
+            continue
+        # slower beyond both thresholds — attribute it
+        if q in noisy:
+            environmental.append((q, t_old, t_new, "noisy box (Bench spread detector)"))
+        elif changed is not None and not any(
+                any(f.endswith(suf) or (suf.endswith("/") and suf in f)
+                    for f in changed)
+                for suf in family_files(q) + GLOBAL_FILES):
+            environmental.append((q, t_old, t_new, "implementing files unchanged in range"))
+        else:
+            regressions.append((q, t_old, t_new))
+
+    def show(title, rows):
+        if not rows:
+            return
+        print(f"\n{title}:")
+        for row in rows:
+            q, t_old, t_new = row[0], row[1], row[2]
+            why = f"  [{row[3]}]" if len(row) > 3 else ""
+            print(f"  {q:32s} {t_old:7.3f}s -> {t_new:7.3f}s ({t_new / t_old:4.1f}x){why}")
+
+    new_qs = set(new["queries"]) - set(old["queries"])
+    print(f"old: {sys.argv[1]} total={old.get('value')}s  "
+          f"new: {sys.argv[2]} total={new.get('value')}s  "
+          f"(+{len(new_qs)} new queries)")
+    show("CODE-ATTRIBUTABLE regressions", regressions)
+    show("environmental slowdowns (excluded from verdict)", environmental)
+    show("improvements", improved)
+    if not regressions:
+        print("\nverdict: no code-attributable regressions")
+    sys.exit(1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,15 @@ import org.apache.spark.sql.SparkSession
   * 27 s suite as 74 s under a noisy neighbor). Execution is forced
   * through the noop datasource so the full result materializes without
   * sink I/O skewing the number.
+  *
+  * Box-load detection (round 7's driver bench showed four 3-4x phantom
+  * "regressions" on byte-identical code): when a query's max/min spread
+  * across reps exceeds NoisyRatio (and the spread isn't sub-100ms
+  * jitter), the bench prints a "noisy box" warning, runs the same
+  * number of EXTRA reps (a deeper sample makes the min trustworthy
+  * again), and — if the merged spread still exceeds the ratio — lists
+  * the query in the JSON's `noisy` array so round-over-round comparers
+  * (scripts/compare_bench.py) can exclude it from regression verdicts.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,14 +54,27 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val trace = sys.env.contains("GRAFT_BENCH_TRACE")
     def up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
+    val NoisyRatio = 2.5
+    val NoisyMinSpreadSec = 0.1 // sub-100ms spread is scheduler jitter, not load
+    val noisy = scala.collection.mutable.ArrayBuffer[String]()
+    def isNoisy(runs: Seq[Double]): Boolean =
+      runs.max / runs.min > NoisyRatio && runs.max - runs.min > NoisyMinSpreadSec
     names.foreach { name =>
       try {
         runOnce(name) // warm-up
         if (trace) System.err.println(f"[trace] $name timed-start uptime=$up%.1f")
-        val runs = (1 to reps).map { _ =>
+        def timedReps(n: Int): Seq[Double] = (1 to n).map { _ =>
           val t0 = System.nanoTime()
           runOnce(name)
           (System.nanoTime() - t0) / 1e9
+        }
+        var runs = timedReps(reps)
+        if (isNoisy(runs)) {
+          System.err.println(
+            f"[bench] noisy box on $name (min=${runs.min}%.2f max=${runs.max}%.2f, " +
+              f"ratio ${runs.max / runs.min}%.1fx) — running $reps extra reps")
+          runs = runs ++ timedReps(reps)
+          if (isNoisy(runs)) noisy += name
         }
         timings(name) = runs.min
         maxes(name) = runs.max
@@ -88,8 +110,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
     val totalMax = maxes.values.filter(_ >= 0).sum
+    val noisyArr = noisy.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"queries_runs":$qruns,"total_max":${num(totalMax)},"reps":$reps,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"queries_runs":$qruns,"total_max":${num(totalMax)},"reps":$reps,"noisy":$noisyArr,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
