@@ -114,7 +114,10 @@ object SparkEntry {
     "multimodal_frames" -> (Multimodal.frameSample _),
     "multimodal_resize" -> (Multimodal.resizePlan _),
     // -- composed curation pipeline --
-    "pipeline_filtered_docs" -> (CurationPipeline.filteredCorpus _)
+    "pipeline_filtered_docs" -> (CurationPipeline.filteredCorpus _),
+    // the streaming gates under the oracle: 3 sequential micro-batches
+    // through processBatch with REAL persisted fp/band/sig indexes
+    "curation_replay" -> (CurationPipeline.curationReplay _)
   )
 
   // ---------------------------------------------------------------------
@@ -347,6 +350,69 @@ object SparkEntry {
        |  FROM sl JOIN q q2 ON q2.qid = sl.qid JOIN e e2 ON e2.vec_id = sl.vec_id),
        |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM x)
        |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= $k ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
+  }
+
+  /** Sequential unroll of the streaming curation gates (mirrors
+    * CurationPipeline.processBatch batch for batch): for each batch in
+    * ascending order — exact gate (min doc_id per fingerprint within
+    * the batch, then anti-join against fps of ALL earlier survivors),
+    * then the banded near-dup gate (band-key candidates vs earlier
+    * survivors and vs smaller-id exact survivors in the batch, verified
+    * by the 32-component signature estimator). */
+  private def curationReplaySql(nBatches: Int, threshold: Double): String = {
+    def estDrop(cands: String, out: String) =
+      s"""$out AS (SELECT DISTINCT doc_a AS doc_id FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE)/32 AS e
+         |  FROM ($cands) c
+         |  JOIN mh x ON x.doc_id = c.doc_a
+         |  JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i
+         |  GROUP BY c.doc_a, c.doc_b) WHERE e >= $threshold)""".stripMargin
+    val perBatch = (0 until nBatches).map { b =>
+      val keep =
+        s"""keep$b AS (SELECT doc_id, fp FROM (
+           |  SELECT doc_id, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           |  FROM fpt WHERE b = $b) WHERE rn = 1)""".stripMargin
+      val ex =
+        if (b == 0) s"ex$b AS (SELECT doc_id, fp FROM keep$b)"
+        else s"ex$b AS (SELECT doc_id, fp FROM keep$b WHERE fp NOT IN (SELECT fp FROM idxfp${b - 1}))"
+      val dropOld = if (b == 0) "" else estDrop(
+        s"""SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+           |    FROM bt ba JOIN ex$b e1 ON ba.doc_id = e1.doc_id
+           |    JOIN bt bb ON ba.band = bb.band AND ba.band_key = bb.band_key
+           |    JOIN prv$b p ON bb.doc_id = p.doc_id
+           |    WHERE ba.doc_id <> bb.doc_id""".stripMargin, s"do$b")
+      val dropNew = estDrop(
+        s"""SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+           |    FROM bt ba JOIN ex$b e1 ON ba.doc_id = e1.doc_id
+           |    JOIN bt bb ON ba.band = bb.band AND ba.band_key = bb.band_key
+           |    JOIN ex$b e2 ON bb.doc_id = e2.doc_id
+           |    WHERE ba.doc_id > bb.doc_id""".stripMargin, s"dn$b")
+      val out =
+        s"""out$b AS (SELECT doc_id, fp FROM ex$b
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM dn$b)${
+             if (b == 0) "" else s" AND doc_id NOT IN (SELECT doc_id FROM do$b)"})""".stripMargin
+      val idxfp =
+        if (b == 0) s"idxfp$b AS (SELECT DISTINCT fp FROM out$b)"
+        else s"idxfp$b AS (SELECT fp FROM idxfp${b - 1} UNION SELECT fp FROM out$b)"
+      val prv =
+        if (b + 1 >= nBatches) ""
+        else if (b == 0) s"prv${b + 1} AS (SELECT doc_id FROM out$b)"
+        else s"prv${b + 1} AS (SELECT doc_id FROM prv$b UNION ALL SELECT doc_id FROM out$b)"
+      Seq(keep, ex, dropOld, dropNew, out, idxfp, prv).filter(_.nonEmpty).mkString(",\n")
+    }.mkString(",\n")
+    val finalUnion = (0 until nBatches)
+      .map(b => s"SELECT doc_id, CAST($b AS BIGINT) AS batch_id FROM out$b")
+      .mkString(" UNION ALL ")
+    s"""WITH $ShinglesCte,
+       |hsh AS (SELECT doc_id, ${md5LongSql("sh")} % 2147483647 AS hm FROM sh),
+       |mh AS (SELECT doc_id, i, min(((2*i+1)*hm + i*i+7) % 2147483647) AS mh
+       |  FROM hsh CROSS JOIN (SELECT unnest(generate_series(0,31)) AS i) GROUP BY 1, 2),
+       |bt AS (SELECT doc_id, i//4 AS band, string_agg(concat(i%4, ':', mh), ',' ORDER BY i%4) AS band_key
+       |  FROM mh GROUP BY 1, 2),
+       |fpt AS (SELECT doc_id, md5(lower(text)) AS fp, doc_id % $nBatches AS b FROM documents),
+       |$perBatch
+       |SELECT doc_id, batch_id FROM ($finalUnion) ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -924,6 +990,8 @@ object SparkEntry {
          |  round(least(CAST(1.0 AS DOUBLE), n_words / 50.0) * (CAST(1.0 AS DOUBLE) - punct_ratio), 4) AS quality_score FROM b),
          |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text)))
          |SELECT q.doc_id, n_words, quality_score FROM q JOIN k ON q.doc_id = k.doc_id
-         |WHERE quality_score >= 0.3 AND n_words BETWEEN 20 AND 5000 ORDER BY q.doc_id""".stripMargin
+         |WHERE quality_score >= 0.3 AND n_words BETWEEN 20 AND 5000 ORDER BY q.doc_id""".stripMargin,
+
+    "curation_replay" -> curationReplaySql(nBatches = 3, threshold = 0.2)
   )
 }

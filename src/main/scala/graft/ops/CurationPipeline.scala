@@ -154,93 +154,142 @@ object CurationPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
-        val spark = batch.sparkSession
-        val index = readBatchIndex(spark, indexDir, StructType(Seq(
-          StructField("fp", StringType), StructField("batch_id", LongType))), batchId)
-        val (exactSurvivors, _) = incrementalDedup(batch, index)
-        // the near-dup gate (when enabled) runs on the exact survivors:
-        // banded-candidate lookup against the persisted band index, then
-        // signature verification — one equality join + one candidate-only
-        // join per batch, history never rescanned
-        val out = nearDupDir match {
-          case None => exactSurvivors.persist()
-          case Some(nd) =>
-            val bandIdx = readBatchIndex(spark, s"$nd/bands", StructType(Seq(
-              StructField("doc_id", LongType), StructField("band", IntegerType),
-              StructField("band_key", StringType), StructField("batch_id", LongType))), batchId)
-            val sigIdx = readBatchIndex(spark, s"$nd/sigs", StructType(Seq(
-              StructField("doc_id", LongType), StructField("sig", ArrayType(LongType)),
-              StructField("batch_id", LongType))), batchId)
-            val (survivors, _) =
-              incrementalNearDedup(exactSurvivors, bandIdx, sigIdx, nearDupThreshold)
-            // eager localCheckpoint, NOT persist: writing the fp index
-            // below auto-invalidates every cached plan that READS that
-            // path — including the survivors' anti-join — so a merely
-            // persisted frame would silently recompute against the
-            // already-updated index (= empty) for the later band/sig
-            // writes. The checkpoint snapshots the rows with no path
-            // dependency left to invalidate.
-            survivors.localCheckpoint(true)
-        }
-        // index rows are recomputed from the snapshotted survivors (one
-        // shingling pass over a small batch)
-        val sigsOut = nearDupDir.map(_ => TextDedup.minhashSigs(out).persist())
-        try {
-          out.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(corpusDir)
-          out.select(md5(lower(col("text"))).as("fp")).distinct()
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(indexDir)
-          // replay consistency rests on readBatchIndex excluding this
-          // batch's own partitions: whatever prefix of the four writes a
-          // crash left behind, the re-run recomputes the same survivors
-          // against the pre-batch index state and dynamic-overwrites
-          // every partition it owns
-          sigsOut.foreach { sigs =>
-            val nd = nearDupDir.get
-            TextDedup.bandsOf(sigs)
-              .select("doc_id", "band", "band_key")
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(s"$nd/bands")
-            sigs.select("doc_id", "sig")
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(s"$nd/sigs")
-          }
-        } finally {
-          out.unpersist()
-          sigsOut.foreach(_.unpersist())
-          releaseLocalCheckpoint(out)
-        }
-        // periodic sink maintenance from INSIDE the running pipeline (no
-        // external scheduler): every `compactEvery` batches, cold batch
-        // dirs collapse so the index read path stays O(1) partitions over
-        // an unbounded run. keepRecent=1 keeps this batch's partition
-        // intact, so a post-crash replay of it still dynamic-overwrites
-        // its own output — idempotence is untouched.
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          compactSink(spark, corpusDir)
-          compactSink(spark, indexDir)
-          nearDupDir.foreach { nd =>
-            compactSink(spark, s"$nd/bands")
-            compactSink(spark, s"$nd/sigs")
-          }
-        }
-        ()
+        processBatch(batch, batchId, corpusDir, indexDir,
+          nearDupDir, nearDupThreshold, compactEvery)
       }
       .start()
+
+  /** ONE micro-batch of the text-curation pipeline — the exact body
+    * `streamingDedup`'s foreachBatch runs (extracted so `replayBatches`
+    * can drive the identical code path batch-for-batch under the
+    * DuckDB oracle — the streaming gates' correctness evidence, not
+    * just their specs'). */
+  private[ops] def processBatch(
+      batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
+      nearDupDir: Option[String], nearDupThreshold: Double,
+      compactEvery: Int): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+    val spark = batch.sparkSession
+    val index = readBatchIndex(spark, indexDir, StructType(Seq(
+      StructField("fp", StringType), StructField("batch_id", LongType))), batchId)
+    val (exactSurvivors, _) = incrementalDedup(batch, index)
+    // the near-dup gate (when enabled) runs on the exact survivors:
+    // banded-candidate lookup against the persisted band index, then
+    // signature verification — one equality join + one candidate-only
+    // join per batch, history never rescanned
+    val out = nearDupDir match {
+      case None => exactSurvivors.persist()
+      case Some(nd) =>
+        val bandIdx = readBatchIndex(spark, s"$nd/bands", StructType(Seq(
+          StructField("doc_id", LongType), StructField("band", IntegerType),
+          StructField("band_key", StringType), StructField("batch_id", LongType))), batchId)
+        val sigIdx = readBatchIndex(spark, s"$nd/sigs", StructType(Seq(
+          StructField("doc_id", LongType), StructField("sig", ArrayType(LongType)),
+          StructField("batch_id", LongType))), batchId)
+        val (survivors, _) =
+          incrementalNearDedup(exactSurvivors, bandIdx, sigIdx, nearDupThreshold)
+        // eager localCheckpoint, NOT persist: writing the fp index
+        // below auto-invalidates every cached plan that READS that
+        // path — including the survivors' anti-join — so a merely
+        // persisted frame would silently recompute against the
+        // already-updated index (= empty) for the later band/sig
+        // writes. The checkpoint snapshots the rows with no path
+        // dependency left to invalidate.
+        survivors.localCheckpoint(true)
+    }
+    // index rows are recomputed from the snapshotted survivors (one
+    // shingling pass over a small batch)
+    val sigsOut = nearDupDir.map(_ => TextDedup.minhashSigs(out).persist())
+    try {
+      out.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(corpusDir)
+      out.select(md5(lower(col("text"))).as("fp")).distinct()
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(indexDir)
+      // replay consistency rests on readBatchIndex excluding this
+      // batch's own partitions: whatever prefix of the four writes a
+      // crash left behind, the re-run recomputes the same survivors
+      // against the pre-batch index state and dynamic-overwrites
+      // every partition it owns
+      sigsOut.foreach { sigs =>
+        val nd = nearDupDir.get
+        TextDedup.bandsOf(sigs)
+          .select("doc_id", "band", "band_key")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$nd/bands")
+        sigs.select("doc_id", "sig")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$nd/sigs")
+      }
+    } finally {
+      out.unpersist()
+      sigsOut.foreach(_.unpersist())
+      releaseLocalCheckpoint(out)
+    }
+    // periodic sink maintenance from INSIDE the running pipeline (no
+    // external scheduler): every `compactEvery` batches, cold batch
+    // dirs collapse so the index read path stays O(1) partitions over
+    // an unbounded run. keepRecent=1 keeps this batch's partition
+    // intact, so a post-crash replay of it still dynamic-overwrites
+    // its own output — idempotence is untouched.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      compactSink(spark, corpusDir)
+      compactSink(spark, indexDir)
+      nearDupDir.foreach { nd =>
+        compactSink(spark, s"$nd/bands")
+        compactSink(spark, s"$nd/sigs")
+      }
+    }
+  }
+
+  /** Drive the EXACT streaming-curation batch body over an explicit
+    * batch partitioning of a static frame — the oracle-checkable face
+    * of `streamingDedup`: same `processBatch` code, same persisted
+    * batch_id-partitioned indexes, same sequential gate semantics, just
+    * without a checkpoint/trigger in the loop. Batch ids come from
+    * `batchCol` and are processed in ascending order (the collect is
+    * bounded by the NUMBER of batches, never rows). Returns the curated
+    * corpus read back from `corpusDir` (batch_id partition included). */
+  def replayBatches(docs: DataFrame, batchCol: org.apache.spark.sql.Column,
+                    corpusDir: String, indexDir: String,
+                    nearDupDir: Option[String] = None,
+                    nearDupThreshold: Double = TextDedup.JaccardThreshold): DataFrame = {
+    val withB = docs.withColumn("__replay_b", batchCol.cast("long"))
+    val ids = withB.select("__replay_b").distinct()
+      .collect().map(_.getLong(0)).sorted
+    ids.foreach { b =>
+      processBatch(withB.filter(col("__replay_b") === b).drop("__replay_b"),
+        b, corpusDir, indexDir, nearDupDir, nearDupThreshold, compactEvery = 0)
+    }
+    docs.sparkSession.read.parquet(corpusDir)
+  }
+
+  /** CORRECTNESS face of the streaming gates: replay the documents
+    * table as 3 deterministic micro-batches (doc_id % 3, ascending)
+    * through `processBatch` with REAL persisted fp/band/sig indexes in
+    * a fresh temp dir, and emit the final curated corpus with the batch
+    * each doc survived in. The DuckDB oracle applies the exact gate +
+    * banded near-dup gate sequentially, batch by batch. */
+  def curationReplay(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("curation_replay").toString
+    val corpus = replayBatches(docs, col("doc_id") % 3,
+      s"$tmp/corpus", s"$tmp/fp", Some(s"$tmp/nd"))
+    corpus.select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+      .orderBy("doc_id")
+  }
 
   /** Streaming EMBEDDING dedup — `streamingDedup`'s vector-modality
     * sibling: each micro-batch of (vec_id, embedding) rows is gated by
