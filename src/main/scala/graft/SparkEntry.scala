@@ -71,6 +71,10 @@ object SparkEntry {
     "dedup_ngram_ppjoin" -> ((s: SparkSession, d: String) =>
       TextDedup.ppjoinPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_ngram_clusters" -> (TextDedup.ngramClusters _),
+    // the sweep knob at a second point: stricter threshold, different
+    // pair graph, different fixpoint — same machinery
+    "dedup_ngram_clusters_t50" -> ((s: SparkSession, d: String) =>
+      TextDedup.ngramClustersAt(s, d, 0.5)),
     "dedup_minhash" -> (TextDedup.minhashLsh _),
     "dedup_minhash_clusters" -> (TextDedup.minhashClusters _),
     "dedup_cluster_histogram" -> (TextDedup.minhashClusterHistogram _),
@@ -172,16 +176,18 @@ object SparkEntry {
   private def md5LongSql(e: String) =
     s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
 
-  /** Exact pairwise Jaccard >= 0.2 over shared shingles (mirrors
-    * TextHashing.jaccardPairs). */
-  private val JaccardCte =
+  /** Exact pairwise Jaccard >= `threshold` over shared shingles (mirrors
+    * TextHashing.jaccardPairs / the ngramClustersAt sweep knob). */
+  private def jaccardCteAt(threshold: Double) =
     s"""$ShinglesCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |jac AS (SELECT doc_a, doc_b, round(CAST(ni AS DOUBLE)/(sa.n + sb.n - ni), 6) AS jaccard
        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-       |  WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.2)""".stripMargin
+       |  WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= $threshold)""".stripMargin
+
+  private val JaccardCte = jaccardCteAt(0.2)
 
   /** Embeddings cast to double with sign-pattern LSH bucket over dims 1-4
     * (mirrors Similarity.bucket). */
@@ -687,6 +693,10 @@ object SparkEntry {
     // closure — algorithm independent of Spark's label propagation)
     "dedup_ngram_clusters" ->
       s"""WITH RECURSIVE $JaccardCte,
+         |${docComponentsSql("jac")}""".stripMargin,
+
+    "dedup_ngram_clusters_t50" ->
+      s"""WITH RECURSIVE ${jaccardCteAt(0.5)},
          |${docComponentsSql("jac")}""".stripMargin,
 
     // connected components via recursive transitive closure over the

@@ -263,4 +263,49 @@ object GraphOps {
       col("node").cast(nodeField.dataType).as("node"),
       col("label").cast(nodeField.dataType).as("label"))
   }
+
+  /** STRING-id face of `connectedComponents` (the integral-only
+    * contract above is deliberate — this is the documented bridge for
+    * everyone else): ids are hashed to 60-bit longs
+    * (`TextHashing.md5Long`, the library's engine-portable id hash),
+    * the contraction runs in long space, and the result maps back to
+    * strings with label = the MIN STRING id of each component (one
+    * extra agg+join — hash order is meaningless to callers, min-string
+    * is deterministic and self-describing).
+    *
+    * Hashing 2^60 space means collisions are birthday-bounded (~10^-18
+    * at a million ids, ~50% only near 10^9) but NOT impossible, and a
+    * collision would silently MERGE two components — so it is checked
+    * up front (one countDistinct pass over the node ids) and the call
+    * FAILS LOUDLY rather than mislabeling. A corpus big enough to
+    * collide re-keys to a composite hash or a dense id dictionary;
+    * this operator refuses to guess. */
+  def connectedComponentsByString(
+      nodes: DataFrame, pairs: DataFrame,
+      checkpointDir: Option[String] = None,
+      maxIters: Int = 64): DataFrame = {
+    val idCol = nodes.columns.head
+    require(nodes.schema.head.dataType == org.apache.spark.sql.types.StringType,
+      s"connectedComponentsByString needs a string node id, got ${nodes.schema.head.dataType}")
+    val ids = nodes.select(col(idCol).cast("string").as("id")).na.drop()
+    val hashed = ids.withColumn("hid", TextHashing.md5Long(col("id")))
+    val chk = hashed.agg(
+      countDistinct(col("id")).as("n_ids"),
+      countDistinct(col("hid")).as("n_hashes")).collect()(0)
+    if (chk.getLong(0) != chk.getLong(1))
+      throw new IllegalStateException(
+        s"md5Long collision among node ids (${chk.getLong(0)} distinct ids -> " +
+          s"${chk.getLong(1)} distinct hashes): re-key to md5LongComposite or a dense dictionary")
+    val Seq(aC, bC) = pairs.columns.toSeq.take(2)
+    val hPairs = pairs.select(
+      TextHashing.md5Long(col(aC).cast("string")).as("ha"),
+      TextHashing.md5Long(col(bC).cast("string")).as("hb"))
+    val labels = connectedComponents(hashed.select("hid"), hPairs, checkpointDir, maxIters)
+    val byHash = hashed
+      .join(labels, col("hid") === col("node"))
+      .select(col("id"), col("label"))
+    val reps = byHash.groupBy("label").agg(min(col("id")).as("label_id"))
+    byHash.join(reps, "label")
+      .select(col("id").as("node"), col("label_id").as("label"))
+  }
 }

@@ -91,9 +91,19 @@ object TextDedup {
     ngramPairsCached(spark, dir).orderBy("doc_a", "doc_b")
 
   private def ngramPairsCached(spark: SparkSession, dir: String): DataFrame =
-    graft.core.SessionCache.getOrBuild(spark, "ngram_pairs", dir) {
-      index(spark, dir).ngramPairs(JaccardThreshold)
+    ngramPairsCachedAt(spark, dir, JaccardThreshold)
+
+  /** The exact-Jaccard pair list at an arbitrary threshold, session-
+    * cached per (dir, threshold) — a dataset card sweeps several
+    * thresholds over one corpus, and each sweep point is its own small
+    * derived table (the shared shingle index underneath is built once). */
+  private def ngramPairsCachedAt(spark: SparkSession, dir: String,
+                                 threshold: Double): DataFrame = {
+    val tag = if (threshold == JaccardThreshold) "" else s"@$threshold"
+    graft.core.SessionCache.getOrBuild(spark, s"ngram_pairs$tag", dir) {
+      index(spark, dir).ngramPairs(threshold)
     }
+  }
 
   /** The PPJoin-filtered exact pair list, session-cached like its
     * siblings (`ngram_pairs`, `minhash_pairs`) — identical rows to
@@ -111,8 +121,19 @@ object TextDedup {
     * shape as `minhashClusters`: the component loop touches only docs
     * that appear in a pair, singletons join via one anti join. */
   def ngramClusters(spark: SparkSession, dir: String): DataFrame =
+    ngramClustersAt(spark, dir, JaccardThreshold)
+
+  /** The cluster family with the threshold as an OPERATOR-LEVEL knob: a
+    * dataset card sweeps dedup aggressiveness (0.2 catches topical
+    * near-dups, 0.8 only boilerplate clones), and each threshold yields
+    * its own pair graph, component fixpoint, and cluster table — all
+    * session-cached per (dir, threshold), sharing one shingle index. */
+  def ngramClustersAt(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val tag = if (threshold == JaccardThreshold) "" else s"@$threshold"
     clustersFromPairs(spark, dir,
-      ngramPairsCached(spark, dir).select("doc_a", "doc_b"), "ngram_clusters")
+      ngramPairsCachedAt(spark, dir, threshold).select("doc_a", "doc_b"),
+      s"ngram_clusters$tag")
+  }
 
   /** 32-minima MinHash signature per doc, one array column: 32 affine
     * permutations h_i(x) = ((2i+1)*x' + i^2+7) mod p over md5-hashed

@@ -148,6 +148,30 @@ class OpsSpec extends SparkSpec {
       "reliable mode must write to the checkpoint dir")
   }
 
+  test("connected components with STRING ids: hashed contraction, min-string labels") {
+    import spark.implicits._
+    // a web-corpus shape: URL-ish string ids, no integral key anywhere
+    val nodes = Seq("url/a", "url/b", "url/c", "url/x", "url/y", "url/z").toDF("id")
+    val edges = Seq(("url/c", "url/b"), ("url/b", "url/a"), ("url/y", "url/x")).toDF("s", "d")
+    val got = GraphOps.connectedComponentsByString(nodes, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "url/a" -> "url/a", "url/b" -> "url/a", "url/c" -> "url/a",
+      "url/x" -> "url/x", "url/y" -> "url/x",
+      "url/z" -> "url/z"),
+      "labels must be the lexicographic MIN string id of each component")
+    // the long-space contraction underneath must not leak hash order:
+    // rerunning with ids whose hash order differs from lex order still
+    // yields min-string labels (md5("2") < md5("1") is plausible for
+    // some pair in this set; the agg+join mapping guarantees the
+    // contract regardless)
+    val n2 = (1 to 9).map(i => s"d$i").toDF("id")
+    val e2 = (1 to 8).map(i => (s"d$i", s"d${i + 1}")).toDF("s", "d")
+    val chain = GraphOps.connectedComponentsByString(n2, e2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(chain.values.toSet === Set("d1"), "one chain, rep = min string id")
+  }
+
   test("connected components: seeded random graphs match union-find (self-loops, dups, chains)") {
     import spark.implicits._
     val rng = new scala.util.Random(20260812L)
@@ -712,6 +736,36 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 2L, 5L),
       "min doc_id wins in-batch; cross-batch dup dropped by the index")
     assert(spark.read.parquet(index).count() === 3)
+  }
+
+  test("NULL text never survives streaming curation: dropped by the exact gate, never indexed") {
+    // the documented degenerate-text contract (incrementalNearDedup's
+    // scaladoc), proven END TO END through streamingDedup with both
+    // gates on: a null-text doc (a decode failure upstream) produces no
+    // signature and a null fingerprint, so it must be dropped by policy
+    // — not silently curated, not indexed anywhere
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = Files.createTempDirectory("curnull").toString
+    val (corpus, index, nd, ckpt) =
+      (s"$base/docs", s"$base/fp", s"$base/nd", s"$base/ckpt")
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Option[String])]
+    val q = CurationPipeline.streamingDedup(
+      stream.toDS().toDF("doc_id", "text"), corpus, index, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      nearDupDir = Some(nd))
+    stream.addData((1L, Some("alpha doc body with words")), (2L, None))
+    q.processAllAvailable()
+    stream.addData((3L, None), (4L, Some("entirely unrelated second text about other things")))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 4L), "null-text docs must never reach the curated corpus")
+    val fps = spark.read.parquet(index).collect()
+    assert(fps.length === 2 && fps.forall(!_.isNullAt(0)),
+      "the fp index holds the two real docs and no null fingerprint")
+    assert(spark.read.parquet(s"$nd/sigs").select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 4L), "no signature rows for null-text docs")
   }
 
   test("sink compaction merges cold batches; hot-batch replay stays idempotent") {
