@@ -316,9 +316,19 @@ object Similarity {
     // invalidate BOTH the source dir's and (when redirected via `at`)
     // the target base's session cache — a session that already probed
     // `base` must not keep serving pre-build centroids
-    graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
-    if (base != dir) graft.core.SessionCache.invalidate(spark, "ivf_centroids", base)
+    invalidateIvf(spark, dir)
+    if (base != dir) invalidateIvf(spark, base)
     base
+  }
+
+  /** Drop this (session, dir)'s IVF-derived session state: the cached
+    * quantizer AND the computed posting-list caches that were assigned
+    * with it. Call after rewriting embeddings.parquet or the on-disk
+    * IVF/IVF-PQ index (the build entry points call it themselves). */
+  def invalidateIvf(spark: SparkSession, dir: String): Unit = {
+    graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+    graft.core.SessionCache.invalidate(spark, "ivf_session_postings", dir)
+    graft.core.SessionCache.invalidate(spark, "ivfpq_session_postings", dir)
   }
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
@@ -377,12 +387,19 @@ object Similarity {
     val postings =
       if (filesBacked)
         spark.read.parquet(ivfPostingsPath(dir)).select("vec_id", "v", "nrm", "c_id")
-      else {
+      else
         // derive posting lists from the (possibly persisted) quantizer so
-        // both halves always agree; n_clusters rows collected, bounded
-        e.withColumn("c_id", assignCol(collectedCentroids(centroids)))
-          .select("vec_id", "v", "nrm", "c_id")
-      }
+        // both halves always agree (n_clusters rows collected, bounded) —
+        // and session-cache the result: the assignment projection is ~16
+        // literal cosines per row, and every probe in the session would
+        // otherwise recompute it over the whole corpus. The FILE-backed
+        // path above stays uncached on purpose (caching would defeat the
+        // c_id partition pruning that is its whole point); this cache is
+        // the session analog of having built that index.
+        graft.core.SessionCache.getOrBuild(spark, "ivf_session_postings", dir) {
+          e.withColumn("c_id", assignCol(collectedCentroids(centroids)))
+            .select("vec_id", "v", "nrm", "c_id")
+        }
     val q = queriesOf(e, qids)
     import org.apache.spark.sql.expressions.Window
     val probe = Window.partitionBy("qid")
@@ -832,10 +849,10 @@ object Similarity {
     centroidsToDf(spark, cents).coalesce(1)
       .write.mode("overwrite").parquet(ivfIndexPath(base))
     writeCodebooks(spark, base, cbs)
-    graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+    invalidateIvf(spark, dir)
     invalidatePq(spark, dir)
     if (base != dir) {
-      graft.core.SessionCache.invalidate(spark, "ivf_centroids", base)
+      invalidateIvf(spark, base)
       invalidatePq(spark, base)
     }
     base
@@ -862,10 +879,16 @@ object Similarity {
         spark.read.parquet(ivfPqPostingsPath(dir))
           .select("vec_id", "v", "nrm", "code", "c_id")
       else
-        emb(spark, dir)
-          .withColumn("c_id", assignCol(collectedCentroids(centroids)))
-          .withColumn("code", codeColOf(cbs))
-          .select("vec_id", "v", "nrm", "code", "c_id")
+        // session analog of the persisted composed index (see
+        // ivfTopKFor's ivf_session_postings note): the double quantizer
+        // assignment (~16 cosines + 128 squared distances per row) runs
+        // once per (session, dir), not once per query execution
+        graft.core.SessionCache.getOrBuild(spark, "ivfpq_session_postings", dir) {
+          emb(spark, dir)
+            .withColumn("c_id", assignCol(collectedCentroids(centroids)))
+            .withColumn("code", codeColOf(cbs))
+            .select("vec_id", "v", "nrm", "code", "c_id")
+        }
     adcQueryFrame(spark, dir, cbs, qids) match {
       case None => emptyTopK(spark, "cos_sim")
       case Some(qdf) =>

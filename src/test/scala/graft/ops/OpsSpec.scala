@@ -384,7 +384,7 @@ class OpsSpec extends SparkSpec {
       }
       rm(new java.io.File(idxPath))
       rm(new java.io.File(Similarity.ivfPostingsPath(dir)))
-      graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+      Similarity.invalidateIvf(spark, dir)
     }
   }
 
@@ -551,7 +551,7 @@ class OpsSpec extends SparkSpec {
       rm(new java.io.File(Similarity.ivfPqPostingsPath(dir)))
       rm(new java.io.File(Similarity.ivfIndexPath(dir)))
       rm(new java.io.File(Similarity.pqIndexPath(dir)))
-      graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+      Similarity.invalidateIvf(spark, dir)
       Similarity.invalidatePq(spark, dir)
     }
   }
@@ -564,7 +564,7 @@ class OpsSpec extends SparkSpec {
       // commit marker, written LAST) never published
       def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
       rm(new java.io.File(Similarity.ivfIndexPath(dir)))
-      graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+      Similarity.invalidateIvf(spark, dir)
       val before = Similarity.kmeansRuns.get()
       val s2 = spark.newSession()
       val recovered = Similarity.ivfTopK(s2, dir).collect()
@@ -576,7 +576,7 @@ class OpsSpec extends SparkSpec {
       def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
       rm(new java.io.File(Similarity.ivfIndexPath(dir)))
       rm(new java.io.File(Similarity.ivfPostingsPath(dir)))
-      graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
+      Similarity.invalidateIvf(spark, dir)
     }
   }
 
