@@ -121,7 +121,8 @@ object SparkEntry {
     "pipeline_filtered_docs" -> (CurationPipeline.filteredCorpus _),
     // the streaming gates under the oracle: 3 sequential micro-batches
     // through processBatch with REAL persisted fp/band/sig indexes
-    "curation_replay" -> (CurationPipeline.curationReplay _)
+    "curation_replay" -> (CurationPipeline.curationReplay _),
+    "vector_curation_replay" -> (CurationPipeline.vectorCurationReplay _)
   )
 
   // ---------------------------------------------------------------------
@@ -418,7 +419,63 @@ object SparkEntry {
        |  FROM mh GROUP BY 1, 2),
        |fpt AS (SELECT doc_id, md5(lower(text)) AS fp, doc_id % $nBatches AS b FROM documents),
        |$perBatch
-       |SELECT doc_id, batch_id FROM ($finalUnion) ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, batch_id FROM ($finalUnion) ORDER BY doc_id"""
+      .stripMargin
+      // MATERIALIZED is load-bearing, not a hint: the per-batch CTE
+      // chain references each level several times (ex in dn/do/out, out
+      // in idx/prv, idx in the next batch's ex ...), so DuckDB's default
+      // inlining re-evaluates the whole prior chain per reference —
+      // exponential in the batch count. At sf0.1 the inlined form
+      // spilled past 80 GB of temp before failing; materialized it runs
+      // in ~2 s with identical results (verified against the Spark
+      // output at both scales).
+      .replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** Sequential unroll of the streaming VECTOR gate (mirrors
+    * CurationPipeline.processVectorBatch / Similarity.incrementalNearDup
+    * batch for batch): sign-bucket + Hamming-1 probe candidates, cosine
+    * verification with zero-norm guards, index = earlier survivors. */
+  private def vectorReplaySql(nBatches: Int, threshold: Double): String = {
+    def probes(xa: String, ya: String) =
+      s"$ya.bkt IN ($xa.bkt, xor($xa.bkt, 1), xor($xa.bkt, 2), xor($xa.bkt, 4), xor($xa.bkt, 8))"
+    val guards =
+      "list_inner_product(x.v, x.v) > 0 AND list_inner_product(y.v, y.v) > 0"
+    val perBatch = (0 until nBatches).map { b =>
+      val dropOld = if (b == 0) "" else
+        s"""vdo$b AS (SELECT DISTINCT x.vec_id FROM vn x JOIN vn y
+           |  ON ${probes("x", "y")} AND x.vec_id <> y.vec_id
+           |  WHERE x.b = $b AND y.vec_id IN (SELECT vec_id FROM vprv$b)
+           |    AND $guards
+           |    AND list_cosine_similarity(x.v, y.v) >= $threshold)""".stripMargin
+      val dropNew =
+        s"""vdn$b AS (SELECT DISTINCT x.vec_id FROM vn x JOIN vn y
+           |  ON ${probes("x", "y")} AND x.vec_id > y.vec_id
+           |  WHERE x.b = $b AND y.b = $b
+           |    AND $guards
+           |    AND list_cosine_similarity(x.v, y.v) >= $threshold)""".stripMargin
+      val out =
+        s"""vout$b AS (SELECT vec_id FROM vn WHERE b = $b
+           |  AND vec_id NOT IN (SELECT vec_id FROM vdn$b)${
+             if (b == 0) "" else s" AND vec_id NOT IN (SELECT vec_id FROM vdo$b)"})""".stripMargin
+      val prv =
+        if (b + 1 >= nBatches) ""
+        else if (b == 0) s"vprv${b + 1} AS (SELECT vec_id FROM vout$b)"
+        else s"vprv${b + 1} AS (SELECT vec_id FROM vprv$b UNION ALL SELECT vec_id FROM vout$b)"
+      Seq(dropOld, dropNew, out, prv).filter(_.nonEmpty).mkString(",\n")
+    }.mkString(",\n")
+    val finalUnion = (0 until nBatches)
+      .map(b => s"SELECT vec_id, CAST($b AS BIGINT) AS batch_id FROM vout$b")
+      .mkString(" UNION ALL ")
+    s"""WITH vn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+       |   + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bkt,
+       |  vec_id % $nBatches AS b FROM embeddings),
+       |$perBatch
+       |SELECT vec_id, batch_id FROM ($finalUnion) ORDER BY vec_id"""
+      .stripMargin
+      // same exponential-inlining hazard as curationReplaySql
+      .replace(" AS (", " AS MATERIALIZED (")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1002,6 +1059,7 @@ object SparkEntry {
          |SELECT q.doc_id, n_words, quality_score FROM q JOIN k ON q.doc_id = k.doc_id
          |WHERE quality_score >= 0.3 AND n_words BETWEEN 20 AND 5000 ORDER BY q.doc_id""".stripMargin,
 
-    "curation_replay" -> curationReplaySql(nBatches = 3, threshold = 0.2)
+    "curation_replay" -> curationReplaySql(nBatches = 3, threshold = 0.2),
+    "vector_curation_replay" -> vectorReplaySql(nBatches = 3, threshold = 0.35)
   )
 }

@@ -309,39 +309,81 @@ object CurationPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.types._
-        val spark = batch.sparkSession
-        val index = readBatchIndex(spark, indexDir, StructType(Seq(
-          StructField("vec_id", LongType), StructField("bkt", LongType),
-          StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType),
-          StructField("batch_id", LongType))), batchId)
-        val (survivors, _) =
-          graft.ops.Similarity.incrementalNearDup(batch, index, threshold)
-        // snapshot before the sink writes: the index write below
-        // invalidates every cached plan reading indexDir (see
-        // streamingDedup's near-dup path for the measured failure)
-        val out = survivors.localCheckpoint(true)
-        // index rows re-derived from the snapshot (no path deps)
-        val rows = graft.ops.Similarity.vectorIndexRows(out)
-        try {
-          out.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(corpusDir)
-          rows.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(indexDir)
-        } finally releaseLocalCheckpoint(out)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          compactSink(spark, corpusDir)
-          compactSink(spark, indexDir)
-        }
-        ()
+        processVectorBatch(batch, batchId, corpusDir, indexDir, threshold, compactEvery)
       }
       .start()
+
+  /** ONE micro-batch of the vector-curation pipeline — the exact body
+    * `streamingVectorDedup`'s foreachBatch runs (extracted for
+    * `replayVectorBatches`, like `processBatch` for the text gate). */
+  private[ops] def processVectorBatch(
+      batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
+      threshold: Double, compactEvery: Int): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    val index = readBatchIndex(spark, indexDir, StructType(Seq(
+      StructField("vec_id", LongType), StructField("bkt", LongType),
+      StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType),
+      StructField("batch_id", LongType))), batchId)
+    val (survivors, _) =
+      graft.ops.Similarity.incrementalNearDup(batch, index, threshold)
+    // snapshot before the sink writes: the index write below
+    // invalidates every cached plan reading indexDir (see
+    // streamingDedup's near-dup path for the measured failure)
+    val out = survivors.localCheckpoint(true)
+    // index rows re-derived from the snapshot (no path deps)
+    val rows = graft.ops.Similarity.vectorIndexRows(out)
+    try {
+      out.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(corpusDir)
+      rows.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(indexDir)
+    } finally releaseLocalCheckpoint(out)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      compactSink(spark, corpusDir)
+      compactSink(spark, indexDir)
+    }
+  }
+
+  /** `replayBatches`'s vector-modality sibling: drive the exact
+    * streaming batch body over an explicit batch partitioning of a
+    * static (vec_id, embedding) frame, against REAL persisted
+    * batch_id-partitioned index dirs. */
+  def replayVectorBatches(vecs: DataFrame, batchCol: org.apache.spark.sql.Column,
+                          corpusDir: String, indexDir: String,
+                          threshold: Double): DataFrame = {
+    val withB = vecs.withColumn("__replay_b", batchCol.cast("long"))
+    val ids = withB.select("__replay_b").distinct()
+      .collect().map(_.getLong(0)).sorted
+    ids.foreach { b =>
+      processVectorBatch(withB.filter(col("__replay_b") === b).drop("__replay_b"),
+        b, corpusDir, indexDir, threshold, compactEvery = 0)
+    }
+    vecs.sparkSession.read.parquet(corpusDir)
+  }
+
+  /** CORRECTNESS face of the streaming VECTOR gate: replay the
+    * embeddings table as 3 deterministic micro-batches (vec_id % 3)
+    * through `processVectorBatch` with a real persisted fixed-width
+    * vector index, at the fixture-scale threshold (0.35 — the corpus's
+    * near-dup range; production gates pass 0.9+). The DuckDB oracle
+    * applies the sign-bucket + Hamming-1 candidate generation and the
+    * cosine verification sequentially, batch by batch. */
+  def vectorCurationReplay(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("vec_replay").toString
+    val corpus = replayVectorBatches(vecs, col("vec_id") % 3,
+      s"$tmp/corpus", s"$tmp/index", threshold = 0.35)
+    corpus.select(col("vec_id"), col("batch_id").cast("long").as("batch_id"))
+      .orderBy("vec_id")
+  }
 
   /** Release the RDD blocks behind a localCheckpoint'd frame.
     * `Dataset.unpersist` is a NO-OP for a checkpointed frame — the
