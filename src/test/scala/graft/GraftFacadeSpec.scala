@@ -226,6 +226,11 @@ class GraftFacadeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Graft.buildVectorIndex(spark, tmp, method = "hnsw")
     }
+    // the recall-contract entry point: calibrates on the corpus (or a
+    // sampled calibDir at scale) and serves the chosen plan
+    val tuned = Graft.annSearchTuned(spark, dir, qids, targetRecall = 0.3, k = 3)
+    assert(tuned.columns.toSeq === Seq("qid", "vec_id", "cos_sim"))
+    assert(tuned.count() > 0, "tuned search must serve the chosen plan")
   }
 
   test("corpus curation end-to-end: .jsonl.gz -> quality gate -> dedup -> compacted parquet") {
