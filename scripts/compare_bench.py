@@ -44,6 +44,9 @@ FAMILY_FILES = {
     ("multimodal_",): ["ops/Multimodal.scala"],
     ("pipeline_",): ["ops/CurationPipeline.scala", "ops/TextAnalysis.scala",
                      "ops/TextDedup.scala"],
+    ("curation_replay",): ["ops/CurationPipeline.scala", "ops/TextDedup.scala",
+                           "ops/TextHashing.scala"],
+    ("vector_curation_replay",): ["ops/CurationPipeline.scala", "ops/Similarity.scala"],
 }
 # changes to these can shift ANY query
 GLOBAL_FILES = ["SparkEntry.scala", "Bench.scala", "core/GraftConf.scala",

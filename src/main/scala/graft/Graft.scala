@@ -262,7 +262,9 @@ object Graft {
   def annSearchTuned(spark: SparkSession, dir: String, queryIds: Seq[Long],
                      targetRecall: Double, k: Int = 10,
                      calibDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
-    val plan = ops.Similarity.planAnn(spark, calibDir.getOrElse(dir), targetRecall, k = k)
+    // memoized: the calibration is deterministic per (session, dir,
+    // target, k) — a session serving many query batches calibrates once
+    val plan = ops.Similarity.planAnnCached(spark, calibDir.getOrElse(dir), targetRecall, k = k)
     ops.Similarity.runAnnPlan(spark, dir, plan, queryIds, k)
   }
 

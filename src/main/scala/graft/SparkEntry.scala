@@ -417,7 +417,8 @@ object SparkEntry {
        |  FROM hsh CROSS JOIN (SELECT unnest(generate_series(0,31)) AS i) GROUP BY 1, 2),
        |bt AS (SELECT doc_id, i//4 AS band, string_agg(concat(i%4, ':', mh), ',' ORDER BY i%4) AS band_key
        |  FROM mh GROUP BY 1, 2),
-       |fpt AS (SELECT doc_id, md5(lower(text)) AS fp, doc_id % $nBatches AS b FROM documents),
+       |fpt AS (SELECT doc_id, md5(lower(text)) AS fp, doc_id % $nBatches AS b
+       |  FROM documents WHERE text IS NOT NULL),
        |$perBatch
        |SELECT doc_id, batch_id FROM ($finalUnion) ORDER BY doc_id"""
       .stripMargin

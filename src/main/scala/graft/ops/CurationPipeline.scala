@@ -285,10 +285,23 @@ object CurationPipeline {
   def curationReplay(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("curation_replay").toString
-    val corpus = replayBatches(docs, col("doc_id") % 3,
-      s"$tmp/corpus", s"$tmp/fp", Some(s"$tmp/nd"))
-    corpus.select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
-      .orderBy("doc_id")
+    try {
+      val corpus = replayBatches(docs, col("doc_id") % 3,
+        s"$tmp/corpus", s"$tmp/fp", Some(s"$tmp/nd"))
+      // snapshot, then the scratch corpus/indexes can be deleted — each
+      // invocation otherwise leaks a full replayed-corpus copy to /tmp
+      // (bench alone runs this 4+ times per round). The snapshot is a
+      // few thousand (doc_id, batch_id) rows; the ContextCleaner reaps
+      // its blocks when the returned frame goes unreachable.
+      corpus.select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** Streaming EMBEDDING dedup — `streamingDedup`'s vector-modality
@@ -379,10 +392,14 @@ object CurationPipeline {
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding")
     val tmp = java.nio.file.Files.createTempDirectory("vec_replay").toString
-    val corpus = replayVectorBatches(vecs, col("vec_id") % 3,
-      s"$tmp/corpus", s"$tmp/index", threshold = 0.35)
-    corpus.select(col("vec_id"), col("batch_id").cast("long").as("batch_id"))
-      .orderBy("vec_id")
+    try {
+      val corpus = replayVectorBatches(vecs, col("vec_id") % 3,
+        s"$tmp/corpus", s"$tmp/index", threshold = 0.35)
+      // snapshot-then-delete, like curationReplay
+      corpus.select(col("vec_id"), col("batch_id").cast("long").as("batch_id"))
+        .orderBy("vec_id")
+        .localCheckpoint(true)
+    } finally deleteRecursively(new java.io.File(tmp))
   }
 
   /** Release the RDD blocks behind a localCheckpoint'd frame.

@@ -288,18 +288,29 @@ object GraphOps {
     require(nodes.schema.head.dataType == org.apache.spark.sql.types.StringType,
       s"connectedComponentsByString needs a string node id, got ${nodes.schema.head.dataType}")
     val ids = nodes.select(col(idCol).cast("string").as("id")).na.drop()
-    val hashed = ids.withColumn("hid", TextHashing.md5Long(col("id")))
-    val chk = hashed.agg(
+    val Seq(aC, bC) = pairs.columns.toSeq.take(2)
+    // a NULL endpoint must not become a node: md5Long(null) is null,
+    // which the long-keyed contraction would unbox to a phantom node 0
+    // silently merging every component it touches
+    val cleanPairs = pairs
+      .select(col(aC).cast("string").as("pa"), col(bC).cast("string").as("pb"))
+      .na.drop()
+    // collision-check node ids AND pair endpoints: an endpoint absent
+    // from `nodes` still enters the contraction, so an unchecked
+    // collision there could silently merge components all the same
+    val allIds = ids.unionByName(cleanPairs.select(col("pa").as("id")))
+      .unionByName(cleanPairs.select(col("pb").as("id")))
+    val chk = allIds.withColumn("hid", TextHashing.md5Long(col("id"))).agg(
       countDistinct(col("id")).as("n_ids"),
       countDistinct(col("hid")).as("n_hashes")).collect()(0)
     if (chk.getLong(0) != chk.getLong(1))
       throw new IllegalStateException(
         s"md5Long collision among node ids (${chk.getLong(0)} distinct ids -> " +
           s"${chk.getLong(1)} distinct hashes): re-key to md5LongComposite or a dense dictionary")
-    val Seq(aC, bC) = pairs.columns.toSeq.take(2)
-    val hPairs = pairs.select(
-      TextHashing.md5Long(col(aC).cast("string")).as("ha"),
-      TextHashing.md5Long(col(bC).cast("string")).as("hb"))
+    val hashed = ids.withColumn("hid", TextHashing.md5Long(col("id")))
+    val hPairs = cleanPairs.select(
+      TextHashing.md5Long(col("pa")).as("ha"),
+      TextHashing.md5Long(col("pb")).as("hb"))
     val labels = connectedComponents(hashed.select("hid"), hPairs, checkpointDir, maxIters)
     val byHash = hashed
       .join(labels, col("hid") === col("node"))

@@ -306,8 +306,13 @@ object Similarity {
     // readers fall back to in-session training instead of silently
     // probing a partially-written index (mere path existence is NOT
     // completeness under task-commit writers at scale).
-    val idxP = new org.apache.hadoop.fs.Path(ivfIndexPath(base))
-    idxP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(idxP, true)
+    deletePath(spark, ivfIndexPath(base))
+    // the centroid marker also validates the COMPOSED layout's postings
+    // (ivfPqTopKFor's filesBacked check) — rewriting it must therefore
+    // take any stale composed data down with it, or a marker written by
+    // THIS build (possibly different seedBits / rewritten embeddings)
+    // would validate posting rows assigned under the OLD quantizer
+    deletePath(spark, ivfPqPostingsPath(base))
     e.withColumn("c_id", assignCol(cents))
       .select("vec_id", "v", "nrm", "c_id")
       .write.mode("overwrite").partitionBy("c_id").parquet(ivfPostingsPath(base))
@@ -329,6 +334,7 @@ object Similarity {
     graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
     graft.core.SessionCache.invalidate(spark, "ivf_session_postings", dir)
     graft.core.SessionCache.invalidate(spark, "ivfpq_session_postings", dir)
+    dropPlans(spark, dir)
   }
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
@@ -632,6 +638,10 @@ object Similarity {
     val e = emb(spark, dir)
     val cbs = trainAllSubspaces(e)
     deletePath(spark, pqIndexPath(base))
+    // the codebook marker also validates the composed layout's postings
+    // (their embedded codes were packed under the OLD codebooks) — see
+    // buildIvfIndex's symmetric note on the centroid marker
+    deletePath(spark, ivfPqPostingsPath(base))
     e.select(col("vec_id"), codeColOf(cbs).as("code"))
       .write.mode("overwrite").parquet(pqCodesPath(base))
     writeCodebooks(spark, base, cbs)
@@ -648,6 +658,11 @@ object Similarity {
   def invalidatePq(spark: SparkSession, dir: String): Unit = {
     pqCodebooks.remove((spark, dir))
     graft.core.SessionCache.invalidate(spark, "pq_codes", dir)
+    // the composed session postings embed codes packed under the
+    // codebooks this call drops — they are PQ state as much as the
+    // code table is
+    graft.core.SessionCache.invalidate(spark, "ivfpq_session_postings", dir)
+    dropPlans(spark, dir)
   }
 
   // evict with the session, like TextDedup's indexes
@@ -842,6 +857,12 @@ object Similarity {
     val cbs = trainAllSubspaces(e)
     deletePath(spark, ivfIndexPath(base))
     deletePath(spark, pqIndexPath(base))
+    // this build rewrites BOTH markers, and each marker also validates a
+    // sibling layout's data files (centroids -> ivf_postings, codebooks
+    // -> pq_codes) — stale siblings assigned/packed under the old
+    // quantizers must not survive under the fresh markers
+    deletePath(spark, ivfPostingsPath(base))
+    deletePath(spark, pqCodesPath(base))
     e.withColumn("c_id", assignCol(cents))
       .withColumn("code", codeColOf(cbs))
       .select("vec_id", "v", "nrm", "code", "c_id")
@@ -982,6 +1003,36 @@ object Similarity {
     * the caller points `dir` at a sampled sub-corpus (the operators
     * are dir-bound, so the whole calibration — truth included — runs
     * at sample cost), then runs the returned plan on the full corpus. */
+  /** Memoized `planAnn` — `Graft.annSearchTuned`'s backing. The
+    * calibration is deterministic per (session, dir, target,
+    * calibQueries, k), so a session serving many query batches pays the
+    * truth pass + candidate ladder ONCE per contract, not per call.
+    * Evicted with the session (like the PQ codebooks) and by
+    * `invalidateIvf`/`invalidatePq` (a rewritten corpus or index
+    * invalidates the measurements the plan was chosen from). */
+  def planAnnCached(spark: SparkSession, dir: String, targetRecall: Double,
+                    calibQueries: Int = 32, k: Int = 5): AnnPlan = {
+    graft.core.SessionCache.watch(spark)
+    planCache.computeIfAbsent((spark, dir, targetRecall, calibQueries, k),
+      _ => planAnn(spark, dir, targetRecall, calibQueries, k))
+  }
+
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double, Int, Int), AnnPlan]()
+
+  private def dropPlans(spark: SparkSession, dir: String): Unit = {
+    val it = planCache.keySet().iterator()
+    while (it.hasNext) {
+      val key = it.next()
+      if ((key._1 eq spark) && key._2 == dir) it.remove()
+    }
+  }
+
+  graft.core.SessionCache.onSessionEnd { spark =>
+    val it = planCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
+
   def planAnn(spark: SparkSession, dir: String, targetRecall: Double,
               calibQueries: Int = 32, k: Int = 5): AnnPlan = {
     require(targetRecall >= 0.0 && targetRecall <= 1.0,

@@ -580,6 +580,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("rebuilding one index layout never leaves a sibling layout's stale data validated") {
+    // the three layouts share two commit markers (centroids, codebooks)
+    // but have disjoint data files — a build that rewrites a marker must
+    // take down any sibling data that marker would otherwise validate,
+    // or a seedBits/corpus change could serve stale assignments
+    val live = Similarity.ivfTopK(spark, dir).collect()
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+    try {
+      Similarity.buildIvfIndex(spark, dir)
+      assert(new java.io.File(Similarity.ivfPostingsPath(dir)).exists())
+      Similarity.buildIvfPqIndex(spark, dir) // rewrites BOTH markers
+      assert(!new java.io.File(Similarity.ivfPostingsPath(dir)).exists(),
+        "stale plain-IVF postings must not survive under the fresh centroid marker")
+      assert(!new java.io.File(Similarity.pqCodesPath(dir)).exists(),
+        "stale PQ codes must not survive under the fresh codebook marker")
+      // the plain-IVF query falls back to the computed path against the
+      // fresh persisted quantizer — same deterministic values, no stale read
+      val s2 = spark.newSession()
+      assert(Similarity.ivfTopK(s2, dir).collect().map(_.toString).toSeq
+        === live.map(_.toString).toSeq)
+      assert(new java.io.File(Similarity.ivfPqPostingsPath(dir)).exists())
+      Similarity.buildPqIndex(spark, dir) // rewrites the codebook marker
+      assert(!new java.io.File(Similarity.ivfPqPostingsPath(dir)).exists(),
+        "stale composed postings must not survive under a fresh codebook marker")
+    } finally {
+      Seq(Similarity.ivfIndexPath(dir), Similarity.ivfPostingsPath(dir),
+        Similarity.pqIndexPath(dir), Similarity.pqCodesPath(dir),
+        Similarity.ivfPqPostingsPath(dir)).foreach(p => rm(new java.io.File(p)))
+      Similarity.invalidateIvf(spark, dir)
+      Similarity.invalidatePq(spark, dir)
+    }
+  }
+
   test("fingerprints agree exactly for identical docs") {
     val fps = TextAnalysis.fingerprints(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
