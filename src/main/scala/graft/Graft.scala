@@ -247,9 +247,10 @@ object Graft {
       case "pq"             => ops.Similarity.pqTopKFor(spark, dir, queryIds, k)
       case "pq_rerank"      => ops.Similarity.pqTopKReranked(spark, dir, queryIds, k, sl)
       case "ivfpq"          => ops.Similarity.ivfPqTopKFor(spark, dir, queryIds, k, nprobe, sl)
+      case "ivfpq_residual" => ops.Similarity.ivfPqResidualTopKFor(spark, dir, queryIds, k, nprobe, sl)
       case other => throw new IllegalArgumentException(
         s"unknown ANN method '$other' (expected ivf | brute | lsh | lsh_multiprobe | " +
-          "lsh_multitable | pq | pq_rerank | ivfpq)")
+          "lsh_multitable | pq | pq_rerank | ivfpq | ivfpq_residual)")
     }
   }
 

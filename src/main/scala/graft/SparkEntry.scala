@@ -97,6 +97,9 @@ object SparkEntry {
     // the composed 100 TB layout: nprobe-pruned partitions, ADC
     // shortlist inside them, exact rerank from the same posting rows
     "ann_ivfpq_topk" -> (Similarity.ivfPqTopK _),
+    // classical IVFADC: codes quantize the RESIDUAL v - c(v), so the
+    // same 32-bit budget resolves finer distances inside each cluster
+    "ann_ivfpq_residual" -> (Similarity.ivfPqResidualTopK _),
     "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "ann_lsh_multitable" -> (Similarity.lshMultiTableTopK _),
     "embedding_near_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
@@ -253,7 +256,12 @@ object SparkEntry {
     * (same deterministic recipe, squared-L2 assignment) ending in the
     * per-vector code relation `codes(vec_id, k0..k7)` and codebooks
     * `c{j}_2`. Assumes a CTE `e(vec_id, v)` is already defined. */
-  private def pqTrainCtes: String = {
+  private def pqTrainCtes: String = pqTrainCtesOver("e")
+
+  /** Same training unroll over an arbitrary source relation
+    * `src(vec_id, v)` — "e" for plain PQ, the residual relation for
+    * IVFADC-style residual codes. */
+  private def pqTrainCtesOver(src: String): String = {
     val M = PqMOracle; val dsub = PqDsubOracle
     def off(j: Int) = j * dsub
     def distSql(j: Int) = (1 to dsub).map(d =>
@@ -262,7 +270,7 @@ object SparkEntry {
       val bkt = (0 until 4).map(i =>
         s"CASE WHEN v[${off(j) + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
       val sub = (1 to dsub).map(d => s"b.v[${off(j) + d}]").mkString(", ")
-      s"""sb$j AS (SELECT vec_id, v, ($bkt) AS bkt FROM e),
+      s"""sb$j AS (SELECT vec_id, v, ($bkt) AS bkt FROM $src),
          |sd$j AS (SELECT bkt AS c_id, min(vec_id) AS svid FROM sb$j GROUP BY bkt),
          |c${j}_0 AS (SELECT s.c_id, [$sub] AS cv FROM sd$j s JOIN sb$j b ON b.vec_id = s.svid)""".stripMargin
     }
@@ -270,7 +278,7 @@ object SparkEntry {
       s"""a${j}_$r AS (SELECT vec_id, v, c_id FROM (
          |  SELECT b.vec_id, b.v, c.c_id, row_number() OVER (PARTITION BY b.vec_id
          |    ORDER BY round(${distSql(j)}, 6) ASC, c.c_id) AS rn
-         |  FROM e b CROSS JOIN c${j}_${r - 1} c) WHERE rn = 1)""".stripMargin
+         |  FROM $src b CROSS JOIN c${j}_${r - 1} c) WHERE rn = 1)""".stripMargin
     def updateCte(j: Int, r: Int) = {
       val means = (1 to dsub).map(d =>
         s"CAST(sum(CAST(v[${off(j) + d}] AS DECIMAL(27,12))) AS DOUBLE)/count(*)").mkString(", ")
@@ -280,13 +288,13 @@ object SparkEntry {
       s"""af$j AS (SELECT vec_id, c_id FROM (
          |  SELECT b.vec_id, c.c_id, row_number() OVER (PARTITION BY b.vec_id
          |    ORDER BY round(${distSql(j)}, 6) ASC, c.c_id) AS rn
-         |  FROM e b CROSS JOIN c${j}_2 c) WHERE rn = 1)""".stripMargin
+         |  FROM $src b CROSS JOIN c${j}_2 c) WHERE rn = 1)""".stripMargin
     val per = (0 until M).map(j => Seq(seedCtes(j), assignCte(j, 1), updateCte(j, 1),
       assignCte(j, 2), updateCte(j, 2), finalAssign(j)).mkString(",\n")).mkString(",\n")
     val codeSel = (0 until M).map(j => s"af$j.c_id AS k$j").mkString(", ")
     val codeJoin = (0 until M).map(j => s"JOIN af$j ON af$j.vec_id = x.vec_id").mkString(" ")
     s"""$per,
-       |codes AS (SELECT x.vec_id, $codeSel FROM e x $codeJoin)""".stripMargin
+       |codes AS (SELECT x.vec_id, $codeSel FROM $src x $codeJoin)""".stripMargin
   }
 
   /** ADC-score SQL fragments against a codes row aliased `k` and a query
@@ -357,6 +365,51 @@ object SparkEntry {
        |  FROM sl JOIN q q2 ON q2.qid = sl.qid JOIN e e2 ON e2.vec_id = sl.vec_id),
        |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM x)
        |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= $k ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
+  }
+
+  /** Residual-encoded composed oracle (mirrors
+    * Similarity.ivfPqResidualTopK — classical IVFADC): coarse k-means,
+    * residuals r = v - c(v), 8 sub-k-means trained ON residuals, ADC
+    * reconstruction dot(q,c) + sum_j dot(q_j, r̂_j) over norm
+    * sqrt(||c||^2 + 2 sum_j dot(c_j, r̂_j) + sum_j ||r̂_j||^2), probe
+    * restriction, shortlist, exact rerank. Every sum's association
+    * order mirrors the Spark fold exactly. */
+  private def ivfPqResidualOracleSql(nprobe: Int, shortlist: Int, k: Int): String = {
+    val M = PqMOracle; val dsub = PqDsubOracle
+    def off(j: Int) = j * dsub
+    val cbJoin = (0 until M).map(j => s"JOIN c${j}_2 cb$j ON cb$j.c_id = k.k$j").mkString(" ")
+    val dotR = (0 until M).map(j =>
+      "(" + (1 to dsub).map(d => s"b.qv[${off(j) + d}]*cb$j.cv[$d]").mkString(" + ") + ")").mkString(" + ")
+    val cdot = "(" + (1 to 64).map(d => s"b.qv[$d]*cc.cv[$d]").mkString(" + ") + ")"
+    val cnorm = "(" + (1 to 64).map(d => s"cc.cv[$d]*cc.cv[$d]").mkString(" + ") + ")"
+    val cross = (0 until M).map(j =>
+      "(" + (1 to dsub).map(d => s"cc.cv[${off(j) + d}]*cb$j.cv[$d]").mkString(" + ") + ")").mkString(" + ")
+    val rnorm = (0 until M).map(j =>
+      "(" + (1 to dsub).map(d => s"cb$j.cv[$d]*cb$j.cv[$d]").mkString(" + ") + ")").mkString(" + ")
+    val qnrm = (1 to 64).map(d => s"b.qv[$d]*b.qv[$d]").mkString(" + ")
+    val resArr = "[" + (1 to 64).map(d => s"a.v[$d] - c.cv[$d]").mkString(", ") + "]"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$ivfTrainCtes,
+       |er AS (SELECT a.vec_id, $resArr AS v FROM af a JOIN c2 c ON c.c_id = a.c_id),
+       |${pqTrainCtesOver("er")},
+       |${ivfProbeCtes(nprobe)},
+       |s AS (SELECT b.qid, a.vec_id,
+       |  round(($cdot + ($dotR)) / (sqrt($cnorm + 2.0*($cross) + ($rnorm)) * sqrt($qnrm)), 6) AS approx_sim
+       |  FROM best b JOIN af a ON a.c_id = b.c_id AND a.vec_id <> b.qid
+       |  JOIN c2 cc ON cc.c_id = b.c_id
+       |  JOIN codes k ON k.vec_id = a.vec_id $cbJoin),
+       |sl AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY approx_sim DESC, vec_id) AS srn FROM s)
+       |  WHERE srn <= $shortlist),
+       |x AS (SELECT sl.qid, sl.vec_id, round(list_cosine_similarity(q2.qv, e2.v), 6) AS cos_sim
+       |  FROM sl JOIN q q2 ON q2.qid = sl.qid JOIN e e2 ON e2.vec_id = sl.vec_id),
+       |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM x)
+       |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= $k ORDER BY qid, cos_sim DESC, vec_id"""
+      .stripMargin
+      // the training chain (er -> 8 sub-k-means -> codes) is referenced
+      // many times — same exponential-inlining hazard as the sequential
+      // replay oracles
+      .replace(" AS (", " AS MATERIALIZED (")
   }
 
   /** Sequential unroll of the streaming curation gates (mirrors
@@ -876,6 +929,7 @@ object SparkEntry {
     "ann_pq_topk" -> pqOracleSql,
     "ann_pq_rerank" -> pqRerankOracleSql(shortlist = 20, k = 5),
     "ann_ivfpq_topk" -> ivfPqOracleSql(nprobe = 2, shortlist = 20, k = 5),
+    "ann_ivfpq_residual" -> ivfPqResidualOracleSql(nprobe = 2, shortlist = 20, k = 5),
 
     "embedding_near_dup" ->
       s"""WITH $EmbBucketCte

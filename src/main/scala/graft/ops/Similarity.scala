@@ -334,6 +334,9 @@ object Similarity {
     graft.core.SessionCache.invalidate(spark, "ivf_centroids", dir)
     graft.core.SessionCache.invalidate(spark, "ivf_session_postings", dir)
     graft.core.SessionCache.invalidate(spark, "ivfpq_session_postings", dir)
+    // residual state derives from the coarse quantizer this call drops
+    graft.core.SessionCache.invalidate(spark, "ivfpq_res_postings", dir)
+    resCodebooks.remove((spark, dir))
     dropPlans(spark, dir)
   }
 
@@ -531,7 +534,8 @@ object Similarity {
     * ordering on (rounded distance, c_id) — the oracle's row_number
     * (dist ASC, c_id ASC) rule exactly. Term order is the left fold
     * d = 0..7, mirrored by the generated SQL. */
-  private def pqAssignCol(off: Int, cents: Seq[(Int, Seq[Double])]): Column = {
+  private def pqAssignCol(off: Int, cents: Seq[(Int, Seq[Double])],
+                          vcol: Column = col("v")): Column = {
     // HOF formulation: the candidate distances evaluate in a codegen
     // LOOP over a literal codebook array instead of 16x8 unrolled terms
     // — the unrolled form blew Janino's 64KB method limit once all 8
@@ -540,7 +544,7 @@ object Similarity {
     // 0.0 + d1^2 + d2^2 + ... left-associated (0.0 + x == x in IEEE
     // for the non-negative squares, so the leading init is value-free).
     val lits = typedLit(cents.map { case (cid, cv) => (cid, cv) })
-    val sub = slice(col("v"), off + 1, PqDsub)
+    val sub = slice(vcol, off + 1, PqDsub)
     array_min(transform(lits, c => struct(
       round(aggregate(zip_with(sub, c.getField("_2"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, t) => acc + t), 6).as("dist"),
@@ -606,9 +610,10 @@ object Similarity {
     * definition of the 4-bits-per-subspace layout, shared by the
     * persisted build and the session-computed path so the two can
     * never drift. */
-  private def codeColOf(cbs: Seq[Seq[(Int, Seq[Double])]]): Column =
+  private def codeColOf(cbs: Seq[Seq[(Int, Seq[Double])]],
+                        vcol: Column = col("v")): Column =
     (0 until PqM).map(j =>
-      shiftleft(pqAssignCol(j * PqDsub, cbs(j)).cast("long"), 4 * j)).reduce(_ + _)
+      shiftleft(pqAssignCol(j * PqDsub, cbs(j), vcol).cast("long"), 4 * j)).reduce(_ + _)
 
   private def trainAllSubspaces(e: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
     pqTrainRuns.incrementAndGet()
@@ -946,6 +951,116 @@ object Similarity {
     ivfPqTopKFor(spark, dir, QueryIds.map(_.toLong), 5, nprobe = 2, shortlist = 20)
 
   // ------------------------------------------------------------------
+  // Residual encoding (classical IVFADC): quantize r = v - c(v) instead
+  // of v. Residuals around a trained coarse quantizer are far more
+  // concentrated than raw vectors, so the same 32-bit code budget
+  // resolves finer distances — the ADC shortlist gets closer to the
+  // probed clusters' exact ranking at identical scan and memory cost.
+  // approx_cos(q, v) reconstructs v ~ c + r̂:
+  //
+  //   (dot(q, c) + sum_j dotR_j[code_j])
+  //   / (sqrt(||c||^2 + 2 sum_j dot(c_j, r̂_j) + sum_j ||r̂_j||^2) * ||q||)
+  //
+  // where dotR tables ride the broadcast query frame and the per-
+  // (cluster, subspace, code) cross/norm constants are driver-side
+  // literals (16 x 8 x 16 doubles). Session-computed path only for now
+  // — persisting follows the composed-index scheme verbatim (codes are
+  // one long per row either way); the measured recall gain lives in
+  // AnnRecall / docs/SCALING.md.
+
+  /** Session-scoped residual codebooks (trained on r = v - c(v)). */
+  private val resCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Seq[(Int, Seq[Double])]]]()
+
+  graft.core.SessionCache.onSessionEnd { spark =>
+    val it = resCodebooks.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
+
+  /** The residual relation (vec_id, v = residual) for the current
+    * coarse quantizer — the frame the residual codebooks train on. */
+  private def residualOf(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cvMap = typedLit(cents.toMap)
+    e.withColumn("c_id", assignCol(cents))
+      .withColumn("rv",
+        zip_with(col("v"), element_at(cvMap, col("c_id")), (x, y) => x - y))
+  }
+
+  private def resCodebooksOf(spark: SparkSession, dir: String,
+      cents: Seq[(Int, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] = {
+    graft.core.SessionCache.watch(spark)
+    resCodebooks.computeIfAbsent((spark, dir), { _ =>
+      trainAllSubspaces(
+        residualOf(emb(spark, dir), cents).select(col("vec_id"), col("rv").as("v")))
+    })
+  }
+
+  /** IVFADC top-k: like `ivfPqTopKFor` but candidates ADC-score from
+    * RESIDUAL codes with the reconstruction formula above; the exact
+    * rerank from the stored vectors is unchanged. */
+  def ivfPqResidualTopKFor(spark: SparkSession, dir: String, qids: Seq[Long],
+                           k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cents = collectedCentroids(ivfCentroidsOf(spark, dir))
+    val cbs = resCodebooksOf(spark, dir, cents)
+    val postings =
+      graft.core.SessionCache.getOrBuild(spark, "ivfpq_res_postings", dir) {
+        residualOf(emb(spark, dir), cents)
+          .withColumn("code", codeColOf(cbs, col("rv")))
+          .select("vec_id", "v", "nrm", "code", "c_id")
+      }
+    adcQueryFrame(spark, dir, cbs, qids) match {
+      case None => emptyTopK(spark, "cos_sim")
+      case Some(qdf) =>
+        import org.apache.spark.sql.expressions.Window
+        val centroids = centroidsToDf(spark, cents)
+        val probe = Window.partitionBy("qid").orderBy(col("c_sim").desc, col("c_id").asc)
+        val best = qdf.crossJoin(broadcast(centroids))
+          .withColumn("c_sim", round(GraftExtensions.cosine(col("qv"), col("cv")), 6))
+          .withColumn("crn", row_number().over(probe))
+          .filter(col("crn") <= nprobe)
+          // dot(q, c) enters the reconstruction numerator unrounded
+          .withColumn("cdot", GraftExtensions.dot(col("qv"), col("cv")))
+          .drop("cv", "c_sim", "crn")
+        // per-cluster reconstruction constants, driver-side literals:
+        // ||c||^2, and per (cluster, subspace): dot(c_sub_j, r̂_{j,code})
+        val cnMap = typedLit(cents.map { case (cid, cv) =>
+          cid -> (0 until Dim).map(d => cv(d) * cv(d)).reduce(_ + _)
+        }.toMap)
+        def idx(j: Int): Column =
+          (shiftright(col("code"), 4 * j).bitwiseAND(lit(15L)) + 1).cast("int")
+        val crossLookup = (0 until PqM).map { j =>
+          val m = cents.map { case (cid, cv) =>
+            cid -> pqLookupTable(cbs, j)(rcv =>
+              (0 until PqDsub).map(d => cv(j * PqDsub + d) * rcv(d)).reduce(_ + _))
+          }.toMap
+          element_at(element_at(typedLit(m), col("c_id")), idx(j))
+        }.reduce(_ + _)
+        val rnormLookup = (0 until PqM).map { j =>
+          element_at(typedLit(pqLookupTable(cbs, j)(rcv =>
+            (0 until PqDsub).map(d => rcv(d) * rcv(d)).reduce(_ + _))), idx(j))
+        }.reduce(_ + _)
+        val dotLookup = (0 until PqM).map(j => element_at(col(s"dt$j"), idx(j))).reduce(_ + _)
+        val approx = round(
+          (col("cdot") + dotLookup) /
+            (sqrt(element_at(cnMap, col("c_id")) + lit(2.0) * crossLookup + rnormLookup)
+              * col("qnrm")), 6)
+        val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col("vec_id").asc)
+        val short = postings.join(broadcast(best), Seq("c_id"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
+            col("qv"), col("qnrm"), approx.as("approx_sim"))
+          .filter(!isnan(col("approx_sim")))
+          .withColumn("srn", row_number().over(w))
+          .filter(col("srn") <= shortlist)
+        rankTopK(short, k)
+    }
+  }
+
+  def ivfPqResidualTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualTopKFor(spark, dir, QueryIds.map(_.toLong), 5, nprobe = 2, shortlist = 20)
+
+  // ------------------------------------------------------------------
   // Self-tuning: "give me recall >= r at minimum scan". Every recall
   // lever above (nprobe, probes, tables, shortlist) is a constant a
   // caller would otherwise have to guess; planAnn measures them on a
@@ -972,6 +1087,8 @@ object Similarity {
     case "ivf"            => ivfTopKFor(spark, dir, qids, k, plan.nprobe)
     case "ivfpq"          => ivfPqTopKFor(spark, dir, qids, k, plan.nprobe,
                                math.max(plan.shortlist, k))
+    case "ivfpq_residual" => ivfPqResidualTopKFor(spark, dir, qids, k, plan.nprobe,
+                               math.max(plan.shortlist, k))
     case other => throw new IllegalArgumentException(s"unplannable method '$other'")
   }
 
@@ -984,9 +1101,11 @@ object Similarity {
   private def annLadder(k: Int): Seq[AnnPlan] = Seq(
     AnnPlan("lsh",            0, 0,  0,     1.0 / 16, 0.0),
     AnnPlan("ivf",            1, 0,  0,     1.0 / 16, 0.0),
+    AnnPlan("ivfpq_residual", 2, 0,  4 * k, 2.0 / 16, 0.0),
     AnnPlan("ivfpq",          2, 0,  4 * k, 2.0 / 16, 0.0),
     AnnPlan("ivf",            2, 0,  0,     2.0 / 16, 0.0),
     AnnPlan("lsh_multitable", 0, 4,  0,     4.0 / 16, 0.0),
+    AnnPlan("ivfpq_residual", 4, 0,  8 * k, 4.0 / 16, 0.0),
     AnnPlan("ivfpq",          4, 0,  8 * k, 4.0 / 16, 0.0),
     AnnPlan("ivf",            4, 0,  0,     4.0 / 16, 0.0),
     AnnPlan("lsh_multiprobe", 0, 0,  0,     5.0 / 16, 0.0),

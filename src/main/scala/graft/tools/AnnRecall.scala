@@ -57,6 +57,13 @@ object AnnRecall {
       Similarity.ivfPqTopKFor(spark, sfDir, qids, k, nprobe = 2, shortlist = 4 * k))
     report(s"ivfpq (nprobe=4, shortlist=${8 * k})",
       Similarity.ivfPqTopKFor(spark, sfDir, qids, k, nprobe = 4, shortlist = 8 * k))
+    // residual encoding (IVFADC): same budget, finer in-cluster codes —
+    // compare against the raw-vector-coded rows above and against the
+    // nprobe-matched IVF ceiling (|truth ∩ probed clusters|)
+    report(s"ivfpq RESIDUAL (nprobe=2, sl=${4 * k})",
+      Similarity.ivfPqResidualTopKFor(spark, sfDir, qids, k, nprobe = 2, shortlist = 4 * k))
+    report(s"ivfpq RESIDUAL (nprobe=4, sl=${8 * k})",
+      Similarity.ivfPqResidualTopKFor(spark, sfDir, qids, k, nprobe = 4, shortlist = 8 * k))
     truth.unpersist()
 
     // candidate-stage recall of the vector near-dup gate: of all TRUE

@@ -196,7 +196,7 @@ class GraftFacadeSpec extends AnyFunSuite {
     // every exact-similarity method returns the (qid, vec_id, cos_sim)
     // contract and finds neighbors on the real corpus
     for (m <- Seq("brute", "lsh", "lsh_multiprobe", "lsh_multitable",
-                  "ivf", "pq_rerank", "ivfpq")) {
+                  "ivf", "pq_rerank", "ivfpq", "ivfpq_residual")) {
       val rows = Graft.annSearch(spark, dir, qids, k = 3, nprobe = 2, method = m)
       assert(rows.columns.toSeq === Seq("qid", "vec_id", "cos_sim"), s"method $m")
       assert(rows.count() > 0, s"method $m returned nothing")

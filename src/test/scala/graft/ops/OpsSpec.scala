@@ -485,6 +485,13 @@ class OpsSpec extends SparkSpec {
       val ivfpq4 = rec(Similarity.ivfPqTopKFor(spark, d, qids, 5, nprobe = 4, shortlist = 40))
       assert(ivfpq2 >= 0.35, s"ivfpq(2,20) recall regressed: $ivfpq2 (measured 0.464)")
       assert(ivfpq4 >= 0.50, s"ivfpq(4,40) recall regressed: $ivfpq4 (measured 0.628)")
+      // residual encoding resolves finer in-cluster distances with the
+      // same 32-bit budget — measured 0.488/0.676 vs raw-coded
+      // 0.464/0.628, i.e. >= 90% of the nprobe-matched IVF ceilings
+      val res2 = rec(Similarity.ivfPqResidualTopKFor(spark, d, qids, 5, nprobe = 2, shortlist = 20))
+      val res4 = rec(Similarity.ivfPqResidualTopKFor(spark, d, qids, 5, nprobe = 4, shortlist = 40))
+      assert(res2 >= 0.40, s"residual ivfpq(2,20) recall regressed: $res2 (measured 0.488)")
+      assert(res4 >= 0.55, s"residual ivfpq(4,40) recall regressed: $res4 (measured 0.676)")
     } finally truth.unpersist()
   }
 
