@@ -216,8 +216,10 @@ object Graft {
     case "ivf"   => ops.Similarity.buildIvfIndex(spark, dir, seedBits = seedBits)
     case "pq"    => ops.Similarity.buildPqIndex(spark, dir)
     case "ivfpq" => ops.Similarity.buildIvfPqIndex(spark, dir, seedBits = seedBits)
+    case "ivfpq_residual" =>
+      ops.Similarity.buildIvfPqIndex(spark, dir, seedBits = seedBits, residual = true)
     case other => throw new IllegalArgumentException(
-      s"unknown index method '$other' (expected ivf | pq | ivfpq)")
+      s"unknown index method '$other' (expected ivf | pq | ivfpq | ivfpq_residual)")
   }
 
   /** ANN top-k, routed across every search path the library implements

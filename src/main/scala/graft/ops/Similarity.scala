@@ -590,19 +590,24 @@ object Similarity {
   def pqIndexPath(dir: String): String = s"$dir/pq_index.parquet"
   def pqCodesPath(dir: String): String = s"$dir/pq_codes.parquet"
 
+  private def readCodebooks(spark: SparkSession, dir: String): Seq[Seq[(Int, Seq[Double])]] =
+    spark.read.parquet(pqIndexPath(dir))
+      .select("j", "c_id", "cv").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+
   private def codebooksOf(spark: SparkSession, dir: String): Seq[Seq[(Int, Seq[Double])]] = {
     graft.core.SessionCache.watch(spark)
     pqCodebooks.computeIfAbsent((spark, dir), { _ =>
-      if (pathExists(spark, pqIndexPath(dir))) {
-        // persisted-first: doubles round-trip parquet losslessly, so a
-        // cold session reproduces the training session bit for bit with
-        // zero training work
-        spark.read.parquet(pqIndexPath(dir))
-          .select("j", "c_id", "cv").collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
-          .groupBy(_._1).toSeq.sortBy(_._1)
-          .map { case (_, rows) => rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
-      } else trainAllSubspaces(emb(spark, dir))
+      // persisted-first: doubles round-trip parquet losslessly, so a
+      // cold session reproduces the training session bit for bit with
+      // zero training work. RAW codebooks only — a residual-kind file
+      // (from a residual composed build) must not be scored as if it
+      // quantized raw vectors, so a kind mismatch retrains in-session.
+      if (persistedCodebookKind(spark, dir).contains("raw"))
+        readCodebooks(spark, dir)
+      else trainAllSubspaces(emb(spark, dir))
     })
   }
 
@@ -629,14 +634,30 @@ object Similarity {
   }
 
   /** Publish the PQ codebooks file — the commit marker of every
-    * PQ-bearing index, so it is always written LAST. */
+    * PQ-bearing index, so it is always written LAST. `kind` records
+    * what the codes it validates quantize ("raw" vectors or IVFADC
+    * "residual"s): a reader that ADC-scores codes with codebooks of
+    * the other kind would be silently wrong, so every persisted-first
+    * path checks the kind and falls back to in-session training on a
+    * mismatch. */
   private def writeCodebooks(spark: SparkSession, base: String,
-      cbs: Seq[Seq[(Int, Seq[Double])]]): Unit = {
-    val rows = for { (cb, j) <- cbs.zipWithIndex; (cid, cv) <- cb } yield (j, cid, cv)
+      cbs: Seq[Seq[(Int, Seq[Double])]], kind: String = "raw"): Unit = {
+    val rows = for { (cb, j) <- cbs.zipWithIndex; (cid, cv) <- cb } yield (j, cid, cv, kind)
     import spark.implicits._
-    rows.toDF("j", "c_id", "cv")
+    rows.toDF("j", "c_id", "cv", "kind")
       .coalesce(1).write.mode("overwrite").parquet(pqIndexPath(base))
   }
+
+  /** The persisted codebooks' kind, None when no codebooks file exists.
+    * Files written before the kind column are raw by construction. */
+  private def persistedCodebookKind(spark: SparkSession, dir: String): Option[String] =
+    if (!pathExists(spark, pqIndexPath(dir))) None
+    else {
+      val df = spark.read.parquet(pqIndexPath(dir))
+      if (!df.columns.contains("kind")) Some("raw")
+      else df.select("kind").distinct().collect().headOption
+        .map(_.getString(0)).orElse(Some("raw"))
+    }
 
   def buildPqIndex(spark: SparkSession, dir: String, at: Option[String] = None): String = {
     val base = at.getOrElse(dir)
@@ -683,7 +704,8 @@ object Similarity {
     * safe either way. */
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionCache.getOrBuild(spark, "pq_codes", dir) {
-      if (pathExists(spark, pqCodesPath(dir)) && pathExists(spark, pqIndexPath(dir)))
+      if (pathExists(spark, pqCodesPath(dir)) &&
+          persistedCodebookKind(spark, dir).contains("raw"))
         spark.read.parquet(pqCodesPath(dir)).select("vec_id", "code")
       else
         emb(spark, dir).select(col("vec_id"), codeColOf(codebooksOf(spark, dir)).as("code"))
@@ -855,11 +877,10 @@ object Similarity {
     * anywhere mid-build leaves readers on the in-session fallback,
     * never on partial postings. */
   def buildIvfPqIndex(spark: SparkSession, dir: String, at: Option[String] = None,
-                      seedBits: Int = 4): String = {
+                      seedBits: Int = 4, residual: Boolean = false): String = {
     val base = at.getOrElse(dir)
     val e = emb(spark, dir)
     val cents = kmeansTrain(e, seedBits)
-    val cbs = trainAllSubspaces(e)
     deletePath(spark, ivfIndexPath(base))
     deletePath(spark, pqIndexPath(base))
     // this build rewrites BOTH markers, and each marker also validates a
@@ -868,13 +889,21 @@ object Similarity {
     // quantizers must not survive under the fresh markers
     deletePath(spark, ivfPostingsPath(base))
     deletePath(spark, pqCodesPath(base))
-    e.withColumn("c_id", assignCol(cents))
-      .withColumn("code", codeColOf(cbs))
-      .select("vec_id", "v", "nrm", "code", "c_id")
+    // residual = true persists the IVFADC layout: codebooks trained on
+    // r = v - c(v) and codes packed from residuals (the codebook file's
+    // `kind` column tells readers which scoring the codes need)
+    val cbs =
+      if (residual)
+        trainAllSubspaces(residualOf(e, cents).select(col("vec_id"), col("rv").as("v")))
+      else trainAllSubspaces(e)
+    val coded =
+      if (residual) residualOf(e, cents).withColumn("code", codeColOf(cbs, col("rv")))
+      else e.withColumn("c_id", assignCol(cents)).withColumn("code", codeColOf(cbs))
+    coded.select("vec_id", "v", "nrm", "code", "c_id")
       .write.mode("overwrite").partitionBy("c_id").parquet(ivfPqPostingsPath(base))
     centroidsToDf(spark, cents).coalesce(1)
       .write.mode("overwrite").parquet(ivfIndexPath(base))
-    writeCodebooks(spark, base, cbs)
+    writeCodebooks(spark, base, cbs, if (residual) "residual" else "raw")
     invalidateIvf(spark, dir)
     invalidatePq(spark, dir)
     if (base != dir) {
@@ -898,8 +927,12 @@ object Similarity {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val centroids = ivfCentroidsOf(spark, dir)
     val cbs = codebooksOf(spark, dir)
+    // persisted postings are trusted only when the codebook marker says
+    // the embedded codes quantize RAW vectors — residual-coded postings
+    // need the reconstruction scoring (ivfPqResidualTopKFor)
     val filesBacked = pathExists(spark, ivfPqPostingsPath(dir)) &&
-      pathExists(spark, ivfIndexPath(dir)) && pathExists(spark, pqIndexPath(dir))
+      pathExists(spark, ivfIndexPath(dir)) &&
+      persistedCodebookKind(spark, dir).contains("raw")
     val postings =
       if (filesBacked)
         spark.read.parquet(ivfPqPostingsPath(dir))
@@ -963,10 +996,11 @@ object Similarity {
   //
   // where dotR tables ride the broadcast query frame and the per-
   // (cluster, subspace, code) cross/norm constants are driver-side
-  // literals (16 x 8 x 16 doubles). Session-computed path only for now
-  // — persisting follows the composed-index scheme verbatim (codes are
-  // one long per row either way); the measured recall gain lives in
-  // AnnRecall / docs/SCALING.md.
+  // literals (16 x 8 x 16 doubles). Persisted via
+  // buildIvfPqIndex(residual = true): same composed layout, codebook
+  // file tagged kind = "residual" so no reader can ever score the codes
+  // with the wrong algebra. Measured recall gain: AnnRecall /
+  // docs/SCALING.md.
 
   /** Session-scoped residual codebooks (trained on r = v - c(v)). */
   private val resCodebooks =
@@ -990,21 +1024,34 @@ object Similarity {
       cents: Seq[(Int, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] = {
     graft.core.SessionCache.watch(spark)
     resCodebooks.computeIfAbsent((spark, dir), { _ =>
-      trainAllSubspaces(
+      // persisted-first, RESIDUAL kind only (see codebooksOf for the
+      // symmetric raw-only rule) — a cold session with a residual
+      // composed index (buildIvfPqIndex(residual = true)) scores with
+      // zero training work
+      if (persistedCodebookKind(spark, dir).contains("residual"))
+        readCodebooks(spark, dir)
+      else trainAllSubspaces(
         residualOf(emb(spark, dir), cents).select(col("vec_id"), col("rv").as("v")))
     })
   }
 
   /** IVFADC top-k: like `ivfPqTopKFor` but candidates ADC-score from
     * RESIDUAL codes with the reconstruction formula above; the exact
-    * rerank from the stored vectors is unchanged. */
+    * rerank from the stored vectors is unchanged. Persisted-first when
+    * the composed index was built with residual codes. */
   def ivfPqResidualTopKFor(spark: SparkSession, dir: String, qids: Seq[Long],
                            k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val cents = collectedCentroids(ivfCentroidsOf(spark, dir))
     val cbs = resCodebooksOf(spark, dir, cents)
+    val filesBacked = pathExists(spark, ivfPqPostingsPath(dir)) &&
+      pathExists(spark, ivfIndexPath(dir)) &&
+      persistedCodebookKind(spark, dir).contains("residual")
     val postings =
-      graft.core.SessionCache.getOrBuild(spark, "ivfpq_res_postings", dir) {
+      if (filesBacked)
+        spark.read.parquet(ivfPqPostingsPath(dir))
+          .select("vec_id", "v", "nrm", "code", "c_id")
+      else graft.core.SessionCache.getOrBuild(spark, "ivfpq_res_postings", dir) {
         residualOf(emb(spark, dir), cents)
           .withColumn("code", codeColOf(cbs, col("rv")))
           .select("vec_id", "v", "nrm", "code", "c_id")
@@ -1045,8 +1092,17 @@ object Similarity {
           (col("cdot") + dotLookup) /
             (sqrt(element_at(cnMap, col("c_id")) + lit(2.0) * crossLookup + rnormLookup)
               * col("qnrm")), 6)
+        // static partition pruning for the file-backed path, exactly
+        // like ivfPqTopKFor (the computed path has no IO to prune)
+        val pruned =
+          if (!filesBacked) postings
+          else {
+            val probedIds = best.select("c_id").distinct().collect().map(_.getInt(0)).sorted
+            if (probedIds.isEmpty) postings.filter(lit(false))
+            else postings.filter(col("c_id").isin(probedIds.toSeq: _*))
+          }
         val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col("vec_id").asc)
-        val short = postings.join(broadcast(best), Seq("c_id"))
+        val short = pruned.join(broadcast(best), Seq("c_id"))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
             col("qv"), col("qnrm"), approx.as("approx_sim"))

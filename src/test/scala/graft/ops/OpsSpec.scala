@@ -587,6 +587,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted RESIDUAL composed index: cold-session zero-training, kind isolation") {
+    val live = Similarity.ivfPqResidualTopK(spark, dir).collect()
+    val rawLive = Similarity.ivfPqTopK(spark, dir).collect()
+    val pqLive = Similarity.pqTopK(spark, dir).collect()
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+    try {
+      Similarity.buildIvfPqIndex(spark, dir, residual = true)
+      val km = Similarity.kmeansRuns.get()
+      val pq = Similarity.pqTrainRuns.get()
+      val s2 = spark.newSession()
+      val cold = Similarity.ivfPqResidualTopK(s2, dir).collect()
+      assert(cold.map(_.toString).toSeq === live.map(_.toString).toSeq,
+        "persisted residual index must reproduce in-session results bit-for-bit")
+      assert(Similarity.kmeansRuns.get() === km, "cold residual probe must not train the quantizer")
+      assert(Similarity.pqTrainRuns.get() === pq, "cold residual probe must not train codebooks")
+      // kind isolation: the residual-kind codebook file must NOT be
+      // scored as raw — the raw composed path and plain PQ retrain
+      // in-session and still reproduce their own results
+      val s3 = spark.newSession()
+      assert(Similarity.ivfPqTopK(s3, dir).collect().map(_.toString).toSeq
+        === rawLive.map(_.toString).toSeq,
+        "raw composed path must not consume residual-coded postings")
+      assert(Similarity.pqTopK(s3, dir).collect().map(_.toString).toSeq
+        === pqLive.map(_.toString).toSeq,
+        "plain PQ must not consume residual codebooks")
+    } finally {
+      Seq(Similarity.ivfIndexPath(dir), Similarity.pqIndexPath(dir),
+        Similarity.ivfPqPostingsPath(dir)).foreach(p => rm(new java.io.File(p)))
+      Similarity.invalidateIvf(spark, dir)
+      Similarity.invalidatePq(spark, dir)
+    }
+  }
+
   test("rebuilding one index layout never leaves a sibling layout's stale data validated") {
     // the three layouts share two commit markers (centroids, codebooks)
     // but have disjoint data files — a build that rewrites a marker must
