@@ -266,8 +266,11 @@ object Graft {
                      targetRecall: Double, k: Int = 10,
                      calibDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
     // memoized: the calibration is deterministic per (session, dir,
-    // target, k) — a session serving many query batches calibrates once
-    val plan = ops.Similarity.planAnnCached(spark, calibDir.getOrElse(dir), targetRecall, k = k)
+    // target, k, calibDir) — a session serving many query batches
+    // calibrates once; measurements run on calibDir, the plan (and the
+    // persisted-layout preference) binds to the execution dir
+    val plan = ops.Similarity.planAnnCached(spark, dir, targetRecall, k = k,
+      calibrationDir = calibDir)
     ops.Similarity.runAnnPlan(spark, dir, plan, queryIds, k)
   }
 

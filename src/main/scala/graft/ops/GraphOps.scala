@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
@@ -277,46 +277,122 @@ object GraphOps {
     * at a million ids, ~50% only near 10^9) but NOT impossible, and a
     * collision would silently MERGE two components — so it is checked
     * up front (one countDistinct pass over the node ids) and the call
-    * FAILS LOUDLY rather than mislabeling. A corpus big enough to
-    * collide re-keys to a composite hash or a dense id dictionary;
-    * this operator refuses to guess. */
+    * automatically re-keys through the collision-free DENSE dictionary
+    * path (`connectedComponentsByStringDense`) when the check fires:
+    * never a mislabel, and past the birthday bound no refusal either.
+    * Callers at known-huge id counts can call the dense face directly
+    * and skip the check's extra pass. */
   def connectedComponentsByString(
       nodes: DataFrame, pairs: DataFrame,
       checkpointDir: Option[String] = None,
+      maxIters: Int = 64): DataFrame =
+    connectedComponentsByStringHashed(nodes, pairs, TextHashing.md5Long, checkpointDir, maxIters)
+
+  /** The hashed-contraction body with an injectable id hash — the
+    * production face above passes md5Long; OpsSpec passes a DELIBERATELY
+    * colliding hash to prove the collision check fires and the dense
+    * fallback still labels correctly. */
+  private[graft] def connectedComponentsByStringHashed(
+      nodes: DataFrame, pairs: DataFrame,
+      idHash: Column => Column,
+      checkpointDir: Option[String] = None,
       maxIters: Int = 64): DataFrame = {
-    val idCol = nodes.columns.head
-    require(nodes.schema.head.dataType == org.apache.spark.sql.types.StringType,
-      s"connectedComponentsByString needs a string node id, got ${nodes.schema.head.dataType}")
-    val ids = nodes.select(col(idCol).cast("string").as("id")).na.drop()
-    val Seq(aC, bC) = pairs.columns.toSeq.take(2)
-    // a NULL endpoint must not become a node: md5Long(null) is null,
-    // which the long-keyed contraction would unbox to a phantom node 0
-    // silently merging every component it touches
-    val cleanPairs = pairs
-      .select(col(aC).cast("string").as("pa"), col(bC).cast("string").as("pb"))
-      .na.drop()
+    val (ids, cleanPairs) = stringGraphInputs(nodes, pairs)
     // collision-check node ids AND pair endpoints: an endpoint absent
     // from `nodes` still enters the contraction, so an unchecked
     // collision there could silently merge components all the same
     val allIds = ids.unionByName(cleanPairs.select(col("pa").as("id")))
       .unionByName(cleanPairs.select(col("pb").as("id")))
-    val chk = allIds.withColumn("hid", TextHashing.md5Long(col("id"))).agg(
+    val chk = allIds.withColumn("hid", idHash(col("id"))).agg(
       countDistinct(col("id")).as("n_ids"),
       countDistinct(col("hid")).as("n_hashes")).collect()(0)
     if (chk.getLong(0) != chk.getLong(1))
-      throw new IllegalStateException(
-        s"md5Long collision among node ids (${chk.getLong(0)} distinct ids -> " +
-          s"${chk.getLong(1)} distinct hashes): re-key to md5LongComposite or a dense dictionary")
-    val hashed = ids.withColumn("hid", TextHashing.md5Long(col("id")))
-    val hPairs = cleanPairs.select(
-      TextHashing.md5Long(col("pa")).as("ha"),
-      TextHashing.md5Long(col("pb")).as("hb"))
-    val labels = connectedComponents(hashed.select("hid"), hPairs, checkpointDir, maxIters)
-    val byHash = hashed
-      .join(labels, col("hid") === col("node"))
-      .select(col("id"), col("label"))
-    val reps = byHash.groupBy("label").agg(min(col("id")).as("label_id"))
-    byHash.join(reps, "label")
+      // a corpus big enough to birthday-bound the 60-bit hash (~50%
+      // near 10^9 ids) lands here — the dense dictionary is the
+      // documented escape hatch: collision-free by construction, same
+      // labels, two extra shuffles. Automatic, because the alternative
+      // is refusing to answer a question the engine CAN answer exactly.
+      connectedComponentsByStringDense(nodes, pairs, checkpointDir, maxIters)
+    else {
+      val hashed = ids.withColumn("hid", idHash(col("id")))
+      val hPairs = cleanPairs.select(
+        idHash(col("pa")).as("ha"),
+        idHash(col("pb")).as("hb"))
+      val labels = connectedComponents(hashed.select("hid"), hPairs, checkpointDir, maxIters)
+      minStringLabels(hashed.join(labels, col("hid") === col("node")))
+    }
+  }
+
+  /** DENSE-dictionary face of `connectedComponents` for string ids —
+    * the collision-free path for corpora past the 60-bit birthday bound
+    * (~10^9 ids at 100 TB doc counts): every distinct id (nodes AND
+    * pair endpoints) gets a unique long via zipWithIndex, so no hash,
+    * no collision check, no refusal ceiling. Costs one distinct pass
+    * plus two endpoint-relabel joins more than the hashed path — all
+    * shuffle-partitioned, nothing driver-side. Labels are identical to
+    * the hashed path's (= min STRING id per component): the dense ids
+    * only exist inside the contraction, and zipWithIndex's arbitrary
+    * numbering cannot leak into the output. */
+  def connectedComponentsByStringDense(
+      nodes: DataFrame, pairs: DataFrame,
+      checkpointDir: Option[String] = None,
+      maxIters: Int = 64): DataFrame = {
+    val sess = nodes.sparkSession
+    val (ids, cleanPairs) = stringGraphInputs(nodes, pairs)
+    val allIds = ids.unionByName(cleanPairs.select(col("pa").as("id")))
+      .unionByName(cleanPairs.select(col("pb").as("id")))
+      .distinct()
+    // zipWithIndex numbering is an artifact of partition/order, and
+    // dict feeds THREE consumers (both endpoint relabels + the final
+    // string join) — a recompute that renumbered ids between consumers
+    // would silently mislabel. sort("id") first makes the numbering a
+    // deterministic FUNCTION OF THE DATA (same ids -> same dense ids on
+    // any recompute, lost executors included), so correctness never
+    // rests on caching; the persist+count just keeps the contraction
+    // from re-sorting per consumer, and is dropped once the fixpoint
+    // (which materializes its labels internally) has run.
+    val dictRdd = allIds.sort("id").rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (s, i) => Row(s, i) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dict = sess.createDataFrame(dictRdd,
+      StructType(Seq(
+        StructField("id", org.apache.spark.sql.types.StringType),
+        StructField("hid", LongType))))
+    try {
+      val dPairs = cleanPairs
+        .join(dict.select(col("id").as("pa"), col("hid").as("ha")), "pa")
+        .join(dict.select(col("id").as("pb"), col("hid").as("hb")), "pb")
+        .select("ha", "hb")
+      val labels = connectedComponents(dict.select("hid"), dPairs, checkpointDir, maxIters)
+      // output rows = `nodes` rows, exactly like the hashed path (ids
+      // appearing only as pair endpoints contract but don't emit a row,
+      // and don't vote on the min-string label)
+      minStringLabels(ids.join(dict, "id").join(labels, col("hid") === col("node")))
+    } finally dictRdd.unpersist(false)
+  }
+
+  /** Shared string-graph input hygiene: ids to one string column, pair
+    * endpoints cast + NULL-dropped (md5Long(null)/a null dictionary key
+    * would otherwise become a phantom node silently merging every
+    * component it touches). */
+  private def stringGraphInputs(nodes: DataFrame, pairs: DataFrame): (DataFrame, DataFrame) = {
+    val idCol = nodes.columns.head
+    require(nodes.schema.head.dataType == org.apache.spark.sql.types.StringType,
+      s"connectedComponentsByString needs a string node id, got ${nodes.schema.head.dataType}")
+    val ids = nodes.select(col(idCol).cast("string").as("id")).na.drop()
+    val Seq(aC, bC) = pairs.columns.toSeq.take(2)
+    val cleanPairs = pairs
+      .select(col(aC).cast("string").as("pa"), col(bC).cast("string").as("pb"))
+      .na.drop()
+    (ids, cleanPairs)
+  }
+
+  /** Map long-space labels back to strings with label = min STRING id
+    * of each component (hash/dense order is meaningless to callers). */
+  private def minStringLabels(byKey: DataFrame): DataFrame = {
+    val byId = byKey.select(col("id"), col("label"))
+    val reps = byId.groupBy("label").agg(min(col("id")).as("label_id"))
+    byId.join(reps, "label")
       .select(col("id").as("node"), col("label_id").as("label"))
   }
 }

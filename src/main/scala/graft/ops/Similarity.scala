@@ -217,7 +217,7 @@ object Similarity {
     * deterministically in the smallest-id cluster — assignment never
     * throws mid-pipeline, and downstream similarity math guards zero
     * norms explicitly (`incrementalNearDup`'s nrm > 0 filter). */
-  private def assignCol(centroids: Seq[(Int, Seq[Double])]): Column = {
+  private[graft] def assignCol(centroids: Seq[(Int, Seq[Double])]): Column = {
     val scored = centroids.map { case (cid, cv) =>
       struct(
         round(GraftExtensions.cosine(col("v"), typedLit(cv)), 6).as("sim"),
@@ -225,6 +225,50 @@ object Similarity {
     }
     (-array_max(array(scored: _*)).getField("negid")).cast("int")
   }
+
+  /** Largest quantizer the literal-projection assignment ships through
+    * codegen. Beyond it every assignment site switches to the
+    * broadcast-join path below — the code's own IVF sizing rule
+    * (k ~ sqrt(n)) wants k in the thousands at 100 TB, which literal
+    * k x Dim doubles inside one expression cannot carry. */
+  val MaxLiteralK = 256
+
+  /** Broadcast-JOIN nearest-centroid assignment — the large-k path:
+    * the quantizer is a small broadcast DataFrame, every corpus row
+    * scores against each centroid row, and the argmax is a max of
+    * (rounded sim, -c_id) structs grouped by vec_id. Struct-max applies
+    * the SAME deterministic (rounded cosine DESC, c_id ASC) rule as the
+    * literal projection — NaN-above-numbers ordering included, so a
+    * zero vector lands in the smallest-id cluster on both paths and
+    * OpsSpec asserts row-for-row equality. Payload columns ride the
+    * aggregation via first() (every row of a vec_id group is the same
+    * source row replicated per centroid, so first is value-exact).
+    *
+    * Cost shape at scale: the k-row broadcast replaces k x Dim codegen
+    * literals, partial aggregation collapses the k candidate rows of
+    * each vector map-side (they never leave their partition), and the
+    * shuffle carries ONE row per vector — a single corpus-width
+    * exchange per assignment, the honest price of a quantizer too big
+    * to inline. */
+  private[graft] def assignViaJoin(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val payload = e.columns.filterNot(_ == "vec_id")
+    val best = max(struct(
+      round(GraftExtensions.cosine(col("v"), col("cv")), 6).as("sim"),
+      (-col("c_id")).as("negid"))).as("best")
+    val carried = payload.map(c => first(col(c)).as(c))
+    e.crossJoin(broadcast(centroids.select(col("c_id"), col("cv"))))
+      .groupBy("vec_id")
+      .agg(best, carried: _*)
+      .withColumn("c_id", (-col("best.negid")).cast("int"))
+      .drop("best")
+      .select((col("vec_id") +: payload.map(col) :+ col("c_id")): _*)
+  }
+
+  /** e + c_id under the path matching the quantizer's size: literal
+    * projection (no shuffle) up to MaxLiteralK, broadcast join above. */
+  private def assigned(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    if (cents.size <= MaxLiteralK) e.withColumn("c_id", assignCol(cents))
+    else assignViaJoin(e, centroidsToDf(e.sparkSession, cents))
 
   /** Deterministic Lloyd's k-means over the vectors THEMSELVES — no
     * ground-truth labels anywhere:
@@ -241,13 +285,13 @@ object Similarity {
     *  Each round collects exactly n_clusters rows (<= 16 x 64 doubles)
     *  to the driver — bounded, like GraphOps' broadcast relabel. */
   private def kmeansTrain(e: DataFrame, seedBits: Int = 4): Seq[(Int, Seq[Double])] = {
-    // the literal-centroid assignment expression carries k x Dim double
-    // literals through codegen — the design assumes a SMALL coarse
-    // quantizer (IVF's k ~ sqrt(n) stays well under 256 for any corpus
-    // this library meets; a million-cluster quantizer needs a join-based
-    // assignment instead, which this deliberately is not)
-    require(seedBits >= 1 && seedBits <= 8,
-      s"seedBits=$seedBits outside [1, 8] (k <= 256 literal quantizer)")
+    // up to MaxLiteralK clusters the assignment is the literal-centroid
+    // projection (zero shuffle); above it each Lloyd round switches to
+    // the broadcast-join path — seedBits up to 16 (k <= 65536) covers
+    // the k ~ sqrt(n) sizing rule for any single-index corpus this
+    // library targets (beyond that, shard the corpus into dirs)
+    require(seedBits >= 1 && seedBits <= 16,
+      s"seedBits=$seedBits outside [1, 16]")
     require(seedBits <= Dim, s"seedBits=$seedBits exceeds Dim=$Dim")
     kmeansRuns.incrementAndGet()
     import org.apache.spark.sql.expressions.Window
@@ -261,7 +305,7 @@ object Similarity {
       (sum(element_at(col("v"), i + 1).cast("decimal(27,12)")).cast("double") /
         count(lit(1))).as(s"a$i"))
     for (_ <- 0 until IvfIterations) {
-      centroids = e.withColumn("c_id", assignCol(centroids))
+      centroids = assigned(e, centroids)
         .groupBy("c_id").agg(avgCols.head, avgCols.tail: _*)
         .collect()
         .map(r => (r.getInt(0), (0 until Dim).map(i => r.getDouble(1 + i)).toSeq))
@@ -313,7 +357,7 @@ object Similarity {
     // THIS build (possibly different seedBits / rewritten embeddings)
     // would validate posting rows assigned under the OLD quantizer
     deletePath(spark, ivfPqPostingsPath(base))
-    e.withColumn("c_id", assignCol(cents))
+    assigned(e, cents)
       .select("vec_id", "v", "nrm", "c_id")
       .write.mode("overwrite").partitionBy("c_id").parquet(ivfPostingsPath(base))
     centroidsToDf(spark, cents).coalesce(1)
@@ -406,7 +450,7 @@ object Similarity {
         // c_id partition pruning that is its whole point); this cache is
         // the session analog of having built that index.
         graft.core.SessionCache.getOrBuild(spark, "ivf_session_postings", dir) {
-          e.withColumn("c_id", assignCol(collectedCentroids(centroids)))
+          assigned(e, collectedCentroids(centroids))
             .select("vec_id", "v", "nrm", "c_id")
         }
     val q = queriesOf(e, qids)
@@ -648,16 +692,35 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(pqIndexPath(base))
   }
 
-  /** The persisted codebooks' kind, None when no codebooks file exists.
-    * Files written before the kind column are raw by construction. */
-  private def persistedCodebookKind(spark: SparkSession, dir: String): Option[String] =
-    if (!pathExists(spark, pqIndexPath(dir))) None
-    else {
-      val df = spark.read.parquet(pqIndexPath(dir))
-      if (!df.columns.contains("kind")) Some("raw")
-      else df.select("kind").distinct().collect().headOption
-        .map(_.getString(0)).orElse(Some("raw"))
-    }
+  /** The persisted codebooks' kind, None when no codebooks file exists
+    * — or when the file carries MORE than one distinct kind, which can
+    * only mean a corrupted / partially overwritten index: scoring codes
+    * under a guessed algebra would be silently wrong, so a mixed file
+    * is treated as absent and readers fall back to in-session training.
+    * Files written before the kind column are raw by construction.
+    *
+    * Memoized per (session, dir): the topK entry points consult the
+    * kind on every call, and the uncached form cost a parquet read +
+    * distinct().collect() job on the hot search path. Invalidated with
+    * the PQ state (`invalidatePq`) and evicted with the session. */
+  private val kindCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Option[String]]()
+
+  private def persistedCodebookKind(spark: SparkSession, dir: String): Option[String] = {
+    graft.core.SessionCache.watch(spark)
+    kindCache.computeIfAbsent((spark, dir), { _ =>
+      if (!pathExists(spark, pqIndexPath(dir))) None
+      else {
+        val df = spark.read.parquet(pqIndexPath(dir))
+        if (!df.columns.contains("kind")) Some("raw")
+        else df.select("kind").distinct().collect().map(_.getString(0)).toSeq match {
+          case Seq(one) => Some(one)
+          case Seq()    => Some("raw")
+          case _        => None // mixed kinds: corrupt file, never guess
+        }
+      }
+    })
+  }
 
   def buildPqIndex(spark: SparkSession, dir: String, at: Option[String] = None): String = {
     val base = at.getOrElse(dir)
@@ -688,6 +751,13 @@ object Similarity {
     // codebooks this call drops — they are PQ state as much as the
     // code table is
     graft.core.SessionCache.invalidate(spark, "ivfpq_session_postings", dir)
+    // the RESIDUAL codebooks and postings share the same backing file
+    // (pq_index.parquet — a buildPqIndex rewrite may replace a
+    // residual-kind file), so they are invalidated here too, not only
+    // via invalidateIvf
+    resCodebooks.remove((spark, dir))
+    graft.core.SessionCache.invalidate(spark, "ivfpq_res_postings", dir)
+    kindCache.remove((spark, dir))
     dropPlans(spark, dir)
   }
 
@@ -695,6 +765,8 @@ object Similarity {
   graft.core.SessionCache.onSessionEnd { spark =>
     val it = pqCodebooks.keySet().iterator()
     while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+    val kt = kindCache.keySet().iterator()
+    while (kt.hasNext) if (kt.next()._1 eq spark) kt.remove()
   }
 
   /** One packed 32-bit-in-a-long PQ code per vector: subspace j's 4-bit
@@ -898,7 +970,7 @@ object Similarity {
       else trainAllSubspaces(e)
     val coded =
       if (residual) residualOf(e, cents).withColumn("code", codeColOf(cbs, col("rv")))
-      else e.withColumn("c_id", assignCol(cents)).withColumn("code", codeColOf(cbs))
+      else assigned(e, cents).withColumn("code", codeColOf(cbs))
     coded.select("vec_id", "v", "nrm", "code", "c_id")
       .write.mode("overwrite").partitionBy("c_id").parquet(ivfPqPostingsPath(base))
     centroidsToDf(spark, cents).coalesce(1)
@@ -943,8 +1015,7 @@ object Similarity {
         // assignment (~16 cosines + 128 squared distances per row) runs
         // once per (session, dir), not once per query execution
         graft.core.SessionCache.getOrBuild(spark, "ivfpq_session_postings", dir) {
-          emb(spark, dir)
-            .withColumn("c_id", assignCol(collectedCentroids(centroids)))
+          assigned(emb(spark, dir), collectedCentroids(centroids))
             .withColumn("code", codeColOf(cbs))
             .select("vec_id", "v", "nrm", "code", "c_id")
         }
@@ -995,8 +1066,8 @@ object Similarity {
   //   / (sqrt(||c||^2 + 2 sum_j dot(c_j, r̂_j) + sum_j ||r̂_j||^2) * ||q||)
   //
   // where dotR tables ride the broadcast query frame and the per-
-  // (cluster, subspace, code) cross/norm constants are driver-side
-  // literals (16 x 8 x 16 doubles). Persisted via
+  // (cluster, subspace, code) cross/norm constants ride a broadcast
+  // constants frame keyed by c_id (k rows). Persisted via
   // buildIvfPqIndex(residual = true): same composed layout, codebook
   // file tagged kind = "residual" so no reader can ever score the codes
   // with the wrong algebra. Measured recall gain: AnnRecall /
@@ -1013,12 +1084,21 @@ object Similarity {
 
   /** The residual relation (vec_id, v = residual) for the current
     * coarse quantizer — the frame the residual codebooks train on. */
-  private def residualOf(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val cvMap = typedLit(cents.toMap)
-    e.withColumn("c_id", assignCol(cents))
-      .withColumn("rv",
-        zip_with(col("v"), element_at(cvMap, col("c_id")), (x, y) => x - y))
-  }
+  private def residualOf(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    if (cents.size <= MaxLiteralK) {
+      val cvMap = typedLit(cents.toMap)
+      e.withColumn("c_id", assignCol(cents))
+        .withColumn("rv",
+          zip_with(col("v"), element_at(cvMap, col("c_id")), (x, y) => x - y))
+    } else {
+      // large-k: the centroid map would be a k x Dim literal — fetch the
+      // assigned centroid through a second broadcast join instead
+      val cdf = centroidsToDf(e.sparkSession, cents)
+      assignViaJoin(e, cdf)
+        .join(broadcast(cdf), "c_id")
+        .withColumn("rv", zip_with(col("v"), col("cv"), (x, y) => x - y))
+        .drop("cv")
+    }
 
   private def resCodebooksOf(spark: SparkSession, dir: String,
       cents: Seq[(Int, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] = {
@@ -1069,20 +1149,26 @@ object Similarity {
           // dot(q, c) enters the reconstruction numerator unrounded
           .withColumn("cdot", GraftExtensions.dot(col("qv"), col("cv")))
           .drop("cv", "c_sim", "crn")
-        // per-cluster reconstruction constants, driver-side literals:
-        // ||c||^2, and per (cluster, subspace): dot(c_sub_j, r̂_{j,code})
-        val cnMap = typedLit(cents.map { case (cid, cv) =>
-          cid -> (0 until Dim).map(d => cv(d) * cv(d)).reduce(_ + _)
-        }.toMap)
+        // per-cluster reconstruction constants — ||c||^2 and, per
+        // (cluster, subspace), the 16 dot(c_sub_j, r̂_{j,code}) values —
+        // ride a BROADCAST frame keyed by c_id (one row per cluster, a
+        // cross column of PqM 16-entry arrays), NOT typedLit maps: the
+        // literal form grows k x 128 doubles and caps the quantizer the
+        // same way the literal assignment did. Values are identical —
+        // same doubles, same subspace-major fold order.
+        val constRows = cents.map { case (cid, cv) =>
+          val cn = (0 until Dim).map(d => cv(d) * cv(d)).reduce(_ + _)
+          val cross = (0 until PqM).map { j =>
+            pqLookupTable(cbs, j)(rcv =>
+              (0 until PqDsub).map(d => cv(j * PqDsub + d) * rcv(d)).reduce(_ + _))
+          }
+          (cid, cn, cross)
+        }
+        val consts = { import spark.implicits._; constRows.toDF("c_id", "cnorm", "cross") }
         def idx(j: Int): Column =
           (shiftright(col("code"), 4 * j).bitwiseAND(lit(15L)) + 1).cast("int")
-        val crossLookup = (0 until PqM).map { j =>
-          val m = cents.map { case (cid, cv) =>
-            cid -> pqLookupTable(cbs, j)(rcv =>
-              (0 until PqDsub).map(d => cv(j * PqDsub + d) * rcv(d)).reduce(_ + _))
-          }.toMap
-          element_at(element_at(typedLit(m), col("c_id")), idx(j))
-        }.reduce(_ + _)
+        val crossLookup = (0 until PqM).map(j =>
+          element_at(element_at(col("cross"), j + 1), idx(j))).reduce(_ + _)
         val rnormLookup = (0 until PqM).map { j =>
           element_at(typedLit(pqLookupTable(cbs, j)(rcv =>
             (0 until PqDsub).map(d => rcv(d) * rcv(d)).reduce(_ + _))), idx(j))
@@ -1090,7 +1176,7 @@ object Similarity {
         val dotLookup = (0 until PqM).map(j => element_at(col(s"dt$j"), idx(j))).reduce(_ + _)
         val approx = round(
           (col("cdot") + dotLookup) /
-            (sqrt(element_at(cnMap, col("c_id")) + lit(2.0) * crossLookup + rnormLookup)
+            (sqrt(col("cnorm") + lit(2.0) * crossLookup + rnormLookup)
               * col("qnrm")), 6)
         // static partition pruning for the file-backed path, exactly
         // like ivfPqTopKFor (the computed path has no IO to prune)
@@ -1103,6 +1189,7 @@ object Similarity {
           }
         val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col("vec_id").asc)
         val short = pruned.join(broadcast(best), Seq("c_id"))
+          .join(broadcast(consts), Seq("c_id"))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
             col("qv"), col("qnrm"), approx.as("approx_sim"))
@@ -1145,6 +1232,8 @@ object Similarity {
                                math.max(plan.shortlist, k))
     case "ivfpq_residual" => ivfPqResidualTopKFor(spark, dir, qids, k, plan.nprobe,
                                math.max(plan.shortlist, k))
+    case "pq_rerank"      => pqTopKReranked(spark, dir, qids, k,
+                               math.max(plan.shortlist, k))
     case other => throw new IllegalArgumentException(s"unplannable method '$other'")
   }
 
@@ -1153,21 +1242,42 @@ object Similarity {
     * reads ~1/16 of the corpus), and at EQUAL scan fraction the
     * memory-compressed path (ivfpq scores 4 B codes) before the
     * raw-vector one, and the trained quantizer before blind hashing.
-    * Multi-table fractions are upper bounds (candidate sets overlap). */
-  private def annLadder(k: Int): Seq[AnnPlan] = Seq(
-    AnnPlan("lsh",            0, 0,  0,     1.0 / 16, 0.0),
-    AnnPlan("ivf",            1, 0,  0,     1.0 / 16, 0.0),
-    AnnPlan("ivfpq_residual", 2, 0,  4 * k, 2.0 / 16, 0.0),
-    AnnPlan("ivfpq",          2, 0,  4 * k, 2.0 / 16, 0.0),
-    AnnPlan("ivf",            2, 0,  0,     2.0 / 16, 0.0),
-    AnnPlan("lsh_multitable", 0, 4,  0,     4.0 / 16, 0.0),
-    AnnPlan("ivfpq_residual", 4, 0,  8 * k, 4.0 / 16, 0.0),
-    AnnPlan("ivfpq",          4, 0,  8 * k, 4.0 / 16, 0.0),
-    AnnPlan("ivf",            4, 0,  0,     4.0 / 16, 0.0),
-    AnnPlan("lsh_multiprobe", 0, 0,  0,     5.0 / 16, 0.0),
-    AnnPlan("lsh_multitable", 0, 8,  0,     8.0 / 16, 0.0),
-    AnnPlan("ivf",            8, 0,  0,     8.0 / 16, 0.0),
-    AnnPlan("ivf",           12, 0,  0,    12.0 / 16, 0.0))
+    * Multi-table fractions are upper bounds (candidate sets overlap);
+    * pq_rerank's is the BYTE-fraction convention — it ADC-scans every
+    * code (4 B/vector, ~1/128 of raw bytes) then reads only shortlist
+    * raw rows, so it files with the 2/16-cost group rather than as a
+    * full scan.
+    *
+    * Between the two composed layouts at equal scan fraction, the
+    * PERSISTED one runs first (`preferResidual`): a cold session serves
+    * a persisted layout with zero training work, while the other side
+    * of the pair must train its codebooks (and, for residual, code the
+    * corpus) in-session — a cost the scan fraction doesn't see. */
+  private def annLadder(k: Int, preferResidual: Boolean): Seq[AnnPlan] = {
+    def composed(nprobe: Int, sl: Int): Seq[AnnPlan] = {
+      val frac = nprobe / 16.0
+      val pair = Seq(
+        AnnPlan("ivfpq_residual", nprobe, 0, sl, frac, 0.0),
+        AnnPlan("ivfpq",          nprobe, 0, sl, frac, 0.0))
+      if (preferResidual) pair else pair.reverse
+    }
+    Seq(
+      AnnPlan("lsh",            0, 0,  0,     1.0 / 16, 0.0),
+      AnnPlan("ivf",            1, 0,  0,     1.0 / 16, 0.0)) ++
+    composed(2, 4 * k) ++ Seq(
+      AnnPlan("pq_rerank",      0, 0,  4 * k, 2.0 / 16, 0.0),
+      AnnPlan("ivf",            2, 0,  0,     2.0 / 16, 0.0),
+      AnnPlan("lsh_multitable", 0, 2,  0,     2.0 / 16, 0.0),
+      AnnPlan("lsh_multitable", 0, 4,  0,     4.0 / 16, 0.0)) ++
+    composed(4, 8 * k) ++ Seq(
+      AnnPlan("pq_rerank",      0, 0,  8 * k, 4.0 / 16, 0.0),
+      AnnPlan("ivf",            4, 0,  0,     4.0 / 16, 0.0),
+      AnnPlan("lsh_multiprobe", 0, 0,  0,     5.0 / 16, 0.0),
+      AnnPlan("lsh_multitable", 0, 8,  0,     8.0 / 16, 0.0),
+      AnnPlan("ivf",            8, 0,  0,     8.0 / 16, 0.0),
+      AnnPlan("lsh_multitable", 0, 12, 0,    12.0 / 16, 0.0),
+      AnnPlan("ivf",           12, 0,  0,    12.0 / 16, 0.0))
+  }
 
   /** Pick the cheapest lever setting whose measured recall@k on a
     * deterministic calibration sample clears `targetRecall`; falls back
@@ -1186,20 +1296,24 @@ object Similarity {
     * `invalidateIvf`/`invalidatePq` (a rewritten corpus or index
     * invalidates the measurements the plan was chosen from). */
   def planAnnCached(spark: SparkSession, dir: String, targetRecall: Double,
-                    calibQueries: Int = 32, k: Int = 5): AnnPlan = {
+                    calibQueries: Int = 32, k: Int = 5,
+                    calibrationDir: Option[String] = None): AnnPlan = {
     graft.core.SessionCache.watch(spark)
-    planCache.computeIfAbsent((spark, dir, targetRecall, calibQueries, k),
-      _ => planAnn(spark, dir, targetRecall, calibQueries, k))
+    planCache.computeIfAbsent((spark, dir, targetRecall, calibQueries, k, calibrationDir),
+      _ => planAnn(spark, dir, targetRecall, calibQueries, k, calibrationDir))
   }
 
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double, Int, Int), AnnPlan]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Double, Int, Int, Option[String]), AnnPlan]()
 
   private def dropPlans(spark: SparkSession, dir: String): Unit = {
     val it = planCache.keySet().iterator()
     while (it.hasNext) {
       val key = it.next()
-      if ((key._1 eq spark) && key._2 == dir) it.remove()
+      // a rewritten dir invalidates plans that EXECUTE on it and plans
+      // that were CALIBRATED on it
+      if ((key._1 eq spark) && (key._2 == dir || key._6.contains(dir))) it.remove()
     }
   }
 
@@ -1208,17 +1322,28 @@ object Similarity {
     while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }
 
+  /** `calibrationDir` makes "calibrate on a sampled sub-corpus" an API:
+    * when set, the truth pass and every ladder measurement run against
+    * THAT dir (sample cost), and the returned plan is what the caller
+    * executes on the full `dir` — the 100 TB shape, where calibrating
+    * against the full corpus would itself cost a brute-force scan of
+    * petabytes. The persisted-layout preference still consults `dir`
+    * (the execution target) — that is where a persisted index saves
+    * training. */
   def planAnn(spark: SparkSession, dir: String, targetRecall: Double,
-              calibQueries: Int = 32, k: Int = 5): AnnPlan = {
+              calibQueries: Int = 32, k: Int = 5,
+              calibrationDir: Option[String] = None): AnnPlan = {
     require(targetRecall >= 0.0 && targetRecall <= 1.0,
       s"targetRecall=$targetRecall outside [0, 1]")
-    val qids = emb(spark, dir).select("vec_id").orderBy("vec_id")
+    val cdir = calibrationDir.getOrElse(dir)
+    val preferResidual = persistedCodebookKind(spark, dir).contains("residual")
+    val qids = emb(spark, cdir).select("vec_id").orderBy("vec_id")
       .limit(calibQueries).collect().map(_.getLong(0)).toSeq
-    val truth = bruteForceTopKFor(spark, dir, qids, k)
+    val truth = bruteForceTopKFor(spark, cdir, qids, k)
     truth.persist(); truth.count()
     try {
-      for (cand <- annLadder(k)) {
-        val r = recallAtK(runAnnPlan(spark, dir, cand, qids, k), truth)
+      for (cand <- annLadder(k, preferResidual)) {
+        val r = recallAtK(runAnnPlan(spark, cdir, cand, qids, k), truth)
         if (r >= targetRecall) return cand.copy(calibratedRecall = r)
       }
       AnnPlan("brute", 0, 0, 0, 1.0, 1.0)

@@ -1035,4 +1035,202 @@ class OpsSpec extends SparkSpec {
       assert(verified.length === 1 && verified(0).getAs[Double]("jaccard") === 1.0)
     } finally idx.close()
   }
+
+  // ---- round 9: large-k quantizer, dense components, calibrationDir ----
+
+  test("centroid assignment: broadcast-join path ≡ literal path, NaN rule included") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("assigneq").toString
+    // a zero vector makes every cosine NaN — both paths must park it in
+    // the smallest-id cluster, not throw or diverge
+    val zero = Seq((9999L, Array.fill(64)(0.0f), 0)).toDF("vec_id", "embedding", "label")
+    graft.tools.SyntheticEmbeddings.write(spark, d,
+      graft.tools.SyntheticEmbeddings.uniform(spark, 400).unionByName(zero))
+    val e = Similarity.emb(spark, d)
+    val cents = e.filter(col("vec_id") < 24).select("vec_id", "v").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val viaLit = e.withColumn("c_id", Similarity.assignCol(cents))
+      .select("vec_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val viaJoin = Similarity.assignViaJoin(e, cents.toDF("c_id", "cv"))
+      .select("vec_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(viaJoin === viaLit, "join-path assignment must equal the literal path row for row")
+    assert(viaLit.find(_._1 == 9999L).get._2 === cents.map(_._1).min,
+      "the NaN (zero-vector) rule must hold on both paths")
+  }
+
+  test("large-k composed index (seedBits=10): join-path build, exact full probe, pruned cold probe") {
+    val d = Files.createTempDirectory("bigk").toString
+    graft.tools.SyntheticEmbeddings.write(spark, d,
+      graft.tools.SyntheticEmbeddings.uniform(spark, 2000))
+    try {
+      Similarity.buildIvfPqIndex(spark, d, seedBits = 10)
+      val kClusters = spark.read.parquet(Similarity.ivfIndexPath(d)).count().toInt
+      assert(kClusters > Similarity.MaxLiteralK,
+        s"fixture must exercise the join path, got k=$kClusters")
+      val qids = (0L until 8L).toSeq
+      val truth = Similarity.bruteForceTopKFor(spark, d, qids, 5).collect()
+      // probing every cluster with an unbounded shortlist IS brute force
+      // — proves the large-k index end-to-end exact, not just plausible
+      val all = Similarity.ivfPqTopKFor(spark, d, qids, 5,
+        nprobe = kClusters, shortlist = 2000).collect()
+      assert(all.map(_.toString).toSeq === truth.map(_.toString).toSeq)
+      // pruned cold probe: zero training, c_id partition filter, and no
+      // literal lookup map in the plan (the k-scaled typedLits are gone)
+      val km = Similarity.kmeansRuns.get()
+      val pq = Similarity.pqTrainRuns.get()
+      val s2 = spark.newSession()
+      val probed = Similarity.ivfPqTopKFor(s2, d, qids, 5, nprobe = 4, shortlist = 40)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("partitionfilters: [c_id"),
+        "large-k probe must stay statically partition-pruned")
+      assert(probed.collect().nonEmpty)
+      assert(Similarity.kmeansRuns.get() === km && Similarity.pqTrainRuns.get() === pq,
+        "cold large-k probe must not train either quantizer")
+      // the RESIDUAL layout at large k: same exactness bar
+      Similarity.buildIvfPqIndex(spark, d, seedBits = 10, residual = true)
+      val allRes = Similarity.ivfPqResidualTopKFor(spark, d, qids, 5,
+        nprobe = kClusters, shortlist = 2000).collect()
+      assert(allRes.map(_.toString).toSeq === truth.map(_.toString).toSeq)
+      val resPlan = Similarity.ivfPqResidualTopKFor(spark, d, qids, 5,
+        nprobe = 4, shortlist = 40).queryExecution.executedPlan.toString
+      assert(!resPlan.contains("keys: ["),
+        "residual probe must not carry k-scaled literal lookup maps")
+    } finally {
+      Similarity.invalidateIvf(spark, d)
+      Similarity.invalidatePq(spark, d)
+    }
+  }
+
+  test("clustered corpus: residual codes beat raw-PQ codes by a real recall margin") {
+    // the fixture corpora are near-uniform — quantization's worst case,
+    // where the residual gain measured ~0.02. Real embedding corpora
+    // cluster; on blobs the coarse quantizer absorbs the blob offset
+    // and the codebooks spend all 32 bits on in-blob detail, while
+    // raw-vector codes waste them re-describing the blob centers.
+    val d = Files.createTempDirectory("blobs").toString
+    graft.tools.SyntheticEmbeddings.write(spark, d,
+      graft.tools.SyntheticEmbeddings.clustered(spark, 2000, nBlobs = 16, sigma = 0.2))
+    try {
+      val qids = (0L until 32L).toSeq
+      val truth = Similarity.bruteForceTopKFor(spark, d, qids, 5)
+      truth.persist().count()
+      val raw = Similarity.recallAtK(
+        Similarity.ivfPqTopKFor(spark, d, qids, 5, nprobe = 2, shortlist = 40), truth)
+      val res = Similarity.recallAtK(
+        Similarity.ivfPqResidualTopKFor(spark, d, qids, 5, nprobe = 2, shortlist = 40), truth)
+      truth.unpersist()
+      assert(res >= raw + 0.1,
+        f"residual must clearly beat raw PQ on clustered data: raw=$raw%.3f res=$res%.3f")
+      assert(res >= 0.5, f"residual recall on blobs regressed: $res%.3f")
+    } finally {
+      Similarity.invalidateIvf(spark, d)
+      Similarity.invalidatePq(spark, d)
+    }
+  }
+
+  test("a mixed-kind codebooks file is corrupt: retrain in-session, never guess the algebra") {
+    val live = Similarity.pqTopK(spark, dir).collect()
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+    try {
+      Similarity.buildPqIndex(spark, dir)
+      val rows = spark.read.parquet(Similarity.pqIndexPath(dir)).collect()
+      val schema = spark.read.parquet(Similarity.pqIndexPath(dir)).schema
+      val kindAt = schema.fieldIndex("kind")
+      val mixed = rows ++ rows.take(1).map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(kindAt, "residual"))
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(mixed.toIndexedSeq), schema)
+        .coalesce(1).write.mode("overwrite").parquet(Similarity.pqIndexPath(dir))
+      Similarity.invalidatePq(spark, dir)
+      val before = Similarity.pqTrainRuns.get()
+      val s2 = spark.newSession()
+      assert(Similarity.pqTopK(s2, dir).collect().map(_.toString).toSeq
+        === live.map(_.toString).toSeq,
+        "a mixed-kind file must fall back to deterministic retraining, values unchanged")
+      assert(Similarity.pqTrainRuns.get() === before + 1,
+        "mixed kinds must trigger in-session retraining, not a guessed read")
+    } finally {
+      Seq(Similarity.pqIndexPath(dir), Similarity.pqCodesPath(dir),
+        Similarity.ivfPqPostingsPath(dir)).foreach(p => rm(new java.io.File(p)))
+      Similarity.invalidatePq(spark, dir)
+    }
+  }
+
+  test("buildPqIndex over a residual index drops residual session state too") {
+    val resLive = Similarity.ivfPqResidualTopK(spark, dir).collect()
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+    try {
+      Similarity.buildIvfPqIndex(spark, dir, residual = true)
+      val s2 = spark.newSession()
+      // warm s2's residual codebooks from the persisted residual file
+      assert(Similarity.ivfPqResidualTopK(s2, dir).collect().map(_.toString).toSeq
+        === resLive.map(_.toString).toSeq)
+      // rewriting the SHARED backing file (pq_index.parquet) as RAW must
+      // invalidate s2's residual codebooks + postings: the next residual
+      // probe retrains rather than serving state tied to a dead file
+      Similarity.buildPqIndex(s2, dir)
+      val before = Similarity.pqTrainRuns.get()
+      assert(Similarity.ivfPqResidualTopK(s2, dir).collect().map(_.toString).toSeq
+        === resLive.map(_.toString).toSeq)
+      assert(Similarity.pqTrainRuns.get() === before + 1,
+        "stale residual codebooks must not survive a raw rebuild of their backing file")
+    } finally {
+      Seq(Similarity.ivfIndexPath(dir), Similarity.pqIndexPath(dir),
+        Similarity.pqCodesPath(dir), Similarity.ivfPqPostingsPath(dir))
+        .foreach(p => rm(new java.io.File(p)))
+      Similarity.invalidateIvf(spark, dir)
+      Similarity.invalidatePq(spark, dir)
+    }
+  }
+
+  test("string components survive id-hash collisions via the dense-dictionary path") {
+    import spark.implicits._
+    val nodes = Seq("x1", "x2", "x3", "x4").toDF("id")
+    val edges = Seq(("x1", "x3"), ("x2", "x4")).toDF("a", "b")
+    val expect = Map("x1" -> "x1", "x3" -> "x1", "x2" -> "x2", "x4" -> "x2")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // a DELIBERATELY colliding hash: x2 hashes to x1's value — the naive
+    // hashed contraction would merge all four ids into one component
+    val collide: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => when(c === "x2", TextHashing.md5Long(lit("x1"))).otherwise(TextHashing.md5Long(c))
+    assert(labelsOf(GraphOps.connectedComponentsByStringHashed(nodes, edges, collide)) === expect,
+      "the collision check must reroute to the dense path, never mislabel")
+    // the dense face directly, and agreement with the hashed face on
+    // collision-free input
+    assert(labelsOf(GraphOps.connectedComponentsByStringDense(nodes, edges)) === expect)
+    assert(labelsOf(GraphOps.connectedComponentsByString(nodes, edges)) === expect)
+  }
+
+  test("planAnn calibrates on a sampled sub-corpus when calibrationDir is set") {
+    val full = Files.createTempDirectory("planfull").toString
+    val samp = Files.createTempDirectory("plansamp").toString
+    graft.tools.SyntheticEmbeddings.write(spark, full,
+      graft.tools.SyntheticEmbeddings.clustered(spark, 4000, nBlobs = 16, sigma = 0.2))
+    // the sample is a strict SUBSET of the full corpus — the documented
+    // 100 TB recipe (operators are dir-bound, so the whole calibration,
+    // truth pass included, runs at sample cost)
+    graft.tools.SyntheticEmbeddings.write(spark, samp,
+      Similarity.emb(spark, full).filter(col("vec_id") % 8 === 0)
+        .select(col("vec_id"), col("v").cast("array<float>").as("embedding"),
+          lit(0).as("label")))
+    try {
+      val plan = Similarity.planAnn(spark, full, targetRecall = 0.3,
+        calibrationDir = Some(samp))
+      assert(plan.calibratedRecall >= 0.3, s"plan misses its target on the sample: $plan")
+      assert(plan.scanFraction < 1.0, s"a sublinear plan clears 0.3 on blobs: $plan")
+      // the chosen plan executes on the FULL corpus
+      val served = Similarity.runAnnPlan(spark, full, plan, Seq(1L, 2L), k = 5)
+      assert(served.select("qid").distinct().count() === 2)
+      // memoized per calibration dir (a different sample is a different key)
+      assert(Similarity.planAnnCached(spark, full, 0.3, calibrationDir = Some(samp)) === plan)
+    } finally {
+      Seq(full, samp).foreach { d =>
+        Similarity.invalidateIvf(spark, d); Similarity.invalidatePq(spark, d)
+      }
+    }
+  }
 }
