@@ -17,12 +17,21 @@ final class IngestMetricsListener extends StreamingQueryListener {
   val startedAtMs = new AtomicLong(0)
   val queryErrors = new AtomicLong(0)
 
+  /** Bucketed batch-duration histogram — the `_bucket` series a
+    * dashboard built against the reference's duration histograms
+    * (/root/reference/monitoring/metrics.go:13-17) scrapes first.
+    * Reference buckets (1 ms–1 s). */
+  val batchDuration = new PromHistogram(
+    "graft_batch_duration_seconds",
+    "Micro-batch wall-clock duration (trigger to commit)")
+
   override def onQueryStarted(event: QueryStartedEvent): Unit =
     startedAtMs.compareAndSet(0, System.currentTimeMillis())
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     rowsProcessed.addAndGet(event.progress.numInputRows)
     batchesProcessed.incrementAndGet()
+    batchDuration.observeMillis(event.progress.batchDuration)
     // numeric, not the ISO string: a bare string value is not valid
     // Prometheus text exposition and would fail the whole scrape
     try lastProgressEpochMs.set(
@@ -38,10 +47,26 @@ final class IngestMetricsListener extends StreamingQueryListener {
     * so a Prometheus scraper parses it. */
   def snapshot(): String = {
     val uptime = if (startedAtMs.get == 0) 0 else System.currentTimeMillis() - startedAtMs.get
+    val rt = Runtime.getRuntime
     s"""graft_ticks_processed_total ${rowsProcessed.get}
        |graft_batches_processed_total ${batchesProcessed.get}
        |graft_query_errors_total ${queryErrors.get}
        |graft_uptime_millis $uptime
-       |graft_last_progress_epoch_ms ${lastProgressEpochMs.get}""".stripMargin
+       |graft_last_progress_epoch_ms ${lastProgressEpochMs.get}
+       |graft_memory_used_bytes ${rt.totalMemory - rt.freeMemory}
+       |${batchDuration.exposition}
+       |${PipelineMetrics.gateDuration.exposition}""".stripMargin
   }
+}
+
+/** Process-wide curation-gate latency — observed by
+  * `CurationPipeline.processBatch` (driver-side, one observation per
+  * gate pass), exposed through every MetricsHttpServer. A singleton
+  * because the pipeline runs inside foreachBatch, far from any
+  * listener instance; histograms are additive so shared state is the
+  * correct aggregation. */
+object PipelineMetrics {
+  val gateDuration = new PromHistogram(
+    "graft_gate_duration_seconds",
+    "Curation gate (dedup/near-dup) wall-clock per micro-batch")
 }

@@ -35,11 +35,33 @@ final class MetricsHttpServer(listener: IngestMetricsListener, port: Int = 0) {
   server.createContext("/metrics", (ex: HttpExchange) =>
     respond(ex, 200, "text/plain; version=0.0.4", listener.snapshot() + "\n"))
 
+  // component health registry, the reference's RegisterHealthCheck shape
+  // (/root/reference/monitoring/health.go:27-29,46-53): each component a
+  // name -> check, any failing check degrades the rollup. "streaming" is
+  // pre-registered; callers add sources/sinks/indexes as they come up.
+  private val healthChecks =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Boolean]()
+  registerHealthCheck("streaming", () => listener.queryErrors.get == 0)
+
+  def registerHealthCheck(name: String, check: () => Boolean): Unit = {
+    healthChecks.put(name, check)
+    ()
+  }
+
   server.createContext("/health", { (ex: HttpExchange) =>
-    val healthy = listener.queryErrors.get == 0
+    import scala.jdk.CollectionConverters._
+    // a check that THROWS is unhealthy, not a 500: the health endpoint
+    // must stay scrapeable while a component is mid-failure
+    val comps = healthChecks.asScala.toSeq.sortBy(_._1).map { case (n, c) =>
+      n -> (try c() catch { case _: Throwable => false })
+    }
+    val healthy = comps.forall(_._2)
     val status = if (healthy) "ok" else "degraded"
+    val compJson = comps.map { case (n, ok) =>
+      s""""$n":"${if (ok) "healthy" else "unhealthy"}"""" }.mkString("{", ",", "}")
     val body =
-      s"""{"status":"$status","batches":${listener.batchesProcessed.get},""" +
+      s"""{"status":"$status","component_status":$compJson,""" +
+        s""""batches":${listener.batchesProcessed.get},""" +
         s""""rows":${listener.rowsProcessed.get},"query_errors":${listener.queryErrors.get}}"""
     respond(ex, if (healthy) 200 else 503, "application/json", body)
   })

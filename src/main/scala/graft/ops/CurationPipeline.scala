@@ -168,6 +168,19 @@ object CurationPipeline {
       batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
       nearDupDir: Option[String], nearDupThreshold: Double,
       compactEvery: Int): Unit = {
+    // gate latency lands in the process-wide histogram (`/metrics`
+    // `graft_gate_duration_seconds_bucket` series) — one observation
+    // per batch, driver-side, reference-bucket shape
+    val gateT0 = System.nanoTime()
+    try processBatchBody(batch, batchId, corpusDir, indexDir,
+      nearDupDir, nearDupThreshold, compactEvery)
+    finally graft.obs.PipelineMetrics.gateDuration.observeNanos(System.nanoTime() - gateT0)
+  }
+
+  private def processBatchBody(
+      batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
+      nearDupDir: Option[String], nearDupThreshold: Double,
+      compactEvery: Int): Unit = {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
     val spark = batch.sparkSession
     val index = readBatchIndex(spark, indexDir, StructType(Seq(

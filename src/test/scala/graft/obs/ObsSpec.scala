@@ -41,10 +41,41 @@ class ObsSpec extends SparkSpec {
       assert(metrics.contains("graft_ticks_processed_total 3"))
       assert(metrics.contains("graft_batches_processed_total"))
 
+      // bucketed duration histogram in real exposition shape: cumulative
+      // le-labeled buckets ending at +Inf == _count, populated by the
+      // run above (reference parity: monitoring/metrics.go:13-17)
+      val bucketRe = """graft_batch_duration_seconds_bucket\{le="([^"]+)"\} (\d+)""".r
+      val bkts = bucketRe.findAllMatchIn(metrics)
+        .map(m => m.group(1) -> m.group(2).toLong).toSeq
+      assert(bkts.nonEmpty, s"no _bucket series in exposition:\n$metrics")
+      assert(bkts.last._1 === "+Inf")
+      assert(bkts.map(_._2) === bkts.map(_._2).sorted, "buckets must be cumulative")
+      val cnt = """graft_batch_duration_seconds_count (\d+)""".r
+        .findFirstMatchIn(metrics).get.group(1).toLong
+      assert(cnt === listener.batchDuration.observed && bkts.last._2 === cnt)
+      assert(cnt > 0, "the streaming run must have observed batch durations")
+      assert(metrics.contains("# TYPE graft_batch_duration_seconds histogram"))
+      assert(metrics.contains("graft_gate_duration_seconds_bucket"),
+        "gate-latency histogram series must be exposed")
+      assert(metrics.contains("graft_memory_used_bytes "))
+
       val (hCode, health) = fetch(s"http://127.0.0.1:${srv.boundPort}/health")
       assert(hCode === 200)
       assert(health.contains("\"status\":\"ok\""))
       assert(health.contains("\"rows\":3"))
+      assert(health.contains("\"streaming\":\"healthy\""),
+        "component registry must report per-component state")
+
+      // a registered failing component degrades the rollup independently
+      // of streaming state (health.go:46-53), and a THROWING check is
+      // unhealthy, not a 500
+      srv.registerHealthCheck("index_store", () => sys.error("probe died"))
+      val (cCode, cHealth) = fetch(s"http://127.0.0.1:${srv.boundPort}/health")
+      assert(cCode === 503)
+      assert(cHealth.contains("\"index_store\":\"unhealthy\""))
+      assert(cHealth.contains("\"streaming\":\"healthy\""))
+      srv.registerHealthCheck("index_store", () => true)
+      assert(fetch(s"http://127.0.0.1:${srv.boundPort}/health")._1 === 200)
 
       // a dead query flips health to degraded/503 (monitoring/health.go
       // reports component state, not a static ok)
@@ -56,5 +87,22 @@ class ObsSpec extends SparkSpec {
       srv.stop()
       spark.streams.removeListener(listener)
     }
+  }
+
+  test("PromHistogram: cumulative buckets, sum, +Inf overflow, exposition format") {
+    val h = new PromHistogram("t_seconds", "test", Seq(0.01, 0.1, 1.0))
+    Seq(0.005, 0.05, 0.05, 0.5, 5.0).foreach(h.observe)
+    val exp = h.exposition
+    def bucket(le: String): Long =
+      s"""t_seconds_bucket\\{le="$le"\\} (\\d+)""".r
+        .findFirstMatchIn(exp).get.group(1).toLong
+    assert(bucket("0.01") === 1)
+    assert(bucket("0.1") === 3)   // cumulative: 0.005 + the two 0.05s
+    assert(bucket("1") === 4)     // integral le printed without ".0"
+    assert(bucket("\\+Inf") === 5) // the 5.0 outlier only lands in +Inf
+    assert(exp.contains("t_seconds_count 5"))
+    val sum = """t_seconds_sum ([0-9.]+)""".r.findFirstMatchIn(exp).get.group(1).toDouble
+    assert(math.abs(sum - 5.605) < 1e-6)
+    assert(h.observed === 5)
   }
 }
