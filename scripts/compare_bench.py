@@ -91,6 +91,12 @@ def main():
     changed = changed_files(git_range) if git_range else None
 
     noisy = set(old.get("noisy", [])) | set(new.get("noisy", []))
+    # a query that was healthy in OLD but now errors (t_new < 0) or is
+    # gone entirely is the WORST regression — it must fail the verdict,
+    # not be silently skipped by the slowdown math
+    broken = sorted(
+        q for q, t_old in old["queries"].items()
+        if t_old >= 0 and new["queries"].get(q, -1.0) < 0)
     regressions, environmental, improved = [], [], []
     for q, t_new in sorted(new["queries"].items()):
         t_old = old["queries"].get(q)
@@ -125,12 +131,20 @@ def main():
     print(f"old: {sys.argv[1]} total={old.get('value')}s  "
           f"new: {sys.argv[2]} total={new.get('value')}s  "
           f"(+{len(new_qs)} new queries)")
+    if broken:
+        print("\nBROKEN queries (healthy in old, error/missing in new):")
+        for q in broken:
+            t_new = new["queries"].get(q)
+            state = "errored" if t_new is not None else "missing from new run"
+            err = new.get("errors", {}).get(q, "")
+            print(f"  {q:32s} {old['queries'][q]:7.3f}s -> {state}"
+                  + (f"  [{err}]" if err else ""))
     show("CODE-ATTRIBUTABLE regressions", regressions)
     show("environmental slowdowns (excluded from verdict)", environmental)
     show("improvements", improved)
-    if not regressions:
+    if not regressions and not broken:
         print("\nverdict: no code-attributable regressions")
-    sys.exit(1 if regressions else 0)
+    sys.exit(1 if regressions or broken else 0)
 
 
 if __name__ == "__main__":

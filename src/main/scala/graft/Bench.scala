@@ -111,8 +111,16 @@ object Bench {
     val total = timings.values.filter(_ >= 0).sum
     val totalMax = maxes.values.filter(_ >= 0).sum
     val noisyArr = noisy.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"queries_runs":$qruns,"total_max":${num(totalMax)},"reps":$reps,"noisy":$noisyArr,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"queries_runs":$qruns,"total_max":${num(totalMax)},"reps":$reps,"noisy":$noisyArr,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // stdout is the driver's channel and it TRUNCATES (BENCH_r07/r08
+    // both shipped "parsed": null with a 2 KB tail — per-query data for
+    // the first ~30 queries unrecoverable). A file copy makes the full
+    // line durable regardless of what the capture does to stdout.
+    sys.env.get("GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -17,11 +17,13 @@ object Verify {
     graft.core.GraftConf.runtime(spark)
     graft.plans.GraftExtensions.install(spark) // graft_* SQL functions
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +41,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // durable run summary (stderr is lossy at the driver): which queries
+    // dumped, which threw — a query missing from BOTH lists never ran
+    val summary =
+      s"""{"n_queries":${SparkEntry.queries.size},"n_failed":${failed.size},""" +
+        s""""failed":${failed.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")},""" +
+        s""""sf":${q(sfDir)}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    sys.env.get("GRAFT_VERIFY_OUT").foreach(p => Files.writeString(Paths.get(p), summary + "\n"))
     spark.stop()
   }
 }
