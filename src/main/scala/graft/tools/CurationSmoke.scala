@@ -81,6 +81,29 @@ object CurationSmoke {
       val (vdir, nv) = vecsParquet(k)
       runVec(s"vector gate ${k}x", vdir, nv)
     }
+
+    // batch-SIZE scaling of the micro-batch body (round-9 ask): the
+    // same corpus replayed as B batches for several B — per-batch cost
+    // must track rows-per-batch (history is index-probed, never
+    // rescanned), so total stays ~flat while B varies 16x and the
+    // per-batch mean falls ~1/B. A history-rescanning gate would
+    // instead grow the LATER batches linearly and the totals with B^0->
+    // B^1 shape.
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select("doc_id", "text").persist()
+    val nDocs = docs.count()
+    for (b <- Seq(4, 16, 64)) {
+      val base = Files.createTempDirectory(s"curbatch$b").toString
+      val t0 = System.nanoTime()
+      graft.ops.CurationPipeline.replayBatches(
+        docs, pmod(col("doc_id"), lit(b)),
+        s"$base/corpus", s"$base/index",
+        nearDupDir = Some(s"$base/near"))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"processBatch sweep: $b%3d batches of ~${nDocs / b}%6d docs  " +
+        f"total $secs%6.1f s  per-batch ${secs / b}%6.2f s  ${nDocs / secs}%8.0f docs/s")
+    }
+    docs.unpersist()
     spark.stop()
   }
 }
