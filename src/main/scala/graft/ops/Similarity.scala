@@ -240,28 +240,28 @@ object Similarity {
     * the SAME deterministic (rounded cosine DESC, c_id ASC) rule as the
     * literal projection — NaN-above-numbers ordering included, so a
     * zero vector lands in the smallest-id cluster on both paths and
-    * OpsSpec asserts row-for-row equality. Payload columns ride the
-    * aggregation via first() (every row of a vec_id group is the same
-    * source row replicated per centroid, so first is value-exact).
+    * OpsSpec asserts row-for-row equality.
     *
     * Cost shape at scale: the k-row broadcast replaces k x Dim codegen
-    * literals, partial aggregation collapses the k candidate rows of
-    * each vector map-side (they never leave their partition), and the
-    * shuffle carries ONE row per vector — a single corpus-width
-    * exchange per assignment, the honest price of a quantizer too big
-    * to inline. */
+    * literals; the scored candidate rows are SLIMMED to (vec_id, sim
+    * struct) before the n x k fan-out — the cosine consumes v and cv
+    * inside one projection, so the wide vector never rides the k-way
+    * replication (at k = 1024 that is a ~20x byte cut on the heaviest
+    * intermediate). Partial aggregation collapses each vector's k
+    * candidates map-side; the winning c_id then joins back to the full
+    * payload by vec_id — one corpus-width exchange for the argmax plus
+    * one for the rejoin, the honest price of a quantizer too big to
+    * inline. */
   private[graft] def assignViaJoin(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val payload = e.columns.filterNot(_ == "vec_id")
-    val best = max(struct(
-      round(GraftExtensions.cosine(col("v"), col("cv")), 6).as("sim"),
-      (-col("c_id")).as("negid"))).as("best")
-    val carried = payload.map(c => first(col(c)).as(c))
-    e.crossJoin(broadcast(centroids.select(col("c_id"), col("cv"))))
+    val best = e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("cv"))))
+      .select(col("vec_id"), struct(
+        round(GraftExtensions.cosine(col("v"), col("cv")), 6).as("sim"),
+        (-col("c_id")).as("negid")).as("cand"))
       .groupBy("vec_id")
-      .agg(best, carried: _*)
-      .withColumn("c_id", (-col("best.negid")).cast("int"))
-      .drop("best")
-      .select((col("vec_id") +: payload.map(col) :+ col("c_id")): _*)
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), (-col("best.negid")).cast("int").as("c_id"))
+    e.join(best, "vec_id")
   }
 
   /** e + c_id under the path matching the quantizer's size: literal
@@ -283,7 +283,10 @@ object Similarity {
     *    tie vs the oracle); a cluster that loses all members vanishes.
     *
     *  Each round collects exactly n_clusters rows (<= 16 x 64 doubles)
-    *  to the driver — bounded, like GraphOps' broadcast relabel. */
+    *  to the driver — bounded, like GraphOps' broadcast relabel. Above
+    *  MaxLiteralK the Lloyd rounds run on a bounded deterministic
+    *  sample (see inside) so training cost is corpus-size-independent;
+    *  only the per-build assignment pass is corpus-width. */
   private def kmeansTrain(e: DataFrame, seedBits: Int = 4): Seq[(Int, Seq[Double])] = {
     // up to MaxLiteralK clusters the assignment is the literal-centroid
     // projection (zero shuffle); above it each Lloyd round switches to
@@ -295,9 +298,26 @@ object Similarity {
     require(seedBits <= Dim, s"seedBits=$seedBits exceeds Dim=$Dim")
     kmeansRuns.incrementAndGet()
     import org.apache.spark.sql.expressions.Window
+    // LARGE-k training runs on a bounded DETERMINISTIC sample (vec_id
+    // modulus — stable across sessions/executor counts), the standard
+    // at-scale IVF recipe: Lloyd rounds cost |sample| x k instead of
+    // n x k, so training is corpus-size-independent and only the single
+    // per-build assignment pass touches every row. 256 vectors per
+    // cluster is plenty to place a COARSE quantizer's centroids; the
+    // literal-k path keeps full-corpus training because the ann_ivf*
+    // oracles unroll exactly that (and at k <= 256 it's cheap anyway).
+    val k = 1 << seedBits
+    val trainTarget = 256L * k
+    val train =
+      if (k <= MaxLiteralK) e
+      else {
+        val n = e.count()
+        val m = math.max(1L, n / trainTarget)
+        if (m <= 1L) e else e.filter(pmod(col("vec_id"), lit(m)) === 0)
+      }
     val w = Window.partitionBy("bkt").orderBy("vec_id")
     var centroids: Seq[(Int, Seq[Double])] =
-      e.withColumn("bkt", bucket(col("v"), seedBits).cast("int"))
+      train.withColumn("bkt", bucket(col("v"), seedBits).cast("int"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("bkt"), col("v")).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
@@ -305,7 +325,7 @@ object Similarity {
       (sum(element_at(col("v"), i + 1).cast("decimal(27,12)")).cast("double") /
         count(lit(1))).as(s"a$i"))
     for (_ <- 0 until IvfIterations) {
-      centroids = assigned(e, centroids)
+      centroids = assigned(train, centroids)
         .groupBy("c_id").agg(avgCols.head, avgCols.tail: _*)
         .collect()
         .map(r => (r.getInt(0), (0 until Dim).map(i => r.getDouble(1 + i)).toSeq))
