@@ -275,10 +275,13 @@ object Graft {
   }
 
   /** Start serving /metrics and /health for a running ingest; returns the
-    * server (stop() when done) after registering the listener. */
+    * server (stop() when done) after registering the listeners (streaming
+    * progress + per-worker task stats). */
   def serveMetrics(spark: SparkSession, port: Int = 0): (obs.IngestMetricsListener, obs.MetricsHttpServer) = {
     val listener = new obs.IngestMetricsListener
     spark.streams.addListener(listener)
-    (listener, new obs.MetricsHttpServer(listener, port).start())
+    val workers = new obs.WorkerStatsListener
+    spark.sparkContext.addSparkListener(workers)
+    (listener, new obs.MetricsHttpServer(listener, port, Some(workers)).start())
   }
 }

@@ -59,6 +59,58 @@ final class IngestMetricsListener extends StreamingQueryListener {
   }
 }
 
+/** Per-worker processed/error counters (SURVEY parity with the
+  * reference's WorkerStats — /root/reference/models/stats.go:15-20:
+  * per-worker ProcessedCount/ErrorCount/LastProcessed) — a
+  * SparkListener keyed by executor id, surfaced as LABELED Prometheus
+  * series on /metrics. On a real cluster each executor is a worker row;
+  * on local[*] everything lands under "driver" (still the correct
+  * grouping: one JVM IS one worker there).
+  *
+  * Task-end events arrive on the listener bus thread; the maps are
+  * ConcurrentHashMaps of LongAdders so a scrape never locks the bus. */
+final class WorkerStatsListener extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+  private val tasks = new ConcurrentHashMap[String, LongAdder]()
+  private val records = new ConcurrentHashMap[String, LongAdder]()
+  private val errors = new ConcurrentHashMap[String, LongAdder]()
+  private val lastEndMs = new ConcurrentHashMap[String, AtomicLong]()
+
+  private def adder(m: ConcurrentHashMap[String, LongAdder], k: String): LongAdder =
+    m.computeIfAbsent(k, _ => new LongAdder)
+
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val w = Option(e.taskInfo).map(_.executorId).getOrElse("unknown")
+    adder(tasks, w).increment()
+    if (e.taskInfo != null && !e.taskInfo.successful) adder(errors, w).increment()
+    // metrics can be null for failed/ignored tasks
+    Option(e.taskMetrics).foreach { m =>
+      adder(records, w).add(m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead)
+    }
+    lastEndMs.computeIfAbsent(w, _ => new AtomicLong())
+      .set(System.currentTimeMillis())
+  }
+
+  /** Labeled exposition lines, one block per series, workers sorted for
+    * scrape stability. */
+  def snapshot(): String = {
+    import scala.jdk.CollectionConverters._
+    val workers = tasks.keySet().asScala.toSeq.sorted
+    def series(name: String, m: String => Long): Seq[String] =
+      workers.map(w => s"""$name{worker="$w"} ${m(w)}""")
+    (series("graft_worker_tasks_total", w => tasks.get(w).sum()) ++
+      series("graft_worker_records_total",
+        w => Option(records.get(w)).map(_.sum()).getOrElse(0L)) ++
+      series("graft_worker_task_errors_total",
+        w => Option(errors.get(w)).map(_.sum()).getOrElse(0L)) ++
+      series("graft_worker_last_processed_epoch_ms",
+        w => Option(lastEndMs.get(w)).map(_.get()).getOrElse(0L)))
+      .mkString("\n")
+  }
+}
+
 /** Process-wide curation-gate latency — observed by
   * `CurationPipeline.processBatch` (driver-side, one observation per
   * gate pass), exposed through every MetricsHttpServer. A singleton

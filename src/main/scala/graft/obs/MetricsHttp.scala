@@ -17,7 +17,8 @@ import java.nio.charset.StandardCharsets
   *
   * Bind to port 0 for an ephemeral port (tests); `boundPort` reports it.
   */
-final class MetricsHttpServer(listener: IngestMetricsListener, port: Int = 0) {
+final class MetricsHttpServer(listener: IngestMetricsListener, port: Int = 0,
+                              workers: Option[WorkerStatsListener] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // small pool, NOT the dispatcher thread: one stalled client must not
@@ -33,7 +34,9 @@ final class MetricsHttpServer(listener: IngestMetricsListener, port: Int = 0) {
   }
 
   server.createContext("/metrics", (ex: HttpExchange) =>
-    respond(ex, 200, "text/plain; version=0.0.4", listener.snapshot() + "\n"))
+    respond(ex, 200, "text/plain; version=0.0.4",
+      (listener.snapshot() +: workers.map(_.snapshot()).toSeq)
+        .filter(_.nonEmpty).mkString("\n") + "\n"))
 
   // component health registry, the reference's RegisterHealthCheck shape
   // (/root/reference/monitoring/health.go:27-29,46-53): each component a

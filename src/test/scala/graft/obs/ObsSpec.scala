@@ -21,7 +21,9 @@ class ObsSpec extends SparkSpec {
     import spark.implicits._
     val listener = new IngestMetricsListener
     spark.streams.addListener(listener)
-    val srv = new MetricsHttpServer(listener).start()
+    val workers = new WorkerStatsListener
+    spark.sparkContext.addSparkListener(workers)
+    val srv = new MetricsHttpServer(listener, workers = Some(workers)).start()
     try {
       implicit val ctx = spark.sqlContext
       val stream = MemoryStream[Int]
@@ -59,6 +61,22 @@ class ObsSpec extends SparkSpec {
         "gate-latency histogram series must be exposed")
       assert(metrics.contains("graft_memory_used_bytes "))
 
+      // per-worker stats (reference models/stats.go WorkerStats):
+      // labeled series keyed by executor id — local[*] runs everything
+      // under the driver, so exactly that worker row must appear with
+      // the tasks the streaming batches just ran. Listener bus is
+      // async; wait for the task-end events to land.
+      val wDeadline = System.currentTimeMillis() + 10000
+      def workerLines() = fetch(s"http://127.0.0.1:${srv.boundPort}/metrics")._2
+      var wm = workerLines()
+      while (!wm.contains("graft_worker_tasks_total{worker=\"driver\"}")
+             && System.currentTimeMillis() < wDeadline) { Thread.sleep(50); wm = workerLines() }
+      val wTasks = """graft_worker_tasks_total\{worker="driver"\} (\d+)""".r
+        .findFirstMatchIn(wm).map(_.group(1).toLong)
+      assert(wTasks.exists(_ > 0), s"no per-worker task series in:\n$wm")
+      assert(wm.contains("graft_worker_records_total{worker=\"driver\"}"))
+      assert(wm.contains("graft_worker_last_processed_epoch_ms{worker=\"driver\"}"))
+
       val (hCode, health) = fetch(s"http://127.0.0.1:${srv.boundPort}/health")
       assert(hCode === 200)
       assert(health.contains("\"status\":\"ok\""))
@@ -86,6 +104,7 @@ class ObsSpec extends SparkSpec {
     } finally {
       srv.stop()
       spark.streams.removeListener(listener)
+      spark.sparkContext.removeSparkListener(workers)
     }
   }
 
