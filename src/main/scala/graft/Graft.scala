@@ -222,6 +222,14 @@ object Graft {
       s"unknown index method '$other' (expected ivf | pq | ivfpq | ivfpq_residual)")
   }
 
+  /** Incrementally index a batch of new vectors against the persisted
+    * composed index (raw or residual — the codebook kind decides):
+    * assign + code under the EXISTING quantizers, append as delta
+    * postings, nothing corpus-width. Idempotent per batchId. */
+  def appendToVectorIndex(spark: SparkSession, dir: String,
+                          batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+    ops.Similarity.appendToIvfPqIndex(spark, dir, batch, batchId)
+
   /** ANN top-k, routed across every search path the library implements
     * (all persisted-index-first where an index applies). `method`:
     *   - "ivf" (default) — best `nprobe` clusters per query, statically

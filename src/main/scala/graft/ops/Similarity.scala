@@ -377,6 +377,7 @@ object Similarity {
     // THIS build (possibly different seedBits / rewritten embeddings)
     // would validate posting rows assigned under the OLD quantizer
     deletePath(spark, ivfPqPostingsPath(base))
+    deletePath(spark, ivfPqDeltaPath(base))
     assigned(e, cents)
       .select("vec_id", "v", "nrm", "c_id")
       .write.mode("overwrite").partitionBy("c_id").parquet(ivfPostingsPath(base))
@@ -751,6 +752,7 @@ object Similarity {
     // (their embedded codes were packed under the OLD codebooks) — see
     // buildIvfIndex's symmetric note on the centroid marker
     deletePath(spark, ivfPqPostingsPath(base))
+    deletePath(spark, ivfPqDeltaPath(base))
     e.select(col("vec_id"), codeColOf(cbs).as("code"))
       .write.mode("overwrite").parquet(pqCodesPath(base))
     writeCodebooks(spark, base, cbs)
@@ -960,6 +962,78 @@ object Similarity {
     * fixed-width row per vector, PARTITIONED by c_id. */
   def ivfPqPostingsPath(dir: String): String = s"$dir/ivfpq_postings.parquet"
 
+  /** DELTA posting lists appended after the base build
+    * (`appendToIvfPqIndex`) — partitioned (batch_id, c_id): c_id keeps
+    * probe pruning, batch_id makes every append idempotent under crash
+    * retry (dynamic overwrite of its own partitions only, the curation
+    * pipeline's recipe). Probes read base ∪ delta; a REBUILD deletes
+    * the delta (its rows were coded under the quantizers the rebuild
+    * replaces). */
+  def ivfPqDeltaPath(dir: String): String = s"$dir/ivfpq_postings_delta.parquet"
+
+  /** base ∪ delta composed postings — both sides c_id-partitioned, so a
+    * probe's c_id filter prunes both scans. */
+  private def persistedComposedPostings(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(ivfPqPostingsPath(dir))
+      .select("vec_id", "v", "nrm", "code", "c_id")
+    if (!pathExists(spark, ivfPqDeltaPath(dir))) base
+    else base.unionByName(
+      spark.read.parquet(ivfPqDeltaPath(dir))
+        .select("vec_id", "v", "nrm", "code", "c_id"))
+  }
+
+  /** Incrementally index a batch of NEW vectors against the PERSISTED
+    * composed index — the 100 TB ingest shape: assign + code the batch
+    * under the EXISTING quantizers (read from the marker files, zero
+    * training) and append it as delta postings; nothing corpus-width
+    * runs, cost is O(|batch| x k) assignment + O(|batch|) coding.
+    *
+    * Correctness shape: the index stays a PARTITIONING of base ∪ all
+    * appended batches — probe-all equals brute force over the combined
+    * corpus no matter how stale the centroids are (OpsSpec pins this);
+    * staleness costs RECALL at fixed nprobe, not correctness, and the
+    * recalibration story (planAnnCached invalidation) plus periodic
+    * rebuild is the documented maintenance loop.
+    *
+    * Idempotence: the batch dynamic-overwrites its own (batch_id, *)
+    * partitions — a crashed append is repaired by re-running the same
+    * batchId, exactly like the curation pipeline's sink writes. The
+    * caller owns vec_id uniqueness across base + batches (the curation
+    * gates upstream guarantee it in the streaming pipeline).
+    *
+    * `batch` needs (vec_id, embedding) — the embeddings.parquet shape;
+    * extra columns are ignored. Works for BOTH codebook kinds: raw
+    * codes quantize the vector, residual codes quantize v - c(v). */
+  def appendToIvfPqIndex(spark: SparkSession, dir: String,
+                         batch: DataFrame, batchId: Long): Unit = {
+    require(pathExists(spark, ivfPqPostingsPath(dir)) &&
+      pathExists(spark, ivfIndexPath(dir)) && pathExists(spark, pqIndexPath(dir)),
+      s"appendToIvfPqIndex needs a persisted composed index at $dir — run buildIvfPqIndex first")
+    val kind = persistedCodebookKind(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"codebooks at $dir are unreadable or mixed-kind — rebuild before appending"))
+    val cents = collectedCentroids(ivfCentroidsOf(spark, dir))
+    val e = batch
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(GraftExtensions.dot(col("v"), col("v"))))
+    val coded =
+      if (kind == "residual") {
+        val cbs = resCodebooksOf(spark, dir, cents)
+        residualOf(e, cents).withColumn("code", codeColOf(cbs, col("rv")))
+      } else assigned(e, cents).withColumn("code", codeColOf(codebooksOf(spark, dir)))
+    coded.select("vec_id", "v", "nrm", "code", "c_id")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "c_id")
+      .parquet(ivfPqDeltaPath(dir))
+    // the index a plan was calibrated against just grew — measured
+    // recalls are stale, quantizer/codebook state is NOT (unchanged
+    // files), so only the plans drop
+    dropPlans(spark, dir)
+  }
+
   /** Train BOTH quantizers (deterministic — same recipes as the plain
     * IVF/PQ builds, so all three indexes of a dir can never disagree)
     * and persist the composed index: code-bearing c_id-partitioned
@@ -981,6 +1055,9 @@ object Similarity {
     // quantizers must not survive under the fresh markers
     deletePath(spark, ivfPostingsPath(base))
     deletePath(spark, pqCodesPath(base))
+    // delta postings were coded under the OLD quantizers this build
+    // replaces — the fresh markers must not validate them
+    deletePath(spark, ivfPqDeltaPath(base))
     // residual = true persists the IVFADC layout: codebooks trained on
     // r = v - c(v) and codes packed from residuals (the codebook file's
     // `kind` column tells readers which scoring the codes need)
@@ -1027,8 +1104,7 @@ object Similarity {
       persistedCodebookKind(spark, dir).contains("raw")
     val postings =
       if (filesBacked)
-        spark.read.parquet(ivfPqPostingsPath(dir))
-          .select("vec_id", "v", "nrm", "code", "c_id")
+        persistedComposedPostings(spark, dir)
       else
         // session analog of the persisted composed index (see
         // ivfTopKFor's ivf_session_postings note): the double quantizer
@@ -1149,8 +1225,7 @@ object Similarity {
       persistedCodebookKind(spark, dir).contains("residual")
     val postings =
       if (filesBacked)
-        spark.read.parquet(ivfPqPostingsPath(dir))
-          .select("vec_id", "v", "nrm", "code", "c_id")
+        persistedComposedPostings(spark, dir)
       else graft.core.SessionCache.getOrBuild(spark, "ivfpq_res_postings", dir) {
         residualOf(emb(spark, dir), cents)
           .withColumn("code", codeColOf(cbs, col("rv")))

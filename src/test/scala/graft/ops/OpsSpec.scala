@@ -1205,6 +1205,68 @@ class OpsSpec extends SparkSpec {
     assert(labelsOf(GraphOps.connectedComponentsByString(nodes, edges)) === expect)
   }
 
+  test("composed-index delta append: probe-all exact over base+appends, idempotent retry, rebuild drops delta") {
+    val all = Files.createTempDirectory("annappendall").toString // full corpus: the truth side
+    val idx = Files.createTempDirectory("annappendidx").toString // indexed: base half + appends
+    def corpus = graft.tools.SyntheticEmbeddings.uniform(spark, 1200)
+    graft.tools.SyntheticEmbeddings.write(spark, all, corpus)
+    graft.tools.SyntheticEmbeddings.write(spark, idx, corpus.filter(col("vec_id") < 600))
+    val qids = (0L until 8L).toSeq
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+        .collect().map(_.toString).toSeq
+    try {
+      Similarity.buildIvfPqIndex(spark, idx)
+      val kClusters = spark.read.parquet(Similarity.ivfIndexPath(idx)).count().toInt
+      // appends arrive as (vec_id, embedding) batches — new vectors the
+      // base build never saw, coded under the PERSISTED quantizers
+      val b1 = corpus.filter(col("vec_id") >= 600 && col("vec_id") < 900)
+      val b2 = corpus.filter(col("vec_id") >= 900)
+      val km = Similarity.kmeansRuns.get(); val pq = Similarity.pqTrainRuns.get()
+      Similarity.appendToIvfPqIndex(spark, idx, b1, batchId = 1)
+      Similarity.appendToIvfPqIndex(spark, idx, b2, batchId = 2)
+      assert(Similarity.kmeansRuns.get() === km && Similarity.pqTrainRuns.get() === pq,
+        "appends must never retrain a quantizer")
+      // the index stays a PARTITIONING of base ∪ appends: probing every
+      // cluster with an unbounded shortlist must equal brute force over
+      // the FULL corpus — stale centroids cost recall, never correctness
+      val truth = sorted(Similarity.bruteForceTopKFor(spark, all, qids, 5))
+      assert(sorted(Similarity.ivfPqTopKFor(spark, idx, qids, 5,
+        nprobe = kClusters, shortlist = 1200)) === truth)
+      // a pruned probe in a COLD session serves appended rows without
+      // training, and the c_id partition filter prunes BOTH scans
+      val probed = Similarity.ivfPqTopKFor(spark.newSession(), idx, qids, 5,
+        nprobe = 2, shortlist = 40)
+      val plan = probed.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("partitionfilters: [c_id")
+        || plan.contains("partitionfilters: [isnotnull(c_id"))
+      assert(probed.collect().nonEmpty)
+      assert(Similarity.kmeansRuns.get() === km && Similarity.pqTrainRuns.get() === pq)
+      // crash-retry idempotence: re-running a batch id dynamic-overwrites
+      // its own partitions — results identical, no duplicate rows
+      Similarity.appendToIvfPqIndex(spark, idx, b2, batchId = 2)
+      assert(sorted(Similarity.ivfPqTopKFor(spark, idx, qids, 5,
+        nprobe = kClusters, shortlist = 1200)) === truth)
+      // a REBUILD replaces the quantizers, so it must take the delta
+      // (coded under the old ones) down with it
+      Similarity.buildIvfPqIndex(spark, idx)
+      assert(!new java.io.File(Similarity.ivfPqDeltaPath(idx)).exists(),
+        "rebuild must delete delta postings coded under the replaced quantizers")
+      // the RESIDUAL layout appends through the same path: reconstruction
+      // algebra over appended codes stays exact
+      Similarity.buildIvfPqIndex(spark, idx, residual = true)
+      Similarity.appendToIvfPqIndex(spark, idx, b1, batchId = 1)
+      Similarity.appendToIvfPqIndex(spark, idx, b2, batchId = 2)
+      val kRes = spark.read.parquet(Similarity.ivfIndexPath(idx)).count().toInt
+      assert(sorted(Similarity.ivfPqResidualTopKFor(spark, idx, qids, 5,
+        nprobe = kRes, shortlist = 1200)) === truth)
+    } finally {
+      Seq(all, idx).foreach { d =>
+        Similarity.invalidateIvf(spark, d); Similarity.invalidatePq(spark, d)
+      }
+    }
+  }
+
   test("planAnn calibrates on a sampled sub-corpus when calibrationDir is set") {
     val full = Files.createTempDirectory("planfull").toString
     val samp = Files.createTempDirectory("plansamp").toString
