@@ -1034,6 +1034,51 @@ object Similarity {
     dropPlans(spark, dir)
   }
 
+  /** Fold the delta postings back into the base — the LSM compaction
+    * that keeps an append-heavy index at two scans per probe instead of
+    * unbounded batch dirs, WITHOUT retraining (codes are unchanged, so
+    * compaction is a pure relayout: read base ∪ delta, rewrite as one
+    * c_id-partitioned table).
+    *
+    * Crash safety rides the marker discipline, not atomic renames (an
+    * object store has none): the merged table lands in a STAGING path
+    * first, then both markers come DOWN (readers fall back to the
+    * in-session computed path — correct, just slower), the base swaps
+    * to the staged data, the delta dies, and the markers are rewritten
+    * LAST from driver-held copies. A crash anywhere leaves either the
+    * old complete index (markers intact, staging ignored) or no
+    * markers (fallback) — never markers over partial postings. */
+  def compactIvfPqIndex(spark: SparkSession, dir: String): Unit = {
+    if (!pathExists(spark, ivfPqDeltaPath(dir))) return // nothing staged
+    require(pathExists(spark, ivfPqPostingsPath(dir)) &&
+      pathExists(spark, ivfIndexPath(dir)) && pathExists(spark, pqIndexPath(dir)),
+      s"compactIvfPqIndex needs a complete persisted composed index at $dir")
+    val kind = persistedCodebookKind(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"codebooks at $dir are unreadable or mixed-kind — rebuild instead of compacting"))
+    // driver-held copies of the small files, rewritten verbatim at the end
+    val cents = collectedCentroids(ivfCentroidsOf(spark, dir))
+    val cbs =
+      if (kind == "residual") resCodebooksOf(spark, dir, cents)
+      else codebooksOf(spark, dir)
+    val staging = s"${ivfPqPostingsPath(dir)}.compacting"
+    persistedComposedPostings(spark, dir)
+      .write.mode("overwrite").partitionBy("c_id").parquet(staging)
+    deletePath(spark, ivfIndexPath(dir))
+    deletePath(spark, pqIndexPath(dir))
+    deletePath(spark, ivfPqPostingsPath(dir))
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(ivfPqPostingsPath(dir)))
+    deletePath(spark, ivfPqDeltaPath(dir))
+    centroidsToDf(spark, cents).coalesce(1)
+      .write.mode("overwrite").parquet(ivfIndexPath(dir))
+    writeCodebooks(spark, dir, cbs, kind)
+    invalidateIvf(spark, dir)
+    invalidatePq(spark, dir)
+  }
+
   /** Train BOTH quantizers (deterministic — same recipes as the plain
     * IVF/PQ builds, so all three indexes of a dir can never disagree)
     * and persist the composed index: code-bearing c_id-partitioned

@@ -1267,6 +1267,57 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("composed-index compaction folds delta into base: no retraining, exactness preserved") {
+    val all = Files.createTempDirectory("anncompall").toString
+    val idx = Files.createTempDirectory("anncompidx").toString
+    def corpus = graft.tools.SyntheticEmbeddings.uniform(spark, 1000)
+    graft.tools.SyntheticEmbeddings.write(spark, all, corpus)
+    graft.tools.SyntheticEmbeddings.write(spark, idx, corpus.filter(col("vec_id") < 500))
+    val qids = (0L until 8L).toSeq
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+        .collect().map(_.toString).toSeq
+    try {
+      Similarity.buildIvfPqIndex(spark, idx)
+      val kClusters = spark.read.parquet(Similarity.ivfIndexPath(idx)).count().toInt
+      Similarity.appendToIvfPqIndex(spark, idx,
+        corpus.filter(col("vec_id") >= 500), batchId = 1)
+      val truth = sorted(Similarity.bruteForceTopKFor(spark, all, qids, 5))
+      assert(sorted(Similarity.ivfPqTopKFor(spark, idx, qids, 5,
+        nprobe = kClusters, shortlist = 1000)) === truth)
+      // compaction is a pure relayout: codes unchanged, NO training
+      val km = Similarity.kmeansRuns.get(); val pq = Similarity.pqTrainRuns.get()
+      Similarity.compactIvfPqIndex(spark, idx)
+      assert(Similarity.kmeansRuns.get() === km && Similarity.pqTrainRuns.get() === pq,
+        "compaction must not retrain either quantizer")
+      assert(!new java.io.File(Similarity.ivfPqDeltaPath(idx)).exists(),
+        "compaction must remove the delta it folded in")
+      assert(!new java.io.File(s"${Similarity.ivfPqPostingsPath(idx)}.compacting").exists(),
+        "staging dir must not outlive the swap")
+      // same results from one base scan, cold session included
+      assert(sorted(Similarity.ivfPqTopKFor(spark, idx, qids, 5,
+        nprobe = kClusters, shortlist = 1000)) === truth)
+      assert(sorted(Similarity.ivfPqTopKFor(spark.newSession(), idx, qids, 5,
+        nprobe = kClusters, shortlist = 1000)) === truth)
+      assert(Similarity.kmeansRuns.get() === km && Similarity.pqTrainRuns.get() === pq)
+      // compacting with no delta is a no-op, and the compacted index
+      // accepts fresh appends (the LSM loop keeps turning)
+      Similarity.compactIvfPqIndex(spark, idx)
+      Similarity.appendToIvfPqIndex(spark, idx,
+        corpus.filter(col("vec_id") >= 900), batchId = 2)
+      val again = Similarity.ivfPqTopKFor(spark, idx, qids, 5,
+        nprobe = kClusters, shortlist = 1000)
+      // vec_ids >= 900 now appear TWICE (base fold + re-append) — this
+      // test only asserts the path stays serveable; id uniqueness is the
+      // caller's contract (previous test pins the exact-result bar)
+      assert(again.collect().nonEmpty)
+    } finally {
+      Seq(all, idx).foreach { d =>
+        Similarity.invalidateIvf(spark, d); Similarity.invalidatePq(spark, d)
+      }
+    }
+  }
+
   test("planAnn calibrates on a sampled sub-corpus when calibrationDir is set") {
     val full = Files.createTempDirectory("planfull").toString
     val samp = Files.createTempDirectory("plansamp").toString
