@@ -222,6 +222,25 @@ object Graft {
       s"unknown index method '$other' (expected ivf | pq | ivfpq | ivfpq_residual)")
   }
 
+  /** ANN top-k for EXTERNAL query vectors — a frame of (qid, embedding)
+    * in the caller's id namespace, not corpus vec_ids: the serving-path
+    * shape (id-based queries can only ask about rows already indexed).
+    * No self-exclusion — if a query's exact vector is indexed, that row
+    * is the honest top-1 (cos 1.0). `method`: "ivfpq" (composed pruned
+    * probe; default) or "brute" (exact scan baseline). */
+  def annSearchVectors(spark: SparkSession, dir: String,
+                       queries: org.apache.spark.sql.DataFrame, k: Int = 10,
+                       nprobe: Int = 2, shortlist: Int = 0,
+                       method: String = "ivfpq"): org.apache.spark.sql.DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    method match {
+      case "ivfpq" => ops.Similarity.ivfPqTopKForVectors(spark, dir, queries, k, nprobe, sl)
+      case "brute" => ops.Similarity.bruteForceTopKForVectors(spark, dir, queries, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown vector-query method '$other' (expected ivfpq | brute)")
+    }
+  }
+
   /** Incrementally index a batch of new vectors against the persisted
     * composed index (raw or residual — the codebook kind decides):
     * assign + code under the EXISTING quantizers, append as delta

@@ -83,6 +83,26 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** EXTERNAL query vectors — (qid, embedding), ids in the caller's
+    * namespace — prepped to the (qid, qv, qnrm) query-frame shape.
+    * Zero-norm queries drop (cosine undefined), like adcQueryFrame's
+    * filter on the id-based path. */
+  private def externalQueries(queries: DataFrame): DataFrame =
+    queries.select(col("qid").cast("long").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qnrm", sqrt(GraftExtensions.dot(col("qv"), col("qv"))))
+      .filter(col("qnrm") > 0.0)
+
+  /** Brute-force top-k for query vectors NOT in the corpus — the
+    * serving-path face (an id-based query can only ask about rows the
+    * index already holds). No self-exclusion: the query is not a corpus
+    * row, so if its exact vector IS indexed, that row is the honest
+    * top-1 (cos 1.0). Same plan shape as the id face: broadcast
+    * queries, one corpus scan, per-query top-k. */
+  def bruteForceTopKForVectors(spark: SparkSession, dir: String,
+                               queries: DataFrame, k: Int): DataFrame =
+    rankTopK(emb(spark, dir).crossJoin(broadcast(externalQueries(queries))), k)
+
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopKFor(spark, dir, QueryIds.map(_.toLong), TopK)
 
@@ -835,12 +855,25 @@ object Similarity {
     * incrementalNearDup's nrm > 0 guard, rather than letting NaN
     * outrank every real similarity). */
   private def adcQueryFrame(spark: SparkSession, dir: String,
-      cbs: Seq[Seq[(Int, Seq[Double])]], qids: Seq[Long]): Option[DataFrame] = {
-    val qrows = emb(spark, dir).filter(col("vec_id").isin(qids: _*))
-      .select("vec_id", "v", "nrm").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .filter(_._3 > 0.0)
-      .sortBy(_._1)
+      cbs: Seq[Seq[(Int, Seq[Double])]], qids: Seq[Long]): Option[DataFrame] =
+    adcQueryFrameFromRows(spark, cbs,
+      emb(spark, dir).filter(col("vec_id").isin(qids: _*))
+        .select("vec_id", "v", "nrm").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
+
+  /** The external-vector analog: query rows from the caller's frame,
+    * not the corpus (collected driver-side — query sets are small by
+    * the same contract that bounds qids everywhere else). */
+  private def adcQueryFrameExternal(spark: SparkSession,
+      cbs: Seq[Seq[(Int, Seq[Double])]], queries: DataFrame): Option[DataFrame] =
+    adcQueryFrameFromRows(spark, cbs,
+      externalQueries(queries).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
+
+  private def adcQueryFrameFromRows(spark: SparkSession,
+      cbs: Seq[Seq[(Int, Seq[Double])]],
+      rows: Array[(Long, Array[Double], Double)]): Option[DataFrame] = {
+    val qrows = rows.filter(_._3 > 0.0).sortBy(_._1)
     if (qrows.isEmpty) return None
     import org.apache.spark.sql.types._
     val qSchema = StructType(
@@ -1137,7 +1170,22 @@ object Similarity {
     * corpus — identical values either way, the training is
     * deterministic. Output is (qid, vec_id, cos_sim), exact. */
   def ivfPqTopKFor(spark: SparkSession, dir: String, qids: Seq[Long],
-                   k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+                   k: Int, nprobe: Int, shortlist: Int): DataFrame =
+    ivfPqTopKCore(spark, dir, cbs => adcQueryFrame(spark, dir, cbs, qids),
+      k, nprobe, shortlist, selfExclude = true)
+
+  /** The composed probe for EXTERNAL query vectors (qid, embedding) —
+    * the serving-path face: same pruned plan, no self-exclusion (an
+    * external query is not a corpus row; if its exact vector is indexed
+    * that row is the honest top-1). */
+  def ivfPqTopKForVectors(spark: SparkSession, dir: String, queries: DataFrame,
+                          k: Int, nprobe: Int, shortlist: Int): DataFrame =
+    ivfPqTopKCore(spark, dir, cbs => adcQueryFrameExternal(spark, cbs, queries),
+      k, nprobe, shortlist, selfExclude = false)
+
+  private def ivfPqTopKCore(spark: SparkSession, dir: String,
+      mkQueries: Seq[Seq[(Int, Seq[Double])]] => Option[DataFrame],
+      k: Int, nprobe: Int, shortlist: Int, selfExclude: Boolean): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val centroids = ivfCentroidsOf(spark, dir)
     val cbs = codebooksOf(spark, dir)
@@ -1160,7 +1208,7 @@ object Similarity {
             .withColumn("code", codeColOf(cbs))
             .select("vec_id", "v", "nrm", "code", "c_id")
         }
-    adcQueryFrame(spark, dir, cbs, qids) match {
+    mkQueries(cbs) match {
       case None => emptyTopK(spark, "cos_sim")
       case Some(qdf) =>
         import org.apache.spark.sql.expressions.Window
@@ -1182,7 +1230,7 @@ object Similarity {
           }
         val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col("vec_id").asc)
         val short = pruned.join(broadcast(best), Seq("c_id"))
-          .filter(col("vec_id") =!= col("qid"))
+          .filter(if (selfExclude) col("vec_id") =!= col("qid") else lit(true))
           .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
             col("qv"), col("qnrm"), adcApproxCol(cbs).as("approx_sim"))
           .filter(!isnan(col("approx_sim")))

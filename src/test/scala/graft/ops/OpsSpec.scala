@@ -1318,6 +1318,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("external query vectors: no self-exclusion, id-face agreement, pruned cold probe") {
+    val d = Files.createTempDirectory("extq").toString
+    graft.tools.SyntheticEmbeddings.write(spark, d,
+      graft.tools.SyntheticEmbeddings.uniform(spark, 800))
+    try {
+      val e = Similarity.emb(spark, d)
+      // external queries = copies of corpus vectors 3 and 7 under NEW
+      // ids in the caller's namespace
+      val ext = e.filter(col("vec_id").isin(3L, 7L))
+        .select((col("vec_id") + 9000L).as("qid"),
+          col("v").cast("array<float>").as("embedding"))
+      def byQid(rows: Array[org.apache.spark.sql.Row]) =
+        rows.groupBy(_.getLong(0)).view.mapValues(_.toSeq.map(r =>
+          (r.getLong(1), r.getDouble(2)))).toMap
+      val brute = byQid(Similarity.bruteForceTopKForVectors(spark, d, ext, 5).collect())
+      // top-1 per query is the SOURCE row at cos 1.0 — external queries
+      // must NOT self-exclude
+      for ((qid, src) <- Seq(9003L -> 3L, 9007L -> 7L)) {
+        assert(brute(qid).head === ((src, 1.0)),
+          s"external query $qid must rank its indexed source $src first at cos 1.0")
+      }
+      // ranks 2..k agree with the self-excluding id face's ranks 1..k-1
+      val idFace = byQid(Similarity.bruteForceTopKFor(spark, d, Seq(3L, 7L), 4).collect())
+      assert(brute(9003L).tail === idFace(3L) && brute(9007L).tail === idFace(7L),
+        "beyond the self row, external and id faces must rank identically")
+      // the composed probe serves external vectors from the persisted
+      // index: probe-all == external brute force; a pruned COLD probe
+      // stays partition-pruned and training-free
+      Similarity.buildIvfPqIndex(spark, d)
+      val kC = spark.read.parquet(Similarity.ivfIndexPath(d)).count().toInt
+      assert(byQid(Similarity.ivfPqTopKForVectors(spark, d, ext, 5,
+        nprobe = kC, shortlist = 800).collect()) === brute)
+      val km = Similarity.kmeansRuns.get(); val pq = Similarity.pqTrainRuns.get()
+      val probed = Similarity.ivfPqTopKForVectors(spark.newSession(), d, ext, 5,
+        nprobe = 2, shortlist = 20)
+      assert(probed.queryExecution.executedPlan.toString.toLowerCase
+        .contains("partitionfilters: [c_id"))
+      assert(probed.collect().nonEmpty)
+      assert(Similarity.kmeansRuns.get() === km && Similarity.pqTrainRuns.get() === pq)
+    } finally {
+      Similarity.invalidateIvf(spark, d); Similarity.invalidatePq(spark, d)
+    }
+  }
+
   test("planAnn calibrates on a sampled sub-corpus when calibrationDir is set") {
     val full = Files.createTempDirectory("planfull").toString
     val samp = Files.createTempDirectory("plansamp").toString
