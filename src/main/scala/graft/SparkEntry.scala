@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{MarketQueries => M, RelationalQueries => R}
-import graft.ops.{TextDedup, TextAnalysis, Similarity, Multimodal, CurationPipeline}
+import graft.ops.{TextDedup, TextAnalysis, TextRanking, Similarity, Multimodal, CurationPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -115,6 +115,16 @@ object SparkEntry {
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     "cross_modal" -> (TextAnalysis.crossModal _),
+    // -- keyword & hybrid retrieval --
+    // BM25 over the session-cached inverted index; probe = term filter
+    "bm25_topk" -> ((s: SparkSession, d: String) =>
+      TextRanking.bm25TopK(s, d, Bm25QueryTerms, 10)),
+    // "more like this doc": each query doc's top-tf terms as the query
+    "bm25_multi" -> ((s: SparkSession, d: String) =>
+      TextRanking.bm25TopKFor(s, d, Seq(0L, 1L, 2L), 5).orderBy("qid", "bm_rank")),
+    // reciprocal-rank fusion of the BM25 and exact-cosine rank lists
+    "hybrid_rrf" -> ((s: SparkSession, d: String) =>
+      TextRanking.hybridRrfTopK(s, d, Seq(0L, 1L, 2L), 10)),
     // -- multimodal plumbing --
     "multimodal_meta" -> (Multimodal.extractFeatures _),
     "multimodal_format_stats" -> (Multimodal.formatStats _),
@@ -141,6 +151,45 @@ object SparkEntry {
        |shl AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
        |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sharr FROM wrd),
        |sh AS (SELECT DISTINCT doc_id, unnest(sharr) AS sh FROM shl)""".stripMargin
+
+  /** The fixed keyword query for bm25_topk (terms of varying df). */
+  private val Bm25QueryTerms = Seq("spark", "merge", "window")
+
+  /** BM25 corpus relations (mirrors TextRanking.postings / dfTable /
+    * corpusStats): inverted-index postings, per-doc length, lexicon, and
+    * the two corpus scalars. */
+  private val Bm25Cte =
+    s"""wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+       |dlen AS (SELECT doc_id, len(ws) AS dl FROM wrd),
+       |post AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS term FROM wrd) GROUP BY 1, 2),
+       |lex AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS DOUBLE)/count(*) AS avgdl FROM wrd)""".stripMargin
+
+  /** The per-(doc, term) BM25 contribution (mirrors
+    * TextRanking.contribution term for term, k1=1.2 b=0.75 spelled as the
+    * same double arithmetic): rounded to 6 then DECIMAL(18,6) so the score
+    * sum is exact and addition-order-free. Expects tf, dl, df, n, avgdl
+    * resolvable in scope. */
+  private val Bm25W =
+    "CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * " +
+      "((tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))), 6) AS DECIMAL(18,6))"
+
+  /** "More like this doc" query terms + the scored-candidates CTE chain
+    * shared by bm25_multi and hybrid_rrf: each query doc's 3 highest-tf
+    * terms (term-asc tie-break), candidates scored with the query doc
+    * excluded, ranked per qid. */
+  private val Bm25MultiCtes =
+    s"""qt AS (SELECT doc_id AS qid, term FROM (
+       |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS trn
+       |  FROM post WHERE doc_id IN (0, 1, 2)) WHERE trn <= 3),
+       |wv AS (SELECT qt.qid, p.doc_id, $Bm25W AS w
+       |  FROM post p JOIN qt ON qt.term = p.term AND p.doc_id <> qt.qid
+       |  JOIN lex ON lex.term = p.term
+       |  JOIN dlen dd ON dd.doc_id = p.doc_id CROSS JOIN stats),
+       |sbm AS (SELECT qid, doc_id, CAST(sum(w) AS DOUBLE) AS score FROM wv GROUP BY qid, doc_id),
+       |br AS (SELECT qid, doc_id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS bm_rank FROM sbm)""".stripMargin
 
   /** Recursive transitive closure + singleton completion over a
     * doc-level pair relation `rel(doc_a, doc_b)` — the shared tail of
@@ -1072,6 +1121,41 @@ object SparkEntry {
         |  round(CAST(sum(CAST(nrm AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS avg_norm
         |FROM documents d JOIN e ON d.doc_id = e.vec_id
         |GROUP BY label ORDER BY label""".stripMargin,
+
+    "bm25_topk" ->
+      s"""WITH $Bm25Cte,
+         |qterms AS (SELECT unnest([${Bm25QueryTerms.map(t => s"'$t'").mkString(", ")}]) AS term),
+         |wv AS (SELECT p.doc_id, $Bm25W AS w
+         |  FROM post p JOIN qterms USING (term) JOIN lex USING (term)
+         |  JOIN dlen dd ON dd.doc_id = p.doc_id CROSS JOIN stats),
+         |s AS (SELECT doc_id, CAST(sum(w) AS DOUBLE) AS score FROM wv GROUP BY doc_id)
+         |SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "bm25_multi" ->
+      s"""WITH $Bm25Cte,
+         |$Bm25MultiCtes
+         |SELECT qid, doc_id, score, CAST(bm_rank AS BIGINT) AS bm_rank
+         |FROM br WHERE bm_rank <= 5 ORDER BY qid, bm_rank""".stripMargin,
+
+    "hybrid_rrf" ->
+      s"""WITH $Bm25Cte,
+         |$Bm25MultiCtes,
+         |b20 AS (SELECT qid, doc_id, bm_rank FROM br WHERE bm_rank <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+         |sc AS (SELECT qid, vec_id AS doc_id, round(list_cosine_similarity(qv, v), 6) AS cos_sim
+         |  FROM q JOIN e ON vec_id <> qid),
+         |ar AS (SELECT qid, doc_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, doc_id) AS ann_rank FROM sc),
+         |a20 AS (SELECT qid, doc_id, ann_rank FROM ar WHERE ann_rank <= 20),
+         |f AS (SELECT coalesce(b.qid, a.qid) AS qid, coalesce(b.doc_id, a.doc_id) AS doc_id,
+         |  CAST(coalesce(CAST(round(1.0 / (60 + b.bm_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+         |     + coalesce(CAST(round(1.0 / (60 + a.ann_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score
+         |  FROM b20 b FULL OUTER JOIN a20 a ON a.qid = b.qid AND a.doc_id = b.doc_id),
+         |r AS (SELECT qid, doc_id, rrf_score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rn FROM f)
+         |SELECT qid, doc_id, rrf_score FROM r WHERE rn <= 10
+         |ORDER BY qid, rrf_score DESC, doc_id""".stripMargin,
 
     "multimodal_meta" ->
       s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Semantic checks for BM25 + hybrid retrieval on a crafted corpus where
+  * the ranking behavior is reasoned out by hand (the DuckDB oracle proves
+  * engine parity; these prove the operators mean what they claim). */
+class TextRankingSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("rankfix").toString
+    val docs = Seq(
+      (0L, "spark join window spark", "en", "s", 23L),          // the query doc
+      (1L, "spark join window fast engine", "en", "s", 29L),    // matches all 3 terms
+      (2L, "spark fast table row scan", "en", "s", 25L),        // matches spark only
+      (3L, "join join join join join join join join", "en", "s", 40L), // tf-saturation case
+      (4L, "window", "en", "s", 6L),                            // short doc, one match
+      (5L, "table row value data batch", "en", "s", 26L),       // no match
+      (6L, "spark join", "en", "s", 10L))                       // short, two matches
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val base = (1 to 64).map(i => math.sin(i.toDouble).toFloat).toArray
+    def rot(k: Int) = (1 to 64).map(i => math.cos(i * (k + 2.0)).toFloat).toArray
+    Seq(
+      (0L, base, 0),
+      (1L, base.map(x => x * 2.0f), 0), // colinear with the query: ANN rank 1
+      (2L, rot(1), 1), (3L, rot(2), 1), (4L, rot(3), 1),
+      (5L, rot(4), 2), (6L, rot(5), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("postings index: tf counts and denormalized doc length") {
+    val p = TextRanking.postings(spark, dir)
+      .filter(col("doc_id") === 0L).collect()
+      .map(r => r.getAs[String]("term") -> (r.getAs[Long]("tf"), r.getAs[Long]("dl"))).toMap
+    assert(p === Map("spark" -> (2L, 4L), "join" -> (1L, 4L), "window" -> (1L, 4L)))
+  }
+
+  test("bm25: only matching docs surface, all scores positive") {
+    val r = TextRanking.bm25TopK(spark, dir, Seq("spark", "join", "window"), 10).collect()
+    val ids = r.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids === Set(0L, 1L, 2L, 3L, 4L, 6L)) // doc 5 shares no term
+    assert(r.forall(_.getAs[Double]("score") > 0.0))
+  }
+
+  test("bm25 length normalization: same tf, shorter doc scores higher") {
+    // docs 1 and 4 both have tf(window)=1; dl(4)=1 << dl(1)=5
+    val s = TextRanking.bm25TopK(spark, dir, Seq("window"), 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(s(4L) > s(1L))
+  }
+
+  test("bm25 tf saturation: 8x the tf is worth less than (k1+1)x one occurrence") {
+    val s = TextRanking.bm25TopK(spark, dir, Seq("join"), 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // doc 3 is all-"join" (tf=8) vs doc 6 (tf=1, dl=2): saturation + length
+    // normalization keep the spam doc under the k1+1 multiple of the short hit
+    assert(s(3L) < s(6L) * (TextRanking.K1 + 1.0))
+  }
+
+  test("multi-query bm25 never returns the query doc and ranks contiguously") {
+    val r = TextRanking.bm25TopKFor(spark, dir, Seq(0L), 5).collect()
+    assert(r.forall(_.getAs[Long]("doc_id") !== 0L))
+    val ranks = r.map(_.getAs[Long]("bm_rank")).sorted.toSeq
+    assert(ranks === (1L to ranks.length).toSeq)
+  }
+
+  test("hybrid rrf: the doc that is top in BOTH modalities wins") {
+    // doc 1 matches all three of query-doc 0's terms (BM25 rank 1) and is
+    // colinear with its embedding (ANN rank 1) — fusion must keep it first
+    val r = TextRanking.hybridRrfTopK(spark, dir, Seq(0L), 5).collect()
+    assert(r.head.getAs[Long]("doc_id") === 1L)
+    // present-in-both beats present-in-one: 2/(60+ranks) vs 1/(60+rank)
+    val top = r.head.getAs[Double]("rrf_score")
+    assert(top > 1.0 / 61.0)
+  }
+
+  test("bm25 probe plan: lexicon broadcasts, no cartesian, single agg shuffle") {
+    val plan = TextRanking.bm25TopK(spark, dir, Seq("spark", "window"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("scores are stable across repeated evaluation (decimal sum, no order drift)") {
+    val a = TextRanking.bm25TopK(spark, dir, Seq("spark", "join", "window"), 10).collect().toSeq
+    val b = TextRanking.bm25TopK(spark, dir, Seq("spark", "join", "window"), 10).collect().toSeq
+    assert(a === b)
+  }
+}
