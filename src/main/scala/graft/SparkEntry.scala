@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{MarketQueries => M, RelationalQueries => R}
-import graft.ops.{TextDedup, TextAnalysis, TextRanking, Similarity, Multimodal, CurationPipeline}
+import graft.ops.{TextDedup, TextAnalysis, TextRanking, Similarity, ScalarQuant, Multimodal, CurationPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,6 +100,11 @@ object SparkEntry {
     // classical IVFADC: codes quantize the RESIDUAL v - c(v), so the
     // same 32-bit budget resolves finer distances inside each cluster
     "ann_ivfpq_residual" -> (Similarity.ivfPqResidualTopK _),
+    // scalar quantization (SQ8): 4x-compressed codes, per-dim min/max
+    // "codebook", decode-on-the-fly ADC scan
+    "ann_sq_topk" -> (ScalarQuant.sqTopK _),
+    // SQ shortlist + exact rerank from stored vectors
+    "ann_sq_rerank" -> (ScalarQuant.sqRerank _),
     "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "ann_lsh_multitable" -> (Similarity.lshMultiTableTopK _),
     "embedding_near_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
@@ -151,6 +156,23 @@ object SparkEntry {
        |shl AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
        |  ELSE list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sharr FROM wrd),
        |sh AS (SELECT DISTINCT doc_id, unnest(sharr) AS sh FROM shl)""".stripMargin
+
+  /** SQ8 train/encode/decode CTEs (mirrors ScalarQuant digit for digit):
+    * per-dim [min, max] (order-free aggregates), 8-bit codes
+    * floor((v-mn)*255/(mx-mn) + 0.5) clamped to 255, reconstruction
+    * v̂ = mn + code*(mx-mn)/255. Assumes a CTE `e(vec_id, v)`. */
+  private val SqCtes = {
+    val mnArr = "[" + (1 to 64).map(i => s"min(v[$i])").mkString(", ") + "]"
+    val mxArr = "[" + (1 to 64).map(i => s"max(v[$i])").mkString(", ") + "]"
+    s"""mm AS (SELECT $mnArr AS mn, $mxArr AS mx FROM e),
+       |cd AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+       |  CASE WHEN mx[i] = mn[i] THEN 0.0
+       |       ELSE least(255.0, floor((v[i] - mn[i]) * 255.0 / (mx[i] - mn[i]) + 0.5)) END) AS cs
+       |  FROM e CROSS JOIN mm),
+       |dec AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+       |  mn[i] + (cs[i] * (mx[i] - mn[i])) / 255.0) AS vhat
+       |  FROM cd CROSS JOIN mm)""".stripMargin
+  }
 
   /** The fixed keyword query for bm25_topk (terms of varying df). */
   private val Bm25QueryTerms = Seq("spark", "merge", "window")
@@ -1121,6 +1143,33 @@ object SparkEntry {
         |  round(CAST(sum(CAST(nrm AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS avg_norm
         |FROM documents d JOIN e ON d.doc_id = e.vec_id
         |GROUP BY label ORDER BY label""".stripMargin,
+
+    "ann_sq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$SqCtes,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+         |s AS (SELECT qid, d.vec_id, round(list_cosine_similarity(qv, vhat), 6) AS approx_sim
+         |  FROM q CROSS JOIN dec d WHERE d.vec_id <> qid),
+         |r AS (SELECT qid, vec_id, approx_sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY approx_sim DESC, vec_id) AS rn FROM s)
+         |SELECT qid, vec_id, approx_sim FROM r WHERE rn <= 5
+         |ORDER BY qid, approx_sim DESC, vec_id""".stripMargin,
+
+    "ann_sq_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$SqCtes,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+         |s AS (SELECT qid, d.vec_id, round(list_cosine_similarity(qv, vhat), 6) AS approx_sim
+         |  FROM q CROSS JOIN dec d WHERE d.vec_id <> qid),
+         |sl AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY approx_sim DESC, vec_id) AS srn FROM s)
+         |  WHERE srn <= 20),
+         |x AS (SELECT sl.qid, sl.vec_id, round(list_cosine_similarity(q2.qv, e2.v), 6) AS cos_sim
+         |  FROM sl JOIN q q2 ON q2.qid = sl.qid JOIN e e2 ON e2.vec_id = sl.vec_id),
+         |r AS (SELECT qid, vec_id, cos_sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM x)
+         |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5
+         |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
 
     "bm25_topk" ->
       s"""WITH $Bm25Cte,

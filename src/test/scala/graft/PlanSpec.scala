@@ -92,6 +92,9 @@ class PlanSpec extends SparkSpec {
         graft.ops.Similarity.lshMultiProbeTopK(spark, dir),
         graft.ops.Similarity.lshMultiTableTopK(spark, dir),
         graft.ops.Similarity.ivfTopK(spark, dir),
+        graft.ops.ScalarQuant.sqRerank(spark, dir),
+        graft.ops.TextRanking.bm25TopK(spark, dir, Seq("spark", "window"), 10),
+        graft.ops.TextRanking.hybridRrfTopK(spark, dir, Seq(0L, 1L, 2L), 10),
         MarketQueries.inactiveTokens(spark, dir),
         RelationalQueries.brandRevenue(spark, dir))) {
       val p = plan(df)
