@@ -41,15 +41,11 @@ object ScalarQuant {
     * not re-train). */
   private[graft] val trainRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def exists(spark: SparkSession, path: String): Boolean =
+    graft.core.Fs.exists(spark, path)
 
-  private def deletePath(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-  }
+  private def deletePath(spark: SparkSession, path: String): Unit =
+    graft.core.Fs.delete(spark, path)
 
   /** Per-dimension (min, max) — the whole "codebook" (128 doubles on the
     * driver). Persisted-first: doubles round-trip parquet losslessly, so

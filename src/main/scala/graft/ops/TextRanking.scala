@@ -17,9 +17,10 @@ import TextHashing.words
   *
   * Architecture is inverted-index-shaped, not scan-shaped:
   *  - `postings` (doc_id, term, tf, dl) is the inverted index, built once
-  *    per (session, dir) and session-cached; at 100 TB this is a persisted
-  *    table partitioned/bucketed by term so a query's term filter prunes
-  *    to the touched posting lists instead of scanning the corpus.
+  *    per (session, dir) and session-cached; `buildTextIndex` persists it
+  *    partitioned by a term-hash bucket, so a probe's term list folds to
+  *    a literal bucket set and the fetch is static partition pruning —
+  *    the posting-list read of a real inverted index, not a corpus scan.
   *  - `dfTable` (term, df) is the index's lexicon — tiny (vocabulary-sized),
   *    always broadcast.
   *  - A query probes the index with an equality filter/join on its terms;
@@ -67,6 +68,71 @@ object TextRanking {
       postings(spark, dir).groupBy("term").agg(count(lit(1)).as("df"))
     }
 
+  // --- persisted inverted index -----------------------------------------
+
+  /** Postings partitioned by a term-hash bucket: a query's term list
+    * folds to a literal bucket set, so the probe is static partition
+    * pruning — the posting-list fetch of a real inverted index, same
+    * shape as the IVF c_id-partitioned probe. */
+  val TextIndexBuckets = 64
+
+  def textPostingsPath(dir: String): String = s"$dir/text_postings.parquet"
+  def textLexiconPath(dir: String): String = s"$dir/text_lexicon.parquet"
+  /** Corpus scalars (n, avgdl) — written LAST, doubles as the commit
+    * marker (family convention: a crash mid-build leaves no marker and
+    * probes fall back to the in-session index). */
+  def textStatsPath(dir: String): String = s"$dir/text_stats.parquet"
+
+  /** The bucket expression — over a literal term it folds to a constant,
+    * which is what makes probe-side partition pruning static. */
+  def bucketOf(term: Column): Column = pmod(xxhash64(term), lit(TextIndexBuckets.toLong))
+
+  private def indexReady(spark: SparkSession, dir: String): Boolean =
+    graft.core.Fs.exists(spark, textStatsPath(dir)) &&
+      graft.core.Fs.exists(spark, textPostingsPath(dir)) &&
+      graft.core.Fs.exists(spark, textLexiconPath(dir))
+
+  /** Build + persist the inverted index: bucket-partitioned postings
+    * first, lexicon next, stats (the marker) last. */
+  def buildTextIndex(spark: SparkSession, dir: String, at: Option[String] = None): Unit = {
+    val target = at.getOrElse(dir)
+    graft.core.Fs.delete(spark, textStatsPath(target))
+    postings(spark, dir)
+      .withColumn("bucket", bucketOf(col("term")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(textPostingsPath(target))
+    dfTable(spark, dir)
+      .write.mode("overwrite").parquet(textLexiconPath(target))
+    val (n, avgdl) = corpusStats(spark, dir)
+    import spark.implicits._
+    Seq((n, avgdl)).toDF("n", "avgdl").coalesce(1)
+      .write.mode("overwrite").parquet(textStatsPath(target))
+    invalidateTextIndex(spark, target)
+  }
+
+  /** Drop the session's view of a (possibly rebuilt) text index. */
+  def invalidateTextIndex(spark: SparkSession, dir: String): Unit = {
+    statsCache.remove((spark, dir))
+    graft.core.SessionCache.invalidate(spark, "bm25_postings", dir)
+    graft.core.SessionCache.invalidate(spark, "bm25_df", dir)
+  }
+
+  /** The posting lists for a term set — persisted-first (bucket partition
+    * pruning + term filter), else the session index filtered. */
+  private def probePostings(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    if (indexReady(spark, dir))
+      spark.read.parquet(textPostingsPath(dir))
+        .filter(col("bucket").isin(terms.map(t => bucketOf(lit(t))): _*))
+        .filter(col("term").isin(terms: _*))
+        .select("doc_id", "term", "tf", "dl")
+    else postings(spark, dir).filter(col("term").isin(terms: _*))
+
+  /** The lexicon rows for a term set — persisted-first (tiny scan). */
+  private def probeLexicon(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    if (indexReady(spark, dir))
+      spark.read.parquet(textLexiconPath(dir)).filter(col("term").isin(terms: _*))
+    else dfTable(spark, dir).filter(col("term").isin(terms: _*))
+
   /** (N, avgdl) — two scalars per (session, dir), memoized on the driver
     * (same pattern as Similarity's kind cache). N counts ALL documents,
     * including zero-token ones; avgdl averages over all documents. */
@@ -81,12 +147,19 @@ object TextRanking {
   def corpusStats(spark: SparkSession, dir: String): (Long, Double) = {
     graft.core.SessionCache.watch(spark)
     statsCache.computeIfAbsent((spark, dir), { _ =>
-      val row = docs(spark, dir)
-        .select(size(words(col("text"))).cast("long").as("dl"))
-        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-        .head()
-      val n = row.getLong(0)
-      (n, row.getLong(1).toDouble / n)
+      if (graft.core.Fs.exists(spark, textStatsPath(dir))) {
+        // persisted-first: doubles round-trip parquet losslessly, so a
+        // cold session scores with the building session's exact avgdl
+        val r = spark.read.parquet(textStatsPath(dir)).select("n", "avgdl").head()
+        (r.getLong(0), r.getDouble(1))
+      } else {
+        val row = docs(spark, dir)
+          .select(size(words(col("text"))).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+          .head()
+        val n = row.getLong(0)
+        (n, row.getLong(1).toDouble / n)
+      }
     })
   }
 
@@ -106,9 +179,8 @@ object TextRanking {
   def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
     val (n, avgdl) = corpusStats(spark, dir)
     val q = terms.distinct
-    postings(spark, dir)
-      .filter(col("term").isin(q: _*))
-      .join(broadcast(dfTable(spark, dir).filter(col("term").isin(q: _*))), "term")
+    probePostings(spark, dir, q)
+      .join(broadcast(probeLexicon(spark, dir, q)), "term")
       .select(col("doc_id"), contribution(n, avgdl).as("w"))
       .groupBy("doc_id")
       .agg(sum("w").cast("double").as("score"))
@@ -118,29 +190,37 @@ object TextRanking {
 
   /** Per-query keyword sets for "more like this doc" retrieval: each query
     * document's `nTerms` highest-tf terms (term-asc tie-break). Derived
-    * from the same postings index — no extra corpus scan. */
+    * from the FORWARD table (documents, doc_id filter pushed to the scan)
+    * — probing the inverted index by doc_id would scan every posting
+    * partition. */
   def queryTermsOf(spark: SparkSession, dir: String,
                    qids: Seq[Long], nTerms: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term").asc)
-    postings(spark, dir)
+    docs(spark, dir)
       .filter(col("doc_id").isin(qids: _*))
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nTerms)
       .select(col("doc_id").as("qid"), col("term"))
   }
 
   /** Multi-query BM25: top-k per query document (query docs excluded from
-    * their own result, like the ANN operators). Returns
+    * their own result, like the ANN operators). The query-term list is
+    * collected (bounded: |qids|·nTerms rows, like the IVF probe's cluster
+    * ids) so the postings fetch stays a pruned probe. Returns
     * (qid, doc_id, score, bm_rank). */
   def bm25TopKFor(spark: SparkSession, dir: String, qids: Seq[Long],
                   k: Int, nTerms: Int = 3): DataFrame = {
     val (n, avgdl) = corpusStats(spark, dir)
     val qt = queryTermsOf(spark, dir, qids, nTerms)
+    val terms = qt.select("term").distinct().collect().map(_.getString(0)).toSeq
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
-    postings(spark, dir)
+    probePostings(spark, dir, terms)
       .join(broadcast(qt), "term")
       .filter(col("doc_id") =!= col("qid"))
-      .join(broadcast(dfTable(spark, dir)), "term")
+      .join(broadcast(probeLexicon(spark, dir, terms)), "term")
       .select(col("qid"), col("doc_id"), contribution(n, avgdl).as("w"))
       .groupBy("qid", "doc_id")
       .agg(sum("w").cast("double").as("score"))

@@ -9,7 +9,7 @@ import java.nio.file.Files
   * engine parity; these prove the operators mean what they claim). */
 class TextRankingSpec extends SparkSpec {
 
-  private lazy val dir: String = {
+  private def writeFixture(): String = {
     import spark.implicits._
     val d = Files.createTempDirectory("rankfix").toString
     val docs = Seq(
@@ -33,6 +33,8 @@ class TextRankingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     d
   }
+
+  private lazy val dir: String = writeFixture()
 
   test("postings index: tf counts and denormalized doc length") {
     val p = TextRanking.postings(spark, dir)
@@ -86,6 +88,29 @@ class TextRankingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("persisted text index: pruned probe, identical scores, crash-safe fallback") {
+    val d2 = writeFixture()
+    val q = Seq("spark", "join", "window")
+    val before = TextRanking.bm25TopK(spark, d2, q, 10).collect().toSeq
+    val beforeMulti = TextRanking.bm25TopKFor(spark, d2, Seq(0L), 5).collect().toSeq
+
+    TextRanking.buildTextIndex(spark, d2)
+    // the probe must carry a literal bucket partition filter (static
+    // pruning — the posting-list fetch, not a corpus scan)
+    val plan = TextRanking.bm25TopK(spark, d2, q, 10)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("partitionfilters: [bucket") ||
+      plan.contains("partitionfilters: [isnotnull(bucket"), s"no bucket pruning:\n$plan")
+    assert(TextRanking.bm25TopK(spark, d2, q, 10).collect().toSeq === before)
+    assert(TextRanking.bm25TopKFor(spark, d2, Seq(0L), 5).collect().toSeq === beforeMulti)
+
+    // crash simulation: stats marker gone, stale postings linger — the
+    // probe must fall back to the in-session index, results unchanged
+    graft.core.Fs.delete(spark, TextRanking.textStatsPath(d2))
+    TextRanking.invalidateTextIndex(spark, d2)
+    assert(TextRanking.bm25TopK(spark, d2, q, 10).collect().toSeq === before)
   }
 
   test("scores are stable across repeated evaluation (decimal sum, no order drift)") {
