@@ -218,8 +218,10 @@ object Graft {
     case "ivfpq" => ops.Similarity.buildIvfPqIndex(spark, dir, seedBits = seedBits)
     case "ivfpq_residual" =>
       ops.Similarity.buildIvfPqIndex(spark, dir, seedBits = seedBits, residual = true)
+    case "sq" =>
+      ops.ScalarQuant.buildSqIndex(spark, dir); ops.ScalarQuant.sqCodesPath(dir)
     case other => throw new IllegalArgumentException(
-      s"unknown index method '$other' (expected ivf | pq | ivfpq | ivfpq_residual)")
+      s"unknown index method '$other' (expected ivf | pq | ivfpq | ivfpq_residual | sq)")
   }
 
   /** ANN top-k for EXTERNAL query vectors — a frame of (qid, embedding)
@@ -277,9 +279,11 @@ object Graft {
       case "pq_rerank"      => ops.Similarity.pqTopKReranked(spark, dir, queryIds, k, sl)
       case "ivfpq"          => ops.Similarity.ivfPqTopKFor(spark, dir, queryIds, k, nprobe, sl)
       case "ivfpq_residual" => ops.Similarity.ivfPqResidualTopKFor(spark, dir, queryIds, k, nprobe, sl)
+      case "sq"             => ops.ScalarQuant.sqTopKFor(spark, dir, queryIds, k)
+      case "sq_rerank"      => ops.ScalarQuant.sqTopKReranked(spark, dir, queryIds, k, sl)
       case other => throw new IllegalArgumentException(
         s"unknown ANN method '$other' (expected ivf | brute | lsh | lsh_multiprobe | " +
-          "lsh_multitable | pq | pq_rerank | ivfpq | ivfpq_residual)")
+          "lsh_multitable | pq | pq_rerank | ivfpq | ivfpq_residual | sq | sq_rerank)")
     }
   }
 
@@ -300,6 +304,31 @@ object Graft {
       calibrationDir = calibDir)
     ops.Similarity.runAnnPlan(spark, dir, plan, queryIds, k)
   }
+
+  /** Build + persist the BM25 inverted index for a documents dir:
+    * bucket-partitioned postings (probes prune to the touched posting
+    * lists), lexicon, corpus stats. Without it, the same searches run
+    * off a session-cached index. */
+  def buildTextIndex(spark: SparkSession, dir: String): Unit =
+    ops.TextRanking.buildTextIndex(spark, dir)
+
+  /** BM25 keyword top-k over the documents table (persisted-index-first). */
+  def keywordSearch(spark: SparkSession, dir: String, terms: Seq[String],
+                    k: Int = 10): org.apache.spark.sql.DataFrame =
+    ops.TextRanking.bm25TopK(spark, dir, terms, k)
+
+  /** "More like this doc": BM25 with each query doc's top-tf terms as
+    * the keyword query (query docs excluded from their results). */
+  def moreLikeThis(spark: SparkSession, dir: String, docIds: Seq[Long],
+                   k: Int = 10, nTerms: Int = 3): org.apache.spark.sql.DataFrame =
+    ops.TextRanking.bm25TopKFor(spark, dir, docIds, k, nTerms)
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 and
+    * exact-cosine rank lists for the same query docs (doc_id = vec_id
+    * id space — documents and embeddings side by side in `dir`). */
+  def hybridSearch(spark: SparkSession, dir: String, docIds: Seq[Long],
+                   k: Int = 10, kEach: Int = 20): org.apache.spark.sql.DataFrame =
+    ops.TextRanking.hybridRrfTopK(spark, dir, docIds, k, kEach)
 
   /** Start serving /metrics and /health for a running ingest; returns the
     * server (stop() when done) after registering the listeners (streaming

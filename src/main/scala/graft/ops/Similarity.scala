@@ -1422,6 +1422,9 @@ object Similarity {
                                math.max(plan.shortlist, k))
     case "pq_rerank"      => pqTopKReranked(spark, dir, qids, k,
                                math.max(plan.shortlist, k))
+    case "sq"             => ScalarQuant.sqTopKFor(spark, dir, qids, k)
+    case "sq_rerank"      => ScalarQuant.sqTopKReranked(spark, dir, qids, k,
+                               math.max(plan.shortlist, k))
     case other => throw new IllegalArgumentException(s"unplannable method '$other'")
   }
 
@@ -1460,6 +1463,12 @@ object Similarity {
     composed(4, 8 * k) ++ Seq(
       AnnPlan("pq_rerank",      0, 0,  8 * k, 4.0 / 16, 0.0),
       AnnPlan("ivf",            4, 0,  0,     4.0 / 16, 0.0),
+      // SQ8 rerank files in the 4/16 byte-fraction group (codes are 1/4
+      // of raw bytes + shortlist raw reads) — last in its group, so the
+      // quantizer-pruned rungs serve cheaper targets, but near-exact
+      // contracts (which previously fell back to the full scan) are
+      // served at a quarter of the bytes
+      AnnPlan("sq_rerank",      0, 0,  4 * k, 4.0 / 16, 0.0),
       AnnPlan("lsh_multiprobe", 0, 0,  0,     5.0 / 16, 0.0),
       AnnPlan("lsh_multitable", 0, 8,  0,     8.0 / 16, 0.0),
       AnnPlan("ivf",            8, 0,  0,     8.0 / 16, 0.0),
@@ -1523,14 +1532,24 @@ object Similarity {
               calibrationDir: Option[String] = None): AnnPlan = {
     require(targetRecall >= 0.0 && targetRecall <= 1.0,
       s"targetRecall=$targetRecall outside [0, 1]")
-    val cdir = calibrationDir.getOrElse(dir)
     val preferResidual = persistedCodebookKind(spark, dir).contains("residual")
+    planAnnWith(annLadder(k, preferResidual), spark, dir, targetRecall,
+      calibQueries, k, calibrationDir)
+  }
+
+  /** The measurement loop over an explicit candidate ladder — the seam
+    * that lets specs drive the ladder-exhausted fallback directly. */
+  private[graft] def planAnnWith(ladder: Seq[AnnPlan], spark: SparkSession,
+                                 dir: String, targetRecall: Double,
+                                 calibQueries: Int = 32, k: Int = 5,
+                                 calibrationDir: Option[String] = None): AnnPlan = {
+    val cdir = calibrationDir.getOrElse(dir)
     val qids = emb(spark, cdir).select("vec_id").orderBy("vec_id")
       .limit(calibQueries).collect().map(_.getLong(0)).toSeq
     val truth = bruteForceTopKFor(spark, cdir, qids, k)
     truth.persist(); truth.count()
     try {
-      for (cand <- annLadder(k, preferResidual)) {
+      for (cand <- ladder) {
         val r = recallAtK(runAnnPlan(spark, cdir, cand, qids, k), truth)
         if (r >= targetRecall) return cand.copy(calibratedRecall = r)
       }

@@ -196,16 +196,18 @@ class GraftFacadeSpec extends AnyFunSuite {
     // every exact-similarity method returns the (qid, vec_id, cos_sim)
     // contract and finds neighbors on the real corpus
     for (m <- Seq("brute", "lsh", "lsh_multiprobe", "lsh_multitable",
-                  "ivf", "pq_rerank", "ivfpq", "ivfpq_residual")) {
+                  "ivf", "pq_rerank", "ivfpq", "ivfpq_residual", "sq_rerank")) {
       val rows = Graft.annSearch(spark, dir, qids, k = 3, nprobe = 2, method = m)
       assert(rows.columns.toSeq === Seq("qid", "vec_id", "cos_sim"), s"method $m")
       assert(rows.count() > 0, s"method $m returned nothing")
     }
-    // the ADC-only method is the one path whose similarities are
-    // approximate, and its column name says so
-    val pq = Graft.annSearch(spark, dir, qids, k = 3, method = "pq")
-    assert(pq.columns.toSeq === Seq("qid", "vec_id", "approx_sim"))
-    assert(pq.count() > 0)
+    // the ADC-only methods are the paths whose similarities are
+    // approximate, and their column name says so
+    for (m <- Seq("pq", "sq")) {
+      val adc = Graft.annSearch(spark, dir, qids, k = 3, method = m)
+      assert(adc.columns.toSeq === Seq("qid", "vec_id", "approx_sim"), s"method $m")
+      assert(adc.count() > 0, s"method $m returned nothing")
+    }
     intercept[IllegalArgumentException] {
       Graft.annSearch(spark, dir, qids, method = "annoy")
     }
@@ -220,6 +222,8 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(new java.io.File(ops.Similarity.pqCodesPath(tmp)).exists())
     Graft.buildVectorIndex(spark, tmp, method = "ivfpq")
     assert(new java.io.File(ops.Similarity.ivfPqPostingsPath(tmp)).exists())
+    Graft.buildVectorIndex(spark, tmp, method = "sq")
+    assert(new java.io.File(ops.ScalarQuant.sqCodesPath(tmp)).exists())
     // the composed index now serves annSearch(method = "ivfpq") from files
     val served = Graft.annSearch(spark, tmp, qids, k = 3, nprobe = 2, method = "ivfpq")
     assert(served.count() > 0)
@@ -231,6 +235,26 @@ class GraftFacadeSpec extends AnyFunSuite {
     val tuned = Graft.annSearchTuned(spark, dir, qids, targetRecall = 0.3, k = 3)
     assert(tuned.columns.toSeq === Seq("qid", "vec_id", "cos_sim"))
     assert(tuned.count() > 0, "tuned search must serve the chosen plan")
+  }
+
+  test("text retrieval facade: keyword search, more-like-this, hybrid fusion") {
+    val spark = Graft.session(cores = 4)
+    val dir = "/root/testdata/sf0.001"
+    val kw = Graft.keywordSearch(spark, dir, Seq("spark", "window"), k = 5).collect()
+    assert(kw.nonEmpty && kw.forall(_.getAs[Double]("score") > 0.0))
+    val mlt = Graft.moreLikeThis(spark, dir, Seq(0L), k = 5).collect()
+    assert(mlt.nonEmpty && mlt.forall(_.getAs[Long]("doc_id") !== 0L))
+    val hyb = Graft.hybridSearch(spark, dir, Seq(0L), k = 5).collect()
+    assert(hyb.nonEmpty && hyb.forall(_.getAs[Double]("rrf_score") > 0.0))
+    // building the index into a copied dir leaves scores identical
+    val tmp = Files.createTempDirectory("gtext").toString
+    for (t <- Seq("documents", "embeddings"))
+      spark.read.parquet(s"$dir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    val before = Graft.keywordSearch(spark, tmp, Seq("spark", "window"), k = 5).collect().toSeq
+    Graft.buildTextIndex(spark, tmp)
+    assert(new java.io.File(ops.TextRanking.textPostingsPath(tmp)).exists())
+    assert(Graft.keywordSearch(spark, tmp, Seq("spark", "window"), k = 5).collect().toSeq === before)
   }
 
   test("corpus curation end-to-end: .jsonl.gz -> quality gate -> dedup -> compacted parquet") {
