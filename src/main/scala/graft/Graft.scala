@@ -312,6 +312,22 @@ object Graft {
   def buildTextIndex(spark: SparkSession, dir: String): Unit =
     ops.TextRanking.buildTextIndex(spark, dir)
 
+  /** Incrementally index a batch of new documents against the persisted
+    * text index: tokenizes ONLY the batch, appends delta postings, commits
+    * via the batch's stats row — append ≡ rebuild score-for-score (exact
+    * integer extension of n/avgdl/df), idempotent per batchId. The
+    * streaming-curation sink calls this per accepted batch instead of
+    * rebuilding the index corpus-wide. */
+  def appendToTextIndex(spark: SparkSession, dir: String,
+                        newDocs: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+    ops.TextRanking.appendToTextIndex(spark, dir, newDocs, batchId)
+
+  /** Fold appended text-index deltas back into the base (pure relayout,
+    * no retokenization) — run periodically to keep probes at one
+    * postings scan. */
+  def compactTextIndex(spark: SparkSession, dir: String): Unit =
+    ops.TextRanking.compactTextIndex(spark, dir)
+
   /** BM25 keyword top-k over the documents table (persisted-index-first). */
   def keywordSearch(spark: SparkSession, dir: String, terms: Seq[String],
                     k: Int = 10): org.apache.spark.sql.DataFrame =

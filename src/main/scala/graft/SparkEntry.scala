@@ -130,6 +130,11 @@ object SparkEntry {
     // reciprocal-rank fusion of the BM25 and exact-cosine rank lists
     "hybrid_rrf" -> ((s: SparkSession, d: String) =>
       TextRanking.hybridRrfTopK(s, d, Seq(0L, 1L, 2L), 10)),
+    // base build + 2 appends + compaction + crash retry == full rebuild:
+    // the oracle scores the whole corpus directly, so hash equality is an
+    // engine-independent proof of the append algebra
+    "bm25_incremental" -> ((s: SparkSession, d: String) =>
+      TextRanking.incrementalBm25Replay(s, d, Bm25QueryTerms, 10)),
     // -- multimodal plumbing --
     "multimodal_meta" -> (Multimodal.extractFeatures _),
     "multimodal_format_stats" -> (Multimodal.formatStats _),
@@ -1172,6 +1177,18 @@ object SparkEntry {
          |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
 
     "bm25_topk" ->
+      s"""WITH $Bm25Cte,
+         |qterms AS (SELECT unnest([${Bm25QueryTerms.map(t => s"'$t'").mkString(", ")}]) AS term),
+         |wv AS (SELECT p.doc_id, $Bm25W AS w
+         |  FROM post p JOIN qterms USING (term) JOIN lex USING (term)
+         |  JOIN dlen dd ON dd.doc_id = p.doc_id CROSS JOIN stats),
+         |s AS (SELECT doc_id, CAST(sum(w) AS DOUBLE) AS score FROM wv GROUP BY doc_id)
+         |SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the incremental replay serves the SAME query from a base+delta
+    // (then compacted) index — the oracle is the full-corpus formula,
+    // identical to bm25_topk's, which is exactly the point
+    "bm25_incremental" ->
       s"""WITH $Bm25Cte,
          |qterms AS (SELECT unnest([${Bm25QueryTerms.map(t => s"'$t'").mkString(", ")}]) AS term),
          |wv AS (SELECT p.doc_id, $Bm25W AS w

@@ -13,4 +13,13 @@ object Fs {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
+
+  /** Move a staged directory into place. NOT assumed atomic (object
+    * stores aren't) — callers ride the marker discipline for crash
+    * safety, the rename only avoids a second data copy. */
+  def rename(spark: SparkSession, from: String, to: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(from)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(f, new org.apache.hadoop.fs.Path(to))
+  }
 }

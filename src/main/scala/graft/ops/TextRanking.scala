@@ -78,10 +78,29 @@ object TextRanking {
 
   def textPostingsPath(dir: String): String = s"$dir/text_postings.parquet"
   def textLexiconPath(dir: String): String = s"$dir/text_lexicon.parquet"
-  /** Corpus scalars (n, avgdl) — written LAST, doubles as the commit
+  /** Corpus scalars (n, avgdl, sdl) — written LAST, doubles as the commit
     * marker (family convention: a crash mid-build leaves no marker and
-    * probes fall back to the in-session index). */
+    * probes fall back to the in-session index). `sdl` (the exact token-sum
+    * the avgdl division came from) is what lets an APPEND extend the stats
+    * without a corpus rescan. */
   def textStatsPath(dir: String): String = s"$dir/text_stats.parquet"
+
+  /** DELTA postings appended after the base build (`appendToTextIndex`) —
+    * partitioned (batch_id, bucket): bucket keeps probe pruning, batch_id
+    * makes every append idempotent under crash retry (dynamic overwrite of
+    * its own partitions only — the vector index's delta recipe,
+    * `Similarity.ivfPqDeltaPath`). */
+  def textDeltaPath(dir: String): String = s"$dir/text_postings_delta.parquet"
+
+  /** Per-batch corpus-stats rows (batch_id, n_add, sdl_add) — each row is
+    * ITS batch's commit marker, written after the batch's delta postings:
+    * probes only see delta batches whose stats row landed, so a crashed
+    * append is invisible (and repaired by re-running the same batchId).
+    * Unlike the vector delta — where a half-written batch only costs
+    * recall — un-counted postings would shift every BM25 score (n, avgdl,
+    * df are part of the formula), so visibility must flip atomically with
+    * the stats. */
+  def textDeltaStatsPath(dir: String): String = s"$dir/text_delta_stats.parquet"
 
   /** The bucket expression — over a literal term it folds to a constant,
     * which is what makes probe-side partition pruning static. */
@@ -93,10 +112,14 @@ object TextRanking {
       graft.core.Fs.exists(spark, textLexiconPath(dir))
 
   /** Build + persist the inverted index: bucket-partitioned postings
-    * first, lexicon next, stats (the marker) last. */
+    * first, lexicon next, stats (the marker) last. A rebuild deletes any
+    * delta first — the fresh marker must not validate postings appended
+    * against the index it replaces. */
   def buildTextIndex(spark: SparkSession, dir: String, at: Option[String] = None): Unit = {
     val target = at.getOrElse(dir)
     graft.core.Fs.delete(spark, textStatsPath(target))
+    graft.core.Fs.delete(spark, textDeltaStatsPath(target))
+    graft.core.Fs.delete(spark, textDeltaPath(target))
     postings(spark, dir)
       .withColumn("bucket", bucketOf(col("term")))
       .repartition(col("bucket"))
@@ -104,8 +127,11 @@ object TextRanking {
     dfTable(spark, dir)
       .write.mode("overwrite").parquet(textLexiconPath(target))
     val (n, avgdl) = corpusStats(spark, dir)
+    val sdl = docs(spark, dir)
+      .select(size(words(col("text"))).cast("long").as("dl"))
+      .agg(coalesce(sum("dl"), lit(0L)).as("sdl")).head().getLong(0)
     import spark.implicits._
-    Seq((n, avgdl)).toDF("n", "avgdl").coalesce(1)
+    Seq((n, avgdl, sdl)).toDF("n", "avgdl", "sdl").coalesce(1)
       .write.mode("overwrite").parquet(textStatsPath(target))
     invalidateTextIndex(spark, target)
   }
@@ -113,25 +139,170 @@ object TextRanking {
   /** Drop the session's view of a (possibly rebuilt) text index. */
   def invalidateTextIndex(spark: SparkSession, dir: String): Unit = {
     statsCache.remove((spark, dir))
+    deltaCache.remove((spark, dir))
     graft.core.SessionCache.invalidate(spark, "bm25_postings", dir)
     graft.core.SessionCache.invalidate(spark, "bm25_df", dir)
   }
 
+  // --- incremental append + compaction ----------------------------------
+
+  /** Incrementally index a batch of NEW documents against the PERSISTED
+    * text index — the streaming-curation shape: tokenize ONLY the batch,
+    * append its postings as (batch_id, bucket)-partitioned delta, and
+    * commit by writing the batch's stats row last. Nothing corpus-width
+    * runs; cost is O(|batch| tokens). Unlike the vector-index append there
+    * is no quantizer to go stale against: BM25 over base ∪ delta is
+    * EXACTLY BM25 over the combined corpus (n, avgdl, df all extend by
+    * exact integer sums), so append ≡ rebuild score-for-score and
+    * compaction is purely a scan-count/layout concern.
+    *
+    * `newDocs` needs (doc_id, text) — the documents.parquet shape; extra
+    * columns are ignored. The caller owns doc_id uniqueness across base +
+    * batches (the curation gates guarantee it in the pipeline). Requires a
+    * persisted index: the in-session fallback tokenizes `dir`'s documents
+    * table, which knows nothing of appended batches. */
+  def appendToTextIndex(spark: SparkSession, dir: String,
+                        newDocs: DataFrame, batchId: Long): Unit = {
+    require(indexReady(spark, dir),
+      s"appendToTextIndex needs a persisted text index at $dir — run buildTextIndex first")
+    require(spark.read.parquet(textStatsPath(dir)).columns.contains("sdl"),
+      s"text index at $dir predates appendable stats (no sdl) — rebuild with buildTextIndex")
+    val wrd = newDocs.select(col("doc_id").cast("long").as("doc_id"),
+      words(col("text")).as("ws"))
+    val dl = wrd.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    wrd.select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .select("doc_id", "term", "tf", "dl")
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("bucket", bucketOf(col("term")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "bucket")
+      .parquet(textDeltaPath(dir))
+    // the batch's commit marker: its stats row, written LAST
+    dl.agg(count(lit(1)).as("n_add"), coalesce(sum("dl"), lit(0L)).as("sdl_add"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(textDeltaStatsPath(dir))
+    invalidateTextIndex(spark, dir)
+  }
+
+  /** The COMMITTED delta batches: (batch_id, n_add, sdl_add), smallest
+    * first. Batch-count rows collected driver-side (bounded like the
+    * replay ids) and memoized per (session, dir). */
+  private val deltaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Seq[(Long, Long, Long)]]()
+
+  private def committedDelta(spark: SparkSession, dir: String): Seq[(Long, Long, Long)] = {
+    graft.core.SessionCache.watch(spark)
+    deltaCache.computeIfAbsent((spark, dir), { _ =>
+      if (!graft.core.Fs.exists(spark, textDeltaStatsPath(dir))) Seq.empty
+      // explicit schema, twice over: batch_id is a partition column
+      // (directory-name inference would yield int), and a stats dir whose
+      // ONLY batch crashed pre-commit has no partitions to infer from —
+      // that must read as "no committed batches", not an inference error
+      else spark.read.schema("n_add LONG, sdl_add LONG, batch_id LONG")
+        .parquet(textDeltaStatsPath(dir))
+        .select("batch_id", "n_add", "sdl_add").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    })
+  }
+
+  /** Delta postings restricted to COMMITTED batches — the batch_id filter
+    * is a literal IN over a partition column, so uncommitted (crashed)
+    * batches are pruned, not scanned. None when no batch has committed. */
+  private def committedDeltaPostings(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val ids = committedDelta(spark, dir).map(_._1)
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(textDeltaPath(dir))
+      .filter(col("batch_id").isin(ids: _*)))
+  }
+
+  /** Fold the delta back into the base — one bucket-partitioned postings
+    * table and one lexicon per probe again, no retokenization (the delta
+    * rows ARE the postings; compaction is a pure relayout). Marker
+    * discipline, not renames-as-atomicity: staged writes first, the stats
+    * marker comes DOWN (readers fall back to the in-session index), the
+    * base swaps, the delta dies, stats are rewritten LAST. A crash leaves
+    * either the old complete index or no marker — never a marker over a
+    * half-merged index. Uncommitted delta batches die with the delta:
+    * they were never visible. */
+  def compactTextIndex(spark: SparkSession, dir: String): Unit = {
+    if (!graft.core.Fs.exists(spark, textDeltaPath(dir))) return // nothing staged
+    require(indexReady(spark, dir),
+      s"compactTextIndex needs a complete persisted text index at $dir")
+    // combined stats from the EXACT integer sums (base file + committed
+    // batch rows) — never reconstructed from the avgdl double
+    val baseRow = spark.read.parquet(textStatsPath(dir)).select("n", "sdl").head()
+    val delta = committedDelta(spark, dir)
+    val n = baseRow.getLong(0) + delta.map(_._2).sum
+    val sdl = baseRow.getLong(1) + delta.map(_._3).sum
+    val avgdl = sdl.toDouble / n
+    val basePost = spark.read.parquet(textPostingsPath(dir))
+      .select("doc_id", "term", "tf", "dl", "bucket")
+    val merged = committedDeltaPostings(spark, dir) match {
+      case None    => basePost
+      case Some(d) => basePost.unionByName(d.select("doc_id", "term", "tf", "dl", "bucket"))
+    }
+    val stagingP = s"${textPostingsPath(dir)}.compacting"
+    val stagingL = s"${textLexiconPath(dir)}.compacting"
+    merged.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stagingP)
+    spark.read.parquet(stagingP).groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(stagingL)
+    graft.core.Fs.delete(spark, textStatsPath(dir)) // marker down
+    graft.core.Fs.delete(spark, textPostingsPath(dir))
+    graft.core.Fs.rename(spark, stagingP, textPostingsPath(dir))
+    graft.core.Fs.delete(spark, textLexiconPath(dir))
+    graft.core.Fs.rename(spark, stagingL, textLexiconPath(dir))
+    graft.core.Fs.delete(spark, textDeltaPath(dir))
+    graft.core.Fs.delete(spark, textDeltaStatsPath(dir))
+    import spark.implicits._
+    Seq((n, avgdl, sdl)).toDF("n", "avgdl", "sdl").coalesce(1)
+      .write.mode("overwrite").parquet(textStatsPath(dir))
+    invalidateTextIndex(spark, dir)
+  }
+
   /** The posting lists for a term set — persisted-first (bucket partition
-    * pruning + term filter), else the session index filtered. */
+    * pruning + term filter, base ∪ committed delta with BOTH scans
+    * bucket-pruned), else the session index filtered. */
   private def probePostings(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
-    if (indexReady(spark, dir))
-      spark.read.parquet(textPostingsPath(dir))
+    if (indexReady(spark, dir)) {
+      def pruned(df: DataFrame) = df
         .filter(col("bucket").isin(terms.map(t => bucketOf(lit(t))): _*))
         .filter(col("term").isin(terms: _*))
         .select("doc_id", "term", "tf", "dl")
-    else postings(spark, dir).filter(col("term").isin(terms: _*))
+      val base = pruned(spark.read.parquet(textPostingsPath(dir)))
+      committedDeltaPostings(spark, dir) match {
+        case None    => base
+        case Some(d) => base.unionByName(pruned(d))
+      }
+    } else postings(spark, dir).filter(col("term").isin(terms: _*))
 
-  /** The lexicon rows for a term set — persisted-first (tiny scan). */
+  /** The lexicon rows for a term set — persisted-first (tiny scan; with a
+    * delta, each term's df extends by its count over the committed delta
+    * postings — a bucket-pruned probe-sized aggregation, exact longs). */
   private def probeLexicon(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
-    if (indexReady(spark, dir))
-      spark.read.parquet(textLexiconPath(dir)).filter(col("term").isin(terms: _*))
-    else dfTable(spark, dir).filter(col("term").isin(terms: _*))
+    if (indexReady(spark, dir)) {
+      val base = spark.read.parquet(textLexiconPath(dir)).filter(col("term").isin(terms: _*))
+      committedDeltaPostings(spark, dir) match {
+        case None => base
+        case Some(d) =>
+          val deltaDf = d
+            .filter(col("bucket").isin(terms.map(t => bucketOf(lit(t))): _*))
+            .filter(col("term").isin(terms: _*))
+            .groupBy("term").agg(count(lit(1)).as("df"))
+          base.unionByName(deltaDf)
+            .groupBy("term").agg(sum("df").cast("long").as("df"))
+      }
+    } else dfTable(spark, dir).filter(col("term").isin(terms: _*))
 
   /** (N, avgdl) — two scalars per (session, dir), memoized on the driver
     * (same pattern as Similarity's kind cache). N counts ALL documents,
@@ -150,8 +321,18 @@ object TextRanking {
       if (graft.core.Fs.exists(spark, textStatsPath(dir))) {
         // persisted-first: doubles round-trip parquet losslessly, so a
         // cold session scores with the building session's exact avgdl
-        val r = spark.read.parquet(textStatsPath(dir)).select("n", "avgdl").head()
-        (r.getLong(0), r.getDouble(1))
+        val delta = committedDelta(spark, dir)
+        if (delta.isEmpty) {
+          val r = spark.read.parquet(textStatsPath(dir)).select("n", "avgdl").head()
+          (r.getLong(0), r.getDouble(1))
+        } else {
+          // extend by the committed batches' EXACT integer sums — the
+          // resulting avgdl is bit-identical to a full-corpus rebuild's
+          val r = spark.read.parquet(textStatsPath(dir)).select("n", "sdl").head()
+          val n = r.getLong(0) + delta.map(_._2).sum
+          val sdl = r.getLong(1) + delta.map(_._3).sum
+          (n, sdl.toDouble / n)
+        }
       } else {
         val row = docs(spark, dir)
           .select(size(words(col("text"))).cast("long").as("dl"))
@@ -171,6 +352,39 @@ object TextRanking {
     val sat = col("tf") * lit(K1 + 1.0) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl)))
     round(idf * sat, 6).cast("decimal(18,6)")
+  }
+
+  /** The append path's ORACLE face: replay `dir`'s documents table as a
+    * base build (doc_id % 3 != 0) plus two appended batches (% 3 == 0,
+    * split by % 2), with a compaction between them and the second append
+    * run twice (crash-retry idempotence inside the oracle-checked path),
+    * then serve `bm25TopK` from the combined persisted index. The DuckDB
+    * oracle scores the WHOLE documents table directly — hash equality is
+    * an engine-independent proof that append+compact ≡ full rebuild,
+    * score for score. Scratch index lives in a temp dir, snapshotted out
+    * before deletion (the curation-replay recipe). */
+  def incrementalBm25Replay(spark: SparkSession, dir: String,
+                            terms: Seq[String], k: Int): DataFrame = {
+    val all = docs(spark, dir).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_inc").toString
+    try {
+      all.filter(col("doc_id") % 3 =!= 0)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      buildTextIndex(spark, tmp)
+      appendToTextIndex(spark, tmp,
+        all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0), 1L)
+      compactTextIndex(spark, tmp)
+      appendToTextIndex(spark, tmp,
+        all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0), 2L)
+      appendToTextIndex(spark, tmp, // the crash-retry: same batch, same id
+        all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0), 2L)
+      bm25TopK(spark, tmp, terms, k).localCheckpoint(true)
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** Top-k documents for one keyword query. The probe is an IN-filter on

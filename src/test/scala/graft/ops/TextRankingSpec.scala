@@ -113,6 +113,79 @@ class TextRankingSpec extends SparkSpec {
     assert(TextRanking.bm25TopK(spark, d2, q, 10).collect().toSeq === before)
   }
 
+  test("incremental append + compaction == full rebuild, idempotent under retry") {
+    val q = Seq("spark", "join", "window")
+    // reference: the full 7-doc corpus indexed in one build
+    val full = writeFixture()
+    TextRanking.buildTextIndex(spark, full)
+    val want = TextRanking.bm25TopK(spark, full, q, 10).collect().toSeq
+    val wantStats = TextRanking.corpusStats(spark, full)
+
+    // incremental: base = docs 0-3, then {4,5} and {6} appended
+    val inc = Files.createTempDirectory("rankinc").toString
+    val all = spark.read.parquet(s"$full/documents.parquet")
+    all.filter(col("doc_id") <= 3L).write.parquet(s"$inc/documents.parquet")
+    TextRanking.buildTextIndex(spark, inc)
+    TextRanking.appendToTextIndex(spark, inc, all.filter(col("doc_id").isin(4L, 5L)), 1L)
+    TextRanking.appendToTextIndex(spark, inc, all.filter(col("doc_id") === 6L), 2L)
+    assert(TextRanking.corpusStats(spark, inc) === wantStats)
+    assert(TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq === want)
+    // crash repair: re-running a batch under its id changes nothing
+    TextRanking.appendToTextIndex(spark, inc, all.filter(col("doc_id") === 6L), 2L)
+    assert(TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq === want)
+    // compaction is a pure relayout: delta gone, scores and stats identical
+    TextRanking.compactTextIndex(spark, inc)
+    assert(!graft.core.Fs.exists(spark, TextRanking.textDeltaPath(inc)))
+    assert(!graft.core.Fs.exists(spark, TextRanking.textDeltaStatsPath(inc)))
+    assert(TextRanking.corpusStats(spark, inc) === wantStats)
+    assert(TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq === want)
+    TextRanking.compactTextIndex(spark, inc) // nothing staged: no-op
+    assert(TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq === want)
+  }
+
+  test("a delta batch without its stats row (crashed append) is invisible") {
+    val d2 = writeFixture()
+    val q = Seq("spark", "join", "window")
+    val inc = Files.createTempDirectory("rankcrash").toString
+    val all = spark.read.parquet(s"$d2/documents.parquet")
+    all.filter(col("doc_id") <= 5L).write.parquet(s"$inc/documents.parquet")
+    TextRanking.buildTextIndex(spark, inc)
+    val baseOnly = TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq
+    val baseStats = TextRanking.corpusStats(spark, inc)
+    TextRanking.appendToTextIndex(spark, inc, all.filter(col("doc_id") === 6L), 7L)
+    assert(TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq !== baseOnly)
+    // simulate the crash window: postings landed, the stats row did not
+    graft.core.Fs.delete(spark, s"${TextRanking.textDeltaStatsPath(inc)}/batch_id=7")
+    TextRanking.invalidateTextIndex(spark, inc)
+    assert(TextRanking.corpusStats(spark, inc) === baseStats)
+    assert(TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq === baseOnly)
+  }
+
+  test("append demands a persisted index; a rebuild deletes the stale delta") {
+    val d2 = writeFixture()
+    val one = spark.read.parquet(s"$d2/documents.parquet").filter(col("doc_id") === 0L)
+    val bare = Files.createTempDirectory("rankbare").toString
+    one.write.parquet(s"$bare/documents.parquet")
+    intercept[IllegalArgumentException] {
+      TextRanking.appendToTextIndex(spark, bare, one, 1L)
+    }
+    TextRanking.buildTextIndex(spark, bare)
+    TextRanking.appendToTextIndex(spark, bare, one.withColumn("doc_id", lit(9L)), 1L)
+    assert(graft.core.Fs.exists(spark, TextRanking.textDeltaPath(bare)))
+    // the rebuild's fresh marker must not validate the old delta
+    TextRanking.buildTextIndex(spark, bare)
+    assert(!graft.core.Fs.exists(spark, TextRanking.textDeltaPath(bare)))
+    assert(!graft.core.Fs.exists(spark, TextRanking.textDeltaStatsPath(bare)))
+  }
+
+  test("incremental replay matches the one-shot index on the fixture corpus") {
+    val d2 = writeFixture()
+    TextRanking.buildTextIndex(spark, d2)
+    val q = Seq("spark", "join", "window")
+    val want = TextRanking.bm25TopK(spark, d2, q, 10).collect().toSeq
+    assert(TextRanking.incrementalBm25Replay(spark, d2, q, 10).collect().toSeq === want)
+  }
+
   test("scores are stable across repeated evaluation (decimal sum, no order drift)") {
     val a = TextRanking.bm25TopK(spark, dir, Seq("spark", "join", "window"), 10).collect().toSeq
     val b = TextRanking.bm25TopK(spark, dir, Seq("spark", "join", "window"), 10).collect().toSeq
