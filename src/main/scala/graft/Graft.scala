@@ -346,6 +346,32 @@ object Graft {
                    k: Int = 10, kEach: Int = 20): org.apache.spark.sql.DataFrame =
     ops.TextRanking.hybridRrfTopK(spark, dir, docIds, k, kEach)
 
+  /** Temperature-weighted domain resampling (shares ∝ n_d^alpha, expected
+    * output `frac` of the corpus) — deterministic: the Bernoulli draw is
+    * the document's content hash, so the same corpus always yields the
+    * same mix. */
+  def temperatureMix(spark: SparkSession, dir: String, domainCol: String = "source",
+                     alpha: Double = 0.5, frac: Double = 0.3): org.apache.spark.sql.DataFrame =
+    ops.Mixing.temperatureMix(spark, dir, domainCol, alpha, frac)
+
+  /** Cap every domain at `cap` docs, chosen by content-hash priority (an
+    * unbiased deterministic sample of each domain, not its head). */
+  def quotaSample(spark: SparkSession, dir: String, domainCol: String,
+                  cap: Int): org.apache.spark.sql.DataFrame =
+    ops.Mixing.quotaSample(spark, dir, domainCol, cap)
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis keys over
+    * the content-hash uniform): the k docs with the largest u^(1/w). */
+  def weightedSample(spark: SparkSession, dir: String, weightCol: String,
+                     k: Int): org.apache.spark.sql.DataFrame =
+    ops.Mixing.weightedSample(spark, dir, weightCol, k)
+
+  /** Pack (id, token-count) rows into ~`budget`-token shards in id order —
+    * a two-phase distributed prefix sum, exact at any partition count. */
+  def packShards(df: org.apache.spark.sql.DataFrame, idCol: String, tokenCol: String,
+                 budget: Long): org.apache.spark.sql.DataFrame =
+    ops.Mixing.packShards(df, idCol, tokenCol, budget)
+
   /** Start serving /metrics and /health for a running ingest; returns the
     * server (stop() when done) after registering the listeners (streaming
     * progress + per-worker task stats). */

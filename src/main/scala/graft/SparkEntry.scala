@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{MarketQueries => M, RelationalQueries => R}
-import graft.ops.{TextDedup, TextAnalysis, TextRanking, Similarity, ScalarQuant, Multimodal, CurationPipeline}
+import graft.ops.{TextDedup, TextAnalysis, TextRanking, Similarity, ScalarQuant, Multimodal, CurationPipeline, Mixing}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -119,6 +119,11 @@ object SparkEntry {
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
+    // -- dataset mixing --
+    "temperature_mix" -> (Mixing.temperatureMixStats _),
+    "quota_sample" -> (Mixing.quotaSampleStats _),
+    "weighted_sample" -> (Mixing.weightedSampleTopK _),
+    "pack_shards" -> (Mixing.packShardsManifest _),
     "cross_modal" -> (TextAnalysis.crossModal _),
     // -- keyword & hybrid retrieval --
     // BM25 over the session-cached inverted index; probe = term filter
@@ -1140,6 +1145,47 @@ object SparkEntry {
     "token_histogram" ->
       s"""SELECT (CAST(len($WordsSql) AS BIGINT) // 10) * 10 AS bucket_lo, count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+
+    // the mixing samplers draw from u = md5Long(text)/2^60 — BIGINT over
+    // a DOUBLE cast of an exact power of two, so both engines compute
+    // the identical double; pow-derived thresholds/keys are rounded to
+    // 6 decimals before any comparison (pow is not correctly rounded)
+    "temperature_mix" ->
+      s"""WITH c AS (SELECT source AS dom, CAST(count(*) AS DOUBLE) AS n_d
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT sum(n_d) AS n_total, sum(pow(n_d, 0.5)) AS z FROM c),
+         |r AS (SELECT dom, round(least(CAST(1.0 AS DOUBLE),
+         |    0.3 * n_total * pow(n_d, 0.5) / z / n_d), 6) AS rate
+         |  FROM c CROSS JOIN t),
+         |k AS (SELECT d.source, r.rate FROM documents d JOIN r ON d.source = r.dom
+         |  WHERE ${md5LongSql("text")} / CAST(1152921504606846976 AS DOUBLE) < r.rate)
+         |SELECT source, count(*) AS n_sampled, min(rate) AS rate
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "quota_sample" ->
+      s"""WITH r AS (SELECT lang, doc_id, row_number() OVER (
+         |    PARTITION BY lang ORDER BY ${md5LongSql("text")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM r WHERE rn <= 30 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "weighted_sample" ->
+      s"""SELECT doc_id, round(pow(${md5LongSql("text")} / CAST(1152921504606846976 AS DOUBLE),
+         |    CAST(1.0 AS DOUBLE) / n_chars), 6) AS w_key
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY w_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // the exact-integer mirror of the distributed prefix sum: shard =
+    // exclusive running token total div budget
+    "pack_shards" ->
+      s"""WITH tok AS (SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM tok),
+         |s AS (SELECT doc_id, n_tok, CAST(cum // 2000 AS BIGINT) AS shard FROM c)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
 
     "cross_modal" ->
       """WITH e AS (SELECT vec_id, label,

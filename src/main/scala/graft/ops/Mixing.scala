@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import TextHashing.{md5Long, words}
+
+/** Dataset-mixing operators for training-data assembly: temperature-
+  * weighted domain resampling, per-domain quota caps, weighted priority
+  * sampling, and token-budget shard packing. The samplers draw their
+  * "randomness" from the 60-bit md5 content hash, so every operator is a
+  * pure function of the corpus — rerunning a mix on the same data yields
+  * the same dataset on any engine that can compute md5 (the DuckDB
+  * oracles recompute each draw bit for bit).
+  *
+  * Scale shape: every operator is one scan plus one aggregation-grade
+  * shuffle. Domain statistics (20-ish rows) ride broadcast joins; nothing
+  * collects row data to the driver except `packShards`' per-partition
+  * token totals (one row per partition — the classic two-phase
+  * distributed prefix sum).
+  */
+object Mixing {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** 2^60 as a double (exact: power of two). */
+  private val TwoPow60 = 1152921504606846976.0
+
+  /** u(x) ∈ [0, 1): the 60-bit md5 hash scaled to the unit interval —
+    * the deterministic uniform every sampler here draws from. One double
+    * division of exactly-representable integers, so engines agree on
+    * every bit. */
+  def unitHash(c: Column): Column = md5Long(c) / lit(TwoPow60)
+
+  /** Temperature-weighted domain resampling — the multilingual-corpus
+    * mixing rule (sampling shares ∝ n_d^alpha; alpha < 1 flattens the
+    * head, alpha = 1 is proportional): the expected output size is
+    * `frac` of the corpus, allocated over domains by the tempered
+    * shares, materialized as one deterministic Bernoulli filter
+    * u(text) < p_d.
+    *
+    * p_d = min(1, frac · N · share_d / n_d) with
+    * share_d = n_d^alpha / Σ_e n_e^alpha, rounded to 6 decimals so the
+    * acceptance threshold is engine-portable (pow is not correctly
+    * rounded; the hash draw itself is exact). Domains whose tempered
+    * allocation exceeds their size keep every doc — the usual epoch-
+    * repeat for tiny domains happens downstream, not by oversampling
+    * here.
+    *
+    * Plan: domain counts (one agg, |domains| rows) broadcast back onto
+    * the scan; the filter is a codegen'd expression on (text, domain).
+    * Returns the kept docs with their domain rate attached. */
+  def temperatureMix(spark: SparkSession, dir: String, domainCol: String,
+                     alpha: Double, frac: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
+    require(frac > 0.0 && frac <= 1.0, s"frac=$frac outside (0, 1]")
+    val d = docs(spark, dir)
+    val counts = d.groupBy(col(domainCol).as("_dom"))
+      .agg(count(lit(1)).cast("double").as("n_d"))
+    // scalar aggregates over a |domains|-row frame: a tiny two-row
+    // cross-joined broadcast, never a driver collect
+    val totals = counts.agg(
+      sum("n_d").as("n_total"),
+      sum(pow(col("n_d"), lit(alpha))).as("z"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("_dom"),
+        round(least(lit(1.0),
+          lit(frac) * col("n_total") * pow(col("n_d"), lit(alpha)) / col("z") / col("n_d")),
+          6).as("rate"))
+    d.join(broadcast(rates), col(domainCol) === col("_dom"))
+      .filter(unitHash(col("text")) < col("rate"))
+      .drop("_dom")
+  }
+
+  /** Per-domain quota cap: keep at most `cap` docs per domain, chosen by
+    * the content-hash priority (a deterministic uniform draw, so the
+    * survivors are an unbiased sample of each domain, not its head).
+    * One window shuffle on the domain key; the rank never leaves the
+    * exact integer/hash domain, so there is no float tie risk —
+    * (u, doc_id) is a total order. */
+  def quotaSample(spark: SparkSession, dir: String, domainCol: String,
+                  cap: Int): DataFrame = {
+    require(cap > 0, s"cap=$cap must be positive")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5Long(col("text")).asc, col("doc_id").asc)
+    docs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * exponential-rank): the k docs with the largest u^(1/w) keys, w > 0
+    * taken from `weightCol` — one pass, no per-item state, and the
+    * global top-k is a TakeOrderedAndProject (never a full sort at the
+    * driver). Keys are rounded to 6 decimals with a doc_id tie-break so
+    * the selection is engine-portable. */
+  def weightedSample(spark: SparkSession, dir: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val key = round(pow(unitHash(col("text")), lit(1.0) / col(weightCol)), 6)
+    docs(spark, dir)
+      .filter(col(weightCol) > 0)
+      .withColumn("w_key", key)
+      .orderBy(col("w_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Token-budget shard packing: documents in doc_id order are cut into
+    * shards of ~`budget` tokens (shard = exclusive-prefix-sum div
+    * budget — docs are never split, so a shard's total stays under
+    * budget + the one doc that crosses the line). This is the
+    * "pack the corpus into fixed-size training shards" step, and its
+    * engine is a textbook two-phase distributed prefix sum:
+    *
+    *  1. range-partition + sort by doc_id (the shuffle the final sharded
+    *     write wants anyway);
+    *  2. per-partition token totals to the driver — one row PER
+    *     PARTITION, never per doc;
+    *  3. a map over each partition adds its exclusive offset to the
+    *     running sum. The two passes are separate jobs over the same
+    *     deterministic plan (range boundaries come from a seeded sample
+    *     of the same scan, so the partitionings are identical); a caller
+    *     that materializes the output immediately can persist the narrow
+    *     (id, tokens) projection to trade memory for the second
+    *     exchange.
+    *
+    * All arithmetic is exact longs — no float drift anywhere — which is
+    * why the assignment hash-matches a single-node window computation
+    * (the DuckDB oracle) at any partition count. */
+  def packShards(df: DataFrame, idCol: String, tokenCol: String, budget: Long,
+                 numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val ordered = df
+      .select(col(idCol).cast("long").as("id"), col(tokenCol).cast("long").as("tokens"))
+      .repartitionByRange(p, col("id"))
+      .sortWithinPartitions("id")
+    // pass 1: per-partition totals (partition-count rows, driver-bounded)
+    val partSums = ordered
+      .groupBy(spark_partition_id().as("pid")).agg(sum("tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, pid) => acc + partSums.getOrElse(pid, 0L))
+    val bOffsets = spark.sparkContext.broadcast(offsets.toArray)
+    // pass 2: per-partition running sum + broadcast offset (reuses the
+    // pass-1 shuffle; genuine per-partition imperative logic, the one
+    // place mapPartitions earns its keep)
+    val rows = ordered.queryExecution.toRdd.mapPartitionsWithIndex { case (pid, it) =>
+      var cum = bOffsets.value(pid)
+      it.map { ir =>
+        val id = ir.getLong(0)
+        val t = ir.getLong(1)
+        val shard = cum / budget
+        cum += t
+        Row(id, t, shard)
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tokens", LongType, nullable = false),
+      StructField("shard", LongType, nullable = false))))
+  }
+
+  // --- query faces (SparkEntry wiring) ----------------------------------
+
+  /** Per-domain audit of the temperature mix: corpus size, sampled size,
+    * and the rate that produced it — the "mixing table" of a dataset
+    * card. */
+  def temperatureMixStats(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(spark, dir, "source", alpha = 0.5, frac = 0.3)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), min("rate").as("rate"))
+      .orderBy("source")
+
+  /** Quota audit: per-lang kept count plus an id checksum, so the oracle
+    * pins WHICH docs survived, not just how many. */
+  def quotaSampleStats(spark: SparkSession, dir: String): DataFrame =
+    quotaSample(spark, dir, "lang", cap = 30)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+
+  /** The length-weighted sample itself (w = n_chars: longer docs drawn
+    * proportionally more often). */
+  def weightedSampleTopK(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(spark, dir, "n_chars", k = 50)
+      .select("doc_id", "w_key")
+      .orderBy(col("w_key").desc, col("doc_id").asc)
+
+  /** Shard manifest for packing the documents table at 2000 whitespace
+    * tokens per shard: shard → docs, token total, id span. */
+  def packShardsManifest(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+    packShards(tok, "doc_id", "n_tok", budget = 2000L)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("shard")
+  }
+}

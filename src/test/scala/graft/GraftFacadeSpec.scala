@@ -2,6 +2,7 @@ package graft
 
 import graft.core.{Codec, Schemas}
 import graft.sources.{FrameSpool, LiveFrameFeed}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -255,6 +256,29 @@ class GraftFacadeSpec extends AnyFunSuite {
     Graft.buildTextIndex(spark, tmp)
     assert(new java.io.File(ops.TextRanking.textPostingsPath(tmp)).exists())
     assert(Graft.keywordSearch(spark, tmp, Seq("spark", "window"), k = 5).collect().toSeq === before)
+  }
+
+  test("dataset mixing facade: temperature mix, quota, weighted sample, shard packing") {
+    val spark = Graft.session(cores = 4)
+    val dir = "/root/testdata/sf0.001"
+    assert(Graft.temperatureMix(spark, dir).count() > 0)
+    assert(Graft.quotaSample(spark, dir, "lang", 10)
+      .groupBy("lang").count().collect().forall(_.getLong(1) <= 10))
+    assert(Graft.weightedSample(spark, dir, "n_chars", 5).count() === 5)
+    val tok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long").as("t"))
+    val sh = Graft.packShards(tok, "doc_id", "t", 500L)
+    assert(sh.count() === tok.count())
+    assert(sh.select("shard").distinct().count() > 1)
+    // incremental text-index maintenance rides the facade too
+    val tmp = java.nio.file.Files.createTempDirectory("gtextinc").toString
+    spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 40)
+      .write.parquet(s"$tmp/documents.parquet")
+    Graft.buildTextIndex(spark, tmp)
+    Graft.appendToTextIndex(spark, tmp,
+      spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") >= 40), 1L)
+    Graft.compactTextIndex(spark, tmp)
+    assert(Graft.keywordSearch(spark, tmp, Seq("spark", "window"), k = 5).count() > 0)
   }
 
   test("corpus curation end-to-end: .jsonl.gz -> quality gate -> dedup -> compacted parquet") {

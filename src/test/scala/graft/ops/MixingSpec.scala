@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the dataset-mixing operators (the DuckDB oracles prove
+  * engine parity; these prove the math means what it claims). */
+class MixingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("temperature alpha=1 is proportional sampling: every domain rate == frac") {
+    val r = Mixing.temperatureMix(spark, dir, "source", alpha = 1.0, frac = 0.4)
+      .select("rate").distinct().collect().map(_.getDouble(0))
+    assert(r.toSet === Set(0.4))
+  }
+
+  test("temperature alpha<1 flattens: smaller domains sample at a higher rate") {
+    val sizes = Mixing.docs(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Mixing.temperatureMix(spark, dir, "lang", alpha = 0.5, frac = 0.3)
+      .groupBy("lang").agg(min("rate").as("rate"))
+      .collect().map(r => r.getAs[Double]("rate") -> sizes(r.getString(0)))
+    val byN = rates.sortBy(_._2)
+    // rate is non-increasing in domain size (ties allowed at the cap)
+    byN.sliding(2).foreach {
+      case Array((rSmall, _), (rBig, _)) =>
+        assert(rSmall >= rBig, s"flattening violated: ${byN.toSeq}")
+      case _ => ()
+    }
+  }
+
+  test("temperature mix is a pure function of the corpus") {
+    val a = Mixing.temperatureMix(spark, dir, "source", 0.5, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Mixing.temperatureMix(spark, dir, "source", 0.5, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("quota cap: no domain exceeds the cap, under-cap domains keep everything") {
+    val before = Mixing.docs(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Mixing.quotaSample(spark, dir, "lang", cap = 10)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet === before.keySet)
+    after.foreach { case (lang, n) =>
+      assert(n === math.min(10L, before(lang)), s"lang $lang")
+    }
+  }
+
+  test("quota survivors are a hash-priority prefix: cap=5 subset of cap=10") {
+    def kept(cap: Int) = Mixing.quotaSample(spark, dir, "lang", cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k5 = kept(5)
+    val k10 = kept(10)
+    assert(k5.subsetOf(k10))
+  }
+
+  test("weighted sample: k rows, keys in [0,1], prefix-stable in k") {
+    val top = Mixing.weightedSample(spark, dir, "n_chars", k = 10)
+      .select("doc_id", "w_key").collect()
+    assert(top.length === 10)
+    assert(top.forall(r => { val k = r.getDouble(1); k >= 0.0 && k <= 1.0 }))
+    val wider = Mixing.weightedSample(spark, dir, "n_chars", k = 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(wider.take(10) === top.map(_.getLong(0)).toSeq)
+  }
+
+  test("pack: shard assignment is partition-count invariant (the prefix sum is exact)") {
+    import spark.implicits._
+    val tok = (0L until 97L).map(i => (i, 1L + (i * 7) % 23)).toDF("doc_id", "n_tok")
+    def packed(p: Int) = Mixing.packShards(tok, "doc_id", "n_tok", budget = 50L, numPartitions = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val one = packed(1)
+    assert(packed(7) === one)
+    assert(packed(32) === one)
+  }
+
+  test("pack: shards are contiguous in id, capped at budget + one crossing doc") {
+    import spark.implicits._
+    val tok = (0L until 200L).map(i => (i, 1L + (i * 13) % 40)).toDF("doc_id", "n_tok")
+    val maxDoc = 40L
+    val budget = 100L
+    val rows = Mixing.packShards(tok, "doc_id", "n_tok", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // shard ids never decrease as doc ids grow (contiguity)
+    rows.sliding(2).foreach {
+      case Array((_, _, s1), (_, _, s2)) => assert(s1 <= s2)
+      case _ => ()
+    }
+    // per-shard totals stay under budget + the one doc that crosses
+    rows.groupBy(_._3).foreach { case (shard, docs) =>
+      val total = docs.map(_._2).sum
+      assert(total < budget + maxDoc, s"shard $shard overflows: $total")
+    }
+    // every doc lands in exactly one shard
+    assert(rows.length === 200)
+  }
+
+  test("pack: empty input and oversized docs degrade sanely") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tok")
+    assert(Mixing.packShards(empty, "doc_id", "n_tok", 10L).count() === 0)
+    // a doc larger than the budget occupies its shard alone (never split)
+    val big = Seq((0L, 5L), (1L, 100L), (2L, 5L)).toDF("doc_id", "n_tok")
+    val m = Mixing.packShards(big, "doc_id", "n_tok", 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(0L) === 0L && m(1L) === 0L && m(2L) === 10L)
+    intercept[IllegalArgumentException] {
+      Mixing.packShards(big, "doc_id", "n_tok", 0L)
+    }
+  }
+}
