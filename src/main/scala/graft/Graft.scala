@@ -346,6 +346,13 @@ object Graft {
                    k: Int = 10, kEach: Int = 20): org.apache.spark.sql.DataFrame =
     ops.TextRanking.hybridRrfTopK(spark, dir, docIds, k, kEach)
 
+  /** Semantic (embedding-cosine) near-dup clusters over the corpus:
+    * (doc_id, cluster_rep, cluster_size), rep = min id, singletons
+    * included — keep one doc per cluster_rep for semantic dedup. */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       threshold: Double = 0.35): org.apache.spark.sql.DataFrame =
+    ops.TextDedup.semanticClusters(spark, dir, threshold)
+
   /** Temperature-weighted domain resampling (shares ∝ n_d^alpha, expected
     * output `frac` of the corpus) — deterministic: the Bernoulli draw is
     * the document's content hash, so the same corpus always yields the

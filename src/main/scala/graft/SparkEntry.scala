@@ -108,6 +108,7 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "ann_lsh_multitable" -> (Similarity.lshMultiTableTopK _),
     "embedding_near_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
+    "semantic_clusters" -> ((s: SparkSession, d: String) => TextDedup.semanticClusters(s, d)),
     "label_centroids" -> (Similarity.labelCentroids _),
     // -- text analysis --
     "text_lang_stats" -> (TextAnalysis.langStats _),
@@ -1017,6 +1018,15 @@ object SparkEntry {
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
          |FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
          |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // semantic dedup = components over the verified cosine pairs, same
+    // cluster contract as the text families
+    "semantic_clusters" ->
+      s"""WITH RECURSIVE $EmbBucketCte,
+         |sem AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+         |  FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+         |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35),
+         |${docComponentsSql("sem")}""".stripMargin,
 
     "label_centroids" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -53,10 +53,15 @@ object Mixing {
     * the scan; the filter is a codegen'd expression on (text, domain).
     * Returns the kept docs with their domain rate attached. */
   def temperatureMix(spark: SparkSession, dir: String, domainCol: String,
-                     alpha: Double, frac: Double): DataFrame = {
+                     alpha: Double, frac: Double): DataFrame =
+    temperatureMixDf(docs(spark, dir), domainCol, alpha, frac)
+
+  /** Frame-shaped core of `temperatureMix` (needs `text` + the domain
+    * column; extra columns pass through). */
+  def temperatureMixDf(d: DataFrame, domainCol: String,
+                       alpha: Double, frac: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
     require(frac > 0.0 && frac <= 1.0, s"frac=$frac outside (0, 1]")
-    val d = docs(spark, dir)
     val counts = d.groupBy(col(domainCol).as("_dom"))
       .agg(count(lit(1)).cast("double").as("n_d"))
     // scalar aggregates over a |domains|-row frame: a tiny two-row
@@ -81,11 +86,34 @@ object Mixing {
     * exact integer/hash domain, so there is no float tie risk —
     * (u, doc_id) is a total order. */
   def quotaSample(spark: SparkSession, dir: String, domainCol: String,
-                  cap: Int): DataFrame = {
+                  cap: Int): DataFrame =
+    quotaSampleDf(docs(spark, dir), domainCol, cap)
+
+  /** Frame-shaped core of `quotaSample` (needs `doc_id`, `text` + the
+    * domain column).
+    *
+    * Two-phase ranking, because a plain per-domain window caps
+    * parallelism at the DOMAIN count (a 10x smoke showed the biggest
+    * domain's one reducer dominating the wall clock): phase 1 ranks
+    * within (domain, salt) shards — `salts`x the parallelism — and keeps
+    * each shard's top `cap`, which provably contains the domain's global
+    * top `cap` (any doc in the domain top-cap is in its own shard's
+    * top-cap a fortiori). Phase 2 re-ranks the survivors, at most
+    * salts*cap rows per domain regardless of corpus size. Both phases
+    * order by the same (hash, id) total order, so the result is
+    * IDENTICAL to the single-window form — only the shuffle shape
+    * changes. */
+  def quotaSampleDf(d: DataFrame, domainCol: String, cap: Int,
+                    salts: Int = 32): DataFrame = {
     require(cap > 0, s"cap=$cap must be positive")
+    require(salts > 0, s"salts=$salts must be positive")
+    val u = md5Long(col("text"))
+    val pre = Window.partitionBy(col(domainCol), pmod(u, lit(salts.toLong)))
+      .orderBy(u.asc, col("doc_id").asc)
     val w = Window.partitionBy(col(domainCol))
-      .orderBy(md5Long(col("text")).asc, col("doc_id").asc)
-    docs(spark, dir)
+      .orderBy(u.asc, col("doc_id").asc)
+    d.withColumn("rn", row_number().over(pre))
+      .filter(col("rn") <= cap)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
       .drop("rn")

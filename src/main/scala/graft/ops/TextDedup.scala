@@ -430,6 +430,21 @@ object TextDedup {
     * table (one row per doc), and both the cluster query and every
     * consumer built on it (histogram, curation joins) would otherwise
     * re-run the RDD fixpoint per reference. */
+  /** SEMANTIC near-dup clusters: connected components over the
+    * embedding-cosine near-dup pairs (`Similarity.embeddingNearDup` —
+    * sign-bucket candidates, exact cosine verify), same cluster contract
+    * as the text families (rep = min doc_id, singletons included). This
+    * is the "semantic dedup" step of an LLM data pipeline: textually
+    * distinct but embedding-identical docs collapse to one
+    * representative. doc_id and vec_id are the same id space (the
+    * corpus contract cross_modal relies on). */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       threshold: Double = 0.35): DataFrame =
+    clustersFromPairs(spark, dir,
+      Similarity.embeddingNearDup(spark, dir, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      s"semantic_clusters_$threshold")
+
   private def clustersFromPairs(
       spark: SparkSession, dir: String, pairs: DataFrame,
       cacheKind: String): DataFrame =

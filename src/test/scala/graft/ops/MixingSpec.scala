@@ -58,6 +58,12 @@ class MixingSpec extends SparkSpec {
     assert(k5.subsetOf(k10))
   }
 
+  test("quota two-phase pre-rank is exact: salts=1 == salts=32") {
+    def ids(s: Int) = Mixing.quotaSampleDf(Mixing.docs(spark, dir), "lang", 10, salts = s)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(1) === ids(32))
+  }
+
   test("weighted sample: k rows, keys in [0,1], prefix-stable in k") {
     val top = Mixing.weightedSample(spark, dir, "n_chars", k = 10)
       .select("doc_id", "w_key").collect()
