@@ -37,8 +37,13 @@ FAMILY_FILES = {
     ("dedup_", "simhash_", "decontamination"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],
-    ("ann_", "similarity_", "embedding_", "label_centroids"): [
-        "ops/Similarity.scala", "core/SessionCache.scala"],
+    ("ann_", "similarity_", "embedding_", "label_centroids", "semantic_clusters"): [
+        "ops/Similarity.scala", "ops/ScalarQuant.scala", "ops/GraphOps.scala",
+        "core/SessionCache.scala"],
+    ("bm25_", "hybrid_"): [
+        "ops/TextRanking.scala", "ops/Similarity.scala", "core/SessionCache.scala"],
+    ("temperature_mix", "quota_sample", "weighted_sample", "pack_shards"): [
+        "ops/Mixing.scala"],
     ("text_", "token_histogram", "stratified_sample", "cross_modal"): [
         "ops/TextAnalysis.scala", "ops/TextHashing.scala"],
     ("multimodal_",): ["ops/Multimodal.scala"],
