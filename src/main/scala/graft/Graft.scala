@@ -152,7 +152,8 @@ object Graft {
       maxFilesPerTrigger: Int = 16,
       compactEvery: Int = 8,
       nearDupDir: Option[String] = None,
-      nearDupThreshold: Double = ops.TextDedup.JaccardThreshold): StreamingQuery = {
+      nearDupThreshold: Double = ops.TextDedup.JaccardThreshold,
+      textIndexDir: Option[String] = None): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val raw = sources.DocSources.withSyntheticIds(
       spark.readStream
@@ -165,7 +166,7 @@ object Graft {
       .select("doc_id", "text", "lang", "n_words", "quality_score")
     ops.CurationPipeline.streamingDedup(
       gated, corpusDir, indexDir, checkpointDir, trigger, compactEvery,
-      nearDupDir, nearDupThreshold)
+      nearDupDir, nearDupThreshold, textIndexDir)
   }
 
   /** The vector-modality sibling of `curateCorpus` as ONE call: stream

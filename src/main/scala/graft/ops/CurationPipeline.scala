@@ -149,13 +149,14 @@ object CurationPipeline {
       trigger: org.apache.spark.sql.streaming.Trigger,
       compactEvery: Int = 0,
       nearDupDir: Option[String] = None,
-      nearDupThreshold: Double = TextDedup.JaccardThreshold): org.apache.spark.sql.streaming.StreamingQuery =
+      nearDupThreshold: Double = TextDedup.JaccardThreshold,
+      textIndexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, corpusDir, indexDir,
-          nearDupDir, nearDupThreshold, compactEvery)
+          nearDupDir, nearDupThreshold, compactEvery, textIndexDir)
       }
       .start()
 
@@ -167,20 +168,20 @@ object CurationPipeline {
   private[ops] def processBatch(
       batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
       nearDupDir: Option[String], nearDupThreshold: Double,
-      compactEvery: Int): Unit = {
+      compactEvery: Int, textIndexDir: Option[String] = None): Unit = {
     // gate latency lands in the process-wide histogram (`/metrics`
     // `graft_gate_duration_seconds_bucket` series) — one observation
     // per batch, driver-side, reference-bucket shape
     val gateT0 = System.nanoTime()
     try processBatchBody(batch, batchId, corpusDir, indexDir,
-      nearDupDir, nearDupThreshold, compactEvery)
+      nearDupDir, nearDupThreshold, compactEvery, textIndexDir)
     finally graft.obs.PipelineMetrics.gateDuration.observeNanos(System.nanoTime() - gateT0)
   }
 
   private def processBatchBody(
       batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
       nearDupDir: Option[String], nearDupThreshold: Double,
-      compactEvery: Int): Unit = {
+      compactEvery: Int, textIndexDir: Option[String]): Unit = {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
     val spark = batch.sparkSession
     val index = readBatchIndex(spark, indexDir, StructType(Seq(
@@ -246,6 +247,18 @@ object CurationPipeline {
           .partitionBy("batch_id")
           .parquet(s"$nd/sigs")
       }
+      // retrieval-index maintenance rides the same replay recipe: the
+      // batch's survivors append as (batch_id, bucket) delta postings
+      // (dynamic overwrite of their own partitions), the batch stats
+      // row commits them last — so keyword search over the curated
+      // corpus is ALWAYS append-exact (== a rebuild over everything
+      // accepted so far), and a crash-replayed batch repairs its own
+      // text-index partitions along with its corpus/fp/band/sig ones
+      textIndexDir.foreach { tid =>
+        if (!graft.core.Fs.exists(spark, TextRanking.textStatsPath(tid)))
+          TextRanking.initTextIndex(spark, tid)
+        TextRanking.appendToTextIndex(spark, tid, out.select("doc_id", "text"), batchId)
+      }
     } finally {
       out.unpersist()
       sigsOut.foreach(_.unpersist())
@@ -264,6 +277,13 @@ object CurationPipeline {
         compactSink(spark, s"$nd/bands")
         compactSink(spark, s"$nd/sigs")
       }
+      // NOTE: deliberately NOT compacting the text index here — its
+      // delta batches are the current batch's replay surface (a
+      // compaction folds this batch's partitions into the base, and a
+      // post-crash replay of the batch would then append its rows a
+      // second time). Text-index compaction is an idle-time operation
+      // (`Graft.compactTextIndex`) for after the stream is stopped, or
+      // a checkpoint-committed boundary.
     }
   }
 

@@ -111,6 +111,13 @@ object TextRanking {
       graft.core.Fs.exists(spark, textPostingsPath(dir)) &&
       graft.core.Fs.exists(spark, textLexiconPath(dir))
 
+  // explicit schemas for every persisted read: a bootstrapped-empty (or
+  // crashed-before-any-partition) dir has nothing to infer from, and
+  // partition columns would otherwise come back as int
+  private val PostingsSchema = "doc_id LONG, term STRING, tf LONG, dl LONG, bucket LONG"
+  private val DeltaSchema = "doc_id LONG, term STRING, tf LONG, dl LONG, batch_id LONG, bucket LONG"
+  private val LexiconSchema = "term STRING, df LONG"
+
   /** Build + persist the inverted index: bucket-partitioned postings
     * first, lexicon next, stats (the marker) last. A rebuild deletes any
     * delta first — the fresh marker must not validate postings appended
@@ -134,6 +141,27 @@ object TextRanking {
     Seq((n, avgdl, sdl)).toDF("n", "avgdl", "sdl").coalesce(1)
       .write.mode("overwrite").parquet(textStatsPath(target))
     invalidateTextIndex(spark, target)
+  }
+
+  /** Bootstrap an EMPTY appendable index (no corpus scan): zero-row
+    * postings + lexicon, a (0, 0.0, 0) stats marker. The streaming
+    * curation sink uses this so its very first batch can ride the same
+    * `appendToTextIndex` path as every later one — the whole index is
+    * then delta until the first compaction folds it down. */
+  def initTextIndex(spark: SparkSession, dir: String): Unit = {
+    graft.core.Fs.delete(spark, textStatsPath(dir))
+    graft.core.Fs.delete(spark, textDeltaStatsPath(dir))
+    graft.core.Fs.delete(spark, textDeltaPath(dir))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(PostingsSchema))
+    empty.write.mode("overwrite").partitionBy("bucket").parquet(textPostingsPath(dir))
+    empty.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(textLexiconPath(dir))
+    import spark.implicits._
+    Seq((0L, 0.0, 0L)).toDF("n", "avgdl", "sdl").coalesce(1)
+      .write.mode("overwrite").parquet(textStatsPath(dir))
+    invalidateTextIndex(spark, dir)
   }
 
   /** Drop the session's view of a (possibly rebuilt) text index. */
@@ -221,7 +249,7 @@ object TextRanking {
   private def committedDeltaPostings(spark: SparkSession, dir: String): Option[DataFrame] = {
     val ids = committedDelta(spark, dir).map(_._1)
     if (ids.isEmpty) None
-    else Some(spark.read.parquet(textDeltaPath(dir))
+    else Some(spark.read.schema(DeltaSchema).parquet(textDeltaPath(dir))
       .filter(col("batch_id").isin(ids: _*)))
   }
 
@@ -244,8 +272,8 @@ object TextRanking {
     val delta = committedDelta(spark, dir)
     val n = baseRow.getLong(0) + delta.map(_._2).sum
     val sdl = baseRow.getLong(1) + delta.map(_._3).sum
-    val avgdl = sdl.toDouble / n
-    val basePost = spark.read.parquet(textPostingsPath(dir))
+    val avgdl = if (n == 0) 0.0 else sdl.toDouble / n
+    val basePost = spark.read.schema(PostingsSchema).parquet(textPostingsPath(dir))
       .select("doc_id", "term", "tf", "dl", "bucket")
     val merged = committedDeltaPostings(spark, dir) match {
       case None    => basePost
@@ -255,7 +283,8 @@ object TextRanking {
     val stagingL = s"${textLexiconPath(dir)}.compacting"
     merged.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(stagingP)
-    spark.read.parquet(stagingP).groupBy("term").agg(count(lit(1)).as("df"))
+    spark.read.schema(PostingsSchema).parquet(stagingP)
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(stagingL)
     graft.core.Fs.delete(spark, textStatsPath(dir)) // marker down
     graft.core.Fs.delete(spark, textPostingsPath(dir))
@@ -279,7 +308,7 @@ object TextRanking {
         .filter(col("bucket").isin(terms.map(t => bucketOf(lit(t))): _*))
         .filter(col("term").isin(terms: _*))
         .select("doc_id", "term", "tf", "dl")
-      val base = pruned(spark.read.parquet(textPostingsPath(dir)))
+      val base = pruned(spark.read.schema(PostingsSchema).parquet(textPostingsPath(dir)))
       committedDeltaPostings(spark, dir) match {
         case None    => base
         case Some(d) => base.unionByName(pruned(d))
@@ -291,7 +320,8 @@ object TextRanking {
     * postings — a bucket-pruned probe-sized aggregation, exact longs). */
   private def probeLexicon(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
     if (indexReady(spark, dir)) {
-      val base = spark.read.parquet(textLexiconPath(dir)).filter(col("term").isin(terms: _*))
+      val base = spark.read.schema(LexiconSchema).parquet(textLexiconPath(dir))
+        .filter(col("term").isin(terms: _*))
       committedDeltaPostings(spark, dir) match {
         case None => base
         case Some(d) =>
@@ -331,7 +361,7 @@ object TextRanking {
           val r = spark.read.parquet(textStatsPath(dir)).select("n", "sdl").head()
           val n = r.getLong(0) + delta.map(_._2).sum
           val sdl = r.getLong(1) + delta.map(_._3).sum
-          (n, sdl.toDouble / n)
+          (n, if (n == 0) 0.0 else sdl.toDouble / n)
         }
       } else {
         val row = docs(spark, dir)

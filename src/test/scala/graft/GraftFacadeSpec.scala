@@ -281,6 +281,46 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(Graft.keywordSearch(spark, tmp, Seq("spark", "window"), k = 5).count() > 0)
   }
 
+  test("curation keeps the text index: searchable survivors, append == rebuild, replay-clean") {
+    val spark = Graft.session(cores = 4)
+    val docsDir = Files.createTempDirectory("gtidx_in").toString
+    val corpusDir = Files.createTempDirectory("gtidx_corpus").toString + "/c"
+    val indexDir = Files.createTempDirectory("gtidx_fp").toString + "/i"
+    val textDir = Files.createTempDirectory("gtidx_text").toString
+    val ckpt = Files.createTempDirectory("gtidx_ck").toString
+    val a = goodText("alpha")
+    val b = goodText("beta")
+    def run(): Unit = {
+      val q = Graft.curateCorpus(spark, docsDir, corpusDir, indexDir, ckpt,
+        maxFilesPerTrigger = 1, compactEvery = 0, textIndexDir = Some(textDir))
+      assert(q.awaitTermination(120000), "AvailableNow curation must drain and stop")
+    }
+    writeJsonlGz(docsDir, "r1.jsonl.gz", Seq(doc(1, a)))
+    run()
+    // run 2: a cross-run exact duplicate (must NOT reach the text index)
+    // plus a genuinely new doc
+    writeJsonlGz(docsDir, "r2.jsonl.gz", Seq(doc(2, a), doc(3, b)))
+    run()
+    val hits = Graft.keywordSearch(spark, textDir, Seq("alphax1"), k = 10).collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L),
+      "the duplicate doc 2 must not be searchable")
+    assert(Graft.keywordSearch(spark, textDir, Seq("betax3"), k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq === Seq(3L))
+    // append-exactness against an independent rebuild over the curated corpus
+    val rebuilt = Files.createTempDirectory("gtidx_rebuild").toString
+    spark.read.parquet(corpusDir).select("doc_id", "text")
+      .write.parquet(s"$rebuilt/documents.parquet")
+    Graft.buildTextIndex(spark, rebuilt)
+    val q2 = Seq("alphax1", "betax3", "alphax7")
+    assert(Graft.keywordSearch(spark, textDir, q2, k = 10).collect().toSeq
+      === Graft.keywordSearch(spark, rebuilt, q2, k = 10).collect().toSeq,
+      "incrementally-maintained index must score exactly like a rebuild")
+    // compaction after the stream stops preserves scores
+    Graft.compactTextIndex(spark, textDir)
+    assert(Graft.keywordSearch(spark, textDir, q2, k = 10).collect().toSeq
+      === Graft.keywordSearch(spark, rebuilt, q2, k = 10).collect().toSeq)
+  }
+
   test("corpus curation end-to-end: .jsonl.gz -> quality gate -> dedup -> compacted parquet") {
     val spark = Graft.session(cores = 4)
     val docsDir = Files.createTempDirectory("gcorpus_in").toString
