@@ -325,9 +325,10 @@ object Graft {
 
   /** Fold appended text-index deltas back into the base (pure relayout,
     * no retokenization) — run periodically to keep probes at one
-    * postings scan. */
-  def compactTextIndex(spark: SparkSession, dir: String): Unit =
-    ops.TextRanking.compactTextIndex(spark, dir)
+    * postings scan. `keepRecent > 0` leaves the newest committed batches
+    * as replayable delta (the in-pipeline shape). */
+  def compactTextIndex(spark: SparkSession, dir: String, keepRecent: Int = 0): Unit =
+    ops.TextRanking.compactTextIndex(spark, dir, keepRecent)
 
   /** BM25 keyword top-k over the documents table (persisted-index-first). */
   def keywordSearch(spark: SparkSession, dir: String, terms: Seq[String],

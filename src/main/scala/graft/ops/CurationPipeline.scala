@@ -277,13 +277,11 @@ object CurationPipeline {
         compactSink(spark, s"$nd/bands")
         compactSink(spark, s"$nd/sigs")
       }
-      // NOTE: deliberately NOT compacting the text index here — its
-      // delta batches are the current batch's replay surface (a
-      // compaction folds this batch's partitions into the base, and a
-      // post-crash replay of the batch would then append its rows a
-      // second time). Text-index compaction is an idle-time operation
-      // (`Graft.compactTextIndex`) for after the stream is stopped, or
-      // a checkpoint-committed boundary.
+      // the text index compacts with keepRecent=1 — same contract as
+      // compactSink: this batch's delta partitions survive the fold, so
+      // a post-crash replay still dynamic-overwrites its own output
+      // instead of double-appending rows the fold moved into the base
+      textIndexDir.foreach(t => TextRanking.compactTextIndex(spark, t, keepRecent = 1))
     }
   }
 

@@ -258,27 +258,44 @@ object TextRanking {
     * rows ARE the postings; compaction is a pure relayout). Marker
     * discipline, not renames-as-atomicity: staged writes first, the stats
     * marker comes DOWN (readers fall back to the in-session index), the
-    * base swaps, the delta dies, stats are rewritten LAST. A crash leaves
-    * either the old complete index or no marker — never a marker over a
-    * half-merged index. Uncommitted delta batches die with the delta:
-    * they were never visible. */
-  def compactTextIndex(spark: SparkSession, dir: String): Unit = {
+    * base swaps, the folded delta dies, stats are rewritten LAST. A crash
+    * leaves either the old complete index or no marker — never a marker
+    * over a half-merged index.
+    *
+    * `keepRecent = 0` (maintenance shape): fold EVERY committed batch and
+    * delete the delta dirs outright — uncommitted (crashed) batches die
+    * with them; they were never visible.
+    *
+    * `keepRecent > 0` (the in-pipeline shape, compactSink's recipe): fold
+    * all but the newest `keepRecent` committed batches, deleting only the
+    * folded batches' partitions. The kept batches stay replayable — a
+    * crash-replayed batch dynamic-overwrites its own still-standing delta
+    * partitions instead of double-appending rows a fold already moved
+    * into the base. Uncommitted partitions are left untouched too (their
+    * batch may be mid-flight). */
+  def compactTextIndex(spark: SparkSession, dir: String, keepRecent: Int = 0): Unit = {
     if (!graft.core.Fs.exists(spark, textDeltaPath(dir))) return // nothing staged
     require(indexReady(spark, dir),
       s"compactTextIndex needs a complete persisted text index at $dir")
-    // combined stats from the EXACT integer sums (base file + committed
-    // batch rows) — never reconstructed from the avgdl double
+    val delta = committedDelta(spark, dir) // batch_id ascending
+    val fold = delta.dropRight(math.max(keepRecent, 0))
+    if (fold.isEmpty && keepRecent > 0) return // nothing old enough to fold
+    val foldIds = fold.map(_._1)
+    // combined stats from the EXACT integer sums (base file + FOLDED
+    // batch rows) — never reconstructed from the avgdl double; kept
+    // batches keep contributing through their delta stats rows
     val baseRow = spark.read.parquet(textStatsPath(dir)).select("n", "sdl").head()
-    val delta = committedDelta(spark, dir)
-    val n = baseRow.getLong(0) + delta.map(_._2).sum
-    val sdl = baseRow.getLong(1) + delta.map(_._3).sum
+    val n = baseRow.getLong(0) + fold.map(_._2).sum
+    val sdl = baseRow.getLong(1) + fold.map(_._3).sum
     val avgdl = if (n == 0) 0.0 else sdl.toDouble / n
     val basePost = spark.read.schema(PostingsSchema).parquet(textPostingsPath(dir))
       .select("doc_id", "term", "tf", "dl", "bucket")
-    val merged = committedDeltaPostings(spark, dir) match {
-      case None    => basePost
-      case Some(d) => basePost.unionByName(d.select("doc_id", "term", "tf", "dl", "bucket"))
-    }
+    val merged =
+      if (foldIds.isEmpty) basePost
+      else basePost.unionByName(
+        spark.read.schema(DeltaSchema).parquet(textDeltaPath(dir))
+          .filter(col("batch_id").isin(foldIds: _*))
+          .select("doc_id", "term", "tf", "dl", "bucket"))
     val stagingP = s"${textPostingsPath(dir)}.compacting"
     val stagingL = s"${textLexiconPath(dir)}.compacting"
     merged.repartition(col("bucket"))
@@ -291,8 +308,15 @@ object TextRanking {
     graft.core.Fs.rename(spark, stagingP, textPostingsPath(dir))
     graft.core.Fs.delete(spark, textLexiconPath(dir))
     graft.core.Fs.rename(spark, stagingL, textLexiconPath(dir))
-    graft.core.Fs.delete(spark, textDeltaPath(dir))
-    graft.core.Fs.delete(spark, textDeltaStatsPath(dir))
+    if (keepRecent <= 0) {
+      graft.core.Fs.delete(spark, textDeltaPath(dir))
+      graft.core.Fs.delete(spark, textDeltaStatsPath(dir))
+    } else foldIds.foreach { id =>
+      // folded partitions die BEFORE the new marker lands: a crash here
+      // means no marker (fallback), never marker + double-counted rows
+      graft.core.Fs.delete(spark, s"${textDeltaPath(dir)}/batch_id=$id")
+      graft.core.Fs.delete(spark, s"${textDeltaStatsPath(dir)}/batch_id=$id")
+    }
     import spark.implicits._
     Seq((n, avgdl, sdl)).toDF("n", "avgdl", "sdl").coalesce(1)
       .write.mode("overwrite").parquet(textStatsPath(dir))

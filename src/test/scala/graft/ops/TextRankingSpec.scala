@@ -143,6 +143,35 @@ class TextRankingSpec extends SparkSpec {
     assert(TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq === want)
   }
 
+  test("keepRecent compaction folds old batches, keeps the newest replayable") {
+    val q = Seq("spark", "join", "window")
+    val full = writeFixture()
+    TextRanking.buildTextIndex(spark, full)
+    val want = TextRanking.bm25TopK(spark, full, q, 10).collect().toSeq
+
+    val inc = Files.createTempDirectory("rankkeep").toString
+    val all = spark.read.parquet(s"$full/documents.parquet")
+    all.filter(col("doc_id") <= 3L).write.parquet(s"$inc/documents.parquet")
+    TextRanking.buildTextIndex(spark, inc)
+    TextRanking.appendToTextIndex(spark, inc, all.filter(col("doc_id").isin(4L, 5L)), 1L)
+    TextRanking.appendToTextIndex(spark, inc, all.filter(col("doc_id") === 6L), 2L)
+    TextRanking.compactTextIndex(spark, inc, keepRecent = 1)
+    // batch 1 folded (its partitions gone), batch 2 still delta
+    assert(!graft.core.Fs.exists(spark, s"${TextRanking.textDeltaPath(inc)}/batch_id=1"))
+    assert(graft.core.Fs.exists(spark, s"${TextRanking.textDeltaPath(inc)}/batch_id=2"))
+    assert(TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq === want)
+    // the kept batch is still replayable: re-running it changes nothing
+    TextRanking.appendToTextIndex(spark, inc, all.filter(col("doc_id") === 6L), 2L)
+    assert(TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq === want)
+    // nothing old enough to fold: keepRecent=1 with one batch is a no-op
+    TextRanking.compactTextIndex(spark, inc, keepRecent = 1)
+    assert(graft.core.Fs.exists(spark, s"${TextRanking.textDeltaPath(inc)}/batch_id=2"))
+    // a full fold afterwards still lands exactly
+    TextRanking.compactTextIndex(spark, inc)
+    assert(!graft.core.Fs.exists(spark, TextRanking.textDeltaPath(inc)))
+    assert(TextRanking.bm25TopK(spark, inc, q, 10).collect().toSeq === want)
+  }
+
   test("a delta batch without its stats row (crashed append) is invisible") {
     val d2 = writeFixture()
     val q = Seq("spark", "join", "window")
