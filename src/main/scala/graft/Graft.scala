@@ -268,25 +268,8 @@ object Graft {
   def annSearch(spark: SparkSession, dir: String,
                 queryIds: Seq[Long], k: Int = 10, nprobe: Int = 1,
                 method: String = "ivf", shortlist: Int = 0,
-                nTables: Int = 4): org.apache.spark.sql.DataFrame = {
-    val sl = if (shortlist > 0) shortlist else 4 * k
-    method match {
-      case "ivf"            => ops.Similarity.ivfTopKFor(spark, dir, queryIds, k, nprobe)
-      case "brute"          => ops.Similarity.bruteForceTopKFor(spark, dir, queryIds, k)
-      case "lsh"            => ops.Similarity.lshTopKFor(spark, dir, queryIds, k)
-      case "lsh_multiprobe" => ops.Similarity.lshMultiProbeTopKFor(spark, dir, queryIds, k)
-      case "lsh_multitable" => ops.Similarity.lshMultiTableTopKFor(spark, dir, queryIds, k, nTables)
-      case "pq"             => ops.Similarity.pqTopKFor(spark, dir, queryIds, k)
-      case "pq_rerank"      => ops.Similarity.pqTopKReranked(spark, dir, queryIds, k, sl)
-      case "ivfpq"          => ops.Similarity.ivfPqTopKFor(spark, dir, queryIds, k, nprobe, sl)
-      case "ivfpq_residual" => ops.Similarity.ivfPqResidualTopKFor(spark, dir, queryIds, k, nprobe, sl)
-      case "sq"             => ops.ScalarQuant.sqTopKFor(spark, dir, queryIds, k)
-      case "sq_rerank"      => ops.ScalarQuant.sqTopKReranked(spark, dir, queryIds, k, sl)
-      case other => throw new IllegalArgumentException(
-        s"unknown ANN method '$other' (expected ivf | brute | lsh | lsh_multiprobe | " +
-          "lsh_multitable | pq | pq_rerank | ivfpq | ivfpq_residual | sq | sq_rerank)")
-    }
-  }
+                nTables: Int = 4): org.apache.spark.sql.DataFrame =
+    ops.AnnRouter.topKFor(spark, dir, queryIds, k, nprobe, method, shortlist, nTables)
 
   /** ANN with a recall CONTRACT instead of lever constants: calibrate
     * once (ops.Similarity.planAnn — cheapest lever setting whose
@@ -341,12 +324,24 @@ object Graft {
                    k: Int = 10, nTerms: Int = 3): org.apache.spark.sql.DataFrame =
     ops.TextRanking.bm25TopKFor(spark, dir, docIds, k, nTerms)
 
-  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 and
-    * exact-cosine rank lists for the same query docs (doc_id = vec_id
-    * id space — documents and embeddings side by side in `dir`). */
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 and vector
+    * rank lists for the same query docs (doc_id = vec_id id space —
+    * documents and embeddings side by side in `dir`). `method` routes
+    * the vector leg through the ANN ladder; the default "auto" prefers
+    * the persisted composed (IVF+PQ) index when its markers exist —
+    * both legs then run pruned probes, nothing corpus-width — and
+    * falls back to the exact scan on an unindexed corpus. */
   def hybridSearch(spark: SparkSession, dir: String, docIds: Seq[Long],
-                   k: Int = 10, kEach: Int = 20): org.apache.spark.sql.DataFrame =
-    ops.TextRanking.hybridRrfTopK(spark, dir, docIds, k, kEach)
+                   k: Int = 10, kEach: Int = 20, method: String = "auto",
+                   nprobe: Int = 2, shortlist: Int = 0): org.apache.spark.sql.DataFrame = {
+    val m = method match {
+      case "auto" =>
+        if (ops.Similarity.hasComposedRawIndex(spark, dir)) "ivfpq" else "brute"
+      case other => other
+    }
+    ops.TextRanking.hybridRrfTopK(spark, dir, docIds, k, kEach, method = m,
+      nprobe = nprobe, shortlist = shortlist)
+  }
 
   /** Semantic (embedding-cosine) near-dup clusters over the corpus:
     * (doc_id, cluster_rep, cluster_size), rep = min id, singletons

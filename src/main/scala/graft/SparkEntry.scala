@@ -136,6 +136,13 @@ object SparkEntry {
     // reciprocal-rank fusion of the BM25 and exact-cosine rank lists
     "hybrid_rrf" -> ((s: SparkSession, d: String) =>
       TextRanking.hybridRrfTopK(s, d, Seq(0L, 1L, 2L), 10)),
+    // same fusion with the vector leg routed through the composed
+    // IVF+PQ probe instead of the exact scan — the 100 TB shape (both
+    // legs pruned probes); kEach=5/nprobe=2/shortlist=20 reuse the
+    // proven ann_ivfpq_topk lever settings
+    "hybrid_rrf_ann" -> ((s: SparkSession, d: String) =>
+      TextRanking.hybridRrfTopK(s, d, Seq(0L, 1L, 2L), 10, kEach = 5,
+        method = "ivfpq", shortlist = 20)),
     // base build + 2 appends + compaction + crash retry == full rebuild:
     // the oracle scores the whole corpus directly, so hash equality is an
     // engine-independent proof of the append algebra
@@ -428,13 +435,15 @@ object SparkEntry {
        |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= $k ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
   }
 
-  /** Composed IVF+PQ oracle (mirrors Similarity.ivfPqTopK): both
-    * training unrolls, candidates restricted to each query's `nprobe`
-    * best coarse clusters, ADC shortlist, exact rerank, top `k`. */
-  private def ivfPqOracleSql(nprobe: Int, shortlist: Int, k: Int): String = {
+  /** The composed IVF+PQ probe chain (mirrors Similarity.ivfPqTopKFor),
+    * ending in `x(qid, vec_id, cos_sim)` — the exact-reranked shortlist:
+    * both training unrolls, candidates restricted to each query's
+    * `nprobe` best coarse clusters, ADC shortlist, exact rerank. Shared
+    * by the ann_ivfpq_topk oracle and the hybrid_rrf_ann vector leg.
+    * Assumes a CTE `e(vec_id, v)` is already defined. */
+  private def ivfPqProbeChainCtes(nprobe: Int, shortlist: Int): String = {
     val (cbJoin, approx) = pqAdcSql("b")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |$ivfTrainCtes,
+    s"""$ivfTrainCtes,
        |$pqTrainCtes,
        |${ivfProbeCtes(nprobe)},
        |s AS (SELECT b.qid, a.vec_id, $approx AS approx_sim
@@ -444,10 +453,16 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY qid ORDER BY approx_sim DESC, vec_id) AS srn FROM s)
        |  WHERE srn <= $shortlist),
        |x AS (SELECT sl.qid, sl.vec_id, round(list_cosine_similarity(q2.qv, e2.v), 6) AS cos_sim
-       |  FROM sl JOIN q q2 ON q2.qid = sl.qid JOIN e e2 ON e2.vec_id = sl.vec_id),
+       |  FROM sl JOIN q q2 ON q2.qid = sl.qid JOIN e e2 ON e2.vec_id = sl.vec_id)""".stripMargin
+  }
+
+  /** Composed IVF+PQ oracle (mirrors Similarity.ivfPqTopK): the probe
+    * chain ranked to top `k`. */
+  private def ivfPqOracleSql(nprobe: Int, shortlist: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${ivfPqProbeChainCtes(nprobe, shortlist)},
        |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM x)
        |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= $k ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
-  }
 
   /** Residual-encoded composed oracle (mirrors
     * Similarity.ivfPqResidualTopK — classical IVFADC): coarse k-means,
@@ -1274,6 +1289,24 @@ object SparkEntry {
          |  CAST(coalesce(CAST(round(1.0 / (60 + b.bm_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
          |     + coalesce(CAST(round(1.0 / (60 + a.ann_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score
          |  FROM b20 b FULL OUTER JOIN a20 a ON a.qid = b.qid AND a.doc_id = b.doc_id),
+         |r AS (SELECT qid, doc_id, rrf_score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rn FROM f)
+         |SELECT qid, doc_id, rrf_score FROM r WHERE rn <= 10
+         |ORDER BY qid, rrf_score DESC, doc_id""".stripMargin,
+
+    "hybrid_rrf_ann" ->
+      s"""WITH $Bm25Cte,
+         |$Bm25MultiCtes,
+         |b5 AS (SELECT qid, doc_id, bm_rank FROM br WHERE bm_rank <= 5),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${ivfPqProbeChainCtes(nprobe = 2, shortlist = 20)},
+         |ar AS (SELECT qid, vec_id AS doc_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS ann_rank FROM x),
+         |a5 AS (SELECT qid, doc_id, ann_rank FROM ar WHERE ann_rank <= 5),
+         |f AS (SELECT coalesce(b.qid, a.qid) AS qid, coalesce(b.doc_id, a.doc_id) AS doc_id,
+         |  CAST(coalesce(CAST(round(1.0 / (60 + b.bm_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+         |     + coalesce(CAST(round(1.0 / (60 + a.ann_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score
+         |  FROM b5 b FULL OUTER JOIN a5 a ON a.qid = b.qid AND a.doc_id = b.doc_id),
          |r AS (SELECT qid, doc_id, rrf_score,
          |  row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rn FROM f)
          |SELECT qid, doc_id, rrf_score FROM r WHERE rn <= 10

@@ -763,6 +763,18 @@ object Similarity {
     })
   }
 
+  /** Whether a COMPLETE persisted raw-coded composed (IVF+PQ) index
+    * exists at `dir` — both markers present and the codebook kind says
+    * the embedded codes quantize RAW vectors (residual-coded postings
+    * need the reconstruction scoring, `ivfPqResidualTopKFor`). This is
+    * the exact condition under which `ivfPqTopKFor` serves the
+    * c_id-pruned persisted probe; facades use it to default routing
+    * ("auto" → the persisted layout when it exists). */
+  def hasComposedRawIndex(spark: SparkSession, dir: String): Boolean =
+    pathExists(spark, ivfPqPostingsPath(dir)) &&
+      pathExists(spark, ivfIndexPath(dir)) &&
+      persistedCodebookKind(spark, dir).contains("raw")
+
   def buildPqIndex(spark: SparkSession, dir: String, at: Option[String] = None): String = {
     val base = at.getOrElse(dir)
     val e = emb(spark, dir)
@@ -1189,12 +1201,7 @@ object Similarity {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val centroids = ivfCentroidsOf(spark, dir)
     val cbs = codebooksOf(spark, dir)
-    // persisted postings are trusted only when the codebook marker says
-    // the embedded codes quantize RAW vectors — residual-coded postings
-    // need the reconstruction scoring (ivfPqResidualTopKFor)
-    val filesBacked = pathExists(spark, ivfPqPostingsPath(dir)) &&
-      pathExists(spark, ivfIndexPath(dir)) &&
-      persistedCodebookKind(spark, dir).contains("raw")
+    val filesBacked = hasComposedRawIndex(spark, dir)
     val postings =
       if (filesBacked)
         persistedComposedPostings(spark, dir)

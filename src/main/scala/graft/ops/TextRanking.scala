@@ -497,22 +497,31 @@ object TextRanking {
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 rank list and
-    * the exact-cosine vector rank list for the same query documents
-    * (doc_id and vec_id are the same id space). rrf(d) =
-    * Σ_lists 1/(60 + rank_list(d)), absent-from-list contributing 0 —
-    * Cormack/Clarke/Büttcher's parameter-free fusion. Contributions are
-    * rounded+decimal-summed like BM25 scores, so ties are exact and the
-    * doc_id tie-break total.
+    * a vector rank list for the same query documents (doc_id and vec_id
+    * are the same id space). rrf(d) = Σ_lists 1/(60 + rank_list(d)),
+    * absent-from-list contributing 0 — Cormack/Clarke/Büttcher's
+    * parameter-free fusion. Contributions are rounded+decimal-summed
+    * like BM25 scores, so ties are exact and the doc_id tie-break total.
+    *
+    * The vector leg routes through the ANN ladder (`AnnRouter.topKFor`,
+    * default "brute" = exact full scan): fusion only needs each list's
+    * total order, so a pruned probe ("ivfpq" against a persisted
+    * composed index — the 100 TB shape, where the BM25 leg's
+    * partition-pruned postings probe would otherwise be drowned by a
+    * corpus-width cosine scan) fuses exactly like the exact list.
     *
     * Plan shape: two rank lists of kEach rows per query (tiny), fused with
     * a full outer join on (qid, doc_id) — both sides are already top-k
     * outputs, so fusion cost is negligible next to the probes. */
   def hybridRrfTopK(spark: SparkSession, dir: String, qids: Seq[Long],
-                    k: Int, kEach: Int = 20, nTerms: Int = 3): DataFrame = {
+                    k: Int, kEach: Int = 20, nTerms: Int = 3,
+                    method: String = "brute", nprobe: Int = 2,
+                    shortlist: Int = 0): DataFrame = {
     val bm = bm25TopKFor(spark, dir, qids, kEach, nTerms)
       .select(col("qid"), col("doc_id"), col("bm_rank"))
-    val annW = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val ann = Similarity.bruteForceTopKFor(spark, dir, qids, kEach)
+    val score = col(AnnRouter.scoreColumn(method))
+    val annW = Window.partitionBy("qid").orderBy(score.desc, col("vec_id").asc)
+    val ann = AnnRouter.topKFor(spark, dir, qids, kEach, nprobe, method, shortlist)
       .withColumn("ann_rank", row_number().over(annW))
       .select(col("qid"), col("vec_id").as("doc_id"), col("ann_rank"))
     val rrfPart = (r: Column) =>

@@ -82,6 +82,33 @@ class TextRankingSpec extends SparkSpec {
     assert(top > 1.0 / 61.0)
   }
 
+  test("hybrid rrf ann routing: probe-all composed leg == exact leg, auto prefers the pruned probe") {
+    val brute = TextRanking.hybridRrfTopK(spark, dir, Seq(0L), 3, kEach = 4).collect()
+    // probe-all + corpus-wide shortlist makes the composed leg exact
+    // top-kEach, so the fused output is row-for-row the brute hybrid —
+    // routing changes the probe, never the fusion algebra
+    val all = TextRanking.hybridRrfTopK(spark, dir, Seq(0L), 3, kEach = 4,
+      method = "ivfpq", nprobe = 16, shortlist = 1000).collect()
+    assert(all.map(_.toString).toSeq === brute.map(_.toString).toSeq)
+    // facade "auto": with composed markers present the vector leg is the
+    // persisted c_id-pruned probe, same rows out
+    Similarity.buildIvfPqIndex(spark, dir)
+    try {
+      val auto = graft.Graft.hybridSearch(spark, dir, Seq(0L), 3, kEach = 4,
+        nprobe = 16, shortlist = 1000)
+      assert(auto.collect().map(_.toString).toSeq === brute.map(_.toString).toSeq)
+      val plan = auto.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("partitionfilters: [c_id"),
+        s"auto-routed hybrid must carry a c_id partition filter on the vector leg:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+      Seq(Similarity.ivfPqPostingsPath(dir), Similarity.ivfIndexPath(dir),
+        Similarity.pqIndexPath(dir)).foreach(p => rm(new java.io.File(p)))
+      Similarity.invalidateIvf(spark, dir)
+      Similarity.invalidatePq(spark, dir)
+    }
+  }
+
   test("bm25 probe plan: lexicon broadcasts, no cartesian, single agg shuffle") {
     val plan = TextRanking.bm25TopK(spark, dir, Seq("spark", "window"), 10)
       .queryExecution.executedPlan.toString
