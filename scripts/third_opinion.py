@@ -15,8 +15,13 @@ TOKENS = [1, 7, 42, 99]
 
 def load_events(sf_dir):
     e = pd.read_parquet(f"{sf_dir}/events.parquet")
-    # ts may be TIMESTAMP(NANOS); pandas reads it as datetime64[ns]
-    e["ts_us"] = e["ts"].astype("int64") // 1000
+    # ts is TIMESTAMP(NANOS) in the file; which datetime64 unit pandas
+    # hands back depends on the pandas/pyarrow pairing (2.2 gives [us],
+    # older gave [ns]). Normalizing through datetime64[us] instead of
+    # assuming [ns] makes the epoch-micros derivation unit-proof —
+    # the raw //1000 silently produced millis under a [us] read and
+    # failed every ts_us comparison.
+    e["ts_us"] = e["ts"].astype("datetime64[us]").astype("int64")
     return e
 
 
