@@ -136,6 +136,24 @@ def main():
     print(f"old: {sys.argv[1]} total={old.get('value')}s  "
           f"new: {sys.argv[2]} total={new.get('value')}s  "
           f"(+{len(new_qs)} new queries)")
+    # pool split: harness queries time index-construction replays whose
+    # cost scales with batch count — their pool must not drown the probe
+    # pool's signal. Older files without the tag fall back to the newer
+    # file's list so round-over-round splits stay comparable.
+    harness = set(new.get("harness", old.get("harness", [])))
+    if harness:
+        def pools(d):
+            ok = {q: t for q, t in d["queries"].items() if t >= 0}
+            probe = sum(t for q, t in ok.items() if q not in harness)
+            har = sum(t for q, t in ok.items() if q in harness)
+            return probe, har
+        op, oh = pools(old)
+        np_, nh = pools(new)
+        print(f"probe pool:   old {op:7.3f}s -> new {np_:7.3f}s ({np_ / op:4.2f}x)"
+              if op else f"probe pool:   new {np_:7.3f}s")
+        print(f"harness pool: old {oh:7.3f}s -> new {nh:7.3f}s ({nh / oh:4.2f}x)"
+              f"  [{', '.join(sorted(harness))}]"
+              if oh else f"harness pool: new {nh:7.3f}s")
     if broken:
         print("\nBROKEN queries (healthy in old, error/missing in new):")
         for q in broken:

@@ -80,6 +80,9 @@ object SparkEntry {
     "dedup_cluster_histogram" -> (TextDedup.minhashClusterHistogram _),
     "dedup_minhash_est" -> (TextDedup.minhashEst _),
     "decontamination" -> (TextDedup.decontamination _),
+    // exact 13-gram containment (the verbatim-quote complement of the
+    // banded near-dup flagger above)
+    "decontamination_ngram" -> (TextDedup.decontaminationNgram _),
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
     "dedup_simhash" -> (TextDedup.simhash _),
     "dedup_simhash_clusters" -> (TextDedup.simhashClusters _),
@@ -896,6 +899,20 @@ object SparkEntry {
          |  JOIN mh y ON y.doc_id = c.bench_id AND y.i = x.i GROUP BY 1, 2)
          |SELECT doc_id, bench_id, round(e, 6) AS est_jaccard FROM est
          |WHERE e >= 0.2 ORDER BY doc_id, bench_id""".stripMargin,
+
+    // exact 13-gram containment (mirrors TextDedup.exactNgramContamination:
+    // short docs contribute their whole text as one gram, hits = distinct
+    // shared grams per (training doc, benchmark doc) pair)
+    "decontamination_ngram" ->
+      s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |gl AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-12), i -> array_to_string(list_slice(ws, i, i+12), ' ')) END AS garr FROM wrd),
+         |g AS (SELECT DISTINCT doc_id, unnest(garr) AS gram FROM gl),
+         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
+         |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 20 = 0)
+         |SELECT c.doc_id, b.bench_id, count(*) AS n_hits
+         |FROM c JOIN b USING (gram)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // components over the EXACT Jaccard pair graph (recursive transitive
     // closure — algorithm independent of Spark's label propagation)

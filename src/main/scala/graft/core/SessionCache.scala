@@ -140,6 +140,11 @@ object SessionCache {
     build
   }
 
+  /** Whether an entry is currently installed (specs assert cache-gate
+    * behavior; not a liveness guarantee under concurrent invalidate). */
+  def contains(spark: SparkSession, kind: String, dir: String): Boolean =
+    tables.containsKey((spark, kind, dir))
+
   /** Drop one entry (unpersists). Call after rewriting `dir`'s files.
     * Also bumps the key's generation so an in-flight build of the same
     * entry discards its (now stale) result instead of installing it. */

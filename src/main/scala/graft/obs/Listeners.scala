@@ -54,6 +54,8 @@ final class IngestMetricsListener extends StreamingQueryListener {
        |graft_uptime_millis $uptime
        |graft_last_progress_epoch_ms ${lastProgressEpochMs.get}
        |graft_memory_used_bytes ${rt.totalMemory - rt.freeMemory}
+       |graft_cpu_usage ${ProcessGauges.cpuUsage}
+       |graft_threads ${ProcessGauges.threadCount}
        |${batchDuration.exposition}
        |${PipelineMetrics.gateDuration.exposition}""".stripMargin
   }
@@ -121,4 +123,26 @@ object PipelineMetrics {
   val gateDuration = new PromHistogram(
     "graft_gate_duration_seconds",
     "Curation gate (dedup/near-dup) wall-clock per micro-batch")
+}
+
+/** Process-health gauges — parity with the reference's system metrics
+  * (/root/reference/monitoring/metrics.go:31-39: market_data_cpu_usage,
+  * market_data_goroutines): JVM-process CPU fraction via the platform
+  * OperatingSystemMXBean and live thread count via the ThreadMXBean
+  * (goroutines' closest JVM analog). Read at scrape time — gauges
+  * sample current state, nothing accumulates. */
+object ProcessGauges {
+  /** Process CPU usage in [0, 1]; -1 until the platform bean's first
+    * sampling interval elapses (exposed as-is — a scraper treats
+    * negative gauge values as "not yet available", same as the bean). */
+  def cpuUsage: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val l = os.getProcessCpuLoad
+        if (l.isNaN) -1.0 else l // NaN is not valid exposition text
+      case _ => -1.0
+    }
+
+  def threadCount: Int =
+    java.lang.management.ManagementFactory.getThreadMXBean.getThreadCount
 }

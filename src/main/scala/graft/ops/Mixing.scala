@@ -121,18 +121,72 @@ object Mixing {
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis
     * exponential-rank): the k docs with the largest u^(1/w) keys, w > 0
-    * taken from `weightCol` — one pass, no per-item state, and the
-    * global top-k is a TakeOrderedAndProject (never a full sort at the
-    * driver). Keys are rounded to 6 decimals with a doc_id tie-break so
-    * the selection is engine-portable. */
+    * taken from `weightCol`. Keys are rounded to 6 decimals with a
+    * doc_id tie-break so the selection is engine-portable.
+    *
+    * Two physical shapes, identical output:
+    *  - small k: global top-k (TakeOrderedAndProject — a k-row heap per
+    *    partition, then k rows on the driver);
+    *  - k >= `ThresholdCutover`: the training-sampler shape (natural k
+    *    is millions, where per-partition k-row heaps and a k-row driver
+    *    merge stop being "small") — find the k-th key by counting and
+    *    FILTER, one corpus scan, nothing k-sized on the driver
+    *    (`weightedSampleByThreshold`). */
   def weightedSample(spark: SparkSession, dir: String, weightCol: String,
                      k: Int): DataFrame = {
-    val key = round(pow(unitHash(col("text")), lit(1.0) / col(weightCol)), 6)
-    docs(spark, dir)
+    require(k > 0, s"k=$k must be positive")
+    val base = docs(spark, dir)
       .filter(col(weightCol) > 0)
-      .withColumn("w_key", key)
-      .orderBy(col("w_key").desc, col("doc_id").asc)
-      .limit(k)
+      .withColumn("w_key", weightKey(weightCol))
+    if (k >= ThresholdCutover) weightedSampleByThreshold(base, k)
+    else base.orderBy(col("w_key").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** The Efraimidis–Spirakis priority key u(text)^(1/w), rounded to 6
+    * decimals (engine-portable, and the rounding is what bounds the
+    * distinct-key count the threshold path leans on). */
+  private def weightKey(weightCol: String): Column =
+    round(pow(unitHash(col("text")), lit(1.0) / col(weightCol)), 6)
+
+  /** k at which `weightedSample` switches to the threshold plan. */
+  val ThresholdCutover = 65536
+
+  /** Threshold-selection top-k over a frame carrying `w_key` + `doc_id`:
+    * exactly the rows `orderBy(w_key desc, doc_id asc).limit(k)` would
+    * keep, without ever holding k rows in one place.
+    *
+    *  1. per-key counts — the 6-decimal rounding bounds this aggregate
+    *     at 10^6+1 rows regardless of corpus size, so the running-total
+    *     window over it is bounded work, not corpus work;
+    *  2. the k-th key t = the largest key whose descending running
+    *     count reaches k (one 2-column row to the driver — the plan
+    *     constant for the filter, packShards-style);
+    *  3. keep every row with w_key > t (strictly fewer than k by
+    *     construction), plus the first (k - above) threshold-key rows in
+    *     doc_id order. The tie trim is a top-rem over ONLY the
+    *     threshold-key rows — normally a handful; it degrades toward
+    *     the plain top-k shape only if the key itself is degenerate
+    *     (all weights so extreme every key rounds equal). */
+  def weightedSampleByThreshold(base: DataFrame, k: Int): DataFrame = {
+    val counts = base.groupBy("w_key").agg(count(lit(1)).as("c"))
+    // bounded single-partition window (<= 10^6+1 rows, see step 1)
+    val cumW = Window.orderBy(col("w_key").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = counts
+      .withColumn("cum", sum("c").over(cumW))
+      .filter(col("cum") >= k)
+      .orderBy(col("w_key").desc)
+      .limit(1)
+      .select(col("w_key"), (col("cum") - col("c")).as("above"))
+      .collect()
+    if (thr.isEmpty) return base // corpus smaller than k: keep everything
+    val t = thr(0).getDouble(0)
+    val above = thr(0).getLong(1)
+    val rem = k - above // > 0: cum first reached k AT this key
+    val ties = base.filter(col("w_key") === t)
+      .orderBy(col("doc_id").asc)
+      .limit(rem.toInt)
+    base.filter(col("w_key") > t).unionByName(ties)
   }
 
   /** Token-budget shard packing: documents in doc_id order are cut into

@@ -287,6 +287,57 @@ object TextDedup {
       sigs.filter(col("doc_id") % 20 === 0), JaccardThreshold)
   }
 
+  /** Exact n-gram CONTAINMENT contamination — the published benchmark-
+    * decontamination recipe (flag a training doc if any n-gram of a
+    * benchmark doc appears in it verbatim; n = 13 words is the
+    * convention): the complement of the banded-minhash flagger above,
+    * which catches near-dups but can miss a verbatim quote embedded in
+    * an otherwise-different doc.
+    *
+    * A benchmark doc shorter than n words contributes its whole text as
+    * one gram (the shinglesOf convention — a short doc still
+    * decontaminates). Returns (doc_id, bench_id, n_hits) with n_hits =
+    * DISTINCT benchmark n-grams of bench_id found verbatim in doc_id.
+    *
+    * Plan shape: the benchmark side is tiny by definition, so its
+    * exploded distinct gram table BROADCASTS (the explicit hint keeps
+    * the shape scale-invariant); the corpus side streams its grams
+    * through the broadcast hash join — cost is one corpus scan +
+    * explode, never |corpus| x |bench|, and the only shuffle is the
+    * per-pair count. Grams join as raw strings: genuinely exact (no
+    * hash-collision caveat) and the 13-word keys only exist on the
+    * match side of the broadcast join, never in a shuffle. */
+  def exactNgramContamination(corpus: DataFrame, bench: DataFrame,
+                              n: Int = 13): DataFrame = {
+    require(n >= 1, s"n=$n must be positive")
+    def grams(d: DataFrame, idAs: String) = d
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id").as(idAs), explode(ngramsOf(col("ws"), n)).as("gram"))
+      .distinct()
+    grams(corpus, "doc_id")
+      .join(broadcast(grams(bench, "bench_id")), "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** Word n-grams of an already-materialized words column (generalizes
+    * TextHashing.shinglesOf beyond n = 3, same short-doc convention). */
+  private def ngramsOf(ws: Column, n: Int): Column =
+    when(size(ws) < n, array(concat_ws(" ", ws)))
+      .otherwise(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+
+  /** Exact-containment decontamination as an oracle-checkable query:
+    * same corpus/benchmark split as `decontamination`, n = 13. */
+  def decontaminationNgram(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    exactNgramContamination(
+      d.filter(col("doc_id") % 20 =!= 0),
+      d.filter(col("doc_id") % 20 === 0), n = 13)
+  }
+
   /** 48-bit SimHash signatures over distinct words (md5-hashed): bit j is
     * the sign of the vote sum over words of (+1 / -1 on word-hash bit j).
     * 48 bits keeps the signature and band arithmetic inside Long; votes

@@ -43,13 +43,47 @@ object TextRanking {
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Ceiling for the IN-SESSION postings cache, as estimated cache bytes
+    * (session conf `graft.bm25.maxSessionCacheBytes`; default 16 GiB —
+    * comfortable on the 128 GiB harness box, and guaranteed to trip long
+    * before a 100 TB corpus). The estimate is metadata-only:
+    * `PostingsBytesPerDocByte` x the on-disk parquet bytes of
+    * documents.parquet (tokenizing explodes each document into one row
+    * per term occurrence, and parquet text compresses a few-fold — 8x
+    * decompressed-and-exploded is deliberately pessimistic; the gate
+    * exists to stop corpus-scale pinning, not to tune within 2x). */
+  val MaxSessionCacheBytesConf = "graft.bm25.maxSessionCacheBytes"
+  val DefaultMaxSessionCacheBytes: Long = 16L * 1024 * 1024 * 1024
+  val PostingsBytesPerDocByte = 8L
+
+  private def sessionCacheFits(spark: SparkSession, dir: String): Boolean = {
+    val bound = spark.conf.getOption(MaxSessionCacheBytesConf)
+      .map(_.toLong).getOrElse(DefaultMaxSessionCacheBytes)
+    val est = PostingsBytesPerDocByte *
+      graft.core.Fs.sizeBytes(spark, s"$dir/documents.parquet")
+    est <= bound
+  }
+
+  private val overBoundWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   /** The inverted index: one row per (doc, term) with the term frequency
     * and the document length (denormalized onto every posting so scoring
-    * needs no second join). Session-cached; if documents.parquet is
+    * needs no second join). Session-cached while the corpus fits the
+    * `MaxSessionCacheBytesConf` estimate; if documents.parquet is
     * rewritten mid-session call
-    * `SessionCache.invalidate(spark, "bm25_postings", dir)`. */
-  def postings(spark: SparkSession, dir: String): DataFrame =
-    graft.core.SessionCache.getOrBuild(spark, "bm25_postings", dir) {
+    * `SessionCache.invalidate(spark, "bm25_postings", dir)`.
+    *
+    * CONTRACT over the bound: the in-session fallback would pin the
+    * whole tokenized corpus (O(corpus tokens) rows) in executor
+    * memory+disk for the session's lifetime, so past the estimate the
+    * probe is served from an UNCACHED plan instead — still correct,
+    * but every probe pays a tokenize-and-aggregate scan. That tax is
+    * the signal: a corpus past the bound should `buildTextIndex` once
+    * and let probes prune the persisted bucket partitions (the warning
+    * says exactly that, once per session+dir). */
+  def postings(spark: SparkSession, dir: String): DataFrame = {
+    def build = {
       val wrd = docs(spark, dir)
         .select(col("doc_id"), words(col("text")).as("ws"))
       val dl = wrd.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
@@ -60,6 +94,17 @@ object TextRanking {
         .join(dl, "doc_id")
         .select("doc_id", "term", "tf", "dl")
     }
+    if (sessionCacheFits(spark, dir))
+      graft.core.SessionCache.getOrBuild(spark, "bm25_postings", dir)(build)
+    else {
+      if (overBoundWarned.add((spark, dir)))
+        System.err.println(s"[graft] documents at $dir exceed the in-session " +
+          "text-index cache bound: serving UNCACHED postings (every probe " +
+          "re-tokenizes). Build the persisted index (buildTextIndex) so " +
+          "probes prune its bucket partitions instead.")
+      build
+    }
+  }
 
   /** The lexicon: document frequency per term. Vocabulary-sized, so the
     * planner broadcasts it wherever it joins. */

@@ -61,6 +61,16 @@ object MixSmoke {
         val key = round(pow(graft.ops.TextHashing.md5Long(col("text")) /
           lit(1152921504606846976.0), lit(1.0) / col("n_chars")), 6)
         d.withColumn("w_key", key).orderBy(col("w_key").desc).limit(1000)
+      },
+      // the training-sampler shape: k = 1M via threshold selection —
+      // per-key counting + a filter, nothing k-sized on the driver; the
+      // row's 1x→10x ratio should track the scan, not k
+      "weighted_1m" -> { n =>
+        val d = docs(n)
+        val key = round(pow(graft.ops.TextHashing.md5Long(col("text")) /
+          lit(1152921504606846976.0), lit(1.0) / col("n_chars")), 6)
+        graft.ops.Mixing.weightedSampleByThreshold(
+          d.withColumn("w_key", key), k = 1000000)
       })
 
     println(f"${"operator"}%-12s ${"1x(s)"}%8s ${"10x(s)"}%8s ratio   (1x = $base docs)")

@@ -71,6 +71,14 @@ class PlanSpec extends SparkSpec {
       s"benchmark-side join must not shuffle-join at any scale:\n$p")
   }
 
+  test("exact n-gram contamination: benchmark grams broadcast, corpus never shuffles for the join") {
+    val p = plan(TextDedup.decontaminationNgram(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast gram join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the gram join must not shuffle the corpus at any scale:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in contamination plan:\n$p")
+  }
+
   test("similarity top-k: query side broadcast, no shuffle of the corpus for the join") {
     val p = plan(Similarity.bruteForceTopK(spark, dir))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

@@ -61,6 +61,17 @@ class ObsSpec extends SparkSpec {
         "gate-latency histogram series must be exposed")
       assert(metrics.contains("graft_memory_used_bytes "))
 
+      // process-health gauges (reference monitoring/metrics.go:31-39
+      // parity: cpu usage + goroutine-analog thread count), numeric so
+      // the scrape parses
+      val cpu = """graft_cpu_usage (-?[0-9.]+)""".r
+        .findFirstMatchIn(metrics).map(_.group(1).toDouble)
+      assert(cpu.isDefined, s"no graft_cpu_usage gauge in exposition:\n$metrics")
+      assert(cpu.get <= 1.0, s"cpu usage must be a fraction (or -1 pre-sample): $cpu")
+      val thr = """graft_threads (\d+)""".r
+        .findFirstMatchIn(metrics).map(_.group(1).toInt)
+      assert(thr.exists(_ > 0), s"thread-count gauge must be positive:\n$metrics")
+
       // per-worker stats (reference models/stats.go WorkerStats):
       // labeled series keyed by executor id — local[*] runs everything
       // under the driver, so exactly that worker row must appear with

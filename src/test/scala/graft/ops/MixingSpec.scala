@@ -74,6 +74,27 @@ class MixingSpec extends SparkSpec {
     assert(wider.take(10) === top.map(_.getLong(0)).toSeq)
   }
 
+  test("weighted sample threshold plan == top-k plan, row for row") {
+    val base = Mixing.docs(spark, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("w_key", round(pow(Mixing.unitHash(col("text")),
+        lit(1.0) / col("n_chars")), 6))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    for (k <- Seq(1, 10, 57, 200)) {
+      val top = base.orderBy(col("w_key").desc, col("doc_id").asc).limit(k)
+      assert(ids(Mixing.weightedSampleByThreshold(base, k)) === ids(top),
+        s"threshold selection diverged from top-k at k=$k")
+    }
+    // k past the corpus: every surviving row, no error
+    val n = base.count()
+    assert(Mixing.weightedSampleByThreshold(base, (n + 100).toInt).count() === n)
+    // degenerate all-tied keys: the tie trim IS the whole selection
+    val tied = base.withColumn("w_key", lit(0.5))
+    assert(ids(Mixing.weightedSampleByThreshold(tied, 7)) ===
+      ids(tied.orderBy(col("w_key").desc, col("doc_id").asc).limit(7)))
+  }
+
   test("pack: shard assignment is partition-count invariant (the prefix sum is exact)") {
     import spark.implicits._
     val tok = (0L until 97L).map(i => (i, 1L + (i * 7) % 23)).toDF("doc_id", "n_tok")

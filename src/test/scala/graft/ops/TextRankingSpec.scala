@@ -117,6 +117,23 @@ class TextRankingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("session-cache bound: over-bound corpus serves uncached postings, same scores") {
+    val d2 = writeFixture()
+    val q = Seq("spark", "join", "window")
+    val cachedScores = TextRanking.bm25TopK(spark, d2, q, 10).collect().map(_.toString).toSeq
+    assert(graft.core.SessionCache.contains(spark, "bm25_postings", d2),
+      "an in-bound corpus must install the session cache")
+    graft.core.SessionCache.invalidate(spark, "bm25_postings", d2)
+    graft.core.SessionCache.invalidate(spark, "bm25_df", d2)
+    spark.conf.set(TextRanking.MaxSessionCacheBytesConf, "1")
+    try {
+      val uncached = TextRanking.bm25TopK(spark, d2, q, 10).collect().map(_.toString).toSeq
+      assert(uncached === cachedScores, "the cache gate must never change scores")
+      assert(!graft.core.SessionCache.contains(spark, "bm25_postings", d2),
+        "an over-bound corpus must NOT pin the tokenized postings in the session")
+    } finally spark.conf.unset(TextRanking.MaxSessionCacheBytesConf)
+  }
+
   test("persisted text index: pruned probe, identical scores, crash-safe fallback") {
     val d2 = writeFixture()
     val q = Seq("spark", "join", "window")
