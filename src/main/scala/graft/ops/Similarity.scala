@@ -196,10 +196,21 @@ object Similarity {
     * The default threshold is the fixture-tuned oracle value (the
     * fixture's max pairwise cosine is ~0.51); real corpora pass their
     * own — 0.9+ for true near-dup gating. The candidate stage's recall
-    * vs brute-force pairs is measured in docs/SCALING.md (AnnRecall). */
+    * vs brute-force pairs is measured in docs/SCALING.md (AnnRecall).
+    *
+    * SCALE LAW (measured, sf0.1→sf1 bench): in-bucket pair count is
+    * quadratic in bucket POPULATION, so with a fixed bucket count the
+    * verify cost grows ~(corpus growth)² — the 10x corpus measured 33x.
+    * `nBits` is the lever: bucket population is n / 2^nBits, so hold it
+    * constant by growing nBits with log2(n) (each extra bit halves the
+    * verify work; recall falls as a near-dup pair must now agree on
+    * more sign bits — at 0.9+ thresholds the per-bit agreement odds are
+    * high, NearDupProbe measures the tradeoff). For corpus-scale
+    * near-dup gating past what one table's recall affords, the
+    * banded/multi-probe shape is `incrementalNearDup` (Hamming-1
+    * probes) — the streaming gate's recipe. */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       threshold: Double = 0.35): DataFrame = {
-    val nBits = 4
+                       threshold: Double = 0.35, nBits: Int = 4): DataFrame = {
     val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
     e.as("a").join(e.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))

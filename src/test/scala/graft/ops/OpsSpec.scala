@@ -296,6 +296,19 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(p01.get.getAs[Double]("cos_sim") - 1.0) < 1e-5)
   }
 
+  test("embedding near-dup nBits lever: wider buckets refine, never invent pairs") {
+    def pairSet(b: Int) = Similarity.embeddingNearDup(spark, dir, nBits = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p4 = pairSet(4)
+    val p8 = pairSet(8)
+    // bits 0-3 are shared, so agreeing on 8 bits implies agreeing on 4:
+    // every 8-bit pair must already be a 4-bit pair (the lever can only
+    // SHED candidates), and the colinear pair (sign-identical on every
+    // dim) survives any width
+    assert(p8.subsetOf(p4), s"8-bit pairs not a subset: ${p8 -- p4}")
+    assert(p8.contains((0L, 1L)), "colinear pair must survive narrower buckets")
+  }
+
   test("brute-force top-k ranks the colinear vector first") {
     val top = Similarity.bruteForceTopK(spark, dir)
       .filter(col("qid") === 0).collect()
