@@ -350,6 +350,24 @@ object Graft {
                        threshold: Double = 0.35): org.apache.spark.sql.DataFrame =
     ops.TextDedup.semanticClusters(spark, dir, threshold)
 
+  /** Decontamination, near-dup flavor: training docs whose banded
+    * MinHash signature near-matches a benchmark doc (catches paraphrase
+    * and partial-overlap leakage). Benchmark side broadcasts — the
+    * corpus never shuffles for it. */
+  def decontaminate(corpus: org.apache.spark.sql.DataFrame,
+                    bench: org.apache.spark.sql.DataFrame,
+                    threshold: Double = 0.2): org.apache.spark.sql.DataFrame =
+    ops.TextDedup.crossCorpusNearDups(corpus, bench, threshold)
+
+  /** Decontamination, exact flavor: training docs containing any
+    * verbatim `n`-gram of a benchmark doc (the published benchmark-
+    * hygiene recipe; n = 13 words by convention) — the complement of
+    * the near-dup flagger for embedded quotes. */
+  def decontaminateExact(corpus: org.apache.spark.sql.DataFrame,
+                         bench: org.apache.spark.sql.DataFrame,
+                         n: Int = 13): org.apache.spark.sql.DataFrame =
+    ops.TextDedup.exactNgramContamination(corpus, bench, n)
+
   /** Temperature-weighted domain resampling (shares ∝ n_d^alpha, expected
     * output `frac` of the corpus) — deterministic: the Bernoulli draw is
     * the document's content hash, so the same corpus always yields the

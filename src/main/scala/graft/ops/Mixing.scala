@@ -201,12 +201,12 @@ object Mixing {
     *  2. per-partition token totals to the driver — one row PER
     *     PARTITION, never per doc;
     *  3. a map over each partition adds its exclusive offset to the
-    *     running sum. The two passes are separate jobs over the same
-    *     deterministic plan (range boundaries come from a seeded sample
-    *     of the same scan, so the partitionings are identical); a caller
-    *     that materializes the output immediately can persist the narrow
-    *     (id, tokens) projection to trade memory for the second
-    *     exchange.
+    *     running sum. Both passes act on the SAME RDD lineage, so the
+    *     scan + range shuffle's map stage execute once — the scheduler
+    *     reuses a computed shuffle stage across jobs on one lineage —
+    *     and only the cheap post-shuffle result stage runs twice. (The
+    *     earlier formulation planned pass 1 as a separate DataFrame
+    *     aggregation, which re-ran the scan and shuffle.)
     *
     * All arithmetic is exact longs — no float drift anywhere — which is
     * why the assignment hash-matches a single-node window computation
@@ -221,16 +221,23 @@ object Mixing {
       .select(col(idCol).cast("long").as("id"), col(tokenCol).cast("long").as("tokens"))
       .repartitionByRange(p, col("id"))
       .sortWithinPartitions("id")
-    // pass 1: per-partition totals (partition-count rows, driver-bounded)
-    val partSums = ordered
-      .groupBy(spark_partition_id().as("pid")).agg(sum("tokens").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ONE materialized plan for both passes (see scaladoc): toRdd is
+    // memoized per QueryExecution, so pass 1 and pass 2 share the
+    // shuffle dependency instead of re-planning it
+    val rdd = ordered.queryExecution.toRdd
+    // pass 1: per-partition totals (partition-count rows, driver-bounded;
+    // summation is order-free so the partition sort is irrelevant here)
+    val partSums = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var t = 0L
+      it.foreach(t += _.getLong(1))
+      Iterator.single(pid -> t)
+    }.collect().toMap
     val offsets = (0 until p).scanLeft(0L)((acc, pid) => acc + partSums.getOrElse(pid, 0L))
     val bOffsets = spark.sparkContext.broadcast(offsets.toArray)
-    // pass 2: per-partition running sum + broadcast offset (reuses the
-    // pass-1 shuffle; genuine per-partition imperative logic, the one
-    // place mapPartitions earns its keep)
-    val rows = ordered.queryExecution.toRdd.mapPartitionsWithIndex { case (pid, it) =>
+    // pass 2: per-partition running sum + broadcast offset (genuine
+    // per-partition imperative logic, the one place mapPartitions earns
+    // its keep)
+    val rows = rdd.mapPartitionsWithIndex { case (pid, it) =>
       var cum = bOffsets.value(pid)
       it.map { ir =>
         val id = ir.getLong(0)
