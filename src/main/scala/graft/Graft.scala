@@ -350,6 +350,18 @@ object Graft {
                        threshold: Double = 0.35): org.apache.spark.sql.DataFrame =
     ops.TextDedup.semanticClusters(spark, dir, threshold)
 
+  /** Context-window chunking: split documents into ~maxTokens-word
+    * pieces with `overlap` carried words — a pure narrow projection +
+    * explode, no shuffle. */
+  def chunkDocuments(spark: SparkSession, dir: String, maxTokens: Int = 64,
+                     overlap: Int = 8): org.apache.spark.sql.DataFrame =
+    ops.TextAnalysis.chunkDocuments(spark, dir, maxTokens, overlap)
+
+  /** Dedup survivors under the production keep-rule: the best-quality
+    * doc per near-dup cluster (quality desc, id asc), not min-id. */
+  def dedupKeepBest(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    ops.TextDedup.dedupKeepBest(spark, dir)
+
   /** Decontamination, near-dup flavor: training docs whose banded
     * MinHash signature near-matches a benchmark doc (catches paraphrase
     * and partial-overlap leakage). Benchmark side broadcasts — the

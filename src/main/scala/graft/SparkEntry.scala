@@ -78,6 +78,9 @@ object SparkEntry {
     "dedup_minhash" -> (TextDedup.minhashLsh _),
     "dedup_minhash_clusters" -> (TextDedup.minhashClusters _),
     "dedup_cluster_histogram" -> (TextDedup.minhashClusterHistogram _),
+    // the production keep-rule: best doc per near-dup cluster by
+    // (quality desc, id asc), not an arbitrary min-id
+    "dedup_keep_best" -> (TextDedup.dedupKeepBest _),
     "dedup_minhash_est" -> (TextDedup.minhashEst _),
     "decontamination" -> (TextDedup.decontamination _),
     // exact 13-gram containment (the verbatim-quote complement of the
@@ -123,6 +126,9 @@ object SparkEntry {
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
+    // context-window chunking (64-word chunks, 8-word overlap)
+    "chunk_documents" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.chunkDocuments(s, d)),
     // -- dataset mixing --
     "temperature_mix" -> (Mixing.temperatureMixStats _),
     "quota_sample" -> (Mixing.quotaSampleStats _),
@@ -933,6 +939,24 @@ object SparkEntry {
          |$MinhashPairsCtes,
          |${docComponentsSql("mhp")}""".stripMargin,
 
+    // same cluster algebra, production keep-rule (mirrors
+    // TextDedup.dedupKeepBest: quality formula = the text_quality /
+    // pipeline_filtered_docs oracle's, digit for digit)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |${docComponentsCtes("mhp")},
+         |cl AS (SELECT doc_id, cluster_rep, cluster_size FROM allc JOIN rep USING (comp)),
+         |qb AS (SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS n_words,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio
+         |  FROM documents),
+         |qq AS (SELECT doc_id, round(least(CAST(1.0 AS DOUBLE), n_words / 50.0) * (CAST(1.0 AS DOUBLE) - punct_ratio), 4) AS quality_score FROM qb),
+         |rk AS (SELECT cl.doc_id, cluster_rep, cluster_size, qq.quality_score,
+         |  row_number() OVER (PARTITION BY cluster_rep ORDER BY qq.quality_score DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN qq ON qq.doc_id = cl.doc_id)
+         |SELECT doc_id, cluster_rep, cluster_size, quality_score FROM rk WHERE rn = 1
+         |ORDER BY cluster_rep""".stripMargin,
+
     // cluster-size histogram over the same verified minhash components
     "dedup_cluster_histogram" ->
       s"""WITH RECURSIVE $JaccardCte,
@@ -1187,6 +1211,19 @@ object SparkEntry {
     "token_histogram" ->
       s"""SELECT (CAST(len($WordsSql) AS BIGINT) // 10) * 10 AS bucket_lo, count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+
+    // mirrors TextAnalysis.chunkDocuments (maxTokens=64, overlap=8,
+    // stride=56): Spark slice(ws, start, LENGTH 64) == DuckDB
+    // list_slice(ws, start, END start+63), both end-clamped
+    "chunk_documents" ->
+      s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |n AS (SELECT doc_id, ws, len(ws) AS n FROM wrd),
+         |c AS (SELECT doc_id, ws, greatest(CAST(1 AS BIGINT), CAST(ceil((n - 8) / 56.0) AS BIGINT)) AS n_chunks FROM n),
+         |x AS (SELECT doc_id, ws, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c),
+         |y AS (SELECT doc_id, chunk_idx, list_slice(ws, chunk_idx*56 + 1, chunk_idx*56 + 64) AS cw FROM x)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  array_to_string(cw, ' ') AS chunk_text, CAST(len(cw) AS BIGINT) AS n_tokens
+         |FROM y ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the mixing samplers draw from u = md5Long(text)/2^60 — BIGINT over
     // a DOUBLE cast of an exact power of two, so both engines compute

@@ -175,6 +175,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
 
+  /** Context-window chunking — the training-prep step that splits long
+    * documents into ~`maxTokens`-word pieces with `overlap` words of
+    * carried context (stride = maxTokens - overlap; chunk i covers
+    * words [i·stride+1, i·stride+maxTokens]). Documents shorter than
+    * maxTokens yield themselves as chunk 0; the chunk count
+    * max(1, ceil((n - overlap) / stride)) guarantees every word lands
+    * in some chunk and no chunk starts past the text.
+    *
+    * Pure narrow projection + posexplode — per-doc work is linear in
+    * its length, no shuffle at all (the explode multiplies rows inside
+    * the scan's partitions), so the operator scales with corpus bytes
+    * exactly like a projection. Returns (doc_id, chunk_idx, chunk_text,
+    * n_tokens). */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     maxTokens: Int = 64, overlap: Int = 8): DataFrame =
+    chunkDocumentsDf(docs(spark, dir), maxTokens, overlap)
+
+  /** Frame-shaped core of `chunkDocuments` (needs doc_id + text). */
+  def chunkDocumentsDf(d: DataFrame, maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens=$maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap=$overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val nChunks = greatest(lit(1L),
+      ceil((size(col("ws")) - lit(overlap)) / lit(stride.toDouble)).cast("long"))
+    d.withColumn("ws", words(col("text")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => slice(col("ws"), (i * stride + 1).cast("int"), lit(maxTokens)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Token-count histogram: docs bucketed by word-count decade — the
     * length-distribution panel of a dataset card. */
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =

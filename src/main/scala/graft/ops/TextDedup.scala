@@ -457,6 +457,33 @@ object TextDedup {
     clustersFromPairs(spark, dir,
       minhashPairs(spark, dir).select("doc_a", "doc_b"), "minhash_clusters")
 
+  /** Dedup with the PRODUCTION keep-rule: one survivor per MinHash
+    * near-dup cluster, chosen by (quality_score desc, doc_id asc)
+    * instead of min-id — real pipelines keep the best-written copy of a
+    * duplicated document, not an arbitrary one. Quality is the same
+    * heuristic the curation gate scores with (TextAnalysis.withQuality),
+    * so the survivor set is consistent with the filtering stage.
+    *
+    * Cost = the cluster table (cached per session) + one quality
+    * projection + one window over clusters — the window's partition
+    * count is the CLUSTER count and its rows-per-partition the cluster
+    * size, both bounded by the dedup structure, never the corpus.
+    * Returns the survivors only: (doc_id, cluster_rep, cluster_size,
+    * quality_score); singletons survive trivially. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.withQuality(docs(spark, dir))
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_rep")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    minhashClusters(spark, dir)
+      .join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "cluster_rep", "cluster_size", "quality_score")
+      .orderBy("cluster_rep")
+  }
+
   /** Cluster-size histogram over the MinHash near-dup clusters — the
     * dataset-card number ("how much of the corpus is duplicated, at
     * what multiplicity"): one row per distinct cluster size with the

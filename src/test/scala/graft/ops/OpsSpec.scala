@@ -36,6 +36,49 @@ class OpsSpec extends SparkSpec {
     assert(dupGroup.length === 1 && dupGroup(0).getAs[Long]("keep_id") === 2L)
   }
 
+  test("keep-best dedup: one survivor per cluster, and it is the best-quality one") {
+    val clusters = TextDedup.minhashClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val q = TextAnalysis.withQuality(TextDedup.docs(spark, dir))
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kept = TextDedup.dedupKeepBest(spark, dir).collect()
+    // exactly one survivor per cluster_rep, covering every cluster
+    val reps = clusters.values.map(_._1).toSet
+    assert(kept.map(_.getLong(1)).toSeq.sorted === reps.toSeq.sorted)
+    // the survivor's quality is the max over its cluster members
+    for (r <- kept) {
+      val rep = r.getLong(1)
+      val members = clusters.collect { case (id, (cr, _)) if cr == rep => id }
+      val best = members.map(q).max
+      assert(q(r.getLong(0)) === best,
+        s"cluster $rep kept ${r.getLong(0)} (q=${q(r.getLong(0))}) over max $best")
+    }
+  }
+
+  test("chunking: full coverage with exact overlap, no chunk past maxTokens") {
+    val maxT = 5; val ov = 2; val stride = maxT - ov
+    import spark.implicits._
+    val d = Seq((0L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 11 words
+                (1L, "a b c"), (2L, "single")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocumentsDf(d, maxT, ov).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val c0 = out(0L).map(_.getString(2))
+    assert(out(0L).forall(_.getLong(3) <= maxT), "no chunk exceeds maxTokens")
+    // consecutive chunks overlap by exactly `ov` words while full
+    for (Array(a, b) <- c0.sliding(2).toSeq if a.split(" ").length == maxT) {
+      assert(a.split(" ").takeRight(ov).toSeq === b.split(" ").take(ov).toSeq,
+        s"overlap violated between '$a' and '$b'")
+    }
+    // every word appears in some chunk, in order (coverage)
+    val covered = c0.flatMap(_.split(" ")).distinct
+    assert(covered.toSeq === (0 to 10).map(i => s"w$i"),
+      s"coverage broken: ${covered.toSeq}")
+    // short docs are exactly one chunk = themselves
+    assert(out(1L).map(_.getString(2)).toSeq === Seq("a b c"))
+    assert(out(2L).map(_.getString(2)).toSeq === Seq("single"))
+  }
+
   test("ngram jaccard finds the near-identical and the identical pair") {
     val pairs = TextDedup.ngramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSeq
