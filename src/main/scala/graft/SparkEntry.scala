@@ -129,10 +129,16 @@ object SparkEntry {
     // context-window chunking (64-word chunks, 8-word overlap)
     "chunk_documents" -> ((s: SparkSession, d: String) =>
       TextAnalysis.chunkDocuments(s, d)),
+    // the first BPE merge table (corpus-weighted char-pair counts)
+    "bpe_top_pairs" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTopPairs(s, d)),
     // -- dataset mixing --
     "temperature_mix" -> (Mixing.temperatureMixStats _),
     "quota_sample" -> (Mixing.quotaSampleStats _),
     "weighted_sample" -> (Mixing.weightedSampleTopK _),
+    // the threshold (large-k) plan, oracle-pinned at small k — must
+    // select the identical rows
+    "weighted_sample_threshold" -> (Mixing.weightedSampleThresholdFace _),
     "pack_shards" -> (Mixing.packShardsManifest _),
     "cross_modal" -> (TextAnalysis.crossModal _),
     // -- keyword & hybrid retrieval --
@@ -1212,6 +1218,16 @@ object SparkEntry {
       s"""SELECT (CAST(len($WordsSql) AS BIGINT) // 10) * 10 AS bucket_lo, count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
 
+    // mirrors TextAnalysis.bpeTopPairs: word-count weighting, substr
+    // pair windows, (n desc, pair asc) total order
+    "bpe_top_pairs" ->
+      s"""WITH w AS (SELECT unnest($WordsSql) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS wcnt FROM w GROUP BY 1),
+         |p AS (SELECT unnest(list_transform(generate_series(1, length(word)-1), i -> substr(word, i, 2))) AS pair, wcnt
+         |  FROM wc WHERE length(word) >= 2),
+         |a AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS n FROM p GROUP BY 1)
+         |SELECT pair, n FROM a ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     // mirrors TextAnalysis.chunkDocuments (maxTokens=64, overlap=8,
     // stride=56): Spark slice(ws, start, LENGTH 64) == DuckDB
     // list_slice(ws, start, END start+63), both end-clamped
@@ -1249,6 +1265,15 @@ object SparkEntry {
          |FROM r WHERE rn <= 30 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "weighted_sample" ->
+      s"""SELECT doc_id, round(pow(${md5LongSql("text")} / CAST(1152921504606846976 AS DOUBLE),
+         |    CAST(1.0 AS DOUBLE) / n_chars), 6) AS w_key
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY w_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // the threshold plan selects the SAME rows as the top-k plan, so it
+    // shares the oracle verbatim — hash equality proves the two shapes
+    // agree on a real corpus, not just the spec fixture
+    "weighted_sample_threshold" ->
       s"""SELECT doc_id, round(pow(${md5LongSql("text")} / CAST(1152921504606846976 AS DOUBLE),
          |    CAST(1.0 AS DOUBLE) / n_chars), 6) AS w_key
          |FROM documents WHERE n_chars > 0

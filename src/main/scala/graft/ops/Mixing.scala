@@ -279,6 +279,19 @@ object Mixing {
       .select("doc_id", "w_key")
       .orderBy(col("w_key").desc, col("doc_id").asc)
 
+  /** The THRESHOLD plan under the oracle at small k: same selection as
+    * `weightedSampleTopK` (the two shapes are provably identical), run
+    * through `weightedSampleByThreshold` so the scale path is
+    * hash-pinned end-to-end, not just spec-asserted. */
+  def weightedSampleThresholdFace(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("w_key", weightKey("n_chars"))
+    weightedSampleByThreshold(base, k = 50)
+      .select("doc_id", "w_key")
+      .orderBy(col("w_key").desc, col("doc_id").asc)
+  }
+
   /** Shard manifest for packing the documents table at 2000 whitespace
     * tokens per shard: shard → docs, token total, id span. */
   def packShardsManifest(spark: SparkSession, dir: String): DataFrame = {

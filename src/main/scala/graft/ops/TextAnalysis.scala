@@ -191,8 +191,11 @@ object TextAnalysis {
   def chunkDocuments(spark: SparkSession, dir: String,
                      maxTokens: Int = 64, overlap: Int = 8): DataFrame =
     chunkDocumentsDf(docs(spark, dir), maxTokens, overlap)
+      .orderBy("doc_id", "chunk_idx") // query-face determinism only
 
-  /** Frame-shaped core of `chunkDocuments` (needs doc_id + text). */
+  /** Frame-shaped core of `chunkDocuments` (needs doc_id + text) —
+    * UNSORTED: the chunk explosion itself is a pure narrow projection
+    * (no exchange anywhere); the dir-face adds the presentation sort. */
   def chunkDocumentsDf(d: DataFrame, maxTokens: Int, overlap: Int): DataFrame = {
     require(maxTokens > 0, s"maxTokens=$maxTokens must be positive")
     require(overlap >= 0 && overlap < maxTokens,
@@ -207,8 +210,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         concat_ws(" ", col("col")).as("chunk_text"),
         size(col("col")).cast("long").as("n_tokens"))
-      .orderBy("doc_id", "chunk_idx")
   }
+
+  /** The first BPE merge table: corpus-weighted adjacent character-pair
+    * frequencies over the word vocabulary — what a byte-pair-encoding
+    * tokenizer trainer computes each round to pick its next merge
+    * (counts weighted by word occurrence, the classic formulation).
+    * `k` = how many top pairs to return (n desc, pair asc tie-break).
+    *
+    * Scale shape: the first aggregation collapses the corpus to its
+    * VOCABULARY (the standard word-count shuffle — at 100 TB this is
+    * the only corpus-sized stage and it partial-aggregates map-side);
+    * pair explosion and the second aggregation run over vocab-sized
+    * data, and the top-k is a TakeOrderedAndProject. */
+  def bpeTopPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    docs(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .filter(length(col("word")) >= 2)
+      .withColumn("pair",
+        explode(expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")))
+      .groupBy("pair").agg(sum("wcnt").cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
 
   /** Token-count histogram: docs bucketed by word-count decade — the
     * length-distribution panel of a dataset card. */

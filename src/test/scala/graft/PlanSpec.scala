@@ -71,6 +71,12 @@ class PlanSpec extends SparkSpec {
       s"benchmark-side join must not shuffle-join at any scale:\n$p")
   }
 
+  test("chunking is a pure narrow projection: no exchange anywhere in the plan") {
+    val p = plan(ops.TextAnalysis.chunkDocumentsDf(ops.TextAnalysis.docs(spark, dir), 64, 8))
+    assert(!p.contains("Exchange"), s"chunk explosion must not shuffle:\n$p")
+    assert(!p.contains("Sort"), s"the unsorted core must not sort:\n$p")
+  }
+
   test("exact n-gram contamination: benchmark grams broadcast, corpus never shuffles for the join") {
     val p = plan(TextDedup.decontaminationNgram(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"expected a broadcast gram join:\n$p")
