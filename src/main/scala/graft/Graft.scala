@@ -362,6 +362,15 @@ object Graft {
   def dedupKeepBest(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     ops.TextDedup.dedupKeepBest(spark, dir)
 
+  /** Leakage-free train/val/test split: assignment by near-dup CLUSTER,
+    * so a document and its near-duplicates always share a split and
+    * eval never scores paraphrases of training data. Keep the default
+    * dyadic fractions (or pass others whose sum is IEEE-exact). */
+  def leakageFreeSplit(spark: SparkSession, dir: String,
+                       trainFrac: Double = 0.75,
+                       valFrac: Double = 0.125): org.apache.spark.sql.DataFrame =
+    ops.TextDedup.leakageFreeSplit(spark, dir, trainFrac, valFrac)
+
   /** Decontamination, near-dup flavor: training docs whose banded
     * MinHash signature near-matches a benchmark doc (catches paraphrase
     * and partial-overlap leakage). Benchmark side broadcasts — the

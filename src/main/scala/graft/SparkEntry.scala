@@ -81,6 +81,8 @@ object SparkEntry {
     // the production keep-rule: best doc per near-dup cluster by
     // (quality desc, id asc), not an arbitrary min-id
     "dedup_keep_best" -> (TextDedup.dedupKeepBest _),
+    // leakage-free split audit: near-dup clusters assigned whole
+    "leakage_free_split" -> (TextDedup.leakageFreeSplitStats _),
     "dedup_minhash_est" -> (TextDedup.minhashEst _),
     "decontamination" -> (TextDedup.decontamination _),
     // exact 13-gram containment (the verbatim-quote complement of the
@@ -944,6 +946,22 @@ object SparkEntry {
       s"""WITH RECURSIVE $JaccardCte,
          |$MinhashPairsCtes,
          |${docComponentsSql("mhp")}""".stripMargin,
+
+    // same cluster algebra, split drawn from md5("split:" || rep)/2^60
+    // against plain double thresholds (mirrors TextDedup.leakageFreeSplit)
+    "leakage_free_split" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |${docComponentsCtes("mhp")},
+         |cl AS (SELECT doc_id, cluster_rep FROM allc JOIN rep USING (comp)),
+         |sp AS (SELECT doc_id, cluster_rep,
+         |  CASE WHEN ${md5LongSql("concat('split:', CAST(cluster_rep AS VARCHAR))")} / CAST(1152921504606846976 AS DOUBLE) < CAST(0.75 AS DOUBLE) THEN 'train'
+         |       WHEN ${md5LongSql("concat('split:', CAST(cluster_rep AS VARCHAR))")} / CAST(1152921504606846976 AS DOUBLE) < CAST(0.875 AS DOUBLE) THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM cl)
+         |SELECT split, count(*) AS n_docs, count(DISTINCT cluster_rep) AS n_clusters,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     // same cluster algebra, production keep-rule (mirrors
     // TextDedup.dedupKeepBest: quality formula = the text_quality /

@@ -484,6 +484,49 @@ object TextDedup {
       .orderBy("cluster_rep")
   }
 
+  /** Leakage-free train/val/test split: the unit of assignment is the
+    * near-dup CLUSTER, not the document — a document and its
+    * near-duplicates always land in the SAME split, so eval can never
+    * score paraphrases of training data (the classic leakage failure a
+    * doc-level hash split commits silently). The draw is the 60-bit md5
+    * of "split:<cluster_rep>" scaled to [0,1): deterministic, engine-
+    * portable, and independent of the documents' own hashes (a doc's
+    * content influences WHICH cluster it joins, not where the cluster
+    * goes). Default fractions are DYADIC (0.75/0.125/0.125) so the val
+    * cut trainFrac + valFrac is exact in IEEE arithmetic — with 0.8/0.1
+    * the sum is 0.9000000000000001, not the 0.9 another engine's
+    * literal parses to, and a draw in that 2^-53 gap would split
+    * differently across engines.
+    *
+    * Cost = the cluster table (session-cached) + one broadcast-sized
+    * projection — no shuffle beyond what clustering already did.
+    * Returns (doc_id, cluster_rep, split). */
+  def leakageFreeSplit(spark: SparkSession, dir: String,
+                       trainFrac: Double = 0.75,
+                       valFrac: Double = 0.125): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      s"fractions train=$trainFrac val=$valFrac must leave room for test")
+    val u = md5Long(concat(lit("split:"), col("cluster_rep").cast("string"))) /
+      lit(1152921504606846976.0) // 2^60, exact
+    minhashClusters(spark, dir)
+      .withColumn("split",
+        when(u < trainFrac, "train")
+          .when(u < trainFrac + valFrac, "val")
+          .otherwise("test"))
+      .select("doc_id", "cluster_rep", "split")
+  }
+
+  /** `leakageFreeSplit` as an oracle-checkable audit: per split, the doc
+    * and cluster counts plus an id checksum — pins WHICH docs went
+    * where, not just how many. */
+  def leakageFreeSplitStats(spark: SparkSession, dir: String): DataFrame =
+    leakageFreeSplit(spark, dir)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster_rep").as("n_clusters"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("split")
+
   /** Cluster-size histogram over the MinHash near-dup clusters — the
     * dataset-card number ("how much of the corpus is duplicated, at
     * what multiplicity"): one row per distinct cluster size with the

@@ -56,6 +56,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("leakage-free split: a near-dup cluster never straddles splits") {
+    val s = TextDedup.leakageFreeSplit(spark, dir).collect()
+    assert(s.length === 5, "every doc gets a split")
+    val byCluster = s.groupBy(_.getLong(1))
+    assert(byCluster.forall { case (_, rows) =>
+      rows.map(_.getString(2)).distinct.length == 1 },
+      "cluster members must share one split")
+    // the near-identical pair (0,1) and the exact pair (2,3) co-travel
+    val split = s.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split(0L) === split(1L), "near-dups split apart: leakage")
+    assert(split(2L) === split(3L), "exact dups split apart: leakage")
+  }
+
   test("chunking: full coverage with exact overlap, no chunk past maxTokens") {
     val maxT = 5; val ov = 2; val stride = maxT - ov
     import spark.implicits._
