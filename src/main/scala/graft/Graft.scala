@@ -397,6 +397,14 @@ object Graft {
                      alpha: Double = 0.5, frac: Double = 0.3): org.apache.spark.sql.DataFrame =
     ops.Mixing.temperatureMix(spark, dir, domainCol, alpha, frac)
 
+  /** The upsampling half of temperature mixing: uncapped tempered rates
+    * (floor(p_d) whole copies + a deterministic Bernoulli remainder),
+    * rows carrying a 0-based `epoch` copy index — small domains repeat
+    * across epochs instead of merely keeping every doc. */
+  def epochRepeatMix(spark: SparkSession, dir: String, domainCol: String = "source",
+                     alpha: Double = 0.5, frac: Double = 0.3): org.apache.spark.sql.DataFrame =
+    ops.Mixing.epochRepeatMix(spark, dir, domainCol, alpha, frac)
+
   /** Cap every domain at `cap` docs, chosen by content-hash priority (an
     * unbiased deterministic sample of each domain, not its head). */
   def quotaSample(spark: SparkSession, dir: String, domainCol: String,

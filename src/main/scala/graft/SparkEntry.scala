@@ -136,6 +136,9 @@ object SparkEntry {
       TextAnalysis.bpeTopPairs(s, d)),
     // -- dataset mixing --
     "temperature_mix" -> (Mixing.temperatureMixStats _),
+    // the upsampling half: uncapped tempered rates, floor + Bernoulli
+    // copies, epoch column
+    "epoch_repeat" -> (Mixing.epochRepeatStats _),
     "quota_sample" -> (Mixing.quotaSampleStats _),
     "weighted_sample" -> (Mixing.weightedSampleTopK _),
     // the threshold (large-k) plan, oracle-pinned at small k — must
@@ -1274,6 +1277,26 @@ object SparkEntry {
          |  WHERE ${md5LongSql("text")} / CAST(1152921504606846976 AS DOUBLE) < r.rate)
          |SELECT source, count(*) AS n_sampled, min(rate) AS rate
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // mirrors Mixing.epochRepeatMix: UNCAPPED tempered rate, copies =
+    // floor(rate) + (u < frac(rate)), stats weighted by copy count
+    "epoch_repeat" ->
+      s"""WITH c AS (SELECT source AS dom, CAST(count(*) AS DOUBLE) AS n_d
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT sum(n_d) AS n_total, sum(pow(n_d, 0.5)) AS z FROM c),
+         |r AS (SELECT dom, round(0.3 * n_total * pow(n_d, 0.5) / z / n_d, 6) AS rate
+         |  FROM c CROSS JOIN t),
+         |b AS (SELECT d.doc_id, d.source, r.rate,
+         |  ${md5LongSql("text")} / CAST(1152921504606846976 AS DOUBLE) AS u
+         |  FROM documents d JOIN r ON d.source = r.dom),
+         |nc AS (SELECT doc_id, source, rate,
+         |  CAST(floor(rate) AS BIGINT) + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+         |  FROM b),
+         |e AS (SELECT doc_id, source, rate FROM nc
+         |  CROSS JOIN unnest(generate_series(1, n_copies)) WHERE n_copies > 0)
+         |SELECT source, count(*) AS n_emitted, count(DISTINCT doc_id) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum, min(rate) AS rate
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
 
     "quota_sample" ->
       s"""WITH r AS (SELECT lang, doc_id, row_number() OVER (

@@ -79,6 +79,48 @@ object Mixing {
       .drop("_dom")
   }
 
+  /** The UPSAMPLING half of temperature mixing: `temperatureMixDf` caps
+    * every domain's rate at 1 (downsample-only) and leaves the epoch
+    * repeat of tiny domains "downstream" — this is that downstream.
+    * Rates are the same tempered shares WITHOUT the cap
+    * (p_d = frac · N · share_d / n_d, share_d ∝ n_d^alpha, rounded to
+    * 6 decimals); a doc emits floor(p_d) whole copies plus one more when
+    * u(text) < frac(p_d) — deterministic Bernoulli on the SAME content-
+    * hash uniform, so expected output is exactly frac · N distributed
+    * ∝ n_d^alpha across domains, upsampled domains included. Output
+    * rows carry `epoch` (0-based copy index): downstream shuffling/
+    * packing can interleave epochs by hashing (doc_id, epoch).
+    *
+    * Plan: identical to temperatureMix (domain-count agg broadcast back
+    * onto the scan) + a bounded per-row sequence explode — copies per
+    * doc is p_d rounded up, so output size is the mix's by design. */
+  def epochRepeatMixDf(d: DataFrame, domainCol: String,
+                       alpha: Double, frac: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha outside (0, 1]")
+    require(frac > 0.0, s"frac=$frac must be positive")
+    val counts = d.groupBy(col(domainCol).as("_dom"))
+      .agg(count(lit(1)).cast("double").as("n_d"))
+    val totals = counts.agg(
+      sum("n_d").as("n_total"),
+      sum(pow(col("n_d"), lit(alpha))).as("z"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("_dom"),
+        round(lit(frac) * col("n_total") * pow(col("n_d"), lit(alpha)) / col("z") / col("n_d"),
+          6).as("rate"))
+    d.join(broadcast(rates), col(domainCol) === col("_dom"))
+      .withColumn("n_copies",
+        (floor(col("rate")) +
+          when(unitHash(col("text")) < col("rate") - floor(col("rate")), 1L)
+            .otherwise(0L)).cast("long"))
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("_dom", "n_copies")
+  }
+
+  def epochRepeatMix(spark: SparkSession, dir: String, domainCol: String,
+                     alpha: Double, frac: Double): DataFrame =
+    epochRepeatMixDf(docs(spark, dir), domainCol, alpha, frac)
+
   /** Per-domain quota cap: keep at most `cap` docs per domain, chosen by
     * the content-hash priority (a deterministic uniform draw, so the
     * survivors are an unbiased sample of each domain, not its head).
@@ -262,6 +304,18 @@ object Mixing {
     temperatureMix(spark, dir, "source", alpha = 0.5, frac = 0.3)
       .groupBy("source")
       .agg(count(lit(1)).as("n_sampled"), min("rate").as("rate"))
+      .orderBy("source")
+
+  /** Epoch-repeat audit: per domain, input size, emitted copy count
+    * (epochs included) and a copy-weighted id checksum — pins which
+    * docs repeat and how often, not just totals. */
+  def epochRepeatStats(spark: SparkSession, dir: String): DataFrame =
+    epochRepeatMix(spark, dir, "source", alpha = 0.5, frac = 0.3)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_emitted"),
+        countDistinct("doc_id").as("n_docs"),
+        sum("doc_id").as("id_sum"),
+        min("rate").as("rate"))
       .orderBy("source")
 
   /** Quota audit: per-lang kept count plus an id checksum, so the oracle

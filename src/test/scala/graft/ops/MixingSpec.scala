@@ -74,6 +74,31 @@ class MixingSpec extends SparkSpec {
     assert(wider.take(10) === top.map(_.getLong(0)).toSeq)
   }
 
+  test("epoch repeat: upsampled domains emit whole copies plus a deterministic remainder") {
+    import spark.implicits._
+    val d = ((0 until 100).map(i => (i.toLong, s"big doc number $i", "big")) ++
+      Seq((1000L, "tiny one", "sm"), (1001L, "tiny two", "sm")))
+      .toDF("doc_id", "text", "source")
+    val out = Mixing.epochRepeatMixDf(d, "source", alpha = 0.5, frac = 0.5)
+    val rates = out.select("source", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("sm") > 1.0, s"tiny domain must upsample under alpha<1: $rates")
+    // every emitted tiny-domain doc appears floor(rate) or floor(rate)+1 times
+    val counts = out.filter(col("source") === "sm").groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fl = math.floor(rates("sm")).toLong
+    assert(counts.values.forall(c => c == fl || c == fl + 1),
+      s"copy counts must be floor or floor+1 of rate ${rates("sm")}: $counts")
+    // epoch indexes are a contiguous 0-based range per doc
+    for ((id, c) <- counts) {
+      val ep = out.filter(col("doc_id") === id).select("epoch")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ep === (0L until c).toSeq, s"epochs of $id not contiguous: $ep")
+    }
+    // pure function of the corpus
+    assert(Mixing.epochRepeatMixDf(d, "source", 0.5, 0.5).count() === out.count())
+  }
+
   test("weighted sample threshold plan == top-k plan, row for row") {
     val base = Mixing.docs(spark, dir)
       .filter(col("n_chars") > 0)
