@@ -350,6 +350,13 @@ object Graft {
                        threshold: Double = 0.35): org.apache.spark.sql.DataFrame =
     ops.TextDedup.semanticClusters(spark, dir, threshold)
 
+  /** The whole batch pretraining pipeline in one call: keep-best
+    * near-dup dedup -> quality gate -> benchmark holdout + exact
+    * 13-gram decontamination -> context-window chunking. Returns the
+    * per-document manifest (doc_id, quality_score, n_chunks, n_tokens). */
+  def trainingManifest(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    ops.CurationPipeline.trainingManifest(spark, dir)
+
   /** Context-window chunking: split documents into ~maxTokens-word
     * pieces with `overlap` carried words — a pure narrow projection +
     * explode, no shuffle. */

@@ -175,6 +175,9 @@ object SparkEntry {
     "multimodal_resize" -> (Multimodal.resizePlan _),
     // -- composed curation pipeline --
     "pipeline_filtered_docs" -> (CurationPipeline.filteredCorpus _),
+    // the composed batch pipeline end-to-end: keep-best dedup ->
+    // quality gate -> holdout + exact decontamination -> chunking
+    "pipeline_training_manifest" -> (CurationPipeline.trainingManifest _),
     // the streaming gates under the oracle: 3 sequential micro-batches
     // through processBatch with REAL persisted fp/band/sig indexes
     "curation_replay" -> (CurationPipeline.curationReplay _),
@@ -1472,6 +1475,42 @@ object SparkEntry {
          |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text)))
          |SELECT q.doc_id, n_words, quality_score FROM q JOIN k ON q.doc_id = k.doc_id
          |WHERE quality_score >= 0.3 AND n_words BETWEEN 20 AND 5000 ORDER BY q.doc_id""".stripMargin,
+
+    // the composed batch pipeline (mirrors CurationPipeline
+    // .trainingManifest stage for stage: keep-best dedup -> quality
+    // gate -> benchmark holdout + exact 13-gram decontamination ->
+    // 64/8 chunking; every fragment shared with its standalone oracle)
+    "pipeline_training_manifest" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |${docComponentsCtes("mhp")},
+         |cl AS (SELECT doc_id, cluster_rep, cluster_size FROM allc JOIN rep USING (comp)),
+         |qb AS (SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS n_words,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio
+         |  FROM documents),
+         |qq AS (SELECT doc_id, round(least(CAST(1.0 AS DOUBLE), n_words / 50.0) * (CAST(1.0 AS DOUBLE) - punct_ratio), 4) AS quality_score FROM qb),
+         |rk AS (SELECT cl.doc_id, cluster_rep, cluster_size, qq.quality_score,
+         |  row_number() OVER (PARTITION BY cluster_rep ORDER BY qq.quality_score DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN qq ON qq.doc_id = cl.doc_id),
+         |kp AS (SELECT rk.doc_id, rk.quality_score FROM rk JOIN qb ON qb.doc_id = rk.doc_id
+         |  WHERE rk.rn = 1 AND rk.quality_score >= 0.3
+         |    AND qb.n_words BETWEEN 20 AND 5000 AND rk.doc_id % 20 <> 0),
+         |gl AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-12), i -> array_to_string(list_slice(ws, i, i+12), ' ')) END AS garr FROM wrd),
+         |g AS (SELECT DISTINCT doc_id, unnest(garr) AS gram FROM gl),
+         |flagged AS (SELECT DISTINCT cg.doc_id FROM g cg
+         |  JOIN (SELECT gram FROM g WHERE doc_id % 20 = 0) bg USING (gram)
+         |  WHERE cg.doc_id % 20 <> 0),
+         |clean AS (SELECT k.doc_id, k.quality_score FROM kp k
+         |  LEFT JOIN flagged f ON f.doc_id = k.doc_id WHERE f.doc_id IS NULL),
+         |cn AS (SELECT w.doc_id, w.ws, len(w.ws) AS n FROM wrd w JOIN clean USING (doc_id)),
+         |cc AS (SELECT doc_id, ws, greatest(CAST(1 AS BIGINT), CAST(ceil((n - 8) / 56.0) AS BIGINT)) AS n_chunks FROM cn),
+         |cx AS (SELECT doc_id, ws, unnest(generate_series(0, n_chunks - 1)) AS ci FROM cc),
+         |cy AS (SELECT doc_id, len(list_slice(ws, ci*56 + 1, ci*56 + 64)) AS nt FROM cx),
+         |ca AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM cy GROUP BY doc_id)
+         |SELECT ca.doc_id, clean.quality_score, ca.n_chunks, ca.n_tokens
+         |FROM ca JOIN clean USING (doc_id) ORDER BY ca.doc_id""".stripMargin,
 
     "curation_replay" -> curationReplaySql(nBatches = 3, threshold = 0.2),
     "vector_curation_replay" -> vectorReplaySql(nBatches = 3, threshold = 0.35)

@@ -471,4 +471,46 @@ object CurationPipeline {
       .select("doc_id", "n_words", "quality_score")
       .orderBy("doc_id")
   }
+
+  /** The whole batch pretraining-data pipeline as ONE composed plan —
+    * what a user runs to turn a raw corpus into training-ready chunks:
+    *
+    *  1. near-dup dedup with the production keep-rule (best-quality doc
+    *     per MinHash cluster, `TextDedup.dedupKeepBest`);
+    *  2. quality gate (same thresholds as the streaming curation gate:
+    *     quality >= 0.3, 20 <= words <= 5000);
+    *  3. benchmark holdout (docs 0 mod 20 are the eval set — never
+    *     trained on) and exact 13-gram decontamination against it
+    *     (`TextDedup.exactNgramContamination` — any training doc
+    *     containing a verbatim benchmark gram is dropped);
+    *  4. context-window chunking (64/8, `TextAnalysis.chunkDocuments`).
+    *
+    * Returns the per-document manifest (doc_id, quality_score,
+    * n_chunks, n_tokens-with-overlap) — compact enough to hash, yet a
+    * change ANYWHERE in the four stages flips it. Every stage is the
+    * same session-cached table / broadcast probe the standalone
+    * operators use, so the composition costs what its stages cost. */
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextDedup.docs(spark, dir)
+    val q = TextAnalysis.withQuality(d).select(col("doc_id"), col("n_words"))
+    val kept = TextDedup.dedupKeepBest(spark, dir)
+      .join(q, "doc_id")
+      .filter(col("quality_score") >= MinQuality
+        && col("n_words") >= MinWords && col("n_words") <= MaxWords)
+      .filter(col("doc_id") % 20 =!= 0) // the benchmark holdout itself
+    val flagged = TextDedup.exactNgramContamination(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), n = 13)
+      .select("doc_id").distinct()
+    val clean = kept.join(flagged, Seq("doc_id"), "left_anti")
+    TextAnalysis.chunkDocumentsDf(
+        clean.select("doc_id", "quality_score")
+          .join(d.select("doc_id", "text"), "doc_id"),
+        maxTokens = 64, overlap = 8)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
+      .join(clean.select("doc_id", "quality_score"), "doc_id")
+      .select("doc_id", "quality_score", "n_chunks", "n_tokens")
+      .orderBy("doc_id")
+  }
 }

@@ -56,6 +56,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("training manifest: holdout and contaminated docs never surface, chunks consistent") {
+    val td = "/root/testdata/sf0.001"
+    val m = CurationPipeline.trainingManifest(spark, td).collect()
+    assert(m.nonEmpty, "the sf0.001 corpus must yield a non-empty manifest")
+    assert(m.forall(_.getLong(0) % 20 != 0), "benchmark holdout leaked into training")
+    val d = TextDedup.docs(spark, td)
+    val flagged = TextDedup.exactNgramContamination(
+        d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(m.forall(r => !flagged(r.getLong(0))), "contaminated doc in manifest")
+    // every manifest row chunks sanely: >= 1 chunk, each chunk non-empty
+    assert(m.forall(r => r.getLong(2) >= 1 && r.getLong(3) >= r.getLong(2)))
+  }
+
   test("leakage-free split: a near-dup cluster never straddles splits") {
     val s = TextDedup.leakageFreeSplit(spark, dir).collect()
     assert(s.length === 5, "every doc gets a split")
