@@ -153,7 +153,8 @@ object Graft {
       compactEvery: Int = 8,
       nearDupDir: Option[String] = None,
       nearDupThreshold: Double = ops.TextDedup.JaccardThreshold,
-      textIndexDir: Option[String] = None): StreamingQuery = {
+      textIndexDir: Option[String] = None,
+      chunksDir: Option[String] = None): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val raw = sources.DocSources.withSyntheticIds(
       spark.readStream
@@ -166,7 +167,7 @@ object Graft {
       .select("doc_id", "text", "lang", "n_words", "quality_score")
     ops.CurationPipeline.streamingDedup(
       gated, corpusDir, indexDir, checkpointDir, trigger, compactEvery,
-      nearDupDir, nearDupThreshold, textIndexDir)
+      nearDupDir, nearDupThreshold, textIndexDir, chunksDir)
   }
 
   /** The vector-modality sibling of `curateCorpus` as ONE call: stream

@@ -17,6 +17,10 @@ object CurationPipeline {
   val MinQuality = 0.3
   val MinWords = 20
   val MaxWords = 5000
+  /** Context-window shape of the streaming chunk sink (= the batch
+    * trainingManifest's). */
+  val ChunkMaxTokens = 64
+  val ChunkOverlap = 8
 
   /** Incremental dedup: drop incoming docs whose content fingerprint
     * already exists in the historical index, and dedup within the batch
@@ -150,13 +154,14 @@ object CurationPipeline {
       compactEvery: Int = 0,
       nearDupDir: Option[String] = None,
       nearDupThreshold: Double = TextDedup.JaccardThreshold,
-      textIndexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      textIndexDir: Option[String] = None,
+      chunksDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, corpusDir, indexDir,
-          nearDupDir, nearDupThreshold, compactEvery, textIndexDir)
+          nearDupDir, nearDupThreshold, compactEvery, textIndexDir, chunksDir)
       }
       .start()
 
@@ -168,20 +173,22 @@ object CurationPipeline {
   private[ops] def processBatch(
       batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
       nearDupDir: Option[String], nearDupThreshold: Double,
-      compactEvery: Int, textIndexDir: Option[String] = None): Unit = {
+      compactEvery: Int, textIndexDir: Option[String] = None,
+      chunksDir: Option[String] = None): Unit = {
     // gate latency lands in the process-wide histogram (`/metrics`
     // `graft_gate_duration_seconds_bucket` series) — one observation
     // per batch, driver-side, reference-bucket shape
     val gateT0 = System.nanoTime()
     try processBatchBody(batch, batchId, corpusDir, indexDir,
-      nearDupDir, nearDupThreshold, compactEvery, textIndexDir)
+      nearDupDir, nearDupThreshold, compactEvery, textIndexDir, chunksDir)
     finally graft.obs.PipelineMetrics.gateDuration.observeNanos(System.nanoTime() - gateT0)
   }
 
   private def processBatchBody(
       batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
       nearDupDir: Option[String], nearDupThreshold: Double,
-      compactEvery: Int, textIndexDir: Option[String]): Unit = {
+      compactEvery: Int, textIndexDir: Option[String],
+      chunksDir: Option[String]): Unit = {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
     val spark = batch.sparkSession
     val index = readBatchIndex(spark, indexDir, StructType(Seq(
@@ -220,6 +227,19 @@ object CurationPipeline {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(corpusDir)
+      // training-ready chunks of THIS batch's survivors — derived data
+      // of the same rows, same batch_id-partitioned dynamic-overwrite
+      // idempotence as the corpus sink (a replayed batch replaces its
+      // own chunk partitions; dropped docs never chunk)
+      chunksDir.foreach { cd =>
+        TextAnalysis.chunkDocumentsDf(out.select("doc_id", "text"),
+            ChunkMaxTokens, ChunkOverlap)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cd)
+      }
       out.select(md5(lower(col("text"))).as("fp")).distinct()
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")

@@ -321,6 +321,41 @@ class GraftFacadeSpec extends AnyFunSuite {
       === Graft.keywordSearch(spark, rebuilt, q2, k = 10).collect().toSeq)
   }
 
+  test("curation chunk sink: survivors chunk per batch, dropped docs never chunk, replay-clean") {
+    val spark = Graft.session(cores = 4)
+    val docsDir = Files.createTempDirectory("gchunk_in").toString
+    val corpusDir = Files.createTempDirectory("gchunk_corpus").toString + "/c"
+    val indexDir = Files.createTempDirectory("gchunk_fp").toString + "/i"
+    val chunksDir = Files.createTempDirectory("gchunk_chunks").toString + "/ch"
+    val ckpt = Files.createTempDirectory("gchunk_ck").toString
+    val a = goodText("alpha")
+    val b = goodText("beta")
+    def run(): Unit = {
+      val q = Graft.curateCorpus(spark, docsDir, corpusDir, indexDir, ckpt,
+        maxFilesPerTrigger = 1, compactEvery = 0, chunksDir = Some(chunksDir))
+      assert(q.awaitTermination(120000), "AvailableNow curation must drain and stop")
+    }
+    writeJsonlGz(docsDir, "r1.jsonl.gz", Seq(doc(1, a)))
+    run()
+    // run 2: a cross-run exact dup (must not chunk) + a new doc
+    writeJsonlGz(docsDir, "r2.jsonl.gz", Seq(doc(2, a), doc(3, b)))
+    run()
+    val chunks = spark.read.parquet(chunksDir)
+    val ids = chunks.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L), s"only survivors chunk: $ids")
+    // the streamed chunks equal the batch operator over the curated corpus
+    import org.apache.spark.sql.functions.col
+    val expected = graft.ops.TextAnalysis.chunkDocumentsDf(
+        spark.read.parquet(corpusDir).select("doc_id", "text"),
+        graft.ops.CurationPipeline.ChunkMaxTokens,
+        graft.ops.CurationPipeline.ChunkOverlap)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toString).toSeq
+    val got = chunks.select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toString).toSeq
+    assert(got === expected, "streamed chunks must equal the batch chunking of the corpus")
+  }
+
   test("corpus curation end-to-end: .jsonl.gz -> quality gate -> dedup -> compacted parquet") {
     val spark = Graft.session(cores = 4)
     val docsDir = Files.createTempDirectory("gcorpus_in").toString
