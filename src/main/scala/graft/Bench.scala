@@ -57,7 +57,17 @@ object Bench {
     val harnessQueries = Set("curation_replay", "vector_curation_replay",
       "bm25_incremental")
 
+    // GRAFT_BENCH_ONLY: comma-separated query names — run just those
+    // (scaling-ladder subsets at big SF; unknown names are an error,
+    // not a silent skip)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"GRAFT_BENCH_ONLY names unknown queries: $unknown")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val maxes = scala.collection.mutable.LinkedHashMap[String, Double]()
