@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   *  - events: event_id + user_id offset — 10x the instruments, same
   *    per-instrument history depth (pinned-token point lookups stay
   *    constant-size BY DESIGN: a top-1 probe must not scale with corpus);
-  *  - documents: replica i>0 rotates vowels (translate, length- and
-  *    whitespace-preserving) — word 3-gram shingles land in disjoint
-  *    vocabularies, so near-dup DENSITY stays that of sf0.1 instead of
-  *    every doc gaining 9 synthetic near-dups (which would grow dedup
-  *    pair outputs ~45x and poison the ratio table; Replicas.docs is the
-  *    tool for ADVERSARIAL replication, this one is for scaling);
+  *  - documents: replica i>0 suffixes every word with the replica id —
+  *    word 3-gram shingles land in pairwise-disjoint vocabularies at
+  *    ANY k, so near-dup DENSITY stays that of the source corpus
+  *    instead of every doc gaining k-1 synthetic near-dups (which
+  *    would grow dedup pair outputs quadratically and poison the ratio
+  *    table; Replicas.docs is the tool for ADVERSARIAL replication,
+  *    this one is for scaling);
   *  - embeddings: replica i>0 sign-flips dimensions by a per-replica
   *    deterministic pattern — replicas are near-orthogonal to their
   *    originals, preserving neighborhood structure density;
@@ -86,10 +87,18 @@ object ScaleUpTestdata {
       d.withColumn("event_id", col("event_id") + lit(i * EventStride))
         .withColumn("user_id", col("user_id") + lit(i * UserStride))
     }, "events")
-    val vowels = "aeiou"
     wr(folds(rd("documents")) { (d, i) =>
-      val rot = vowels.drop(i % 5) + vowels.take(i % 5)
-      val t = if (i == 0) col("text") else translate(col("text"), vowels, rot)
+      // replica i > 0 suffixes EVERY word with its replica id: shingle
+      // vocabularies are pairwise disjoint for ANY k (an earlier vowel-
+      // rotation scheme only had 5 distinct rotations, so k = 10 made
+      // replicas i and i+5 exact duplicates — dup density doubled
+      // instead of holding at the source corpus's). Word counts and
+      // relative word structure survive; replicas are space-joined
+      // lowercase words, which is what every text operator consumes.
+      val t = if (i == 0) col("text")
+        else concat_ws(" ", transform(
+          filter(split(lower(col("text")), "\\s+"), w => w =!= ""),
+          w => concat(w, lit(s"x$i"))))
       d.withColumn("doc_id", col("doc_id") + lit(i * DocStride))
         .withColumn("text", t)
     }, "documents")
