@@ -42,10 +42,14 @@ FAMILY_FILES = {
         "core/SessionCache.scala"],
     ("bm25_", "hybrid_"): [
         "ops/TextRanking.scala", "ops/Similarity.scala", "core/SessionCache.scala"],
-    ("temperature_mix", "quota_sample", "weighted_sample", "pack_shards"): [
-        "ops/Mixing.scala"],
-    ("text_", "token_histogram", "stratified_sample", "cross_modal"): [
+    ("temperature_mix", "quota_sample", "weighted_sample", "pack_shards",
+     "epoch_repeat"): ["ops/Mixing.scala"],
+    ("text_", "token_histogram", "stratified_sample", "cross_modal",
+     "chunk_documents", "bpe_"): [
         "ops/TextAnalysis.scala", "ops/TextHashing.scala"],
+    ("leakage_free_split", "dedup_keep_best"): [
+        "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
+        "core/SessionCache.scala"],
     ("multimodal_",): ["ops/Multimodal.scala"],
     ("pipeline_",): ["ops/CurationPipeline.scala", "ops/TextAnalysis.scala",
                      "ops/TextDedup.scala"],

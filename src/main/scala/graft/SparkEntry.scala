@@ -134,6 +134,12 @@ object SparkEntry {
     // the first BPE merge table (corpus-weighted char-pair counts)
     "bpe_top_pairs" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeTopPairs(s, d)),
+    // iterative trainer: merge k's candidates only exist because merge
+    // k-1 rewrote the vocab; checksum pins every round's rewrite
+    "bpe_merges" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeMerges(s, d)),
+    "token_counts_bpe" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTokenCounts(s, d)),
     // -- dataset mixing --
     "temperature_mix" -> (Mixing.temperatureMixStats _),
     // the upsampling half: uncapped tempered rates, floor + Bernoulli
@@ -292,6 +298,43 @@ object SparkEntry {
   private def md5LongSql(e: String) =
     s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
 
+  /** The unrolled iterative-BPE training chain (mirrors
+    * TextAnalysis.bpeTrainMerges round for round): wrd/wv/vz0 build the
+    * word vocabulary with single-character symbols; round r emits p{r}
+    * (corpus-weighted pair counts), m{r} (the merge chosen by n desc /
+    * pair asc), v{r} (a recursive-CTE pointer-walk greedy rewrite —
+    * algorithm-independent of the Spark side's array fold) and vz{r}
+    * (the rewritten vocab). MATERIALIZED wherever a CTE is referenced
+    * twice: DuckDB inlines CTEs by default and the round chain would
+    * otherwise expand to 2^N corpus scans. Exposes `mg`
+    * (merge_rank, pair, n) and `chk` (order-free final-vocab checksum:
+    * sum of md5Long(word ':' syms-joined-'|') mod P). */
+  private def bpeTrainCtes(numMerges: Int): String = {
+    val head =
+      s"""wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |wv AS (SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM (SELECT unnest(ws) AS word FROM wrd) GROUP BY word),
+         |vz0 AS MATERIALIZED (SELECT word, wcnt, list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM wv)""".stripMargin
+    val rounds = (1 to numMerges).map { r =>
+      val z = r - 1
+      s"""p$r AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS rr, CAST(sum(wcnt) AS BIGINT) AS n
+         |  FROM vz$z, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+         |m$r AS (SELECT l, rr, n FROM p$r ORDER BY n DESC, l || ' ' || rr LIMIT 1),
+         |v$r AS (
+         |  SELECT word, wcnt, syms, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS acc FROM vz$z
+         |  UNION ALL
+         |  SELECT word, wcnt, syms,
+         |    CASE WHEN pos < len(syms) AND syms[pos] = (SELECT l FROM m$r) AND syms[pos+1] = (SELECT rr FROM m$r) THEN pos + 2 ELSE pos + 1 END,
+         |    list_append(acc, CASE WHEN pos < len(syms) AND syms[pos] = (SELECT l FROM m$r) AND syms[pos+1] = (SELECT rr FROM m$r) THEN (SELECT l FROM m$r) || (SELECT rr FROM m$r) ELSE syms[pos] END)
+         |  FROM v$r WHERE pos <= len(syms)),
+         |vz$r AS MATERIALIZED (SELECT word, wcnt, acc AS syms FROM v$r WHERE pos = len(syms) + 1)""".stripMargin
+    }
+    val mg = (1 to numMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l || ' ' || rr AS pair, n FROM m$r").mkString(" UNION ALL ")
+    val chk =
+      s"""chk AS (SELECT CAST(sum(${md5LongSql("word || ':' || array_to_string(syms, '|')")} % 2147483647) AS BIGINT) AS c FROM vz$numMerges)"""
+    (Seq(head) ++ rounds ++ Seq(s"mg AS ($mg)", chk)).mkString(",\n")
+  }
+
   /** Exact pairwise Jaccard >= `threshold` over shared shingles (mirrors
     * TextHashing.jaccardPairs / the ngramClustersAt sweep knob). */
   private def jaccardCteAt(threshold: Double) =
@@ -312,6 +355,20 @@ object SparkEntry {
       |bkt AS (SELECT vec_id, label, v,
       |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
       |   + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt FROM emb)""".stripMargin
+
+  /** AUTO-SIZED sign-bucket CTE (mirrors Similarity.autoNBits +
+    * Similarity.bucket): nbits = max(4, ceil(log2(n / 125))) from the
+    * corpus count, so bucket population stays ~constant per decade.
+    * LOG2 is exact at power-of-two ratios — the only points where a
+    * ceil could disagree with the Scala integer-doubling formula.
+    * Used by the near-dup pair families; the ANN LSH probes keep the
+    * fixed 4-bit [[EmbBucketCte]] (query recall, not pair gating). */
+  private val EmbAutoBucketCte =
+    """nb AS (SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(count(*) AS DOUBLE) / 125.0)) AS INTEGER)) AS nbits FROM embeddings),
+      |emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bkt AS (SELECT vec_id, label, v,
+      |  CAST(list_sum(list_transform(range(1, (SELECT nbits FROM nb) + 1),
+      |    i -> CASE WHEN v[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS BIGINT) AS bkt FROM emb)""".stripMargin
 
   private val centroidCols: String =
     (0 until 64).map(i =>
@@ -926,7 +983,7 @@ object SparkEntry {
     "decontamination_ngram" ->
       s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
          |gl AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
-         |  ELSE list_transform(generate_series(1, len(ws)-12), i -> array_to_string(list_slice(ws, i, i+12), ' ')) END AS garr FROM wrd),
+         |  ELSE list_transform(generate_series(1, len(ws)-12), i -> array_to_string(list_slice(ws, i, i+12), ' ')) END AS garr FROM wrd WHERE len(ws) > 0),
          |g AS (SELECT DISTINCT doc_id, unnest(garr) AS gram FROM gl),
          |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
          |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 20 = 0)
@@ -1100,7 +1157,7 @@ object SparkEntry {
     "ann_ivfpq_residual" -> ivfPqResidualOracleSql(nprobe = 2, shortlist = 20, k = 5),
 
     "embedding_near_dup" ->
-      s"""WITH $EmbBucketCte
+      s"""WITH $EmbAutoBucketCte
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
          |FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
          |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
@@ -1108,7 +1165,7 @@ object SparkEntry {
     // semantic dedup = components over the verified cosine pairs, same
     // cluster contract as the text families
     "semantic_clusters" ->
-      s"""WITH RECURSIVE $EmbBucketCte,
+      s"""WITH RECURSIVE $EmbAutoBucketCte,
          |sem AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
          |  FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
          |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35),
@@ -1251,6 +1308,27 @@ object SparkEntry {
          |  FROM wc WHERE length(word) >= 2),
          |a AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS n FROM p GROUP BY 1)
          |SELECT pair, n FROM a ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // mirrors TextAnalysis.bpeMerges: the same 10 rounds unrolled, each
+    // round = pair count over the previous vocab, top-1 by (n desc,
+    // pair asc), then a recursive-CTE pointer-walk greedy rewrite —
+    // algorithm-independent of the Spark side's array fold. The final
+    // SELECT stamps the order-free rewritten-vocab checksum.
+    "bpe_merges" ->
+      s"""WITH RECURSIVE ${bpeTrainCtes(10)}
+         |SELECT merge_rank, pair, n, (SELECT c FROM chk) AS vocab_checksum
+         |FROM mg ORDER BY merge_rank""".stripMargin,
+
+    // mirrors TextAnalysis.bpeTokenCounts: same 10 trained rounds, then
+    // per-word BPE token counts joined back to every word occurrence;
+    // zero-word docs keep a 0 row via the LEFT JOIN
+    "token_counts_bpe" ->
+      s"""WITH RECURSIVE ${bpeTrainCtes(10)},
+         |u AS (SELECT doc_id, unnest(ws) AS word FROM wrd),
+         |pw AS (SELECT word, CAST(len(syms) AS BIGINT) AS wt FROM vz10),
+         |tc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS n_tokens FROM u JOIN pw USING (word) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(tc.n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // mirrors TextAnalysis.chunkDocuments (maxTokens=64, overlap=8,
     // stride=56): Spark slice(ws, start, LENGTH 64) == DuckDB
@@ -1496,7 +1574,7 @@ object SparkEntry {
          |  WHERE rk.rn = 1 AND rk.quality_score >= 0.3
          |    AND qb.n_words BETWEEN 20 AND 5000 AND rk.doc_id % 20 <> 0),
          |gl AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
-         |  ELSE list_transform(generate_series(1, len(ws)-12), i -> array_to_string(list_slice(ws, i, i+12), ' ')) END AS garr FROM wrd),
+         |  ELSE list_transform(generate_series(1, len(ws)-12), i -> array_to_string(list_slice(ws, i, i+12), ' ')) END AS garr FROM wrd WHERE len(ws) > 0),
          |g AS (SELECT DISTINCT doc_id, unnest(garr) AS gram FROM gl),
          |flagged AS (SELECT DISTINCT cg.doc_id FROM g cg
          |  JOIN (SELECT gram FROM g WHERE doc_id % 20 = 0) bg USING (gram)

@@ -203,14 +203,20 @@ object Mixing {
     *  2. the k-th key t = the largest key whose descending running
     *     count reaches k (one 2-column row to the driver — the plan
     *     constant for the filter, packShards-style);
-    *  3. keep every row with w_key > t (strictly fewer than k by
-    *     construction), plus the first (k - above) threshold-key rows in
-    *     doc_id order. The tie trim is a top-rem over ONLY the
-    *     threshold-key rows — normally a handful; it degrades toward
-    *     the plain top-k shape only if the key itself is degenerate
-    *     (all weights so extreme every key rounds equal). */
+    *  3. the tie cutoff — the (k - above)-th doc_id among ONLY the
+    *     threshold-key rows (normally a handful; degenerates toward a
+    *     corpus sort only if every weight rounds to one key) — fetched
+    *     as a second one-row driver constant;
+    *  4. selection is then ONE predicate: w_key > t OR (w_key = t AND
+    *     doc_id <= cutoff).
+    *
+    * Cost shape: three jobs total — the per-key count (column-pruned to
+    * the key's inputs), the tie-cutoff probe (same narrow columns), and
+    * the final full-width scan when the result is consumed. Nothing
+    * k-sized ever sits per partition or on the driver; the two extra
+    * jobs read only the weight/id columns, not the corpus rows. */
   def weightedSampleByThreshold(base: DataFrame, k: Int): DataFrame = {
-    val counts = base.groupBy("w_key").agg(count(lit(1)).as("c"))
+    val counts = base.select("w_key").groupBy("w_key").agg(count(lit(1)).as("c"))
     // bounded single-partition window (<= 10^6+1 rows, see step 1)
     val cumW = Window.orderBy(col("w_key").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -225,10 +231,15 @@ object Mixing {
     val t = thr(0).getDouble(0)
     val above = thr(0).getLong(1)
     val rem = k - above // > 0: cum first reached k AT this key
-    val ties = base.filter(col("w_key") === t)
+    // the rem-th tie doc_id, from the narrow projection only
+    val cutoff = base.select("w_key", "doc_id")
+      .filter(col("w_key") === t)
       .orderBy(col("doc_id").asc)
       .limit(rem.toInt)
-    base.filter(col("w_key") > t).unionByName(ties)
+      .agg(max("doc_id"))
+      .collect()(0).getLong(0)
+    base.filter(col("w_key") > t ||
+      (col("w_key") === t && col("doc_id") <= cutoff))
   }
 
   /** Token-budget shard packing: documents in doc_id order are cut into

@@ -208,10 +208,17 @@ object Similarity {
     * high, NearDupProbe measures the tradeoff). For corpus-scale
     * near-dup gating past what one table's recall affords, the
     * banded/multi-probe shape is `incrementalNearDup` (Hamming-1
-    * probes) — the streaming gate's recipe. */
+    * probes) — the streaming gate's recipe.
+    *
+    * `nBits <= 0` (the default) AUTO-SIZES from a cheap corpus count so
+    * expected bucket population stays ~[[NearDupTargetPop]] as the
+    * corpus grows — the scale law above made the old fixed-4 default
+    * quadratic at 100x. The count hits the session-cached `emb` frame
+    * (at 100 TB, a count(*) answered from parquet footers). */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       threshold: Double = 0.35, nBits: Int = 4): DataFrame = {
-    val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), nBits))
+                       threshold: Double = 0.35, nBits: Int = 0): DataFrame = {
+    val bits = if (nBits > 0) nBits else autoNBits(emb(spark, dir).count())
+    val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), bits))
     e.as("a").join(e.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim",
@@ -219,6 +226,24 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Target expected bucket population for the auto-sized near-dup
+    * sign sketch: 125 keeps the historical 4-bit default at sf0.01/0.1
+    * (500/2000 vectors) and adds ~3.3 bits per corpus decade — in-bucket
+    * verify cost per decade stays ~flat instead of the measured 33x. */
+  val NearDupTargetPop = 125L
+
+  /** Smallest b with TargetPop * 2^b >= n, floored at 4 bits — i.e.
+    * max(4, ceil(log2(n / NearDupTargetPop))) computed by integer
+    * doubling, EXACT at power-of-two ratios where a log-of-double could
+    * land an ulp high and ceil one bit past the oracle (DuckDB LOG2 is
+    * exact at powers of two, so both sides agree everywhere). Capped at
+    * Dim-1 sign planes (the sketch can't use more planes than dims). */
+  def autoNBits(n: Long): Int = {
+    var b = 0
+    while (b < Dim - 1 && (BigInt(NearDupTargetPop) << b) < n) b += 1
+    math.max(4, b)
   }
 
   /** Embedding dimensionality of the corpus contract. */

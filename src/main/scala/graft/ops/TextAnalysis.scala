@@ -234,6 +234,121 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** The word-level vocabulary a BPE trainer iterates on: one row per
+    * distinct word with its corpus count and symbol sequence (initially
+    * single characters). This is the ONLY corpus-sized computation in
+    * training — every merge round after it is vocab-sized. */
+  private def bpeVocab(d: DataFrame): DataFrame =
+    d.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wcnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** Adjacent symbol pairs of a vocab frame, corpus-weighted. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("wcnt"), explode(expr(
+        // NB Spark's arr[i] is 0-based (the oracle's DuckDB syms[i] is 1-based)
+        "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("wcnt").cast("long").as("n"))
+
+  /** Greedy left-to-right application of ONE merge rule (l, r) to every
+    * symbol sequence, as a codegen'd array fold: append x, except when
+    * the accumulator ends in l and x = r — then replace that tail with
+    * the merged token. This equals the canonical pointer-walk greedy
+    * merge: a cascade (the just-merged token immediately re-merging as
+    * the LEFT side) would need l+r = l, impossible for non-empty r, so
+    * the fold never merges a token the walk would have skipped.
+    * OpsSpec pins the classic overlap cases ("aaa" -> [aa, a]). */
+  private def bpeApplyMerge(l: String, r: String): Column =
+    aggregate(col("syms"), lit(Array.empty[String]),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** ITERATIVE BPE training over the corpus word vocabulary — the public
+    * recipe (Sennrich et al. 2016): count adjacent symbol pairs weighted
+    * by word frequency, merge the most frequent pair everywhere, repeat.
+    * Tie-break (n desc, "l r" asc) keeps the table engine-portable.
+    *
+    * Scale shape: ONE corpus-sized word-count shuffle builds the vocab;
+    * each of the `numMerges` rounds is a vocab-sized aggregate plus a
+    * one-row collect (the chosen pair) and a vocab-sized narrow rewrite.
+    * Rounds persist their vocab and drop the previous one, so round r
+    * never replays rounds 1..r-1 and plan depth stays constant.
+    *
+    * Returns the merge list in rank order plus the FINAL rewritten
+    * vocab frame (persisted; caller unpersists when done). */
+  def bpeTrainMerges(d: DataFrame, numMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
+    require(numMerges >= 1, s"numMerges=$numMerges must be positive")
+    var vocab = bpeVocab(d).persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val top = bpePairCounts(vocab)
+        .orderBy(col("n").desc, concat_ws(" ", col("l"), col("r")).asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r, top(0).getLong(2)))
+        val next = vocab.withColumn("syms", bpeApplyMerge(l, r)).persist()
+        next.count() // materialize before dropping the parent
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** `bpe_merges` query face: the first `numMerges` merges (rank, "l r"
+    * pair, weighted count) stamped with an order-free checksum of the
+    * final rewritten vocabulary — sum over words of
+    * md5Long(word ':' syms-joined-'|') mod P. The checksum makes the
+    * oracle sensitive to the REWRITE of every round, not just the pair
+    * ranking (merge k's candidates only exist because merge k-1
+    * rewrote the vocab). */
+  def bpeMerges(spark: SparkSession, dir: String, numMerges: Int = 10): DataFrame = {
+    val (merges, vocab) = bpeTrainMerges(docs(spark, dir), numMerges)
+    val checksum = vocab
+      .select(sum(md5Long(concat_ws(":", col("word"),
+        concat_ws("|", col("syms")))) % P).cast("long").as("c"))
+      .collect()(0).getLong(0)
+    vocab.unpersist()
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r, n), i) =>
+      ((i + 1).toLong, s"$l $r", n, checksum)
+    }.toDF("merge_rank", "pair", "n", "vocab_checksum")
+  }
+
+  /** Tokenizer-aware token counts: apply a trained merge table to the
+    * corpus and count the resulting BPE tokens per document. The merge
+    * rules are applied to the VOCAB (numMerges vocab-sized rewrites),
+    * then docs join their words against the per-word token counts — the
+    * corpus-sized work is one explode + join + sum, independent of the
+    * merge count. Words whose text is empty count zero tokens.
+    * Returns (doc_id, n_tokens) — what `packShards` budgets and
+    * chunk windows should count once training consumes BPE tokens
+    * rather than whitespace words. */
+  def bpeTokenCounts(spark: SparkSession, dir: String, numMerges: Int = 10): DataFrame = {
+    val d = docs(spark, dir)
+    val (merges, vocab) = bpeTrainMerges(d, numMerges)
+    val perWord = vocab
+      .select(col("word"), size(col("syms")).cast("long").as("word_tokens"))
+    val out = d
+      .select(col("doc_id"), explode_outer(words(col("text"))).as("word"))
+      .join(perWord.hint("broadcast"), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum("word_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy("doc_id")
+    // the vocab stays persisted until the result is consumed; it is
+    // bounded (distinct words) and the session ends with the query
+    out
+  }
+
   /** Token-count histogram: docs bucketed by word-count decade — the
     * length-distribution panel of a dataset card. */
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =

@@ -310,8 +310,12 @@ object TextDedup {
   def exactNgramContamination(corpus: DataFrame, bench: DataFrame,
                               n: Int = 13): DataFrame = {
     require(n >= 1, s"n=$n must be positive")
+    // zero-word docs are skipped: the short-doc branch would emit the
+    // empty-string gram, making one empty benchmark doc "contaminate"
+    // every empty training doc — spurious on both sides
     def grams(d: DataFrame, idAs: String) = d
       .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) > 0)
       .select(col("doc_id").as(idAs), explode(ngramsOf(col("ws"), n)).as("gram"))
       .distinct()
     grams(corpus, "doc_id")

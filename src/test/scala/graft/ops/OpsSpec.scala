@@ -83,6 +83,44 @@ class OpsSpec extends SparkSpec {
     assert(split(2L) === split(3L), "exact dups split apart: leakage")
   }
 
+  test("BPE training: greedy overlap and merge-on-merged-token rounds") {
+    import spark.implicits._
+    // "aaa": greedy left-to-right gives [aa, a], never [a, aa]
+    val (m1, v1) = TextAnalysis.bpeTrainMerges(
+      Seq((0L, "aaa aaa")).toDF("doc_id", "text"), 1)
+    assert(m1 === Seq(("a", "a", 4L)))
+    assert(v1.select("syms").collect()(0).getSeq[String](0) === Seq("aa", "a"))
+    v1.unpersist()
+    // round 2 merges a pair that only exists because round 1 rewrote the
+    // vocab; round 3 merges TWO merged tokens
+    val (m3, v3) = TextAnalysis.bpeTrainMerges(
+      Seq((0L, "aaab aaab aaab")).toDF("doc_id", "text"), 3)
+    assert(m3 === Seq(("a", "a", 6L), ("a", "b", 3L), ("aa", "ab", 3L)))
+    assert(v3.select("syms").collect()(0).getSeq[String](0) === Seq("aaab"))
+    v3.unpersist()
+    // exhaustion: stops early once every word is a single token
+    val (mx, vx) = TextAnalysis.bpeTrainMerges(
+      Seq((0L, "ab ab")).toDF("doc_id", "text"), 5)
+    assert(mx === Seq(("a", "b", 2L)))
+    vx.unpersist()
+  }
+
+  test("BPE token counts match the trained vocab's symbol lengths") {
+    val n = TextAnalysis.bpeTokenCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc has a row, counts are positive and at most the word-char total
+    val docs = TextAnalysis.docs(spark, dir).collect()
+    assert(n.size === docs.length)
+    docs.foreach { r =>
+      val chars = r.getAs[String]("text").toLowerCase
+        .split("\\s+").filter(_.nonEmpty).map(_.length).sum
+      val words = r.getAs[String]("text").split("\\s+").count(_.nonEmpty)
+      val t = n(r.getAs[Long]("doc_id"))
+      assert(t >= words && t <= chars,
+        s"doc ${r.getAs[Long]("doc_id")}: tokens $t outside [words=$words, chars=$chars]")
+    }
+  }
+
   test("chunking: full coverage with exact overlap, no chunk past maxTokens") {
     val maxT = 5; val ov = 2; val stride = maxT - ov
     import spark.implicits._
@@ -377,6 +415,29 @@ class OpsSpec extends SparkSpec {
     // dim) survives any width
     assert(p8.subsetOf(p4), s"8-bit pairs not a subset: ${p8 -- p4}")
     assert(p8.contains((0L, 1L)), "colinear pair must survive narrower buckets")
+  }
+
+  test("autoNBits holds bucket population ~constant per decade") {
+    // historical default preserved at the small SFs...
+    assert(Similarity.autoNBits(500L) === 4)
+    assert(Similarity.autoNBits(2000L) === 4)   // = 125 * 2^4 exactly
+    // ...and grows ~3.3 bits per corpus decade past them
+    assert(Similarity.autoNBits(2001L) === 5)   // power-of-two boundary is exact
+    assert(Similarity.autoNBits(20000L) === 8)
+    assert(Similarity.autoNBits(200000L) === 11)
+    assert(Similarity.autoNBits(0L) === 4)
+    // exact even at absurd counts (125 * 2^57 >= Long.MaxValue), still
+    // under the Dim-1 sign-plane cap
+    assert(Similarity.autoNBits(Long.MaxValue) === 57)
+  }
+
+  test("embedding near-dup default auto-sizes to the corpus count") {
+    val n = Similarity.emb(spark, dir).count()
+    val auto = Similarity.embeddingNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity.embeddingNearDup(spark, dir, nBits = Similarity.autoNBits(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === explicit)
   }
 
   test("brute-force top-k ranks the colinear vector first") {
