@@ -154,7 +154,8 @@ object Graft {
       nearDupDir: Option[String] = None,
       nearDupThreshold: Double = ops.TextDedup.JaccardThreshold,
       textIndexDir: Option[String] = None,
-      chunksDir: Option[String] = None): StreamingQuery = {
+      chunksDir: Option[String] = None,
+      benchDir: Option[String] = None): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val raw = sources.DocSources.withSyntheticIds(
       spark.readStream
@@ -167,7 +168,7 @@ object Graft {
       .select("doc_id", "text", "lang", "n_words", "quality_score")
     ops.CurationPipeline.streamingDedup(
       gated, corpusDir, indexDir, checkpointDir, trigger, compactEvery,
-      nearDupDir, nearDupThreshold, textIndexDir, chunksDir)
+      nearDupDir, nearDupThreshold, textIndexDir, chunksDir, benchDir)
   }
 
   /** The vector-modality sibling of `curateCorpus` as ONE call: stream
@@ -332,16 +333,42 @@ object Graft {
     * the persisted composed (IVF+PQ) index when its markers exist —
     * both legs then run pruned probes, nothing corpus-width — and
     * falls back to the exact scan on an unindexed corpus. */
+  /** `targetRecall`: when set, the vector leg's method/levers come from
+    * the measured ANN ladder (`planAnnCached` — cheapest rung whose
+    * calibrated recall@kEach clears the target, calibrating on
+    * `calibDir` when given); `method` is then ignored. Without it,
+    * "auto" keeps the marker-based pick. Either way a pruned pick is
+    * logged once per call site decision, so the silent
+    * exact-to-approximate switch is observable. */
   def hybridSearch(spark: SparkSession, dir: String, docIds: Seq[Long],
                    k: Int = 10, kEach: Int = 20, method: String = "auto",
-                   nprobe: Int = 2, shortlist: Int = 0): org.apache.spark.sql.DataFrame = {
-    val m = method match {
-      case "auto" =>
-        if (ops.Similarity.hasComposedRawIndex(spark, dir)) "ivfpq" else "brute"
-      case other => other
+                   nprobe: Int = 2, shortlist: Int = 0,
+                   targetRecall: Option[Double] = None,
+                   calibDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val (m, np, nt, sl) = targetRecall match {
+      case Some(t) =>
+        val plan = ops.Similarity.planAnnCached(spark, dir, t, k = kEach,
+          calibrationDir = calibDir)
+        System.err.println(s"[graft] hybridSearch(target=$t) -> " +
+          s"${plan.method}(nprobe=${plan.nprobe}, nTables=${plan.nTables}, " +
+          s"shortlist=${plan.shortlist}) calibrated recall ${plan.calibratedRecall}")
+        (plan.method, plan.nprobe, plan.nTables,
+          if (plan.shortlist > 0) math.max(plan.shortlist, kEach) else plan.shortlist)
+      case None =>
+        val m0 = method match {
+          case "auto" =>
+            if (ops.Similarity.hasComposedRawIndex(spark, dir)) {
+              System.err.println(s"[graft] hybridSearch auto: persisted composed " +
+                s"index at $dir -> pruned ivfpq vector leg (pass method=\"brute\" " +
+                "or targetRecall=... for an explicit contract)")
+              "ivfpq"
+            } else "brute"
+          case other => other
+        }
+        (m0, nprobe, 4, shortlist)
     }
     ops.TextRanking.hybridRrfTopK(spark, dir, docIds, k, kEach, method = m,
-      nprobe = nprobe, shortlist = shortlist)
+      nprobe = np, shortlist = sl, nTables = nt)
   }
 
   /** Semantic (embedding-cosine) near-dup clusters over the corpus:

@@ -151,6 +151,7 @@ object SparkEntry {
     // select the identical rows
     "weighted_sample_threshold" -> (Mixing.weightedSampleThresholdFace _),
     "pack_shards" -> (Mixing.packShardsManifest _),
+    "pack_shards_bpe" -> (Mixing.packShardsBpeManifest _),
     "cross_modal" -> (TextAnalysis.crossModal _),
     // -- keyword & hybrid retrieval --
     // BM25 over the session-cached inverted index; probe = term filter
@@ -187,6 +188,9 @@ object SparkEntry {
     // the streaming gates under the oracle: 3 sequential micro-batches
     // through processBatch with REAL persisted fp/band/sig indexes
     "curation_replay" -> (CurationPipeline.curationReplay _),
+    // same replay with the benchmark gate on the chunk sink:
+    // contaminated docs are curated yet never chunk
+    "curation_replay_decontam" -> (CurationPipeline.curationReplayDecontam _),
     "vector_curation_replay" -> (CurationPipeline.vectorCurationReplay _)
   )
 
@@ -596,7 +600,38 @@ object SparkEntry {
     * then the banded near-dup gate (band-key candidates vs earlier
     * survivors and vs smaller-id exact survivors in the batch, verified
     * by the 32-component signature estimator). */
-  private def curationReplaySql(nBatches: Int, threshold: Double): String = {
+  private def curationReplaySql(nBatches: Int, threshold: Double): String =
+    curationReplayCore(nBatches, threshold, "",
+      "SELECT doc_id, batch_id FROM srv ORDER BY doc_id")
+
+  /** `curation_replay_decontam` oracle: the same sequential gate unroll,
+    * then the 13-gram benchmark gate (bench = doc_id % 20 = 0, so a
+    * bench doc in the corpus flags itself) and the 64/8 chunk math over
+    * the surviving CLEAN docs — mirrors the chunk sink under benchDir.
+    * Contamination per doc is batch-independent, so one global flag
+    * table equals the Spark side's per-batch gate. */
+  private def curationReplayDecontamSql(nBatches: Int, threshold: Double): String =
+    curationReplayCore(nBatches, threshold,
+      s""",
+         |wrd2 AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |gl2 AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-12), i -> array_to_string(list_slice(ws, i, i+12), ' ')) END AS garr
+         |  FROM wrd2 WHERE len(ws) > 0),
+         |g2 AS (SELECT DISTINCT doc_id, unnest(garr) AS gram FROM gl2),
+         |flg AS (SELECT DISTINCT cg.doc_id FROM g2 cg
+         |  JOIN (SELECT gram FROM g2 WHERE doc_id % 20 = 0) bg USING (gram)),
+         |cln AS (SELECT s.doc_id, s.batch_id FROM srv s
+         |  LEFT JOIN flg f ON f.doc_id = s.doc_id WHERE f.doc_id IS NULL),
+         |cn2 AS (SELECT c.doc_id, c.batch_id, w.ws, len(w.ws) AS n FROM cln c JOIN wrd2 w USING (doc_id)),
+         |cc2 AS (SELECT doc_id, batch_id, ws, greatest(CAST(1 AS BIGINT), CAST(ceil((n - 8) / 56.0) AS BIGINT)) AS n_chunks FROM cn2),
+         |cx2 AS (SELECT doc_id, batch_id, ws, unnest(generate_series(0, n_chunks - 1)) AS ci FROM cc2),
+         |cy2 AS (SELECT doc_id, batch_id, len(list_slice(ws, ci*56 + 1, ci*56 + 64)) AS nt FROM cx2),
+         |ca2 AS (SELECT doc_id, batch_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM cy2 GROUP BY 1, 2)""".stripMargin,
+      "SELECT doc_id, batch_id, n_chunks, n_tokens FROM ca2 ORDER BY doc_id")
+
+  private def curationReplayCore(nBatches: Int, threshold: Double,
+                                 extraCtes: String, finalSelect: String): String = {
     def estDrop(cands: String, out: String) =
       s"""$out AS (SELECT DISTINCT doc_a AS doc_id FROM (
          |  SELECT c.doc_a, c.doc_b,
@@ -649,8 +684,9 @@ object SparkEntry {
        |  FROM mh GROUP BY 1, 2),
        |fpt AS (SELECT doc_id, md5(lower(text)) AS fp, doc_id % $nBatches AS b
        |  FROM documents WHERE text IS NOT NULL),
-       |$perBatch
-       |SELECT doc_id, batch_id FROM ($finalUnion) ORDER BY doc_id"""
+       |$perBatch,
+       |srv AS (SELECT doc_id, batch_id FROM ($finalUnion))$extraCtes
+       |$finalSelect"""
       .stripMargin
       // MATERIALIZED is load-bearing, not a hint: the per-batch CTE
       // chain references each level several times (ex in dn/do/out, out
@@ -1413,6 +1449,23 @@ object SparkEntry {
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
 
+    // same prefix-sum pack with the budget counted in trained BPE
+    // tokens (shares the bpe_merges training chain)
+    "pack_shards_bpe" ->
+      s"""WITH RECURSIVE ${bpeTrainCtes(10)},
+         |u AS (SELECT doc_id, unnest(ws) AS word FROM wrd),
+         |pw AS (SELECT word, CAST(len(syms) AS BIGINT) AS wt FROM vz10),
+         |tj AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS n_tok FROM u JOIN pw USING (word) GROUP BY 1),
+         |tok AS (SELECT d.doc_id, CAST(coalesce(tj.n_tok, 0) AS BIGINT) AS n_tok
+         |  FROM documents d LEFT JOIN tj USING (doc_id)),
+         |c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM tok),
+         |s AS (SELECT doc_id, n_tok, CAST(cum // 2000 AS BIGINT) AS shard FROM c)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
     "cross_modal" ->
       """WITH e AS (SELECT vec_id, label,
         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm FROM embeddings)
@@ -1591,6 +1644,8 @@ object SparkEntry {
          |FROM ca JOIN clean USING (doc_id) ORDER BY ca.doc_id""".stripMargin,
 
     "curation_replay" -> curationReplaySql(nBatches = 3, threshold = 0.2),
+    "curation_replay_decontam" ->
+      curationReplayDecontamSql(nBatches = 3, threshold = 0.2),
     "vector_curation_replay" -> vectorReplaySql(nBatches = 3, threshold = 0.35)
   )
 }

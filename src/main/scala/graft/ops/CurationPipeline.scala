@@ -155,13 +155,15 @@ object CurationPipeline {
       nearDupDir: Option[String] = None,
       nearDupThreshold: Double = TextDedup.JaccardThreshold,
       textIndexDir: Option[String] = None,
-      chunksDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      chunksDir: Option[String] = None,
+      benchDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, corpusDir, indexDir,
-          nearDupDir, nearDupThreshold, compactEvery, textIndexDir, chunksDir)
+          nearDupDir, nearDupThreshold, compactEvery, textIndexDir, chunksDir,
+          benchDir)
       }
       .start()
 
@@ -174,13 +176,15 @@ object CurationPipeline {
       batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
       nearDupDir: Option[String], nearDupThreshold: Double,
       compactEvery: Int, textIndexDir: Option[String] = None,
-      chunksDir: Option[String] = None): Unit = {
+      chunksDir: Option[String] = None,
+      benchDir: Option[String] = None): Unit = {
     // gate latency lands in the process-wide histogram (`/metrics`
     // `graft_gate_duration_seconds_bucket` series) — one observation
     // per batch, driver-side, reference-bucket shape
     val gateT0 = System.nanoTime()
     try processBatchBody(batch, batchId, corpusDir, indexDir,
-      nearDupDir, nearDupThreshold, compactEvery, textIndexDir, chunksDir)
+      nearDupDir, nearDupThreshold, compactEvery, textIndexDir, chunksDir,
+      benchDir)
     finally graft.obs.PipelineMetrics.gateDuration.observeNanos(System.nanoTime() - gateT0)
   }
 
@@ -188,7 +192,8 @@ object CurationPipeline {
       batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
       nearDupDir: Option[String], nearDupThreshold: Double,
       compactEvery: Int, textIndexDir: Option[String],
-      chunksDir: Option[String]): Unit = {
+      chunksDir: Option[String],
+      benchDir: Option[String]): Unit = {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
     val spark = batch.sparkSession
     val index = readBatchIndex(spark, indexDir, StructType(Seq(
@@ -231,8 +236,24 @@ object CurationPipeline {
       // of the same rows, same batch_id-partitioned dynamic-overwrite
       // idempotence as the corpus sink (a replayed batch replaces its
       // own chunk partitions; dropped docs never chunk)
+      // the STREAMING decontamination gate: chunks are the training
+      // feed, so docs containing any verbatim benchmark 13-gram stay in
+      // the curated corpus (curation != eval hygiene) but never chunk.
+      // The benchmark gram table is tiny by definition and broadcasts
+      // per batch inside exactNgramContamination; the corpus side is
+      // one pass over THIS batch's survivors, never history.
       chunksDir.foreach { cd =>
-        TextAnalysis.chunkDocumentsDf(out.select("doc_id", "text"),
+        val chunkSrc = benchDir match {
+          case None => out.select("doc_id", "text")
+          case Some(bd) =>
+            val bench = spark.read.parquet(bd).select("doc_id", "text")
+            val flagged = TextDedup.exactNgramContamination(
+                out.select("doc_id", "text"), bench)
+              .select("doc_id").distinct()
+            out.select("doc_id", "text")
+              .join(flagged, Seq("doc_id"), "left_anti")
+        }
+        TextAnalysis.chunkDocumentsDf(chunkSrc,
             ChunkMaxTokens, ChunkOverlap)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
@@ -316,13 +337,16 @@ object CurationPipeline {
   def replayBatches(docs: DataFrame, batchCol: org.apache.spark.sql.Column,
                     corpusDir: String, indexDir: String,
                     nearDupDir: Option[String] = None,
-                    nearDupThreshold: Double = TextDedup.JaccardThreshold): DataFrame = {
+                    nearDupThreshold: Double = TextDedup.JaccardThreshold,
+                    chunksDir: Option[String] = None,
+                    benchDir: Option[String] = None): DataFrame = {
     val withB = docs.withColumn("__replay_b", batchCol.cast("long"))
     val ids = withB.select("__replay_b").distinct()
       .collect().map(_.getLong(0)).sorted
     ids.foreach { b =>
       processBatch(withB.filter(col("__replay_b") === b).drop("__replay_b"),
-        b, corpusDir, indexDir, nearDupDir, nearDupThreshold, compactEvery = 0)
+        b, corpusDir, indexDir, nearDupDir, nearDupThreshold, compactEvery = 0,
+        textIndexDir = None, chunksDir = chunksDir, benchDir = benchDir)
     }
     docs.sparkSession.read.parquet(corpusDir)
   }
@@ -345,6 +369,30 @@ object CurationPipeline {
       // few thousand (doc_id, batch_id) rows; the ContextCleaner reaps
       // its blocks when the returned frame goes unreachable.
       corpus.select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
+  /** `curation_replay_decontam` query face: the same 3-batch replay
+    * with the streaming chunk sink AND the benchmark gate on — bench =
+    * the doc_id % 20 = 0 subset (written to a scratch parquet dir, as a
+    * user would point benchDir at an eval set). Every bench doc in the
+    * corpus flags itself, so the output proves contaminated docs are
+    * CURATED yet never CHUNK. Emits per-doc chunk stats with the batch
+    * the doc survived in. */
+  def curationReplayDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("curation_replay_dc").toString
+    try {
+      docs.filter(col("doc_id") % 20 === 0).write.parquet(s"$tmp/bench")
+      replayBatches(docs, col("doc_id") % 3,
+        s"$tmp/corpus", s"$tmp/fp", Some(s"$tmp/nd"),
+        chunksDir = Some(s"$tmp/chunks"), benchDir = Some(s"$tmp/bench"))
+      spark.read.parquet(s"$tmp/chunks")
+        .groupBy(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("n_tokens").cast("long").as("n_tokens"))
         .orderBy("doc_id")
         .localCheckpoint(true)
     } finally deleteRecursively(new java.io.File(tmp))

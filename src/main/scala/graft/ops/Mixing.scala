@@ -362,10 +362,24 @@ object Mixing {
   def packShardsManifest(spark: SparkSession, dir: String): DataFrame = {
     val tok = docs(spark, dir)
       .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
-    packShards(tok, "doc_id", "n_tok", budget = 2000L)
+    shardManifest(packShards(tok, "doc_id", "n_tok", budget = 2000L))
+  }
+
+  /** `pack_shards_bpe` query face: the same token-budget packing with
+    * budgets counted in TRAINED BPE tokens (TextAnalysis.bpeTokenCounts)
+    * instead of whitespace words — shard sizes then match what a
+    * training job tokenizing with that merge table actually consumes.
+    * packShards is token-column-generic; this face just feeds it the
+    * tokenizer-aware column. */
+  def packShardsBpeManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(packShards(
+      graft.ops.TextAnalysis.bpeTokenCounts(spark, dir),
+      "doc_id", "n_tokens", budget = 2000L))
+
+  private def shardManifest(packed: DataFrame): DataFrame =
+    packed
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"),
         min("id").as("min_id"), max("id").as("max_id"))
       .orderBy("shard")
-  }
 }

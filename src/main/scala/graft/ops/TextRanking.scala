@@ -561,12 +561,12 @@ object TextRanking {
   def hybridRrfTopK(spark: SparkSession, dir: String, qids: Seq[Long],
                     k: Int, kEach: Int = 20, nTerms: Int = 3,
                     method: String = "brute", nprobe: Int = 2,
-                    shortlist: Int = 0): DataFrame = {
+                    shortlist: Int = 0, nTables: Int = 4): DataFrame = {
     val bm = bm25TopKFor(spark, dir, qids, kEach, nTerms)
       .select(col("qid"), col("doc_id"), col("bm_rank"))
     val score = col(AnnRouter.scoreColumn(method))
     val annW = Window.partitionBy("qid").orderBy(score.desc, col("vec_id").asc)
-    val ann = AnnRouter.topKFor(spark, dir, qids, kEach, nprobe, method, shortlist)
+    val ann = AnnRouter.topKFor(spark, dir, qids, kEach, nprobe, method, shortlist, nTables)
       .withColumn("ann_rank", row_number().over(annW))
       .select(col("qid"), col("vec_id").as("doc_id"), col("ann_rank"))
     val rrfPart = (r: Column) =>

@@ -190,6 +190,28 @@ class GraftFacadeSpec extends AnyFunSuite {
   private def goodText(tag: String): String =
     (1 to 25).map(i => s"${tag}x$i").mkString(" ")
 
+  test("hybridSearch targetRecall routes the vector leg through the measured ladder") {
+    val spark = Graft.session(cores = 4)
+    val dir = "/root/testdata/sf0.001"
+    val qids = Seq(0L, 1L, 2L)
+    // target 1.0: only an exact-recall rung (or the brute fallback)
+    // clears it, so the fusion must equal the explicit brute-leg run
+    val exact = Graft.hybridSearch(spark, dir, qids, k = 5,
+      targetRecall = Some(1.0)).collect().toSeq
+    val brute = Graft.hybridSearch(spark, dir, qids, k = 5,
+      method = "brute").collect().toSeq
+    assert(exact === brute,
+      "a 1.0 recall contract must fuse an exact-recall vector leg")
+    // target satisfaction: the memoized plan the call used measured at
+    // or above the contract
+    val plan = ops.Similarity.planAnnCached(spark, dir, 0.9, k = 20)
+    val got = Graft.hybridSearch(spark, dir, qids, k = 5, targetRecall = Some(0.9))
+    assert(plan.calibratedRecall >= 0.9,
+      s"plan ${plan.method} calibrated ${plan.calibratedRecall} below target")
+    assert(got.columns.toSeq === Seq("qid", "doc_id", "rrf_score"))
+    assert(got.count() > 0)
+  }
+
   test("annSearch routes every ANN method; buildVectorIndex routes every layout") {
     val spark = Graft.session(cores = 4)
     val dir = "/root/testdata/sf0.001"
@@ -354,6 +376,42 @@ class GraftFacadeSpec extends AnyFunSuite {
     val got = chunks.select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
       .orderBy("doc_id", "chunk_idx").collect().map(_.toString).toSeq
     assert(got === expected, "streamed chunks must equal the batch chunking of the corpus")
+  }
+
+  test("streaming decontamination gate: contaminated docs are curated yet never chunk") {
+    val spark = Graft.session(cores = 4)
+    val docsDir = Files.createTempDirectory("gdc_in").toString
+    val corpusDir = Files.createTempDirectory("gdc_corpus").toString + "/c"
+    val indexDir = Files.createTempDirectory("gdc_fp").toString + "/i"
+    val chunksDir = Files.createTempDirectory("gdc_chunks").toString + "/ch"
+    val benchDir = Files.createTempDirectory("gdc_bench").toString + "/b"
+    val ckpt = Files.createTempDirectory("gdc_ck").toString
+    // a benchmark doc, and a "paraphrase" training doc that copies a
+    // verbatim 13-word run from it inside otherwise-fresh text (passes
+    // the exact AND near-dup gates: most of its words are new)
+    val benchText = (1 to 25).map(i => s"benchx$i").mkString(" ")
+    val leak13 = (5 to 17).map(i => s"benchx$i").mkString(" ")
+    val paraphrase = (1 to 6).map(i => s"freshx$i").mkString(" ") +
+      " " + leak13 + " " + (7 to 12).map(i => s"freshx$i").mkString(" ")
+    val clean = goodText("cleanword")
+    import spark.implicits._
+    Seq((100L, benchText)).toDF("doc_id", "text").write.parquet(benchDir)
+    writeJsonlGz(docsDir, "r1.jsonl.gz", Seq(doc(1, paraphrase), doc(2, clean)))
+    val q = Graft.curateCorpus(spark, docsDir, corpusDir, indexDir, ckpt,
+      maxFilesPerTrigger = 1, compactEvery = 0,
+      chunksDir = Some(chunksDir), benchDir = Some(benchDir))
+    assert(q.awaitTermination(120000), "AvailableNow curation must drain and stop")
+    // both docs pass curation (the paraphrase is NOT a near-dup of
+    // anything curated)...
+    val curated = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated === Set(1L, 2L),
+      "the contaminated doc must still be CURATED (decontamination gates training chunks, not the corpus)")
+    // ...but only the clean doc reaches the training chunks
+    val chunked = spark.read.parquet(chunksDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(chunked === Set(2L),
+      "a doc containing a verbatim benchmark 13-gram must never chunk")
   }
 
   test("corpus curation end-to-end: .jsonl.gz -> quality gate -> dedup -> compacted parquet") {

@@ -151,6 +151,26 @@ class MixingSpec extends SparkSpec {
     assert(rows.length === 200)
   }
 
+  test("pack: budget respected under the trained-BPE token column") {
+    // feed packShards tokenizer-aware counts instead of word counts:
+    // the budget bound must hold against the BPE totals, and the shard
+    // assignment must equal a plain prefix-sum over those counts
+    val tok = graft.ops.TextAnalysis.bpeTokenCounts(spark, dir)
+    val budget = 200L
+    val rows = Mixing.packShards(tok, "doc_id", "n_tokens", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val maxDoc = rows.map(_._2).max
+    rows.groupBy(_._3).foreach { case (shard, docs) =>
+      assert(docs.map(_._2).sum < budget + maxDoc, s"BPE shard $shard overflows")
+    }
+    var cum = 0L
+    rows.foreach { case (id, t, shard) =>
+      assert(shard === cum / budget, s"doc $id shard mismatch under BPE counts")
+      cum += t
+    }
+  }
+
   test("pack: empty input and oversized docs degrade sanely") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tok")
