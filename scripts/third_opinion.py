@@ -99,20 +99,182 @@ def check_cum_volume(e, out_dir):
     return len(mine)
 
 
+# ---- round-10 training-pipeline families (documents table) ----------
+# Independent reimplementations of chunking, leakage-free splits, and
+# the composed training manifest: python strings/dicts/DSU, no SQL.
+
+import hashlib
+import math
+import re
+
+
+P31 = 2147483647
+TWO60 = float(1 << 60)
+
+
+def _md5long(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _words(text):
+    return [w for w in re.split(r"\s+", text.lower()) if w != ""]
+
+
+def load_docs(sf_dir):
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    return [(int(r.doc_id), r.text) for r in d.itertuples()]
+
+
+def _chunks_of(ws, max_tokens=64, overlap=8):
+    stride = max_tokens - overlap
+    n = len(ws)
+    n_chunks = max(1, math.ceil((n - overlap) / stride))
+    return [ws[i * stride: i * stride + max_tokens] for i in range(n_chunks)]
+
+
+def check_chunk_documents(sf_dir, out_dir):
+    rows = []
+    for doc_id, text in load_docs(sf_dir):
+        for ci, cw in enumerate(_chunks_of(_words(text))):
+            rows.append((doc_id, ci, " ".join(cw), len(cw)))
+    mine = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk_text", "n_tokens"]) \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    got = spark(out_dir, "chunk_documents") \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def _minhash_clusters(docs):
+    """(doc_id -> cluster_rep) via the banded-MinHash near-dup graph:
+    32 md5-seeded permutations, 8 bands of 4, band candidates verified
+    by EXACT shingle-set Jaccard >= 0.2 (the lossless-PPJoin shape the
+    oracle uses), components by union-find, rep = min id."""
+    sigs, shset = {}, {}
+    for doc_id, text in docs:
+        ws = _words(text)
+        sh = ws if len(ws) < 3 else [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+        sh = sh if sh else [""]
+        shset[doc_id] = set(sh)
+        hms = [_md5long(s) % P31 for s in sh]
+        sigs[doc_id] = [min(((2 * i + 1) * hm + i * i + 7) % P31 for hm in hms)
+                        for i in range(32)]
+    buckets = {}
+    for doc_id, sig in sigs.items():
+        for b in range(8):
+            key = (b, ",".join(f"{j}:{sig[4 * b + j]}" for j in range(4)))
+            buckets.setdefault(key, []).append(doc_id)
+    parent = {d: d for d, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    for a, b in cands:
+        ni = len(shset[a] & shset[b])
+        if ni and ni / (len(shset[a]) + len(shset[b]) - ni) >= 0.2:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    reps = {}
+    for d, _ in docs:
+        reps.setdefault(find(d), []).append(d)
+    return {d: min(reps[find(d)]) for d, _ in docs}
+
+
+def check_leakage_free_split(sf_dir, out_dir):
+    docs = load_docs(sf_dir)
+    cluster = _minhash_clusters(docs)
+    rows = []
+    for doc_id, _ in docs:
+        rep = cluster[doc_id]
+        draw = _md5long(f"split:{rep}") / TWO60
+        split = "train" if draw < 0.75 else ("val" if draw < 0.875 else "test")
+        rows.append((split, doc_id, rep))
+    df = pd.DataFrame(rows, columns=["split", "doc_id", "cluster_rep"])
+    mine = df.groupby("split", as_index=False).agg(
+        n_docs=("doc_id", "size"),
+        n_clusters=("cluster_rep", "nunique"),
+        id_sum=("doc_id", "sum")).sort_values("split").reset_index(drop=True)
+    got = spark(out_dir, "leakage_free_split") \
+        .sort_values("split").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_training_manifest(sf_dir, out_dir):
+    docs = load_docs(sf_dir)
+    cluster = _minhash_clusters(docs)
+    quality, n_words_of = {}, {}
+    for doc_id, text in docs:
+        ws = _words(text)
+        n_words_of[doc_id] = len(ws)
+        punct = round((len(text) - len(re.sub(r"[^a-z0-9 ]", "", text))) / len(text), 4)
+        quality[doc_id] = round(min(1.0, len(ws) / 50.0) * (1.0 - punct), 4)
+    # keep-best: one survivor per cluster by (quality desc, id asc),
+    # then the quality/length/holdout gates
+    best = {}
+    for doc_id, _ in docs:
+        rep = cluster[doc_id]
+        cur = best.get(rep)
+        if cur is None or (-quality[doc_id], doc_id) < (-quality[cur], cur):
+            best[rep] = doc_id
+    kept = [d for d in best.values()
+            if quality[d] >= 0.3 and 20 <= n_words_of[d] <= 5000 and d % 20 != 0]
+    # 13-gram decontamination vs the doc_id % 20 == 0 holdout
+    grams = {}
+    for doc_id, text in docs:
+        ws = _words(text)
+        if not ws:
+            continue
+        g = {" ".join(ws)} if len(ws) < 13 else \
+            {" ".join(ws[i:i + 13]) for i in range(len(ws) - 12)}
+        grams[doc_id] = g
+    bench = set().union(*(grams[d] for d, _ in docs if d % 20 == 0 and d in grams)) \
+        if any(d % 20 == 0 and d in grams for d, _ in docs) else set()
+    text_of = dict(docs)
+    rows = []
+    for d in sorted(kept):
+        if d in grams and grams[d] & bench:
+            continue
+        cw = _chunks_of(_words(text_of[d]))
+        rows.append((d, quality[d], len(cw), sum(len(c) for c in cw)))
+    mine = pd.DataFrame(rows, columns=["doc_id", "quality_score", "n_chunks", "n_tokens"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = spark(out_dir, "pipeline_training_manifest") \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[mine.columns].astype({"quality_score": float}),
+        mine.astype({"quality_score": float}), check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
+    checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
+              ("session_stats", lambda: check_session_stats(e, out_dir)),
+              ("daily_ohlcv", lambda: check_daily_ohlcv(e, out_dir)),
+              ("cum_volume", lambda: check_cum_volume(e, out_dir)),
+              ("chunk_documents", lambda: check_chunk_documents(sf_dir, out_dir)),
+              ("leakage_free_split", lambda: check_leakage_free_split(sf_dir, out_dir)),
+              ("pipeline_training_manifest", lambda: check_training_manifest(sf_dir, out_dir))]
     n_fail = 0
-    for name, fn in [("asof_join", check_asof_join),
-                     ("session_stats", check_session_stats),
-                     ("daily_ohlcv", check_daily_ohlcv),
-                     ("cum_volume", check_cum_volume)]:
+    for name, fn in checks:
         try:
-            n = fn(e, out_dir)
+            n = fn()
             print(f"PASS {name}: pandas reimplementation agrees ({n} rows)")
         except Exception as ex:
             print(f"FAIL {name}: {type(ex).__name__}: {str(ex)[:400]}")
             n_fail += 1
-    print(f"== {4 - n_fail} pass / {n_fail} fail")
+    print(f"== {len(checks) - n_fail} pass / {n_fail} fail")
     return 1 if n_fail else 0
 
 
