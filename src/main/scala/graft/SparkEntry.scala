@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{MarketQueries => M, RelationalQueries => R}
-import graft.ops.{TextDedup, TextAnalysis, TextRanking, Similarity, ScalarQuant, Multimodal, CurationPipeline, Mixing}
+import graft.ops.{TextDedup, TextAnalysis, TextRanking, Similarity, ScalarQuant, Multimodal, CurationPipeline, Mixing, SubstringDedup, Importance}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -88,6 +88,10 @@ object SparkEntry {
     // exact 13-gram containment (the verbatim-quote complement of the
     // banded near-dup flagger above)
     "decontamination_ngram" -> (TextDedup.decontaminationNgram _),
+    // substring-level dedup (Lee et al. 2022): repeated 10-word spans
+    // keep only their corpus-first occurrence; stats + cleaned-text md5
+    "dedup_substring" -> ((s: SparkSession, d: String) =>
+      SubstringDedup.substringDedupStats(s, d)),
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
     "dedup_simhash" -> (TextDedup.simhash _),
     "dedup_simhash_clusters" -> (TextDedup.simhashClusters _),
@@ -128,6 +132,9 @@ object SparkEntry {
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
+    // self-trained unigram-LM surprisal (the CCNet perplexity filter
+    // without the external KenLM artifact)
+    "text_perplexity" -> (TextAnalysis.unigramSurprisal _),
     // context-window chunking (64-word chunks, 8-word overlap)
     "chunk_documents" -> ((s: SparkSession, d: String) =>
       TextAnalysis.chunkDocuments(s, d)),
@@ -150,6 +157,10 @@ object SparkEntry {
     // the threshold (large-k) plan, oracle-pinned at small k — must
     // select the identical rows
     "weighted_sample_threshold" -> (Mixing.weightedSampleThresholdFace _),
+    // DSIR-style hashed-ngram importance selection (deterministic top-k
+    // face of the importance-resampling draw)
+    "importance_sample" -> ((s: SparkSession, d: String) =>
+      Importance.importanceTopK(s, d)),
     "pack_shards" -> (Mixing.packShardsManifest _),
     "pack_shards_bpe" -> (Mixing.packShardsBpeManifest _),
     "cross_modal" -> (TextAnalysis.crossModal _),
@@ -955,6 +966,32 @@ object SparkEntry {
       s"""WITH $JaccardCte
          |SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin,
 
+    // mirrors SubstringDedup.substringDedupStats (n = 10): positional
+    // 10-gram md5 keys, corpus-first occurrence keeps (row_number over
+    // (doc_id, pos)), gaps-and-islands merge with adjacency, cleaned
+    // text rebuilt by filtering removed 1-based word positions
+    "dedup_substring" ->
+      s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |gl AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-9), i ->
+         |  {'pos': i, 'gk': md5(array_to_string(list_slice(ws, i, i+9), ' '))}) AS garr
+         |  FROM wrd WHERE len(ws) >= 10),
+         |g AS (SELECT doc_id, unnest(garr, recursive := true) FROM gl),
+         |dup AS (SELECT doc_id, pos AS s, pos + 9 AS e FROM (
+         |  SELECT doc_id, pos, row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn FROM g) WHERE rn > 1),
+         |brk AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+         |    PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |  THEN 1 ELSE 0 END AS b FROM dup),
+         |isl AS (SELECT doc_id, s, e, sum(b) OVER (
+         |  PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle FROM brk),
+         |m AS (SELECT doc_id, isle, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s + 1) AS BIGINT) AS words_removed,
+         |  list(s ORDER BY s) AS ss, list(e ORDER BY s) AS es FROM m GROUP BY 1)
+         |SELECT a.doc_id, a.n_spans, a.words_removed, CAST(len(w.ws) AS BIGINT) AS n_words,
+         |  md5(coalesce(array_to_string(list_transform(list_filter(generate_series(1, len(w.ws)),
+         |    p -> len(list_filter(generate_series(1, len(a.ss)), j -> p >= a.ss[j] AND p <= a.es[j])) = 0),
+         |    p -> w.ws[p]), ' '), '')) AS clean_md5
+         |FROM agg a JOIN wrd w USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
     // deliberately the UNFILTERED formulation: the PPJoin filters are
     // exact-preserving, so hash-equality against the full inverted-index
     // oracle is the losslessness proof
@@ -1334,6 +1371,39 @@ object SparkEntry {
     "token_histogram" ->
       s"""SELECT (CAST(len($WordsSql) AS BIGINT) // 10) * 10 AS bucket_lo, count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+
+    // mirrors TextAnalysis.unigramSurprisal: add-one unigram surprisal,
+    // explicit DOUBLE casts so both engines do pure double arithmetic,
+    // per-token round→DECIMAL(18,6) makes the doc sum order-free exact;
+    // N and V re-derived from the same corpus by each engine
+    "text_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($WordsSql) AS w FROM documents),
+         |lex AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM lex),
+         |sc AS (SELECT doc_id, CAST(round(-ln((CAST(c AS DOUBLE) + 1.0) / CAST(n + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s
+         |  FROM t JOIN lex USING (w) CROSS JOIN st),
+         |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1)
+         |SELECT doc_id, n_words, CAST(nll AS DOUBLE) AS nll_sum,
+         |  CAST(nll AS DOUBLE) / n_words AS nll_avg FROM ds ORDER BY doc_id""".stripMargin,
+
+    // mirrors Importance.importanceTopK: unigram+bigram features hashed
+    // into 4096 buckets, add-one log ratio per bucket rounded to
+    // DECIMAL(18,6) (exact order-free doc sums), top-100 raw docs by
+    // (w_sum desc, doc_id); totals re-derived in-plan on both sides
+    "importance_sample" ->
+      s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |bg AS (SELECT doc_id, list_concat(ws, CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) END) AS fs FROM wrd),
+         |fb AS (SELECT doc_id, ${md5LongSql("concat('f:', f)")} % 4096 AS b FROM (SELECT doc_id, unnest(fs) AS f FROM bg)),
+         |cnt AS (SELECT b, CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |  CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr FROM fb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM cnt),
+         |w AS (SELECT b, CAST(round(ln((CAST(ct AS DOUBLE) + 1.0) * (CAST(tr AS DOUBLE) + 4096.0) /
+         |  ((CAST(cr AS DOUBLE) + 1.0) * (CAST(tt AS DOUBLE) + 4096.0))), 6) AS DECIMAL(18,6)) AS w FROM cnt CROSS JOIN tot),
+         |ds AS (SELECT doc_id, count(*) AS n_feats, sum(w) AS wsum FROM fb JOIN w USING (b)
+         |  WHERE doc_id % 7 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_feats, CAST(wsum AS DOUBLE) AS w_sum FROM ds
+         |ORDER BY w_sum DESC, doc_id LIMIT 100""".stripMargin,
 
     // mirrors TextAnalysis.bpeTopPairs: word-count weighting, substr
     // pair windows, (n desc, pair asc) total order

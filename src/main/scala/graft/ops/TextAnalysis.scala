@@ -377,6 +377,44 @@ object TextAnalysis {
       .orderBy("label")
   }
 
+  /** Unigram-LM surprisal scoring — the CCNet-style perplexity filter
+    * with the external KenLM replaced by a self-trained add-one unigram
+    * model (the signal degrades gracefully: a 1-gram LM still separates
+    * gibberish/rare-token docs from fluent ones, and needs no model
+    * artifact shipped to executors). Per word: surprisal
+    * -ln((c_w + 1) / (N + V)) over corpus word count c_w, total tokens N,
+    * vocab size V; per doc: the sum and the per-word mean (nats/word —
+    * the log of the doc's unigram perplexity).
+    *
+    * Determinism: each surprisal is ONE double expression from exact
+    * integer counts, rounded to 6 and cast DECIMAL(18,6) (the BM25
+    * convention) so the per-doc sum is exact and order-free; the mean is
+    * the double cast of that exact sum divided by an exact count. N and
+    * V are data-derived by both engines (ORACLE.md).
+    *
+    * Plan shape: one token-proportional shuffle builds the lexicon, a
+    * second joins it back (the BM25 postings shape — at 100 TB you'd
+    * serve both from the same session-cached postings index); the (N, V)
+    * scalar pair broadcasts. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+    val lex = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val stats = lex.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    toks.join(lex, "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", round(-log(
+        (col("c") + lit(1.0)) / (col("n") + col("v")).cast("double")), 6)
+        .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("s").as("nll"))
+      .select(col("doc_id"), col("n_words"),
+        col("nll").cast("double").as("nll_sum"),
+        (col("nll").cast("double") / col("n_words")).as("nll_avg"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: full-content md5, a 60-bit integer fingerprint,
     * and the min word-3-gram shingle hash (winnowing-lite — equal for any
     * two docs sharing their rarest shingle window). */
