@@ -257,6 +257,103 @@ def check_training_manifest(sf_dir, out_dir):
     return len(mine)
 
 
+def _round6_half_up(x):
+    """Spark's round(double, 6): HALF_UP on the shortest decimal repr
+    (BigDecimal.valueOf goes through Double.toString; python repr() is
+    the same shortest-roundtrip string)."""
+    from decimal import Decimal, ROUND_HALF_UP
+    return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+
+def check_dedup_substring(sf_dir, out_dir, n=10):
+    docs = load_docs(sf_dir)
+    # corpus-first occurrence per 10-gram, scanning in (doc_id, pos) order
+    seen, spans = set(), {}
+    for doc_id, text in sorted(docs):
+        ws = _words(text)
+        for i in range(len(ws) - n + 1):
+            gk = hashlib.md5(" ".join(ws[i:i + n]).encode()).hexdigest()
+            if gk in seen:
+                spans.setdefault(doc_id, []).append((i + 1, i + n))
+            else:
+                seen.add(gk)
+    rows = []
+    for doc_id, text in sorted(docs):
+        if doc_id not in spans:
+            continue
+        ws = _words(text)
+        merged = []
+        for s, e in sorted(spans[doc_id]):
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        removed = sum(e - s + 1 for s, e in merged)
+        kept = [ws[p - 1] for p in range(1, len(ws) + 1)
+                if not any(s <= p <= e for s, e in merged)]
+        rows.append((doc_id, len(merged), removed, len(ws),
+                     hashlib.md5(" ".join(kept).encode()).hexdigest()))
+    mine = pd.DataFrame(rows, columns=[
+        "doc_id", "n_spans", "words_removed", "n_words", "clean_md5"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = spark(out_dir, "dedup_substring").sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_text_perplexity(sf_dir, out_dir):
+    docs = load_docs(sf_dir)
+    cnt = {}
+    for _, text in docs:
+        for w in _words(text):
+            cnt[w] = cnt.get(w, 0) + 1
+    n_tot, v = sum(cnt.values()), len(cnt)
+    sur = {w: _round6_half_up(-math.log((c + 1.0) / float(n_tot + v)))
+           for w, c in cnt.items()}
+    rows = []
+    for doc_id, text in sorted(docs):
+        ws = _words(text)
+        if not ws:
+            continue
+        nll = sum(sur[w] for w in ws)  # exact Decimal sum, order-free
+        rows.append((doc_id, len(ws), float(nll), float(nll) / len(ws)))
+    mine = pd.DataFrame(rows, columns=["doc_id", "n_words", "nll_sum", "nll_avg"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = spark(out_dir, "text_perplexity").sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_importance_sample(sf_dir, out_dir, buckets=4096, k=100):
+    docs = load_docs(sf_dir)
+    feats = {}
+    for doc_id, text in docs:
+        ws = _words(text)
+        fs = ws + [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        feats[doc_id] = [_md5long("f:" + f) % buckets for f in fs]
+    ct, cr = {}, {}
+    for doc_id, bs in feats.items():
+        tgt = ct if doc_id % 7 == 0 else cr
+        for b in bs:
+            tgt[b] = tgt.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    w = {b: _round6_half_up(math.log(
+        (ct.get(b, 0) + 1.0) * (tr + float(buckets)) /
+        ((cr.get(b, 0) + 1.0) * (tt + float(buckets)))))
+        for b in set(ct) | set(cr)}
+    rows = []
+    for doc_id, bs in feats.items():
+        if doc_id % 7 == 0 or not bs:
+            continue
+        rows.append((doc_id, len(bs), float(sum(w[b] for b in bs))))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    mine = pd.DataFrame(rows[:k], columns=["doc_id", "n_feats", "w_sum"]) \
+        .reset_index(drop=True)
+    got = spark(out_dir, "importance_sample").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
@@ -265,7 +362,10 @@ def main(sf_dir, out_dir):
               ("cum_volume", lambda: check_cum_volume(e, out_dir)),
               ("chunk_documents", lambda: check_chunk_documents(sf_dir, out_dir)),
               ("leakage_free_split", lambda: check_leakage_free_split(sf_dir, out_dir)),
-              ("pipeline_training_manifest", lambda: check_training_manifest(sf_dir, out_dir))]
+              ("pipeline_training_manifest", lambda: check_training_manifest(sf_dir, out_dir)),
+              ("dedup_substring", lambda: check_dedup_substring(sf_dir, out_dir)),
+              ("text_perplexity", lambda: check_text_perplexity(sf_dir, out_dir)),
+              ("importance_sample", lambda: check_importance_sample(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:
