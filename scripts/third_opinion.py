@@ -354,6 +354,41 @@ def check_importance_sample(sf_dir, out_dir, buckets=4096, k=100):
     return len(mine)
 
 
+def check_quality_classifier(sf_dir, out_dir, buckets=4096, rounds=3, lr=0.5):
+    docs = load_docs(sf_dir)
+    feats = {}
+    for doc_id, text in docs:
+        ws = _words(text)
+        fs = ws + [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        bs = {_md5long("f:" + f) % buckets for f in fs}
+        if bs:
+            feats[doc_id] = bs
+    n = len(feats)
+    w = {}
+    for _ in range(rounds):
+        err = {}
+        for doc_id, bs in feats.items():
+            z = float(sum((w[b] for b in bs if b in w),
+                          __import__("decimal").Decimal(0)))
+            y = 1.0 if doc_id % 7 == 0 else 0.0
+            err[doc_id] = _round6_half_up(y - 1.0 / (1.0 + math.exp(-z)))
+        grad = {}
+        for doc_id, bs in feats.items():
+            for b in bs:
+                grad[b] = grad.get(b, __import__("decimal").Decimal(0)) + err[doc_id]
+        w = {b: _round6_half_up(float(w.get(b, 0)) + lr * float(g) / n)
+             for b, g in grad.items()}
+    rows = []
+    for doc_id, bs in sorted(feats.items()):
+        z = float(sum((w[b] for b in bs), __import__("decimal").Decimal(0)))
+        rows.append((doc_id, 1 if doc_id % 7 == 0 else 0, z))
+    mine = pd.DataFrame(rows, columns=["doc_id", "is_target", "score"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = spark(out_dir, "quality_classifier").sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
@@ -365,7 +400,8 @@ def main(sf_dir, out_dir):
               ("pipeline_training_manifest", lambda: check_training_manifest(sf_dir, out_dir)),
               ("dedup_substring", lambda: check_dedup_substring(sf_dir, out_dir)),
               ("text_perplexity", lambda: check_text_perplexity(sf_dir, out_dir)),
-              ("importance_sample", lambda: check_importance_sample(sf_dir, out_dir))]
+              ("importance_sample", lambda: check_importance_sample(sf_dir, out_dir)),
+              ("quality_classifier", lambda: check_quality_classifier(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

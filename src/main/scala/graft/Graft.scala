@@ -424,6 +424,33 @@ object Graft {
                          n: Int = 13): org.apache.spark.sql.DataFrame =
     ops.TextDedup.exactNgramContamination(corpus, bench, n)
 
+  /** Substring-level dedup (the Lee et al. suffix-array recipe): every
+    * repeated word span of length >= n keeps only its corpus-first
+    * occurrence; returns the cleaned corpus (word-normalized text).
+    * Catches cross-doc boilerplate document-level dedup can't see. */
+  def removeRepeatedSpans(docs: org.apache.spark.sql.DataFrame,
+                          n: Int = ops.SubstringDedup.SpanWords): org.apache.spark.sql.DataFrame =
+    ops.SubstringDedup.removeRepeatedSpans(docs, n)
+
+  /** DSIR-style data selection: top-k raw docs by hashed unigram+bigram
+    * log importance weight toward the target slice's distribution. */
+  def importanceSample(spark: SparkSession, dir: String,
+                       k: Int = ops.Importance.TopK): org.apache.spark.sql.DataFrame =
+    ops.Importance.importanceTopK(spark, dir, k = k)
+
+  /** Unigram-LM surprisal per doc (nats/word) — the CCNet-style
+    * perplexity quality signal from a self-trained add-one model. */
+  def perplexityScores(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    ops.TextAnalysis.unigramSurprisal(spark, dir)
+
+  /** Quality classifier trained in-engine (full-batch GD on a hashed-
+    * feature logistic model): per-doc margin scores toward the target
+    * slice's distribution — the fastText-style curation filter with no
+    * external model artifact. */
+  def qualityClassifierScores(spark: SparkSession, dir: String,
+                              rounds: Int = ops.QualityClassifier.Rounds): org.apache.spark.sql.DataFrame =
+    ops.QualityClassifier.classifierScores(spark, dir, rounds = rounds)
+
   /** Temperature-weighted domain resampling (shares ∝ n_d^alpha, expected
     * output `frac` of the corpus) — deterministic: the Bernoulli draw is
     * the document's content hash, so the same corpus always yields the

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{MarketQueries => M, RelationalQueries => R}
-import graft.ops.{TextDedup, TextAnalysis, TextRanking, Similarity, ScalarQuant, Multimodal, CurationPipeline, Mixing, SubstringDedup, Importance}
+import graft.ops.{TextDedup, TextAnalysis, TextRanking, Similarity, ScalarQuant, Multimodal, CurationPipeline, Mixing, SubstringDedup, Importance, QualityClassifier}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +161,10 @@ object SparkEntry {
     // face of the importance-resampling draw)
     "importance_sample" -> ((s: SparkSession, d: String) =>
       Importance.importanceTopK(s, d)),
+    // in-engine trained quality filter: 3 full-batch GD rounds on the
+    // hashed-feature logistic model, margins as scores
+    "quality_classifier" -> ((s: SparkSession, d: String) =>
+      QualityClassifier.classifierScores(s, d)),
     "pack_shards" -> (Mixing.packShardsManifest _),
     "pack_shards_bpe" -> (Mixing.packShardsBpeManifest _),
     "cross_modal" -> (TextAnalysis.crossModal _),
@@ -324,6 +328,39 @@ object SparkEntry {
     * otherwise expand to 2^N corpus scans. Exposes `mg`
     * (merge_rank, pair, n) and `chk` (order-free final-vocab checksum:
     * sum of md5Long(word ':' syms-joined-'|') mod P). */
+  /** Unrolled full-batch GD rounds for the trained quality classifier
+    * (mirrors QualityClassifier.classifierScores round for round):
+    * fr = distinct hashed presence features, nn = doc count, yy = labels,
+    * then per round r: e{r} (rounded residuals), g{r} (exact decimal
+    * gradient sums), w{r} (grid-rounded weights); fz = final margins.
+    * Every bucket in fr appears in every g{r}/w{r} (each bucket has >= 1
+    * doc and each doc has a residual), so inner joins chain losslessly. */
+  private def qcTrainCtes(rounds: Int): String = {
+    val head =
+      s"""qw AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |qg AS (SELECT doc_id, list_concat(ws, CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) END) AS fs FROM qw),
+         |fr AS MATERIALIZED (SELECT DISTINCT doc_id, ${md5LongSql("concat('f:', f)")} % 4096 AS b FROM (SELECT doc_id, unnest(fs) AS f FROM qg)),
+         |nn AS (SELECT count(DISTINCT doc_id) AS n FROM fr),
+         |yy AS (SELECT DISTINCT doc_id, CASE WHEN doc_id % 7 = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y FROM fr)""".stripMargin
+    val body = (1 to rounds).map { r =>
+      val sig = if (r == 1) "CAST(0.0 AS DOUBLE)" else s"CAST(z$r.z AS DOUBLE)"
+      val zCte = if (r == 1) ""
+        else s"""z$r AS (SELECT doc_id, sum(w) AS z FROM fr JOIN w${r - 1} USING (b) GROUP BY doc_id),
+                |""".stripMargin
+      val eFrom = if (r == 1) "yy" else s"z$r JOIN yy USING (doc_id)"
+      val prevW = if (r == 1) "CAST(0.0 AS DOUBLE)" else s"CAST(w${r - 1}.w AS DOUBLE)"
+      val wFrom = if (r == 1) s"g$r CROSS JOIN nn"
+        else s"w${r - 1} JOIN g$r USING (b) CROSS JOIN nn"
+      s"""${zCte}e$r AS (SELECT doc_id, CAST(round(y - CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-$sig)), 6) AS DECIMAL(18,6)) AS err FROM $eFrom),
+         |g$r AS (SELECT b, sum(err) AS g FROM fr JOIN e$r USING (doc_id) GROUP BY b),
+         |w$r AS MATERIALIZED (SELECT b, CAST(round($prevW + 0.5 * CAST(g AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS w FROM $wFrom)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$body,
+       |fz AS (SELECT doc_id, sum(w) AS z FROM fr JOIN w$rounds USING (b) GROUP BY doc_id)""".stripMargin
+  }
+
   private def bpeTrainCtes(numMerges: Int): String = {
     val head =
       s"""wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
@@ -1404,6 +1441,17 @@ object SparkEntry {
          |  WHERE doc_id % 7 <> 0 GROUP BY 1)
          |SELECT doc_id, n_feats, CAST(wsum AS DOUBLE) AS w_sum FROM ds
          |ORDER BY w_sum DESC, doc_id LIMIT 100""".stripMargin,
+
+    // mirrors QualityClassifier.classifierScores: the same full-batch GD
+    // rounds unrolled as CTEs — weights live on the 10^-6 decimal grid,
+    // margins and gradients are exact decimal sums, every double step
+    // (sigmoid, lr scale, grid round) is one expression over identical
+    // inputs; n re-derived by each engine
+    "quality_classifier" ->
+      s"""WITH ${qcTrainCtes(3)}
+         |SELECT fz.doc_id, CASE WHEN fz.doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_target,
+         |  CAST(fz.z AS DOUBLE) AS score
+         |FROM fz ORDER BY fz.doc_id""".stripMargin,
 
     // mirrors TextAnalysis.bpeTopPairs: word-count weighting, substr
     // pair windows, (n desc, pair asc) total order

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TextHashing.md5Long
+
+/** A trained quality classifier — the fastText-style filter every
+  * published curation pipeline ends with (CCNet, RefinedWeb, FineWeb
+  * train a linear classifier over hashed n-gram features to score "does
+  * this look like the target domain"), here trained INSIDE the engine by
+  * full-batch gradient descent so no external model artifact exists.
+  *
+  * Model: bias-free logistic regression over the same hashed
+  * unigram+bigram presence features as `Importance` (B = 4096 buckets).
+  * Labels: the deterministic target slice doc_id % 7 == 0 is the
+  * positive class (stand-in for "curated reference corpus"), everything
+  * else negative. Training is full-batch GD — deterministic, no shuffle
+  * of example order to matter:
+  *
+  *   round r:  z_d = Σ_{b ∈ d} w_b            (exact DECIMAL(18,6) sum)
+  *             err_d = round(y_d − σ(z_d), 6)  (one double expr per doc)
+  *             w_b  += round(lr · Σ_d err_d / n, 6)
+  *
+  * Cross-engine determinism (ORACLE.md): weights LIVE on the 10^-6
+  * decimal grid — per-doc margins and per-bucket gradients are exact
+  * decimal sums (order-free), and every double step (sigmoid, the lr
+  * scale, the grid round) is ONE expression over identical inputs. The
+  * DuckDB oracle unrolls the same rounds as CTEs; n and the feature
+  * table are re-derived by each engine from the corpus.
+  *
+  * Plan shape (100 TB posture): per round, ONE broadcast of the B-row
+  * weight table onto the feature stream (z/err = token-proportional
+  * aggregate by doc), one token-proportional aggregate by bucket for
+  * the gradient — B stays driver-sized (the kmeansTrain pattern:
+  * collect a model-sized table per round, never corpus-sized). Rounds
+  * are few and vocab-independent; the corpus is scanned 2× per round
+  * from the same cached feature projection.
+  */
+object QualityClassifier {
+
+  val Buckets: Int = Importance.Buckets
+  val Rounds = 3
+  val LearningRate = 0.5
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Distinct (doc_id, b) presence features — binary features keep the
+    * margin bounded and the oracle mirror trivial. */
+  private def presenceFeatures(d: DataFrame, buckets: Int): DataFrame = {
+    val ws = TextHashing.words(col("text"))
+    val bigrams = when(size(col("ws")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+    d.withColumn("ws", ws)
+      .select(col("doc_id"), explode(concat(col("ws"), bigrams)).as("f"))
+      .select(col("doc_id"),
+        pmod(md5Long(concat(lit("f:"), col("f"))), lit(buckets.toLong)).as("b"))
+      .distinct()
+  }
+
+  /** Train and score: returns (doc_id, is_target, score) for every doc
+    * with at least one feature, score = the final-round margin z_d as a
+    * double (monotone in the model's quality probability). */
+  def classifierScores(spark: SparkSession, dir: String,
+                       rounds: Int = Rounds, lr: Double = LearningRate,
+                       buckets: Int = Buckets): DataFrame = {
+    import spark.implicits._
+    val feats = presenceFeatures(docs(spark, dir), buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = feats.select("doc_id").distinct().count()
+      val isTarget = (col("doc_id") % 7 === 0).cast("int")
+      // w starts at zero: round 1's err is exactly ±0.5 for every doc
+      var w: Map[Long, java.math.BigDecimal] = Map.empty
+      for (_ <- 1 to rounds) {
+        val wDf = if (w.isEmpty) null
+          else w.toSeq.toDF("b", "w")
+            .select(col("b"), col("w").cast("decimal(18,6)").as("w"))
+        val z = if (wDf == null)
+          feats.select(col("doc_id")).distinct()
+            .withColumn("z", lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+        else feats.join(broadcast(wDf), "b")
+          .groupBy("doc_id").agg(sum("w").as("z"))
+        val err = z.withColumn("err",
+          round(isTarget.cast("double") -
+            lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 6)
+            .cast("decimal(18,6)"))
+          .select("doc_id", "err")
+        val grad = feats.join(err, "doc_id")
+          .groupBy("b").agg(sum("err").as("g"))
+          .select(col("b"), col("g").cast("decimal(28,6)").as("g"))
+          .collect()
+        w = grad.map { r =>
+          val b = r.getLong(0)
+          val g = r.getDecimal(1).doubleValue()
+          val prev = w.get(b).map(_.doubleValue()).getOrElse(0.0)
+          // one double step on the 1e-6 grid, identical in the oracle
+          val next = new java.math.BigDecimal(
+            java.lang.Double.toString(prev + lr * g / n))
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+          b -> next
+        }.toMap
+      }
+      val wFinal = w.toSeq.toDF("b", "w")
+        .select(col("b"), col("w").cast("decimal(18,6)").as("w"))
+      feats.join(broadcast(wFinal), "b")
+        .groupBy("doc_id").agg(sum("w").as("z"))
+        .select(col("doc_id"), (col("doc_id") % 7 === 0).cast("int").as("is_target"),
+          col("z").cast("double").as("score"))
+        .orderBy("doc_id")
+    } finally feats.unpersist()
+  }
+}

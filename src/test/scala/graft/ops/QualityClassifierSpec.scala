@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Semantic checks for the in-engine trained quality classifier: GD on
+  * the hashed-feature logistic model must separate target-like docs from
+  * unrelated ones, improve with rounds, and stay deterministic. */
+class QualityClassifierSpec extends SparkSpec {
+
+  // same fixture shape as ImportanceSpec: target slice (0, 7) = finance
+  // vocabulary; raw docs 1-3 finance-like, 4-6 unrelated
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("qcfix").toString
+    Seq(
+      (0L, "stocks rally as market gains lift bank shares higher today"),
+      (7L, "bank stocks extend market rally with broad sector gains again"),
+      (1L, "market rally continues as bank stocks post fresh gains"),
+      (2L, "shares of the bank rose in a broad market rally"),
+      (3L, "sector gains lift stocks as the rally extends further"),
+      (4L, "the recipe calls for flour butter sugar and three eggs"),
+      (5L, "migrating birds cross the valley before the first autumn frost"),
+      (6L, "the violin section tuned quietly before the evening concert began"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("trained classifier separates target-like raw docs from unrelated ones") {
+    val scores = QualityClassifier.classifierScores(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.size === 8)
+    // finance raw docs outrank all non-finance raw docs
+    assert(Seq(1L, 2L, 3L).map(scores).min > Seq(4L, 5L, 6L).map(scores).max)
+    // the target docs themselves score at the top
+    assert(Seq(0L, 7L).map(scores).min > Seq(4L, 5L, 6L).map(scores).max)
+  }
+
+  test("margins grow with training rounds on the positive class") {
+    def meanTarget(rounds: Int): Double = {
+      val s = QualityClassifier.classifierScores(spark, dir, rounds = rounds)
+        .collect().filter(_.getInt(1) == 1).map(_.getDouble(2))
+      s.sum / s.length
+    }
+    assert(meanTarget(3) > meanTarget(1))
+  }
+
+  test("training is deterministic") {
+    val a = QualityClassifier.classifierScores(spark, dir).collect().toSeq
+    val b = QualityClassifier.classifierScores(spark, dir).collect().toSeq
+    assert(a === b)
+  }
+}
