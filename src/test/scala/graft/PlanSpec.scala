@@ -117,6 +117,30 @@ class PlanSpec extends SparkSpec {
     assert(plan(RelationalQueries.brandRevenue(spark, dir)).contains("BroadcastHashJoin"))
   }
 
+  test("round-11 curation operators: cartesian-free, model tables broadcast") {
+    // NOTE: the scorers attach their O(1) corpus scalars (totals, N+V)
+    // via crossJoin(broadcast(one-row)) — that plans as a
+    // BroadcastNestedLoopJoin against a 1-row build side, which is the
+    // intended scalar attach, so only CartesianProduct is banned here;
+    // substring dedup has no scalar attach and gets the stricter gate
+    for (df <- Seq(
+        graft.ops.Importance.importanceTopK(spark, dir),
+        graft.ops.TextAnalysis.unigramSurprisal(spark, dir),
+        graft.ops.QualityClassifier.classifierScores(spark, dir, rounds = 1))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    }
+    val sub = plan(graft.ops.SubstringDedup.substringDedupStats(spark, dir))
+    assert(!sub.contains("CartesianProduct"), s"cartesian in:\n$sub")
+    assert(!sub.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$sub")
+    // the O(B) weight/model tables come back over broadcast, not shuffle
+    assert(plan(graft.ops.Importance.importanceTopK(spark, dir))
+      .contains("BroadcastHashJoin"))
+    // importance top-k lowers to TakeOrderedAndProject, not sort+limit
+    assert(plan(graft.ops.Importance.importanceTopK(spark, dir))
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("range join is a bucketized equality join, never a nested loop") {
     val p = plan(MarketQueries.rangeJoinErrors(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
