@@ -220,6 +220,17 @@ class InvarianceSpec extends SparkSpec {
     }
   }
 
+  test("substring-dedup spans identical under different partitioning") {
+    val docs = graft.ops.SubstringDedup.docs(spark, dir)
+    def spansOf(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.SubstringDedup.removedSpans(d)
+        .orderBy("doc_id", "s").collect().toSeq
+    val base = spansOf(docs)
+    assert(base.nonEmpty) // fixture corpus has repeated 10-word spans
+    assert(spansOf(docs.repartition(1)) === base)
+    assert(spansOf(docs.repartition(16, col("doc_id"))) === base)
+  }
+
   test("approx_count_distinct lands within its error bound") {
     val e = MarketQueries.events(spark, dir)
     val exact = e.select(countDistinct("user_id")).head().getLong(0)
