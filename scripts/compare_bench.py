@@ -34,6 +34,11 @@ ABS_FLOOR = 0.10     # ... and by >= this many seconds, to count at all
 # human then reads; a false "unchanged" would hide one.
 FAMILY_FILES = {
     ("tpch_", "revenue_", "brand_", "supplier_"): ["queries/RelationalQueries.scala"],
+    # before the ("dedup_",) catch-all: substring dedup lives in its own file
+    ("dedup_substring",): ["ops/SubstringDedup.scala", "ops/TextHashing.scala"],
+    ("importance_sample",): ["ops/Importance.scala", "ops/TextHashing.scala"],
+    ("quality_classifier",): ["ops/QualityClassifier.scala", "ops/Importance.scala",
+                              "ops/TextHashing.scala"],
     ("dedup_", "simhash_", "decontamination"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],
