@@ -63,7 +63,12 @@ object Importance {
     * Output: (doc_id, n_feats, w_sum) ordered by the selection rank. */
   def importanceTopK(spark: SparkSession, dir: String,
                      buckets: Int = Buckets, k: Int = TopK): DataFrame = {
+    // the narrow (doc_id, b) projection feeds BOTH the bucket-count pass
+    // and the scoring pass — persist it so the corpus is tokenized once,
+    // not twice (spills to disk if it outgrows memory; at 100 TB this is
+    // the same cache-the-feature-stream trade QualityClassifier makes)
     val feats = features(docs(spark, dir), buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isTarget = col("doc_id") % 7 === 0
     val cnt = feats.groupBy("b").agg(
       sum(when(isTarget, 1L).otherwise(0L)).as("ct"),

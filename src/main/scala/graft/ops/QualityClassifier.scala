@@ -66,49 +66,51 @@ object QualityClassifier {
                        rounds: Int = Rounds, lr: Double = LearningRate,
                        buckets: Int = Buckets): DataFrame = {
     import spark.implicits._
+    // session-scoped cache (the DedupIndex trade): training touches the
+    // feature stream 2x per round and the returned scoring plan reads it
+    // once more — unpersisting in a finally would force that last read
+    // to re-tokenize the corpus after training already paid for it
     val feats = presenceFeatures(docs(spark, dir), buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = feats.select("doc_id").distinct().count()
-      val isTarget = (col("doc_id") % 7 === 0).cast("int")
-      // w starts at zero: round 1's err is exactly ±0.5 for every doc
-      var w: Map[Long, java.math.BigDecimal] = Map.empty
-      for (_ <- 1 to rounds) {
-        val wDf = if (w.isEmpty) null
-          else w.toSeq.toDF("b", "w")
-            .select(col("b"), col("w").cast("decimal(18,6)").as("w"))
-        val z = if (wDf == null)
-          feats.select(col("doc_id")).distinct()
-            .withColumn("z", lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
-        else feats.join(broadcast(wDf), "b")
-          .groupBy("doc_id").agg(sum("w").as("z"))
-        val err = z.withColumn("err",
-          round(isTarget.cast("double") -
-            lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 6)
-            .cast("decimal(18,6)"))
-          .select("doc_id", "err")
-        val grad = feats.join(err, "doc_id")
-          .groupBy("b").agg(sum("err").as("g"))
-          .select(col("b"), col("g").cast("decimal(28,6)").as("g"))
-          .collect()
-        w = grad.map { r =>
-          val b = r.getLong(0)
-          val g = r.getDecimal(1).doubleValue()
-          val prev = w.get(b).map(_.doubleValue()).getOrElse(0.0)
-          // one double step on the 1e-6 grid, identical in the oracle
-          val next = new java.math.BigDecimal(
-            java.lang.Double.toString(prev + lr * g / n))
-            .setScale(6, java.math.RoundingMode.HALF_UP)
-          b -> next
-        }.toMap
-      }
-      val wFinal = w.toSeq.toDF("b", "w")
-        .select(col("b"), col("w").cast("decimal(18,6)").as("w"))
-      feats.join(broadcast(wFinal), "b")
+    val n = feats.select("doc_id").distinct().count()
+    val isTarget = (col("doc_id") % 7 === 0).cast("int")
+    // w starts at zero: round 1's err is exactly ±0.5 for every doc
+    var w: Map[Long, java.math.BigDecimal] = Map.empty
+    for (_ <- 1 to rounds) {
+      val wDf = if (w.isEmpty) null
+        else w.toSeq.toDF("b", "w")
+          .select(col("b"), col("w").cast("decimal(18,6)").as("w"))
+      val z = if (wDf == null)
+        feats.select(col("doc_id")).distinct()
+          .withColumn("z", lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+      else feats.join(broadcast(wDf), "b")
         .groupBy("doc_id").agg(sum("w").as("z"))
-        .select(col("doc_id"), (col("doc_id") % 7 === 0).cast("int").as("is_target"),
-          col("z").cast("double").as("score"))
-        .orderBy("doc_id")
-    } finally feats.unpersist()
+      val err = z.withColumn("err",
+        round(isTarget.cast("double") -
+          lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+        .select("doc_id", "err")
+      val grad = feats.join(err, "doc_id")
+        .groupBy("b").agg(sum("err").as("g"))
+        .select(col("b"), col("g").cast("decimal(28,6)").as("g"))
+        .collect()
+      w = grad.map { r =>
+        val b = r.getLong(0)
+        val g = r.getDecimal(1).doubleValue()
+        val prev = w.get(b).map(_.doubleValue()).getOrElse(0.0)
+        // one double step on the 1e-6 grid, identical in the oracle
+        val next = new java.math.BigDecimal(
+          java.lang.Double.toString(prev + lr * g / n))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        b -> next
+      }.toMap
+    }
+    val wFinal = w.toSeq.toDF("b", "w")
+      .select(col("b"), col("w").cast("decimal(18,6)").as("w"))
+    feats.join(broadcast(wFinal), "b")
+      .groupBy("doc_id").agg(sum("w").as("z"))
+      .select(col("doc_id"), (col("doc_id") % 7 === 0).cast("int").as("is_target"),
+        col("z").cast("double").as("score"))
+      .orderBy("doc_id")
   }
 }
