@@ -64,15 +64,36 @@ object TextHashing {
     * (doc_a, doc_b) candidate table, intersections are only computed for
     * those pairs (the LSH verify path — candidate count is tiny, so this
     * is two semi-joins instead of the full inverted-index join). */
+  /** Exact Jaccard over shared shingles, optionally restricted to a
+    * candidate pair set. Two verify strategies, chosen by the CALLER's
+    * cost regime (measured at sf10, docs/SCALING.md):
+    *
+    *  - `verifyViaPairStream = true`: intersect the per-shingle pair
+    *    stream (cost sum(df^2) — identical to the unfiltered join) with
+    *    the candidates via a semi join of 16-byte pair keys. The right
+    *    side when thresholds are LOW and prefixes long (ppjoin at
+    *    t = 0.2 keeps ~80% of shingles): the candidate-expansion verify
+    *    there shuffles sum_cands(|A|) rows each carrying a shingle
+    *    string — measured 5B rows / >78 GB scratch at 500k docs, an
+    *    out-of-disk, while the pair stream stays ~100x sf0.1.
+    *  - `verifyViaPairStream = false`: expand each candidate by one
+    *    side's shingles and hash-join the other side. The right side
+    *    when HOT shingles make df^2 the bottleneck and candidates are
+    *    few (the df-capped prefix filter) — expansion is then bounded
+    *    by |cands| * |doc|, never df^2. */
   def jaccardFor(sh: DataFrame, threshold: Double,
-                 restrictTo: Option[DataFrame]): DataFrame = {
+                 restrictTo: Option[DataFrame],
+                 verifyViaPairStream: Boolean = false): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
+    def pairStream =
+      a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val joined = restrictTo match {
-      case None =>
-        a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      case None => pairStream
+      case Some(cand) if verifyViaPairStream =>
+        pairStream.join(cand, Seq("doc_a", "doc_b"), "left_semi")
       case Some(cand) =>
         cand.join(a, col("a.doc_id") === col("doc_a"))
           .join(b, col("b.doc_id") === col("doc_b") && col("a.sh") === col("b.sh"))
@@ -149,7 +170,9 @@ object TextHashing {
             admitSlack(minOverlapNum * (col("pa.n") + col("pb.n")).cast("double")))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-    jaccardFor(sh, threshold, restrictTo = Some(cands))
+    // low-threshold regime: prefixes are long, so verify via the
+    // sum(df^2) pair stream, not candidate expansion (see jaccardFor)
+    jaccardFor(sh, threshold, restrictTo = Some(cands), verifyViaPairStream = true)
   }
 
   /** Prefix-filtered Jaccard for web-scale corpora (docs/SCALING.md):
