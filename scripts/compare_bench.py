@@ -39,6 +39,10 @@ FAMILY_FILES = {
     ("importance_sample",): ["ops/Importance.scala", "ops/TextHashing.scala"],
     ("quality_classifier",): ["ops/QualityClassifier.scala", "ops/Importance.scala",
                               "ops/TextHashing.scala"],
+    # before the decontamination catch-all: the semantic flagger is an
+    # embeddings operator, not a shingle one
+    ("decontamination_semantic",): ["ops/Similarity.scala", "core/SessionCache.scala"],
+    ("shuffle_shards",): ["ops/Mixing.scala", "ops/TextHashing.scala"],
     ("dedup_", "simhash_", "decontamination"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],

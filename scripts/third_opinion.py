@@ -389,6 +389,97 @@ def check_quality_classifier(sf_dir, out_dir, buckets=4096, rounds=3, lr=0.5):
     return len(mine)
 
 
+def _md5long(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
+    P = 2147483647
+    docs = load_docs(sf_dir)
+    per = {}
+    for doc_id, text in docs:
+        k = _md5long(f"{seed}:{doc_id}")
+        per.setdefault(k % n_shards, []).append((k, doc_id, len(_words(text))))
+    rows = []
+    for sid in sorted(per):
+        members = sorted(per[sid])  # (key, doc_id) order
+        chk = sum(((k % P) * ((i + 1) % P)) % P
+                  for i, (k, _, _) in enumerate(members))
+        rows.append((sid, len(members), sum(m[2] for m in members),
+                     members[0][1], chk))
+    mine = pd.DataFrame(rows, columns=[
+        "shard_id", "n_docs", "n_words", "first_doc", "order_checksum"]) \
+        .sort_values("shard_id").reset_index(drop=True)
+    got = spark(out_dir, "shuffle_shards").sort_values("shard_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_decontamination_semantic(sf_dir, out_dir, threshold=0.35):
+    import numpy as np
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype="float64")
+            for r in emb.itertuples()}
+    rows = []
+    for v, va in vecs.items():
+        if v % 20 == 0:
+            continue
+        for b, vb in vecs.items():
+            if b % 20 != 0:
+                continue
+            c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+            if c >= threshold:
+                rows.append((v, b, c))
+    mine = pd.DataFrame(rows, columns=["vec_id", "bench_id", "cos_sim"]) \
+        .sort_values(["vec_id", "bench_id"]).reset_index(drop=True)
+    got = spark(out_dir, "decontamination_semantic") \
+        .sort_values(["vec_id", "bench_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine,
+                                  check_dtype=False, atol=2e-6)
+    return len(mine)
+
+
+def check_bpe_encode(sf_dir, out_dir, num_merges=10, max_doc=8):
+    docs = load_docs(sf_dir)
+    vocab = {}
+    for _, text in docs:
+        for w in _words(text):
+            vocab[w] = vocab.get(w, 0) + 1
+    syms = {w: list(w) for w in vocab}
+    for _ in range(num_merges):
+        pairs = {}
+        for w, ss in syms.items():
+            for a, b in zip(ss, ss[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + vocab[w]
+        if not pairs:
+            break
+        (l, r), _n = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        for w, ss in syms.items():
+            out, i = [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == l and ss[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            syms[w] = out
+    rows = []
+    for doc_id, text in sorted(docs):
+        if doc_id >= max_doc:
+            continue
+        pos = 0
+        for w in _words(text):
+            for t in syms[w]:
+                rows.append((doc_id, pos, t))
+                pos += 1
+    mine = pd.DataFrame(rows, columns=["doc_id", "pos", "token"]) \
+        .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    got = spark(out_dir, "bpe_encode").sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
@@ -401,7 +492,11 @@ def main(sf_dir, out_dir):
               ("dedup_substring", lambda: check_dedup_substring(sf_dir, out_dir)),
               ("text_perplexity", lambda: check_text_perplexity(sf_dir, out_dir)),
               ("importance_sample", lambda: check_importance_sample(sf_dir, out_dir)),
-              ("quality_classifier", lambda: check_quality_classifier(sf_dir, out_dir))]
+              ("quality_classifier", lambda: check_quality_classifier(sf_dir, out_dir)),
+              ("shuffle_shards", lambda: check_shuffle_shards(sf_dir, out_dir)),
+              ("decontamination_semantic",
+               lambda: check_decontamination_semantic(sf_dir, out_dir)),
+              ("bpe_encode", lambda: check_bpe_encode(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

@@ -88,6 +88,10 @@ object SparkEntry {
     // exact 13-gram containment (the verbatim-quote complement of the
     // banded near-dup flagger above)
     "decontamination_ngram" -> (TextDedup.decontaminationNgram _),
+    // embedding-space decontamination: cosine-to-benchmark over a
+    // broadcast bench side (catches paraphrases the shingle flaggers miss)
+    "decontamination_semantic" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDecontamination(s, d)),
     // substring-level dedup (Lee et al. 2022): repeated 10-word spans
     // keep only their corpus-first occurrence; stats + cleaned-text md5
     "dedup_substring" -> ((s: SparkSession, d: String) =>
@@ -147,6 +151,11 @@ object SparkEntry {
       TextAnalysis.bpeMerges(s, d)),
     "token_counts_bpe" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeTokenCounts(s, d)),
+    // full tokenizer encode: the trained merge table applied to real
+    // documents, (doc_id, pos, token) streams — the artifact a training
+    // job consumes
+    "bpe_encode" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeEncode(s, d)),
     // -- dataset mixing --
     "temperature_mix" -> (Mixing.temperatureMixStats _),
     // the upsampling half: uncapped tempered rates, floor + Bernoulli
@@ -167,6 +176,11 @@ object SparkEntry {
       QualityClassifier.classifierScores(s, d)),
     "pack_shards" -> (Mixing.packShardsManifest _),
     "pack_shards_bpe" -> (Mixing.packShardsBpeManifest _),
+    // seeded deterministic global shuffle into training shards:
+    // hash-assigned shard + per-shard key order, both pinned per shard
+    // (membership counts, rank-1 doc, order checksum)
+    "shuffle_shards" -> ((s: SparkSession, d: String) =>
+      Mixing.shuffleShards(s, d)),
     "cross_modal" -> (TextAnalysis.crossModal _),
     // -- keyword & hybrid retrieval --
     // BM25 over the session-cached inverted index; probe = term filter
@@ -1101,6 +1115,18 @@ object SparkEntry {
          |FROM c JOIN b USING (gram)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // embedding-space decontamination (mirrors
+    // Similarity.semanticDecontamination: exact cosine of every corpus
+    // vector against the tiny benchmark side, threshold 0.35)
+    "decontamination_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0)
+        |SELECT vec_id, bench_id, round(list_cosine_similarity(v, bv), 6) AS cos_sim
+        |FROM c CROSS JOIN b
+        |WHERE round(list_cosine_similarity(v, bv), 6) >= 0.35
+        |ORDER BY vec_id, bench_id""".stripMargin,
+
     // components over the EXACT Jaccard pair graph (recursive transitive
     // closure — algorithm independent of Spark's label propagation)
     "dedup_ngram_clusters" ->
@@ -1484,6 +1510,21 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(tc.n_tokens, 0) AS BIGINT) AS n_tokens
          |FROM documents d LEFT JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // full tokenizer encode (mirrors TextAnalysis.bpeEncode: vocab from
+    // the same 10-merge training chain, doc_id < 8 encoded; pos = the
+    // doc's preceding words' token total + position within the word)
+    "bpe_encode" ->
+      s"""WITH RECURSIVE ${bpeTrainCtes(10)},
+         |dw AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wpos
+         |  FROM wrd WHERE doc_id < 8),
+         |wt AS (SELECT dw.doc_id, dw.wpos, v.syms FROM dw JOIN vz10 v USING (word)),
+         |ot AS (SELECT doc_id, wpos, syms, coalesce(sum(len(syms)) OVER (
+         |    PARTITION BY doc_id ORDER BY wpos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS woff
+         |  FROM wt),
+         |tok AS (SELECT doc_id, woff + generate_subscripts(syms, 1) - 1 AS pos, unnest(syms) AS token FROM ot)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token FROM tok
+         |ORDER BY doc_id, pos""".stripMargin,
+
     // mirrors TextAnalysis.chunkDocuments (maxTokens=64, overlap=8,
     // stride=56): Spark slice(ws, start, LENGTH 64) == DuckDB
     // list_slice(ws, start, END start+63), both end-clamped
@@ -1583,6 +1624,20 @@ object SparkEntry {
          |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // seeded deterministic shuffle into shards (mirrors
+    // Mixing.shuffleShards: key = md5Long('graft:' || doc_id), shard =
+    // key % 16, per-shard rank by key; first_doc + order checksum pin
+    // the permutation, not just membership)
+    "shuffle_shards" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS n_words,
+         |    ${md5LongSql("'graft:' || doc_id")} AS skey FROM documents),
+         |s AS (SELECT doc_id, n_words, skey, CAST(skey % 16 AS BIGINT) AS shard_id FROM b),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard_id ORDER BY skey, doc_id) AS BIGINT) AS rk FROM s)
+         |SELECT shard_id, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+         |  CAST(sum(((skey % 2147483647) * (rk % 2147483647)) % 2147483647) AS BIGINT) AS order_checksum
+         |FROM r GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     "cross_modal" ->
       """WITH e AS (SELECT vec_id, label,

@@ -382,4 +382,41 @@ object Mixing {
       .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"),
         min("id").as("min_id"), max("id").as("max_id"))
       .orderBy("shard")
+
+  /** Deterministic seeded GLOBAL SHUFFLE into training shards — the
+    * "randomize example order before writing shards" step every
+    * training pipeline runs after curation. Each doc draws a 60-bit key
+    * from md5(seed ':' doc_id); its shard is key mod `nShards` and its
+    * position within the shard is key order. Changing the seed is a
+    * fresh permutation; rerunning is byte-identical.
+    *
+    * Scale shape: NO global sort — shard assignment is a hash, so the
+    * physical write is `repartition(nShards, shard_id)` +
+    * `sortWithinPartitions(key)`: one hash shuffle and a per-shard
+    * (spillable) sort, each shard an independent unit of work. nShards
+    * is the scale lever (pick corpus_bytes / shard_bytes); the
+    * per-shard window below is the same per-shard sort the write runs.
+    *
+    * Query face pins BOTH halves of the contract per shard: membership
+    * (n_docs / n_words) and ORDER — `first_doc` is the doc at rank 1
+    * and `order_checksum` folds every (key, rank) pair, so any engine
+    * that permutes a shard differently hash-mismatches. */
+  def shuffleShards(spark: SparkSession, dir: String, nShards: Int = 16,
+                    seed: String = "graft"): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    val pp = lit(TextHashing.P)
+    val base = docs(spark, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_words"))
+      .withColumn("skey", md5Long(concat_ws(":", lit(seed), col("doc_id"))))
+      .withColumn("shard_id", (col("skey") % nShards).cast("long"))
+    val w = Window.partitionBy("shard_id").orderBy(col("skey"), col("doc_id"))
+    base
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum(when(col("rk") === 1, col("doc_id"))).as("first_doc"),
+        sum(((col("skey") % pp) * (col("rk") % pp)) % pp).as("order_checksum"))
+      .orderBy("shard_id")
+  }
 }

@@ -228,6 +228,34 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Embedding-space benchmark decontamination — the semantic
+    * complement of TextDedup's shingle-based flaggers: flag a corpus
+    * vector whose cosine to ANY benchmark vector clears `threshold`
+    * (a paraphrase can share zero 13-grams with the benchmark yet sit
+    * right next to it in embedding space). Same holdout convention as
+    * `decontamination` (id % 20 == 0 = benchmark).
+    *
+    * Plan shape: recall here must be 1.0 — a missed contaminated doc is
+    * a leaked eval — so no LSH pruning; instead the benchmark side
+    * (tiny by definition: eval suites are thousands of docs, not
+    * billions) BROADCASTS whole and the corpus streams once through
+    * |bench| fused dot products per row. No shuffle anywhere; at 100 TB
+    * the corpus leg stays embarrassingly parallel and |bench| bounds
+    * the broadcast exactly like the 13-gram probe table. */
+  def semanticDecontamination(spark: SparkSession, dir: String,
+                              threshold: Double = 0.35): DataFrame = {
+    val e = emb(spark, dir)
+    val bench = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"), col("nrm").as("bnrm"))
+    e.filter(col("vec_id") % 20 =!= 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("v"), col("bv"), col("nrm"), col("bnrm")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_id"), col("bench_id"), col("cos_sim"))
+      .orderBy("vec_id", "bench_id")
+  }
+
   /** Target expected bucket population for the auto-sized near-dup
     * sign sketch: 125 keeps the historical 4-bit default at sf0.01/0.1
     * (500/2000 vectors) and adds ~3.3 bits per corpus decade — in-bucket

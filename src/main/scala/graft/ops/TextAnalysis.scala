@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextHashing.{md5Long, words, shinglesOf, P}
 
@@ -347,6 +348,39 @@ object TextAnalysis {
     // the vocab stays persisted until the result is consumed; it is
     // bounded (distinct words) and the session ends with the query
     out
+  }
+
+  /** Full tokenizer ENCODE — the step that makes the trained merge
+    * table a usable tokenizer: every selected document's text as its
+    * BPE token stream (doc_id, pos, token), `pos` global across the
+    * whole document. Training runs on the FULL corpus (so the vocab is
+    * the same one `bpe_merges` checksums); encoding then touches only
+    * the requested documents.
+    *
+    * Scale shape: the corpus-sized work is bpeTrainMerges' one word
+    * count; encoding is a broadcast join of doc words against the
+    * bounded (distinct-word) vocab, a per-document window for the token
+    * offsets (bounded by document length, never corpus-sized
+    * partitions), and one explode. Every word of every doc is in the
+    * vocab by construction (trained on the same corpus), so the join is
+    * inner and lossless. */
+  def bpeEncode(spark: SparkSession, dir: String, numMerges: Int = 10,
+                maxDocId: Long = 8): DataFrame = {
+    val d = docs(spark, dir)
+    val (_, vocab) = bpeTrainMerges(d, numMerges)
+    val dw = d.filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .toDF("doc_id", "wpos", "word")
+    // token offset of each word = tokens in the doc's preceding words
+    val off = Window.partitionBy("doc_id").orderBy("wpos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dw.join(vocab.select("word", "syms").hint("broadcast"), Seq("word"))
+      .withColumn("woff", coalesce(sum(size(col("syms")).cast("long")).over(off), lit(0L)))
+      .select(col("doc_id"), col("woff"), posexplode(col("syms")))
+      .toDF("doc_id", "woff", "spos", "token")
+      .select(col("doc_id"), (col("woff") + col("spos")).cast("long").as("pos"),
+        col("token"))
+      .orderBy("doc_id", "pos")
   }
 
   /** Token-count histogram: docs bucketed by word-count decade — the

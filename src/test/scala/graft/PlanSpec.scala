@@ -141,6 +141,38 @@ class PlanSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("semantic decontamination: bench side broadcasts, corpus never shuffles") {
+    val p = plan(Similarity.semanticDecontamination(spark, dir))
+    // the eval-suite side is bounded; the corpus leg must stream once
+    // through a broadcast — a shuffle here would move the 100 TB side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected the bench side broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("BPE encode: vocab joins broadcast, the only sort is per-document") {
+    val p = plan(ops.TextAnalysis.bpeEncode(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the word->syms join must not shuffle the doc words:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("shuffle shards: hash shuffle + per-shard sort, no global sort") {
+    val df = ops.Mixing.shuffleShards(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"joins have no business here:\n$p")
+    // the corpus-sized window must partition by shard_id over a HASH
+    // exchange — a range exchange there would serialize the 100 TB
+    // corpus through one global ordering. (The only range exchange
+    // allowed is the final orderBy over the 16-row manifest.)
+    assert(p.contains("hashpartitioning(shard_id"), s"expected hash exchange:\n$p")
+    val ranges = "rangepartitioning".r.findAllIn(p).length
+    assert(ranges <= 1, s"corpus-sized range exchange leaked into the plan:\n$p")
+  }
+
   test("range join is a bucketized equality join, never a nested loop") {
     val p = plan(MarketQueries.rangeJoinErrors(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -184,4 +184,43 @@ class MixingSpec extends SparkSpec {
       Mixing.packShards(big, "doc_id", "n_tok", 0L)
     }
   }
+
+  test("shuffle shards: a deterministic partition of the corpus") {
+    val n = Mixing.docs(spark, dir).count()
+    val m = Mixing.shuffleShards(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every doc lands in exactly one shard
+    assert(m.map(_._2).sum === n)
+    assert(m.map(_._1).toSet.subsetOf((0L until 16L).toSet))
+    // byte-identical on rerun
+    val again = Mixing.shuffleShards(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(m.toSeq === again.toSeq)
+  }
+
+  test("shuffle shards: the seed changes the permutation, not the corpus") {
+    val a = Mixing.shuffleShards(spark, dir, seed = "graft").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val b = Mixing.shuffleShards(spark, dir, seed = "other").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // total membership is seed-invariant...
+    assert(a.map(_._2).sum === b.map(_._2).sum)
+    // ...but the permutation is not: some shard differs in members or order
+    assert(a.toSeq !== b.toSeq, "seed had no effect on the shuffle")
+  }
+
+  test("shuffle shards: first_doc is the shard's key-order head") {
+    import graft.ops.TextHashing.md5Long
+    // recompute the key order driver-side and check rank-1 per shard
+    val keyed = Mixing.docs(spark, dir)
+      .select(col("doc_id"), md5Long(concat_ws(":", lit("graft"), col("doc_id"))).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectHead = keyed.groupBy(_._2 % 16)
+      .map { case (s, ds) => s -> ds.minBy(d => (d._2, d._1))._1 }
+    val firstDocs = Mixing.shuffleShards(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    expectHead.foreach { case (s, d) =>
+      assert(firstDocs(s) === d, s"shard $s head mismatch")
+    }
+  }
 }

@@ -105,6 +105,28 @@ class OpsSpec extends SparkSpec {
     vx.unpersist()
   }
 
+  test("BPE encode: token streams are lossless and consistent with the counts") {
+    val toks = TextAnalysis.bpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._2) }
+    val texts = TextAnalysis.docs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    val counts = TextAnalysis.bpeTokenCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toks.keySet === texts.keySet.filter(_ < 8), "every selected doc encodes")
+    toks.foreach { case (d, rs) =>
+      // positions are contiguous from 0
+      assert(rs.map(_._2).toSeq === (0L until rs.length).toSeq, s"doc $d positions")
+      // merging never alters characters: concatenated tokens == the
+      // doc's lower-cased words joined
+      val stream = rs.map(_._3).mkString
+      val wordsJoined = texts(d).toLowerCase.split("\\s+").filter(_.nonEmpty).mkString
+      assert(stream === wordsJoined, s"doc $d token stream not lossless")
+      // stream length == the tokenizer-aware count
+      assert(rs.length.toLong === counts(d), s"doc $d count mismatch")
+    }
+  }
+
   test("BPE token counts match the trained vocab's symbol lengths") {
     val n = TextAnalysis.bpeTokenCounts(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -395,6 +417,30 @@ class OpsSpec extends SparkSpec {
     // the fixture's exact pair must collapse: 3 -> rep 2
     assert(clusters(3L)._1 === 2L)
     assert(clusters(4L) === ((4L, 1L)), "singleton keeps itself")
+  }
+
+  test("semantic decontamination flags the vector colinear with the benchmark") {
+    // fixture: vec 0 is the only benchmark vector (vec_id % 20 == 0);
+    // vec 1 = 2 x vec 0 (cos exactly 1), vec 2 points elsewhere
+    val flags = Similarity.semanticDecontamination(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(flags.contains((1L, 0L)), s"colinear corpus vector must flag: $flags")
+    assert(math.abs(flags((1L, 0L)) - 1.0) < 1e-5)
+    // no benchmark id ever appears on the corpus side and vice versa
+    flags.keys.foreach { case (v, b) =>
+      assert(v % 20 != 0 && b % 20 == 0, s"split leaked: ($v, $b)")
+    }
+    // completeness: every corpus x bench pair at-or-over threshold is
+    // present (recompute exhaustively driver-side)
+    val vecs = Similarity.emb(spark, dir).select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for ((v, va) <- vecs if v % 20 != 0; (b, vb) <- vecs if b % 20 == 0)
+      if (math.round(cos(va, vb) * 1e6) / 1e6 >= 0.35)
+        assert(flags.contains((v, b)), s"missed pair ($v, $b)")
   }
 
   test("embedding near-dup finds the colinear pair with cos ~ 1") {
