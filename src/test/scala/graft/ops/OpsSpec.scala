@@ -127,6 +127,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE training runs once per session: merges, counts, and encode share it") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("bpecache").toString
+    Seq((0L, "shared cache shared cache", "en", "s", 25L),
+        (1L, "cache the trained tokenizer", "en", "s", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val before = TextAnalysis.bpeTrainRuns.get()
+    val m = TextAnalysis.bpeMerges(spark, d).collect()
+    val c = TextAnalysis.bpeTokenCounts(spark, d).collect()
+    val e = TextAnalysis.bpeEncode(spark, d).collect()
+    assert(m.nonEmpty && c.nonEmpty && e.nonEmpty)
+    assert(TextAnalysis.bpeTrainRuns.get() === before + 1,
+      "three consumers must share one training run")
+    // and the shared vocab gives consistent numbers across faces
+    val counts = c.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamLens = e.groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.length.toLong }
+    streamLens.foreach { case (id, n) => assert(counts(id) === n) }
+  }
+
   test("BPE token counts match the trained vocab's symbol lengths") {
     val n = TextAnalysis.bpeTokenCounts(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
