@@ -415,7 +415,7 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
-def check_decontamination_semantic(sf_dir, out_dir, threshold=0.35):
+def check_decontamination_semantic(sf_dir, out_dir, threshold=0.35, bench_cap=2000):
     import numpy as np
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype="float64")
@@ -425,7 +425,7 @@ def check_decontamination_semantic(sf_dir, out_dir, threshold=0.35):
         if v % 20 == 0:
             continue
         for b, vb in vecs.items():
-            if b % 20 != 0:
+            if b % 20 != 0 or b >= bench_cap:
                 continue
             c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
             if c >= threshold:

@@ -298,6 +298,29 @@ object Graft {
   def buildTextIndex(spark: SparkSession, dir: String): Unit =
     ops.TextRanking.buildTextIndex(spark, dir)
 
+  /** Train the BPE tokenizer on a documents dir and persist it (merge
+    * table + applied vocab, stats marker last): the train-once artifact
+    * — any session, cold or warm, then encodes without retraining, and
+    * `encodeWith` applies it to OTHER corpora. Rewriting the corpus
+    * mid-session requires `core.SessionCache.invalidate(spark,
+    * "bpe_vocab_<numMerges>", dir)` first, like every cached table. */
+  def buildTokenizer(spark: SparkSession, dir: String, numMerges: Int = 10): Unit =
+    ops.TextAnalysis.buildTokenizer(spark, dir, numMerges)
+
+  /** Token streams (doc_id, pos, token) of `dir`'s documents under its
+    * own tokenizer (persisted if present, else trained in-session). */
+  def encode(spark: SparkSession, dir: String, numMerges: Int = 10,
+             maxDocId: Long = Long.MaxValue): org.apache.spark.sql.DataFrame =
+    ops.TextAnalysis.bpeEncode(spark, dir, numMerges, maxDocId)
+
+  /** Token streams of `corpusDir`'s documents under the tokenizer
+    * persisted at `tokenizerDir` (out-of-training words char-split then
+    * merged by the persisted rules, like any real tokenizer). */
+  def encodeWith(spark: SparkSession, corpusDir: String, tokenizerDir: String,
+                 numMerges: Int = 10,
+                 maxDocId: Long = Long.MaxValue): org.apache.spark.sql.DataFrame =
+    ops.TextAnalysis.bpeEncodeWith(spark, corpusDir, tokenizerDir, numMerges, maxDocId)
+
   /** Incrementally index a batch of new documents against the persisted
     * text index: tokenizes ONLY the batch, appends delta postings, commits
     * via the batch's stats row — append ≡ rebuild score-for-score (exact

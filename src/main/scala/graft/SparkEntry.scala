@@ -1117,10 +1117,12 @@ object SparkEntry {
 
     // embedding-space decontamination (mirrors
     // Similarity.semanticDecontamination: exact cosine of every corpus
-    // vector against the tiny benchmark side, threshold 0.35)
+    // vector against the tiny benchmark side, threshold 0.35; the
+    // vec_id < 2000 cap pins the fixture's bench size — a real eval
+    // suite doesn't grow with the training corpus)
     "decontamination_semantic" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 20 = 0),
+        |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 20 = 0 AND vec_id < 2000),
         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0)
         |SELECT vec_id, bench_id, round(list_cosine_similarity(v, bv), 6) AS cos_sim
         |FROM c CROSS JOIN b

@@ -318,8 +318,19 @@ object TextAnalysis {
   def bpeTrained(spark: SparkSession, dir: String,
                  numMerges: Int = 10): (Seq[(String, String, Long)], DataFrame) = {
     val key = (spark, dir, numMerges)
+    // prefer the committed persisted artifact (train-once / encode-
+    // anywhere): a cold session with the marker present never touches
+    // the training path
+    def loadOrTrain(): (Seq[(String, String, Long)], DataFrame) =
+      if (hasTokenizer(spark, dir, numMerges)) {
+        val m = spark.read.parquet(tokenizerMergesPath(dir))
+          .orderBy("merge_rank").collect().toSeq
+          .map(r => (r.getAs[String]("l"), r.getAs[String]("r"), r.getAs[Long]("n")))
+        (m, spark.read.parquet(tokenizerVocabPath(dir))
+          .select("word", "wcnt", "syms"))
+      } else bpeTrainMerges(docs(spark, dir), numMerges)
     val vocab = graft.core.SessionCache.getOrBuild(spark, s"bpe_vocab_$numMerges", dir) {
-      val (m, v) = bpeTrainMerges(docs(spark, dir), numMerges)
+      val (m, v) = loadOrTrain()
       trainedMergeLists.put(key, m)
       v
     }
@@ -327,18 +338,67 @@ object TextAnalysis {
     if (m != null) (m, vocab)
     else {
       // the vocab outlived its merge list (defensive: the two are
-      // installed together and evicted together) — retrain, keep the
-      // cached vocab frame. v2 is NOT unpersisted: its plan sameResults
-      // the cached vocab's, so unpersisting it would evict the shared
-      // CacheManager entry out from under the installed frame
-      val (m2, _) = bpeTrainMerges(docs(spark, dir), numMerges)
+      // installed together and evicted together) — recompute the list,
+      // keep the cached vocab frame. The recomputed frame is NOT
+      // unpersisted: its plan sameResults the cached vocab's, so
+      // unpersisting it would evict the shared CacheManager entry out
+      // from under the installed frame
+      val (m2, _) = loadOrTrain()
       trainedMergeLists.put(key, m2)
       (m2, vocab)
     }
   }
 
+  // -- persisted tokenizer artifact ----------------------------------
+  // Family convention (text/vector indexes): data files first, the
+  // stats file LAST as the commit marker — a crash mid-build leaves no
+  // marker and readers fall back to in-session training.
+
+  def tokenizerVocabPath(dir: String): String = s"$dir/bpe_vocab.parquet"
+  def tokenizerMergesPath(dir: String): String = s"$dir/bpe_merge_table.parquet"
+  /** (num_merges, vocab_checksum) — written last, doubles as the commit
+    * marker. */
+  def tokenizerStatsPath(dir: String): String = s"$dir/bpe_stats.parquet"
+
+  /** Train on `dir`'s corpus and persist the tokenizer (merge table +
+    * applied vocab) beside the data (or at `at`): the train-once /
+    * encode-anywhere artifact — a COLD session with the marker present
+    * encodes without touching the training path at all
+    * (`bpeTrained` prefers the persisted artifact; OpsSpec proves
+    * zero-training reads via the run counter). */
+  def buildTokenizer(spark: SparkSession, dir: String, numMerges: Int = 10,
+                     at: Option[String] = None): Unit = {
+    val target = at.getOrElse(dir)
+    graft.core.Fs.delete(spark, tokenizerStatsPath(target)) // marker down
+    val (merges, vocab) = bpeTrained(spark, dir, numMerges)
+    vocab.select("word", "wcnt", "syms")
+      .write.mode("overwrite").parquet(tokenizerVocabPath(target))
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, n), i) => ((i + 1).toLong, l, r, n) }
+      .toDF("merge_rank", "l", "r", "n").coalesce(1)
+      .write.mode("overwrite").parquet(tokenizerMergesPath(target))
+    val checksum = vocab
+      .select(sum(md5Long(concat_ws(":", col("word"),
+        concat_ws("|", col("syms")))) % P).cast("long").as("c"))
+      .head().getLong(0)
+    Seq((numMerges.toLong, checksum)).toDF("num_merges", "vocab_checksum")
+      .coalesce(1).write.mode("overwrite").parquet(tokenizerStatsPath(target))
+  }
+
+  /** Whether a committed tokenizer trained with `numMerges` rounds is
+    * present at `dir` (marker + both tables, merge count matching). */
+  def hasTokenizer(spark: SparkSession, dir: String, numMerges: Int = 10): Boolean =
+    graft.core.Fs.exists(spark, tokenizerStatsPath(dir)) &&
+      graft.core.Fs.exists(spark, tokenizerVocabPath(dir)) &&
+      graft.core.Fs.exists(spark, tokenizerMergesPath(dir)) &&
+      (try spark.read.parquet(tokenizerStatsPath(dir))
+        .head().getLong(0) == numMerges.toLong
+       catch { case _: Throwable => false })
+
   /** Observability for the once-per-session training contract (specs
-    * assert consumers share one run). */
+    * assert consumers share one run, and that a persisted tokenizer is
+    * loaded without any run at all). */
   private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val trainedMergeLists =
@@ -411,9 +471,14 @@ object TextAnalysis {
     * inner and lossless. */
   def bpeEncode(spark: SparkSession, dir: String, numMerges: Int = 10,
                 maxDocId: Long = 8): DataFrame = {
-    val d = docs(spark, dir)
     val (_, vocab) = bpeTrained(spark, dir, numMerges)
-    val dw = d.filter(col("doc_id") < maxDocId)
+    encodeWithVocab(docs(spark, dir).filter(col("doc_id") < maxDocId), vocab)
+  }
+
+  /** Encode an arbitrary docs-shaped frame against a word -> syms vocab
+    * (every word of the frame must be in the vocab). */
+  private def encodeWithVocab(sel: DataFrame, vocab: DataFrame): DataFrame = {
+    val dw = sel
       .select(col("doc_id"), posexplode(words(col("text"))))
       .toDF("doc_id", "wpos", "word")
     // token offset of each word = tokens in the doc's preceding words
@@ -426,6 +491,39 @@ object TextAnalysis {
       .select(col("doc_id"), (col("woff") + col("spos")).cast("long").as("pos"),
         col("token"))
       .orderBy("doc_id", "pos")
+  }
+
+  /** Apply a merge list in rank order to a 1-column `word` frame — the
+    * canonical BPE APPLICATION to arbitrary (possibly out-of-training)
+    * words: chars first, then each merge's greedy left-to-right rewrite.
+    * numMerges nested folds in one projection; vocab-sized work. */
+  def applyMerges(vocabWords: DataFrame,
+                  merges: Seq[(String, String, Long)]): DataFrame =
+    merges.foldLeft(
+      vocabWords.withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
+      case (df, (l, r, _)) => df.withColumn("syms", bpeApplyMerge(l, r))
+    }
+
+  /** Encode `corpusDir`'s documents with a tokenizer trained ELSEWHERE
+    * and persisted at `tokenizerDir` — the cross-corpus face of the
+    * train-once artifact. Out-of-training words are handled exactly like
+    * a real tokenizer: char-split, then the persisted merges applied in
+    * rank order (for in-training words this reproduces the persisted
+    * syms verbatim, so no special casing anywhere). The merge table is
+    * numMerges rows; the rewrite is over the NEW corpus's distinct
+    * words — vocab-sized, one scan. */
+  def bpeEncodeWith(spark: SparkSession, corpusDir: String, tokenizerDir: String,
+                    numMerges: Int = 10, maxDocId: Long = 8): DataFrame = {
+    require(hasTokenizer(spark, tokenizerDir, numMerges),
+      s"no committed tokenizer (numMerges=$numMerges) at $tokenizerDir")
+    val merges = spark.read.parquet(tokenizerMergesPath(tokenizerDir))
+      .orderBy("merge_rank").collect().toSeq
+      .map(r => (r.getAs[String]("l"), r.getAs[String]("r"), r.getAs[Long]("n")))
+    val sel = docs(spark, corpusDir).filter(col("doc_id") < maxDocId)
+    val vocab = applyMerges(
+      sel.select(explode(words(col("text"))).as("word")).distinct(), merges)
+    encodeWithVocab(sel, vocab)
   }
 
   /** Token-count histogram: docs bucketed by word-count decade — the

@@ -147,6 +147,34 @@ class OpsSpec extends SparkSpec {
     streamLens.foreach { case (id, n) => assert(counts(id) === n) }
   }
 
+  test("persisted tokenizer: cold load never trains; OOV words merge like any tokenizer") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("bpepersist").toString
+    Seq((0L, "aaab aaab aaab", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    TextAnalysis.buildTokenizer(spark, d, numMerges = 3)
+    assert(TextAnalysis.hasTokenizer(spark, d, numMerges = 3))
+    assert(!TextAnalysis.hasTokenizer(spark, d, numMerges = 10),
+      "a merge-count mismatch must not validate the artifact")
+    // simulate a cold session: drop the in-session cache, re-access
+    graft.core.SessionCache.invalidate(spark, "bpe_vocab_3", d)
+    val before = TextAnalysis.bpeTrainRuns.get()
+    val enc = TextAnalysis.bpeEncode(spark, d, numMerges = 3).collect()
+    assert(enc.map(_.getString(2)).toSeq === Seq("aaab", "aaab", "aaab"))
+    assert(TextAnalysis.bpeTrainRuns.get() === before,
+      "the persisted artifact must load without a training run")
+    // cross-corpus encode: "aab" never appeared in training; merges
+    // [(a,a),(a,b),(aa,ab)] applied in rank order give [aa, b]
+    val d2 = Files.createTempDirectory("bpeforeign").toString
+    Seq((0L, "aab aaab", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val f = TextAnalysis.bpeEncodeWith(spark, d2, d, numMerges = 3).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(f.toSeq === Seq((0L, "aa"), (1L, "b"), (2L, "aaab")))
+  }
+
   test("BPE token counts match the trained vocab's symbol lengths") {
     val n = TextAnalysis.bpeTokenCounts(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
