@@ -324,6 +324,37 @@ def check_text_perplexity(sf_dir, out_dir):
     return len(mine)
 
 
+def check_text_perplexity_bigram(sf_dir, out_dir, lam=0.75):
+    docs = load_docs(sf_dir)
+    cnt, big, ctx = {}, {}, {}
+    for _, text in docs:
+        ws = _words(text)
+        for w in ws:
+            cnt[w] = cnt.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    n_tot, v = sum(cnt.values()), len(cnt)
+    def p_uni(w):
+        return (cnt[w] + 1.0) / float(n_tot + v)
+    rows = []
+    for doc_id, text in sorted(docs):
+        ws = _words(text)
+        if not ws:
+            continue
+        nll = _round6_half_up(-math.log(p_uni(ws[0])))
+        for a, b in zip(ws, ws[1:]):
+            p = lam * (big[(a, b)] / float(ctx[a])) + (1.0 - lam) * p_uni(b)
+            nll += _round6_half_up(-math.log(p))
+        rows.append((doc_id, len(ws), float(nll), float(nll) / len(ws)))
+    mine = pd.DataFrame(rows, columns=["doc_id", "n_words", "nll_sum", "nll_avg"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = spark(out_dir, "text_perplexity_bigram") \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_importance_sample(sf_dir, out_dir, buckets=4096, k=100):
     docs = load_docs(sf_dir)
     feats = {}
@@ -496,7 +527,9 @@ def main(sf_dir, out_dir):
               ("shuffle_shards", lambda: check_shuffle_shards(sf_dir, out_dir)),
               ("decontamination_semantic",
                lambda: check_decontamination_semantic(sf_dir, out_dir)),
-              ("bpe_encode", lambda: check_bpe_encode(sf_dir, out_dir))]
+              ("bpe_encode", lambda: check_bpe_encode(sf_dir, out_dir)),
+              ("text_perplexity_bigram",
+               lambda: check_text_perplexity_bigram(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

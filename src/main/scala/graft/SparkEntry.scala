@@ -139,6 +139,10 @@ object SparkEntry {
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
     // without the external KenLM artifact)
     "text_perplexity" -> (TextAnalysis.unigramSurprisal _),
+    // the full CCNet-style signal: Jelinek-Mercer interpolated bigram LM
+    // (0.75 * MLE bigram + 0.25 * add-one unigram, first token unigram)
+    "text_perplexity_bigram" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bigramSurprisal(s, d)),
     // context-window chunking (64-word chunks, 8-word overlap)
     "chunk_documents" -> ((s: SparkSession, d: String) =>
       TextAnalysis.chunkDocuments(s, d)),
@@ -1448,6 +1452,31 @@ object SparkEntry {
          |sc AS (SELECT doc_id, CAST(round(-ln((CAST(c AS DOUBLE) + 1.0) / CAST(n + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s
          |  FROM t JOIN lex USING (w) CROSS JOIN st),
          |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1)
+         |SELECT doc_id, n_words, CAST(nll AS DOUBLE) AS nll_sum,
+         |  CAST(nll AS DOUBLE) / n_words AS nll_avg FROM ds ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.bigramSurprisal: 0.75/0.25 interpolation
+    // (dyadic — exact in both engines), first token unigram-only,
+    // round(-ln p, 6) as DECIMAL(18,6) per token, exact decimal doc sums
+    "text_perplexity_bigram" ->
+      s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |t AS (SELECT doc_id, u.w, u.pw FROM wrd,
+         |  LATERAL unnest(list_transform(range(1, len(ws)+1),
+         |    i -> struct_pack(w := ws[i], pw := CASE WHEN i >= 2 THEN ws[i-1] END))) AS x(u)),
+         |lex AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM lex),
+         |bg AS (SELECT pw, w, count(*) AS cbg FROM t WHERE pw IS NOT NULL GROUP BY 1, 2),
+         |ctx AS (SELECT pw, CAST(sum(cbg) AS BIGINT) AS cctx FROM bg GROUP BY 1),
+         |sc AS (SELECT t.doc_id,
+         |  CASE WHEN t.pw IS NULL THEN (CAST(lex.c AS DOUBLE) + 1.0) / CAST(st.n + st.v AS DOUBLE)
+         |       ELSE 0.75 * (CAST(bg.cbg AS DOUBLE) / CAST(ctx.cctx AS DOUBLE))
+         |            + 0.25 * ((CAST(lex.c AS DOUBLE) + 1.0) / CAST(st.n + st.v AS DOUBLE)) END AS p
+         |  FROM t JOIN lex USING (w)
+         |  LEFT JOIN bg ON bg.pw = t.pw AND bg.w = t.w
+         |  LEFT JOIN ctx ON ctx.pw = t.pw
+         |  CROSS JOIN st),
+         |ds AS (SELECT doc_id, count(*) AS n_words,
+         |  sum(CAST(round(-ln(p), 6) AS DECIMAL(18,6))) AS nll FROM sc GROUP BY 1)
          |SELECT doc_id, n_words, CAST(nll AS DOUBLE) AS nll_sum,
          |  CAST(nll AS DOUBLE) / n_words AS nll_avg FROM ds ORDER BY doc_id""".stripMargin,
 

@@ -592,6 +592,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated BIGRAM-LM surprisal — the full CCNet-style perplexity
+    * signal (unigramSurprisal is its backoff floor): per token,
+    * p = lambda * c(prev,w)/c(prev,*) + (1-lambda) * (c(w)+1)/(N+V),
+    * the standard Jelinek-Mercer interpolation of the MLE bigram with
+    * the add-one unigram; a document's FIRST token has no history and
+    * scores on the unigram alone. Trained on the corpus itself (no
+    * external LM artifact), like every model in this engine. Repetitive
+    * continuation (boilerplate, templated text) scores low; novel word
+    * orderings score high even when every unigram is common — the
+    * dimension the unigram filter cannot see.
+    *
+    * Determinism: per-token surprisal is round(-ln p, 6) as
+    * DECIMAL(18,6), doc totals exact order-free decimal sums (the
+    * text_perplexity recipe); both engines derive p with the identical
+    * expression tree. The default lambda is DYADIC (0.75, exact in
+    * IEEE-754 and in decimal) so 1-lambda is exact on both engines —
+    * 0.7 would make 1-lambda 0.30000000000000004 in doubles but 0.3 in
+    * DuckDB's decimal literal, the same rounding-boundary trap the
+    * leakage split's dyadic thresholds document. Scale shape: one token
+    * explode, two count aggregates (unigram + bigram), one (prev,w)
+    * equality join — the postings-join class, never pairwise. */
+  def bigramSurprisal(spark: SparkSession, dir: String,
+                      lambda: Double = 0.75): DataFrame = {
+    val toks = docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)), i -> " +
+          "struct(ws[i-1] AS w, CASE WHEN i >= 2 THEN ws[i-2] END AS pw))")).as("t"))
+      .select(col("doc_id"), col("t.w").as("w"), col("t.pw").as("pw"))
+    val lex = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val stats = lex.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val bg = toks.filter(col("pw").isNotNull)
+      .groupBy("pw", "w").agg(count(lit(1)).as("cbg"))
+    val ctx = bg.groupBy("pw").agg(sum("cbg").as("cctx"))
+    val pUni = (col("c").cast("double") + lit(1.0)) /
+      (col("n") + col("v")).cast("double")
+    val pBg = col("cbg").cast("double") / col("cctx").cast("double")
+    toks
+      .join(lex, "w")
+      .join(bg, Seq("pw", "w"), "left")
+      .join(ctx, Seq("pw"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("p",
+        when(col("pw").isNull, pUni)
+          .otherwise(lit(lambda) * pBg + lit(1.0 - lambda) * pUni))
+      .withColumn("s", round(-log(col("p")), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("s").as("nll"))
+      .select(col("doc_id"), col("n_words"),
+        col("nll").cast("double").as("nll_sum"),
+        (col("nll").cast("double") / col("n_words")).as("nll_avg"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: full-content md5, a 60-bit integer fingerprint,
     * and the min word-3-gram shingle hash (winnowing-lite — equal for any
     * two docs sharing their rarest shingle window). */

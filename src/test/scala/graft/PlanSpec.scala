@@ -126,6 +126,7 @@ class PlanSpec extends SparkSpec {
     for (df <- Seq(
         graft.ops.Importance.importanceTopK(spark, dir),
         graft.ops.TextAnalysis.unigramSurprisal(spark, dir),
+        graft.ops.TextAnalysis.bigramSurprisal(spark, dir),
         graft.ops.QualityClassifier.classifierScores(spark, dir, rounds = 1))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")

@@ -69,4 +69,41 @@ class ImportanceSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) / r.getLong(1) - r.getDouble(3)) < 1e-9)
     }
   }
+
+  test("bigram surprisal sees word ORDER where the unigram filter cannot") {
+    import spark.implicits._
+    val d3 = Files.createTempDirectory("ppl2").toString
+    // docs 0/1 repeat the same bigram continuation; doc 2 uses the SAME
+    // unigrams in a novel order — identical unigram distribution per
+    // token, different bigram structure
+    (Seq(
+      (0L, "alpha beta alpha beta alpha beta alpha beta"),
+      (1L, "alpha beta alpha beta alpha beta alpha beta"),
+      (2L, "alpha alpha beta beta alpha alpha beta beta"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d3/documents.parquet")
+    val uni = TextAnalysis.unigramSurprisal(spark, d3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val bi = TextAnalysis.bigramSurprisal(spark, d3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // every doc has the same unigram mix: the unigram filter is blind
+    assert(math.abs(uni(0L) - uni(2L)) < 1e-9, "unigram should not separate them")
+    // the bigram filter separates the templated docs from the novel order
+    assert(bi(0L) < bi(2L), s"repetitive continuation must score lower: $bi")
+    assert(math.abs(bi(0L) - bi(1L)) < 1e-9, "identical docs score identically")
+  }
+
+  test("bigram surprisal: first token scores on the unigram alone") {
+    import spark.implicits._
+    val d4 = Files.createTempDirectory("ppl3").toString
+    (Seq((0L, "solo"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d4/documents.parquet")
+    val bi = TextAnalysis.bigramSurprisal(spark, d4).collect()
+    val uni = TextAnalysis.unigramSurprisal(spark, d4).collect()
+    assert(bi.length === 1 && bi(0).getLong(1) === 1L)
+    assert(math.abs(bi(0).getDouble(2) - uni(0).getDouble(2)) < 1e-9)
+  }
 }
