@@ -43,6 +43,9 @@ FAMILY_FILES = {
     # embeddings operator, not a shingle one
     ("decontamination_semantic",): ["ops/Similarity.scala", "core/SessionCache.scala"],
     ("shuffle_shards",): ["ops/Mixing.scala", "ops/TextHashing.scala"],
+    ("dataset_card",): ["ops/TextAnalysis.scala", "ops/TextDedup.scala",
+                        "ops/TextHashing.scala", "ops/GraphOps.scala",
+                        "core/SessionCache.scala"],
     ("dedup_", "simhash_", "decontamination"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],

@@ -139,6 +139,10 @@ object SparkEntry {
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
     // without the external KenLM artifact)
     "text_perplexity" -> (TextAnalysis.unigramSurprisal _),
+    // the per-source dataset-card panel: counts, lang mix, near-dup
+    // exposure, contamination, mean quality — one composed plan over
+    // the shared session caches
+    "dataset_card" -> (TextAnalysis.datasetCard _),
     // the full CCNet-style signal: Jelinek-Mercer interpolated bigram LM
     // (0.75 * MLE bigram + 0.25 * add-one unigram, first token unigram)
     "text_perplexity_bigram" -> ((s: SparkSession, d: String) =>
@@ -1454,6 +1458,54 @@ object SparkEntry {
          |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1)
          |SELECT doc_id, n_words, CAST(nll AS DOUBLE) AS nll_sum,
          |  CAST(nll AS DOUBLE) / n_words AS nll_avg FROM ds ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.datasetCard — composed from the lang-id,
+    // quality, minhash-cluster, and decontamination oracle fragments;
+    // mean quality as exact DECIMAL(14,4) sum / count (order-free)
+    "dataset_card" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |${docComponentsCtes("mhp")},
+         |clus AS (SELECT doc_id, cluster_size FROM allc JOIN rep USING (comp)),
+         |dcand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id FROM bt a
+         |  JOIN bt b ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
+         |dest AS (SELECT c.doc_id, c.bench_id,
+         |  CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE)/32 AS e
+         |  FROM dcand c JOIN mh x ON x.doc_id = c.doc_id
+         |  JOIN mh y ON y.doc_id = c.bench_id AND y.i = x.i GROUP BY 1, 2),
+         |cont AS (SELECT DISTINCT doc_id FROM dest WHERE e >= 0.2),
+         |lsc AS (SELECT doc_id,
+         |  CAST(len(list_intersect(dw, ['der','die','das','und','ist'])) AS BIGINT) AS s_de,
+         |  CAST(len(list_intersect(dw, ['the','a','of','and','is'])) AS BIGINT) AS s_en,
+         |  CAST(len(list_intersect(dw, ['el','la','de','y','es'])) AS BIGINT) AS s_es,
+         |  CAST(len(list_intersect(dw, ['le','la','de','et','est'])) AS BIGINT) AS s_fr
+         |  FROM (SELECT doc_id, list_distinct(ws) AS dw FROM wrd)),
+         |lng AS (SELECT doc_id,
+         |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND s_en > 0 THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND s_es > 0 THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS predicted_lang FROM lsc),
+         |qual AS (SELECT d.doc_id, d.source, CAST(len(w.ws) AS BIGINT) AS n_words,
+         |  round(least(CAST(1.0 AS DOUBLE), len(w.ws) / 50.0) * (CAST(1.0 AS DOUBLE) -
+         |    round(CAST(length(d.text) - length(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(d.text), 4)), 4) AS quality_score
+         |  FROM documents d JOIN wrd w USING (doc_id)),
+         |pd AS (SELECT q.doc_id, q.source, q.n_words, q.quality_score, l.predicted_lang,
+         |  (c.cluster_size > 1) AS is_dup, (ct.doc_id IS NOT NULL) AS is_cont
+         |  FROM qual q JOIN lng l USING (doc_id) JOIN clus c USING (doc_id)
+         |  LEFT JOIN cont ct USING (doc_id)),
+         |agg AS (SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(count(DISTINCT predicted_lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+         |  CAST(sum(CASE WHEN is_cont THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs,
+         |  round(CAST(sum(CAST(quality_score AS DECIMAL(14,4))) AS DOUBLE) / count(*), 6) AS avg_quality
+         |  FROM pd GROUP BY source),
+         |lcnt AS (SELECT source, predicted_lang, count(*) AS n FROM pd GROUP BY 1, 2),
+         |tl AS (SELECT source, predicted_lang AS top_lang FROM (
+         |  SELECT source, predicted_lang, row_number() OVER (PARTITION BY source ORDER BY n DESC, predicted_lang) AS rn FROM lcnt) WHERE rn = 1)
+         |SELECT a.source, n_docs, n_words, n_langs, top_lang, dup_docs, contaminated_docs, avg_quality
+         |FROM agg a JOIN tl USING (source) ORDER BY source""".stripMargin,
 
     // mirrors TextAnalysis.bigramSurprisal: 0.75/0.25 interpolation
     // (dyadic — exact in both engines), first token unigram-only,

@@ -646,6 +646,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The DATASET CARD panel — the per-source summary every corpus
+    * release publishes, computed as ONE composed plan over the shared
+    * session caches: doc/word counts, language mix (n distinct
+    * predicted langs + the modal one), near-dup exposure (docs in a
+    * minhash cluster of size > 1 — the cached cluster table), benchmark
+    * contamination (the banded flagger's distinct corpus docs), and
+    * mean quality (exact decimal sum / count, the cross_modal
+    * convention — a double sum would be order-dependent across
+    * engines).
+    *
+    * Scale shape: every leg is an existing operator's cached table or a
+    * per-doc narrow scan; the card itself adds two source-keyed
+    * aggregates and a source-partitioned top-1 window (source count is
+    * dataset-card-sized, tens). Nothing here is new corpus work. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val q = withQuality(docs(spark, dir))
+      .select(col("doc_id"), col("source"), col("n_words"), col("quality_score"))
+    val langs = langId(spark, dir).select(col("doc_id"), col("predicted_lang"))
+    val dups = TextDedup.minhashClusters(spark, dir)
+      .select(col("doc_id"), (col("cluster_size") > 1).as("is_dup"))
+    val cont = TextDedup.decontamination(spark, dir)
+      .select("doc_id").distinct().withColumn("is_cont", lit(true))
+    val perDoc = q.join(langs, "doc_id").join(dups, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+    val card = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_words").as("n_words"),
+      countDistinct("predicted_lang").as("n_langs"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"),
+      sum(when(col("is_cont"), 1L).otherwise(0L)).as("contaminated_docs"),
+      round(sum(col("quality_score").cast("decimal(14,4)")).cast("double") /
+        count(lit(1)), 6).as("avg_quality"))
+    val lc = perDoc.groupBy("source", "predicted_lang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("predicted_lang").asc)
+    val top = lc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("predicted_lang").as("top_lang"))
+    card.join(top, "source")
+      .select("source", "n_docs", "n_words", "n_langs", "top_lang",
+        "dup_docs", "contaminated_docs", "avg_quality")
+      .orderBy("source")
+  }
+
   /** Document fingerprints: full-content md5, a 60-bit integer fingerprint,
     * and the min word-3-gram shingle hash (winnowing-lite — equal for any
     * two docs sharing their rarest shingle window). */

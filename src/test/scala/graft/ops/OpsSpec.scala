@@ -467,6 +467,28 @@ class OpsSpec extends SparkSpec {
     assert(clusters(4L) === ((4L, 1L)), "singleton keeps itself")
   }
 
+  test("dataset card: one composed panel whose legs match the standalone operators") {
+    val card = TextAnalysis.datasetCard(spark, dir).collect()
+    assert(card.length === 1, "fixture has a single source")
+    val r = card(0)
+    assert(r.getAs[String]("source") === "s")
+    assert(r.getAs[Long]("n_docs") === 5L)
+    // near-dup exposure must agree with the cluster operator
+    val dupDocs = TextDedup.minhashClusters(spark, dir).collect()
+      .count(_.getAs[Long]("cluster_size") > 1L)
+    assert(r.getAs[Long]("dup_docs") === dupDocs.toLong)
+    // contamination leg agrees with the standalone flagger
+    val cont = TextDedup.decontamination(spark, dir)
+      .select("doc_id").distinct().count()
+    assert(r.getAs[Long]("contaminated_docs") === cont)
+    assert(r.getAs[String]("top_lang") === "en")
+    assert(r.getAs[Double]("avg_quality") > 0.0)
+    // word total agrees with the per-doc scan
+    val words = TextAnalysis.docs(spark, dir).collect()
+      .map(_.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty)).sum
+    assert(r.getAs[Long]("n_words") === words.toLong)
+  }
+
   test("semantic decontamination flags the vector colinear with the benchmark") {
     // fixture: vec 0 is the only benchmark vector (vec_id % 20 == 0);
     // vec 1 = 2 x vec 0 (cos exactly 1), vec 2 points elsewhere
