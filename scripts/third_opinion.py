@@ -355,6 +355,35 @@ def check_text_perplexity_bigram(sf_dir, out_dir, lam=0.75):
     return len(mine)
 
 
+def check_quality_rules(sf_dir, out_dir):
+    docs = load_docs(sf_dir)
+    stop = {'the', 'a', 'of', 'and', 'or', 'in', 'to'}
+    rows = []
+    for doc_id, text in sorted(docs):
+        ws = _words(text)
+        n = len(ws)
+        awl = round(len(re.sub(r"\s", "", text)) / n, 4) if n else None
+        pr = round((len(text) - len(re.sub(r"[^a-z0-9 ]", "", text))) / len(text), 4) \
+            if len(text) else None
+        nsw = len(set(w for w in ws if w in stop))
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        tbf = round(max(bgs.count(b) for b in set(bgs)) / len(bgs), 4) if bgs else 0.0
+        r_wc = 1 if 50 <= n <= 100000 else 0
+        r_wl = 1 if awl is not None and 3.0 <= awl <= 10.0 else 0
+        r_sym = 1 if pr is not None and pr <= 0.1 else 0
+        r_sw = 1 if nsw >= 2 else 0
+        r_rep = 1 if tbf <= 0.18 else 0
+        rows.append((doc_id, n, r_wc, r_wl, r_sym, r_sw, r_rep,
+                     r_wc * r_wl * r_sym * r_sw * r_rep))
+    mine = pd.DataFrame(rows, columns=[
+        "doc_id", "n_words", "r_word_count", "r_word_len", "r_symbol",
+        "r_stopwords", "r_repetition", "pass"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = spark(out_dir, "quality_rules").sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_importance_sample(sf_dir, out_dir, buckets=4096, k=100):
     docs = load_docs(sf_dir)
     feats = {}
@@ -529,7 +558,8 @@ def main(sf_dir, out_dir):
                lambda: check_decontamination_semantic(sf_dir, out_dir)),
               ("bpe_encode", lambda: check_bpe_encode(sf_dir, out_dir)),
               ("text_perplexity_bigram",
-               lambda: check_text_perplexity_bigram(sf_dir, out_dir))]
+               lambda: check_text_perplexity_bigram(sf_dir, out_dir)),
+              ("quality_rules", lambda: check_quality_rules(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

@@ -143,6 +143,9 @@ object SparkEntry {
     // exposure, contamination, mean quality — one composed plan over
     // the shared session caches
     "dataset_card" -> (TextAnalysis.datasetCard _),
+    // the published Gopher rule gate: named per-rule 0/1 outcomes + the
+    // conjunction (which rule kills a doc is the actionable signal)
+    "quality_rules" -> (TextAnalysis.qualityRules _),
     // the full CCNet-style signal: Jelinek-Mercer interpolated bigram LM
     // (0.75 * MLE bigram + 0.25 * add-one unigram, first token unigram)
     "text_perplexity_bigram" -> ((s: SparkSession, d: String) =>
@@ -1458,6 +1461,38 @@ object SparkEntry {
          |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1)
          |SELECT doc_id, n_words, CAST(nll AS DOUBLE) AS nll_sum,
          |  CAST(nll AS DOUBLE) / n_words AS nll_avg FROM ds ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.qualityRules: same rounded metrics as
+    // text_quality/text_repetition, CASE over the identical comparisons
+    "quality_rules" ->
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws, text FROM documents),
+         |q AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(ws), 4) AS awl,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS pr,
+         |  CAST(len(list_distinct(list_filter(ws, x -> list_contains(['the','a','of','and','or','in','to'], x)))) AS BIGINT) AS nsw
+         |  FROM w),
+         |bgl AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN []
+         |    ELSE list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) END AS bgs FROM w),
+         |be AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM be GROUP BY 1, 2),
+         |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS tc FROM bc GROUP BY 1),
+         |rp AS (SELECT d.doc_id, round(coalesce(CAST(p.tc AS DOUBLE) / p.nb, 0.0), 4) AS tbf
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per p USING (doc_id)),
+         |f AS (SELECT q.doc_id, q.n_words,
+         |  CASE WHEN q.n_words >= 50 AND q.n_words <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+         |  CASE WHEN q.awl >= 3.0 AND q.awl <= 10.0 THEN 1 ELSE 0 END AS r_word_len,
+         |  CASE WHEN q.pr <= 0.1 THEN 1 ELSE 0 END AS r_symbol,
+         |  CASE WHEN q.nsw >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+         |  CASE WHEN rp.tbf <= 0.18 THEN 1 ELSE 0 END AS r_repetition
+         |  FROM q JOIN rp USING (doc_id))
+         |SELECT doc_id, n_words,
+         |  CAST(r_word_count AS BIGINT) AS r_word_count,
+         |  CAST(r_word_len AS BIGINT) AS r_word_len,
+         |  CAST(r_symbol AS BIGINT) AS r_symbol,
+         |  CAST(r_stopwords AS BIGINT) AS r_stopwords,
+         |  CAST(r_repetition AS BIGINT) AS r_repetition,
+         |  CAST(r_word_count * r_word_len * r_symbol * r_stopwords * r_repetition AS BIGINT) AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     // mirrors TextAnalysis.datasetCard — composed from the lang-id,
     // quality, minhash-cluster, and decontamination oracle fragments;

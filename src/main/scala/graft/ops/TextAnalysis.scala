@@ -646,6 +646,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style RULE filter (Rae et al. 2021's published heuristics,
+    * the standard pre-model curation gate): per document, each named
+    * rule's outcome as 0/1 plus the conjunction —
+    *   r_word_count: 50 <= n_words <= 100000;
+    *   r_word_len:   3 <= mean word length <= 10;
+    *   r_symbol:     punctuation-to-char ratio <= 0.1;
+    *   r_stopwords:  >= 2 DISTINCT stopwords present;
+    *   r_repetition: top-bigram fraction <= 0.18.
+    * Emitting per-rule flags (not just the verdict) is what a dataset
+    * card needs: WHICH rule kills a doc is the actionable signal. All
+    * comparisons are on the same rounded doubles both engines compute;
+    * zero-word docs fail the null-comparison rules (CASE NULL -> 0) on
+    * both engines identically. One narrow scan + the bigram aggregate;
+    * no joins beyond the per-doc repetition leg. */
+  def qualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val q = withQuality(docs(spark, dir))
+      .withColumn("n_stop_distinct",
+        size(array_distinct(filter(words(col("text")),
+          w => w.isin(StopWords.map(lit): _*)))).cast("long"))
+    val rep = repetitionOf(docs(spark, dir)).select("doc_id", "top_bigram_frac")
+    def flag(c: Column) = when(c, lit(1L)).otherwise(lit(0L))
+    val rWc = col("n_words") >= 50 && col("n_words") <= 100000
+    val rWl = col("avg_word_len") >= 3.0 && col("avg_word_len") <= 10.0
+    val rSym = col("punct_ratio") <= 0.1
+    val rSw = col("n_stop_distinct") >= 2
+    val rRep = col("top_bigram_frac") <= 0.18
+    q.join(rep, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        flag(rWc).as("r_word_count"),
+        flag(rWl).as("r_word_len"),
+        flag(rSym).as("r_symbol"),
+        flag(rSw).as("r_stopwords"),
+        flag(rRep).as("r_repetition"),
+        flag(rWc && rWl && rSym && rSw && rRep).as("pass"))
+      .orderBy("doc_id")
+  }
+
   /** The DATASET CARD panel — the per-source summary every corpus
     * release publishes, computed as ONE composed plan over the shared
     * session caches: doc/word counts, language mix (n distinct

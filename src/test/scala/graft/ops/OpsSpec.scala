@@ -467,6 +467,34 @@ class OpsSpec extends SparkSpec {
     assert(clusters(4L) === ((4L, 1L)), "singleton keeps itself")
   }
 
+  test("quality rules: named outcomes, conjunction, and the short-doc path") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("rules").toString
+    // a doc built to PASS every rule: 50 words, mean len in range, no
+    // punctuation, two distinct stopwords, no repeated bigram
+    val good = "the " + (1 to 48).map(i => s"word$i").mkString(" ") + " of"
+    Seq(
+      (0L, good, "en", "s", good.length.toLong),
+      (1L, "tiny", "en", "s", 4L), // fails count + stopwords
+      (2L, ("spam ham " * 30).trim, "en", "s", 270L)) // 60 words, one bigram pair dominating
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.qualityRules(spark, d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def f(id: Long, c: String) = r(id).getAs[Long](c)
+    // flags are 0/1 and pass is their conjunction, every doc
+    r.values.foreach { x =>
+      val flags = Seq("r_word_count", "r_word_len", "r_symbol",
+        "r_stopwords", "r_repetition").map(x.getAs[Long](_))
+      assert(flags.forall(v => v == 0L || v == 1L))
+      assert(x.getAs[Long]("pass") === flags.product)
+    }
+    assert(f(0L, "pass") === 1L, s"engineered doc must pass: ${r(0L)}")
+    assert(f(1L, "r_word_count") === 0L && f(1L, "r_stopwords") === 0L)
+    assert(f(2L, "r_repetition") === 0L, "templated doc must fail repetition")
+    assert(f(2L, "r_word_count") === 1L)
+  }
+
   test("dataset card: one composed panel whose legs match the standalone operators") {
     val card = TextAnalysis.datasetCard(spark, dir).collect()
     assert(card.length === 1, "fixture has a single source")
