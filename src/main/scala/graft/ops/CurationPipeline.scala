@@ -239,16 +239,18 @@ object CurationPipeline {
       // the STREAMING decontamination gate: chunks are the training
       // feed, so docs containing any verbatim benchmark 13-gram stay in
       // the curated corpus (curation != eval hygiene) but never chunk.
-      // The benchmark gram table is tiny by definition and broadcasts
-      // per batch inside exactNgramContamination; the corpus side is
-      // one pass over THIS batch's survivors, never history.
+      // The benchmark gram table is tiny by definition, static per
+      // stream, and SESSION-CACHED (cachedBenchGrams): batch #1
+      // materializes it once, every later batch broadcasts the cached
+      // table — the per-batch work is one pass over THIS batch's
+      // survivors, never history and never the benchmark again.
       chunksDir.foreach { cd =>
         val chunkSrc = benchDir match {
           case None => out.select("doc_id", "text")
           case Some(bd) =>
-            val bench = spark.read.parquet(bd).select("doc_id", "text")
-            val flagged = TextDedup.exactNgramContamination(
-                out.select("doc_id", "text"), bench)
+            val flagged = TextDedup.exactNgramContaminationAgainst(
+                out.select("doc_id", "text"),
+                TextDedup.cachedBenchGrams(spark, bd))
               .select("doc_id").distinct()
             out.select("doc_id", "text")
               .join(flagged, Seq("doc_id"), "left_anti")

@@ -308,22 +308,43 @@ object TextDedup {
     * hash-collision caveat) and the 13-word keys only exist on the
     * match side of the broadcast join, never in a shuffle. */
   def exactNgramContamination(corpus: DataFrame, bench: DataFrame,
-                              n: Int = 13): DataFrame = {
+                              n: Int = 13): DataFrame =
+    exactNgramContaminationAgainst(corpus, docGrams(bench, "bench_id", n), n)
+
+  /** Same flagger against an ALREADY-MATERIALIZED benchmark gram table
+    * — the streaming gate's shape: the bench side is static per stream,
+    * so re-exploding it every micro-batch is pure waste
+    * (`cachedBenchGrams` below materializes it once per session). */
+  def exactNgramContaminationAgainst(corpus: DataFrame, benchGrams: DataFrame,
+                                     n: Int = 13): DataFrame = {
     require(n >= 1, s"n=$n must be positive")
-    // zero-word docs are skipped: the short-doc branch would emit the
-    // empty-string gram, making one empty benchmark doc "contaminate"
-    // every empty training doc — spurious on both sides
-    def grams(d: DataFrame, idAs: String) = d
-      .withColumn("ws", words(col("text")))
-      .filter(size(col("ws")) > 0)
-      .select(col("doc_id").as(idAs), explode(ngramsOf(col("ws"), n)).as("gram"))
-      .distinct()
-    grams(corpus, "doc_id")
-      .join(broadcast(grams(bench, "bench_id")), "gram")
+    docGrams(corpus, "doc_id", n)
+      .join(broadcast(benchGrams), "gram")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id", "bench_id")
   }
+
+  /** Distinct (id, n-gram) pairs of a docs-shaped frame. Zero-word docs
+    * are skipped: the short-doc branch would emit the empty-string
+    * gram, making one empty benchmark doc "contaminate" every empty
+    * training doc — spurious on both sides. */
+  private def docGrams(d: DataFrame, idAs: String, n: Int): DataFrame = d
+    .withColumn("ws", words(col("text")))
+    .filter(size(col("ws")) > 0)
+    .select(col("doc_id").as(idAs), explode(ngramsOf(col("ws"), n)).as("gram"))
+    .distinct()
+
+  /** `benchDir`'s distinct benchmark gram table, materialized ONCE per
+    * (session, dir) — every micro-batch of the streaming
+    * decontamination gate joins against it instead of re-scanning and
+    * re-exploding the (static) benchmark per batch. */
+  def cachedBenchGrams(spark: SparkSession, benchDir: String,
+                       n: Int = 13): DataFrame =
+    graft.core.SessionCache.getOrBuild(spark, s"bench_grams_$n", benchDir) {
+      docGrams(spark.read.parquet(benchDir).select("doc_id", "text"),
+        "bench_id", n)
+    }
 
   /** Word n-grams of an already-materialized words column (generalizes
     * TextHashing.shinglesOf beyond n = 3, same short-doc convention). */
