@@ -321,6 +321,19 @@ object Graft {
                  maxDocId: Long = Long.MaxValue): org.apache.spark.sql.DataFrame =
     ops.TextAnalysis.bpeEncodeWith(spark, corpusDir, tokenizerDir, numMerges, maxDocId)
 
+  /** Train the in-engine quality classifier on a documents dir and
+    * persist its weight table (the tokenizer recipe applied to the
+    * model): any session then scores any corpus against it with zero
+    * training passes. */
+  def buildQualityModel(spark: SparkSession, dir: String): Unit =
+    ops.QualityClassifier.buildModel(spark, dir)
+
+  /** Quality margins of `corpusDir`'s documents under the model
+    * persisted at `modelDir`. */
+  def scoreQuality(spark: SparkSession, corpusDir: String,
+                   modelDir: String): org.apache.spark.sql.DataFrame =
+    ops.QualityClassifier.scoreWith(spark, corpusDir, modelDir)
+
   /** Incrementally index a batch of new documents against the persisted
     * text index: tokenizes ONLY the batch, appends delta postings, commits
     * via the batch's stats row — append ≡ rebuild score-for-score (exact

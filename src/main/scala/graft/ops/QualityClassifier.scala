@@ -59,12 +59,70 @@ object QualityClassifier {
       .distinct()
   }
 
-  /** Train and score: returns (doc_id, is_target, score) for every doc
-    * with at least one feature, score = the final-round margin z_d as a
-    * double (monotone in the model's quality probability). */
-  def classifierScores(spark: SparkSession, dir: String,
-                       rounds: Int = Rounds, lr: Double = LearningRate,
-                       buckets: Int = Buckets): DataFrame = {
+  // -- persisted model artifact --------------------------------------
+  // Same family discipline as the tokenizer / text / vector indexes:
+  // data first, the stats file LAST as the commit marker.
+
+  def modelPath(dir: String): String = s"$dir/quality_model.parquet"
+  /** (buckets, rounds, lr_times_1e6, n_train) — written last, the
+    * commit marker. lr rides as an exact integer (x 1e6) so the marker
+    * never holds a float. */
+  def modelStatsPath(dir: String): String = s"$dir/quality_model_stats.parquet"
+
+  /** Train on `dir` and persist the weight table — the train-once /
+    * score-anywhere artifact for the quality filter (the tokenizer
+    * recipe applied to the model): any session then scores any corpus
+    * against it with zero training passes. */
+  def buildModel(spark: SparkSession, dir: String, rounds: Int = Rounds,
+                 lr: Double = LearningRate, buckets: Int = Buckets,
+                 at: Option[String] = None): Unit = {
+    import spark.implicits._
+    val target = at.getOrElse(dir)
+    graft.core.Fs.delete(spark, modelStatsPath(target)) // marker down
+    val (w, _, nTrain) = trainWeights(spark, dir, rounds, lr, buckets)
+    w.toSeq.toDF("b", "w")
+      .select(col("b"), col("w").cast("decimal(18,6)").as("w"))
+      .coalesce(1).write.mode("overwrite").parquet(modelPath(target))
+    Seq((buckets.toLong, rounds.toLong, math.round(lr * 1e6), nTrain))
+      .toDF("buckets", "rounds", "lr_micro", "n_train")
+      .coalesce(1).write.mode("overwrite").parquet(modelStatsPath(target))
+  }
+
+  /** Whether a committed model trained with `buckets` hash buckets is
+    * present at `dir` (marker + weights, bucket count matching — a
+    * mismatched hash space would silently mis-route every feature). */
+  def hasModel(spark: SparkSession, dir: String, buckets: Int = Buckets): Boolean =
+    graft.core.Fs.exists(spark, modelStatsPath(dir)) &&
+      graft.core.Fs.exists(spark, modelPath(dir)) &&
+      (try spark.read.parquet(modelStatsPath(dir))
+        .head().getLong(0) == buckets.toLong
+       catch { case _: Throwable => false })
+
+  /** Score ANY corpus with the model persisted at `modelDir` — zero
+    * training passes: hash the corpus's presence features into the
+    * model's bucket space, broadcast the O(B) weight table, sum. Same
+    * margin semantics as classifierScores' final pass (docs sharing no
+    * bucket with the model contribute no row, like the in-session
+    * scorer). */
+  def scoreWith(spark: SparkSession, corpusDir: String,
+                modelDir: String): DataFrame = {
+    val stats = spark.read.parquet(modelStatsPath(modelDir)).head()
+    val buckets = stats.getLong(0).toInt
+    require(hasModel(spark, modelDir, buckets),
+      s"no committed quality model at $modelDir")
+    val wDf = spark.read.parquet(modelPath(modelDir))
+    presenceFeatures(docs(spark, corpusDir), buckets)
+      .join(broadcast(wDf), "b")
+      .groupBy("doc_id").agg(sum("w").as("z"))
+      .select(col("doc_id"), col("z").cast("double").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** The GD loop, shared by the query face and the artifact builder:
+    * returns (weights, persisted feature frame, training doc count). */
+  private def trainWeights(spark: SparkSession, dir: String, rounds: Int,
+                           lr: Double, buckets: Int)
+      : (Map[Long, java.math.BigDecimal], DataFrame, Long) = {
     import spark.implicits._
     // session-scoped cache (the DedupIndex trade): training touches the
     // feature stream 2x per round and the returned scoring plan reads it
@@ -105,6 +163,17 @@ object QualityClassifier {
         b -> next
       }.toMap
     }
+    (w, feats, n)
+  }
+
+  /** Train and score: returns (doc_id, is_target, score) for every doc
+    * with at least one feature, score = the final-round margin z_d as a
+    * double (monotone in the model's quality probability). */
+  def classifierScores(spark: SparkSession, dir: String,
+                       rounds: Int = Rounds, lr: Double = LearningRate,
+                       buckets: Int = Buckets): DataFrame = {
+    import spark.implicits._
+    val (w, feats, _) = trainWeights(spark, dir, rounds, lr, buckets)
     val wFinal = w.toSeq.toDF("b", "w")
       .select(col("b"), col("w").cast("decimal(18,6)").as("w"))
     feats.join(broadcast(wFinal), "b")

@@ -52,4 +52,31 @@ class QualityClassifierSpec extends SparkSpec {
     val b = QualityClassifier.classifierScores(spark, dir).collect().toSeq
     assert(a === b)
   }
+
+  test("persisted model: score-anywhere matches in-session scores; marker gates") {
+    QualityClassifier.buildModel(spark, dir)
+    assert(QualityClassifier.hasModel(spark, dir))
+    assert(!QualityClassifier.hasModel(spark, dir, buckets = 128),
+      "a bucket-count mismatch must not validate the artifact")
+    // scoring the TRAINING corpus with the artifact reproduces the
+    // in-session margins exactly (same weights, same feature hash)
+    val inSession = QualityClassifier.classifierScores(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val viaModel = QualityClassifier.scoreWith(spark, dir, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaModel === inSession)
+    // cross-corpus: a foreign finance-like doc outranks a foreign
+    // unrelated doc under the persisted model, no training on it
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("qcforeign").toString
+    Seq(
+      (100L, "bank stocks rally as market gains extend the sector"),
+      (101L, "fold the butter into the flour before the eggs"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val f = QualityClassifier.scoreWith(spark, d2, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f(100L) > f(101L), s"persisted model must transfer: $f")
+  }
 }
