@@ -155,7 +155,9 @@ object Graft {
       nearDupThreshold: Double = ops.TextDedup.JaccardThreshold,
       textIndexDir: Option[String] = None,
       chunksDir: Option[String] = None,
-      benchDir: Option[String] = None): StreamingQuery = {
+      benchDir: Option[String] = None,
+      modelDir: Option[String] = None,
+      minScore: Double = 0.0): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val raw = sources.DocSources.withSyntheticIds(
       spark.readStream
@@ -168,7 +170,8 @@ object Graft {
       .select("doc_id", "text", "lang", "n_words", "quality_score")
     ops.CurationPipeline.streamingDedup(
       gated, corpusDir, indexDir, checkpointDir, trigger, compactEvery,
-      nearDupDir, nearDupThreshold, textIndexDir, chunksDir, benchDir)
+      nearDupDir, nearDupThreshold, textIndexDir, chunksDir, benchDir,
+      modelDir, minScore)
   }
 
   /** The vector-modality sibling of `curateCorpus` as ONE call: stream

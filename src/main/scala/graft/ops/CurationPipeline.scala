@@ -156,14 +156,16 @@ object CurationPipeline {
       nearDupThreshold: Double = TextDedup.JaccardThreshold,
       textIndexDir: Option[String] = None,
       chunksDir: Option[String] = None,
-      benchDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      benchDir: Option[String] = None,
+      modelDir: Option[String] = None,
+      minScore: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, corpusDir, indexDir,
           nearDupDir, nearDupThreshold, compactEvery, textIndexDir, chunksDir,
-          benchDir)
+          benchDir, modelDir, minScore)
       }
       .start()
 
@@ -177,23 +179,41 @@ object CurationPipeline {
       nearDupDir: Option[String], nearDupThreshold: Double,
       compactEvery: Int, textIndexDir: Option[String] = None,
       chunksDir: Option[String] = None,
-      benchDir: Option[String] = None): Unit = {
+      benchDir: Option[String] = None,
+      modelDir: Option[String] = None,
+      minScore: Double = 0.0): Unit = {
     // gate latency lands in the process-wide histogram (`/metrics`
     // `graft_gate_duration_seconds_bucket` series) — one observation
     // per batch, driver-side, reference-bucket shape
     val gateT0 = System.nanoTime()
     try processBatchBody(batch, batchId, corpusDir, indexDir,
       nearDupDir, nearDupThreshold, compactEvery, textIndexDir, chunksDir,
-      benchDir)
+      benchDir, modelDir, minScore)
     finally graft.obs.PipelineMetrics.gateDuration.observeNanos(System.nanoTime() - gateT0)
   }
 
   private def processBatchBody(
-      batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
+      batch0: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
       nearDupDir: Option[String], nearDupThreshold: Double,
       compactEvery: Int, textIndexDir: Option[String],
       chunksDir: Option[String],
-      benchDir: Option[String]): Unit = {
+      benchDir: Option[String],
+      modelDir: Option[String] = None,
+      minScore: Double = 0.0): Unit = {
+    // the TRAINED quality gate (when a persisted model is given): docs
+    // whose margin under the session-cached weight table falls below
+    // minScore never enter the pipeline — the deployment face of
+    // QualityClassifier.buildModel (the heuristic quality gate upstream
+    // filters on rules; this one filters on the learned model). Docs
+    // with no scoreable feature are dropped too: nothing to assess.
+    val batch = modelDir match {
+      case None => batch0
+      case Some(md) =>
+        val passing = QualityClassifier.scoreFrameWith(batch0, md)
+          .filter(org.apache.spark.sql.functions.col("score") >= minScore)
+          .select("doc_id")
+        batch0.join(passing, Seq("doc_id"), "left_semi")
+    }
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
     val spark = batch.sparkSession
     val index = readBatchIndex(spark, indexDir, StructType(Seq(

@@ -105,17 +105,27 @@ object QualityClassifier {
     * bucket with the model contribute no row, like the in-session
     * scorer). */
   def scoreWith(spark: SparkSession, corpusDir: String,
-                modelDir: String): DataFrame = {
+                modelDir: String): DataFrame =
+    scoreFrameWith(docs(spark, corpusDir), modelDir).orderBy("doc_id")
+
+  /** Frame-level variant (docs-shaped input) — the streaming gate's
+    * shape: the O(B) weight table is SESSION-CACHED per modelDir, so a
+    * micro-batch pipeline loads it once and every batch broadcasts the
+    * cached frame. Docs sharing no bucket with the model get no score
+    * row (nothing to assess). */
+  def scoreFrameWith(df: DataFrame, modelDir: String): DataFrame = {
+    val spark = df.sparkSession
     val stats = spark.read.parquet(modelStatsPath(modelDir)).head()
     val buckets = stats.getLong(0).toInt
     require(hasModel(spark, modelDir, buckets),
       s"no committed quality model at $modelDir")
-    val wDf = spark.read.parquet(modelPath(modelDir))
-    presenceFeatures(docs(spark, corpusDir), buckets)
+    val wDf = graft.core.SessionCache.getOrBuild(spark, "quality_model", modelDir) {
+      spark.read.parquet(modelPath(modelDir))
+    }
+    presenceFeatures(df, buckets)
       .join(broadcast(wDf), "b")
       .groupBy("doc_id").agg(sum("w").as("z"))
       .select(col("doc_id"), col("z").cast("double").as("score"))
-      .orderBy("doc_id")
   }
 
   /** The GD loop, shared by the query face and the artifact builder:

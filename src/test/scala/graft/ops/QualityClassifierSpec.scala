@@ -79,4 +79,35 @@ class QualityClassifierSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(f(100L) > f(101L), s"persisted model must transfer: $f")
   }
+
+  test("streaming model gate: below-threshold docs never reach the corpus") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    QualityClassifier.buildModel(spark, dir)
+    val txtGood = "bank stocks rally as market gains extend the sector"
+    val txtBad = "fold the butter into the flour before the eggs"
+    // derive the gate threshold from the model itself (midpoint of the
+    // two margins) — the spec then proves the GATE, not a magic number
+    val probe = Files.createTempDirectory("qcprobe").toString
+    Seq((100L, txtGood), (101L, txtBad))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$probe/documents.parquet")
+    val f = QualityClassifier.scoreWith(spark, probe, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mid = (f(100L) + f(101L)) / 2
+    val base = Files.createTempDirectory("qcgate").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = CurationPipeline.streamingDedup(
+      stream.toDS().toDF("doc_id", "text"),
+      s"$base/docs", s"$base/fp", s"$base/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      modelDir = Some(dir), minScore = mid)
+    stream.addData((100L, txtGood), (101L, txtBad))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$base/docs").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(100L),
+      s"only the above-threshold doc may pass (scores $f, cut $mid)")
+  }
 }
