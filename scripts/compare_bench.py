@@ -46,6 +46,8 @@ FAMILY_FILES = {
     ("dataset_card",): ["ops/TextAnalysis.scala", "ops/TextDedup.scala",
                         "ops/TextHashing.scala", "ops/GraphOps.scala",
                         "core/SessionCache.scala"],
+    ("contrastive_pairs",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
+                             "ops/GraphOps.scala", "core/SessionCache.scala"],
     ("dedup_", "simhash_", "decontamination"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],

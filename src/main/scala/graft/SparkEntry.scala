@@ -96,6 +96,10 @@ object SparkEntry {
     // keep only their corpus-first occurrence; stats + cleaned-text md5
     "dedup_substring" -> ((s: SparkSession, d: String) =>
       SubstringDedup.substringDedupStats(s, d)),
+    // contrastive training pairs from the dedup structure: verified
+    // near-dup pair = (anchor, positive); deterministic pool negative
+    "contrastive_pairs" -> ((s: SparkSession, d: String) =>
+      TextDedup.contrastivePairs(s, d)),
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
     "dedup_simhash" -> (TextDedup.simhash _),
     "dedup_simhash_clusters" -> (TextDedup.simhashClusters _),
@@ -1158,6 +1162,27 @@ object SparkEntry {
       s"""WITH RECURSIVE $JaccardCte,
          |$MinhashPairsCtes,
          |${docComponentsSql("mhp")}""".stripMargin,
+
+    // mirrors TextDedup.contrastivePairs: verified pair = (anchor,
+    // positive); negative = the md5-min pool member outside the
+    // anchor's cluster (pool = 16 docs by md5('neg:' id))
+    "contrastive_pairs" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |${docComponentsCtes("mhp")},
+         |clus AS (SELECT doc_id, cluster_rep FROM allc JOIN rep USING (comp)),
+         |pool AS (SELECT p.neg_id, c.neg_rep FROM (
+         |    SELECT doc_id AS neg_id, ${md5LongSql("'neg:' || doc_id")} AS pk FROM documents
+         |    ORDER BY pk, neg_id LIMIT 16) p
+         |  JOIN (SELECT doc_id AS neg_id, cluster_rep AS neg_rep FROM clus) c USING (neg_id)),
+         |cnd AS (SELECT m.doc_a, m.doc_b, p.neg_id,
+         |    ${md5LongSql("m.doc_a || ':' || p.neg_id")} AS nk
+         |  FROM mhp m JOIN clus a ON a.doc_id = m.doc_a
+         |  CROSS JOIN pool p WHERE p.neg_rep <> a.cluster_rep),
+         |pick AS (SELECT doc_a, doc_b, neg_id,
+         |  row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY nk, neg_id) AS rn FROM cnd)
+         |SELECT doc_a, doc_b, neg_id FROM pick WHERE rn = 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // same cluster algebra, split drawn from md5("split:" || rep)/2^60
     // against plain double thresholds (mirrors TextDedup.leakageFreeSplit)

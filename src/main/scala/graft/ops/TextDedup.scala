@@ -335,6 +335,43 @@ object TextDedup {
     .select(col("doc_id").as(idAs), explode(ngramsOf(col("ws"), n)).as("gram"))
     .distinct()
 
+  /** CONTRASTIVE training pairs mined from the dedup structure — the
+    * embedding-model data face of the near-dup graph: every verified
+    * MinHash pair is an (anchor, positive); each pair draws a hard-ish
+    * NEGATIVE from a fixed deterministic pool (the `poolSize` docs with
+    * the smallest md5('neg:' id) — the distributed stand-in for
+    * in-batch negatives), picking the pool member outside the anchor's
+    * cluster with the smallest md5(anchor ':' candidate).
+    *
+    * Scale shape: pairs are dup-structure-sized (the cached verified
+    * pair table); the pool is a poolSize-row TakeOrderedAndProject
+    * broadcast; per pair the negative choice is a poolSize-row window —
+    * bounded everywhere, no corpus x corpus anything. */
+  def contrastivePairs(spark: SparkSession, dir: String,
+                       poolSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val clusters = minhashClusters(spark, dir).select("doc_id", "cluster_rep")
+    val pool = docs(spark, dir)
+      .select(col("doc_id").as("neg_id"))
+      .withColumn("pk", md5Long(concat_ws(":", lit("neg"), col("neg_id"))))
+      .orderBy("pk", "neg_id").limit(poolSize)
+      .join(clusters.select(col("doc_id").as("neg_id"),
+        col("cluster_rep").as("neg_rep")), "neg_id")
+      .select("neg_id", "neg_rep")
+    val w = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("nk").asc, col("neg_id").asc)
+    pairs
+      .join(clusters.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .crossJoin(broadcast(pool))
+      .filter(col("neg_rep") =!= col("cluster_rep"))
+      .withColumn("nk", md5Long(concat_ws(":", col("doc_a"), col("neg_id"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_a", "doc_b", "neg_id")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** `benchDir`'s distinct benchmark gram table, materialized ONCE per
     * (session, dir) — every micro-batch of the streaming
     * decontamination gate joins against it instead of re-scanning and

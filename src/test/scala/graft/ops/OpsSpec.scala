@@ -467,6 +467,24 @@ class OpsSpec extends SparkSpec {
     assert(clusters(4L) === ((4L, 1L)), "singleton keeps itself")
   }
 
+  test("contrastive pairs: positives are the verified near-dups, negatives leave the cluster") {
+    val rows = TextDedup.contrastivePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the fixture's two true pairs: near-dup (0,1) and exact (2,3)
+    assert(rows.map(t => (t._1, t._2)).toSet === Set((0L, 1L), (2L, 3L)))
+    val clusters = TextDedup.minhashClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (a, b, n) =>
+      assert(clusters(n) != clusters(a),
+        s"negative $n shares anchor $a's cluster")
+      assert(clusters(a) === clusters(b), "positive must share the cluster")
+    }
+    // deterministic
+    val again = TextDedup.contrastivePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("quality rules: named outcomes, conjunction, and the short-doc path") {
     import spark.implicits._
     val d = Files.createTempDirectory("rules").toString
