@@ -48,6 +48,9 @@ FAMILY_FILES = {
                         "core/SessionCache.scala"],
     ("contrastive_pairs",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
                              "ops/GraphOps.scala", "core/SessionCache.scala"],
+    ("knn_label_propagation",): ["ops/Similarity.scala", "core/SessionCache.scala"],
+    ("ngram_dup_profile",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
+                             "core/SessionCache.scala"],
     ("dedup_", "simhash_", "decontamination"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],

@@ -540,6 +540,78 @@ def check_bpe_encode(sf_dir, out_dir, num_merges=10, max_doc=8):
     return len(mine)
 
 
+def _auto_nbits(n, target=125, dim=64):
+    # mirrors Similarity.autoNBits: integer doubling, floor 4, cap dim-1
+    b = 0
+    while b < dim - 1 and (target << b) < n:
+        b += 1
+    return max(4, b)
+
+
+def check_knn_label_propagation(sf_dir, out_dir, k=5):
+    import numpy as np
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    nbits = _auto_nbits(len(emb))
+    rows = []
+    vecs = {int(r.vec_id): (np.asarray(list(r.embedding), dtype="float64"),
+                            int(r.label)) for r in emb.itertuples()}
+    bkt = {v: sum(1 << i for i in range(nbits) if va[i] >= 0)
+           for v, (va, _) in vecs.items()}
+    for v, (va, true_label) in sorted(vecs.items()):
+        if v % 5 != 0:
+            continue
+        cands = []
+        for nid, (nv, nl) in vecs.items():
+            if nid % 5 == 0 or bkt[nid] != bkt[v]:
+                continue
+            c = round(float(va @ nv / (np.linalg.norm(va) * np.linalg.norm(nv))), 6)
+            cands.append((-c, nid, nl))
+        cands.sort()
+        top = cands[:k]
+        if not top:
+            continue
+        votes = {}
+        for _, _, nl in top:
+            votes[nl] = votes.get(nl, 0) + 1
+        pred, nv_ = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((v, pred, nv_, len(top), true_label))
+    mine = pd.DataFrame(rows, columns=["vec_id", "pred_label", "votes",
+                                       "k_used", "true_label"])
+    got = spark(out_dir, "knn_label_propagation") \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_ngram_dup_profile(sf_dir, out_dir, n=3):
+    df = {}
+    for _doc_id, text in load_docs(sf_dir):
+        ws = _words(text)
+        if not ws:
+            continue
+        if len(ws) < n:
+            grams = {" ".join(ws)}
+        else:
+            grams = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+        for g in grams:
+            df[g] = df.get(g, 0) + 1
+    buckets = {}
+    for _g, d in df.items():
+        b = ("1_unique" if d == 1 else "2_2-5" if d <= 5
+             else "3_6-10" if d <= 10 else "4_11plus")
+        ng, no = buckets.get(b, (0, 0))
+        buckets[b] = (ng + 1, no + d)
+    total = sum(ng for ng, _ in buckets.values())
+    rows = [(b, ng, no, round(ng / total, 6))
+            for b, (ng, no) in sorted(buckets.items())]
+    mine = pd.DataFrame(rows, columns=["dup_bucket", "n_grams",
+                                       "n_occurrences", "share"])
+    got = spark(out_dir, "ngram_dup_profile") \
+        .sort_values("dup_bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
@@ -559,7 +631,11 @@ def main(sf_dir, out_dir):
               ("bpe_encode", lambda: check_bpe_encode(sf_dir, out_dir)),
               ("text_perplexity_bigram",
                lambda: check_text_perplexity_bigram(sf_dir, out_dir)),
-              ("quality_rules", lambda: check_quality_rules(sf_dir, out_dir))]
+              ("quality_rules", lambda: check_quality_rules(sf_dir, out_dir)),
+              ("knn_label_propagation",
+               lambda: check_knn_label_propagation(sf_dir, out_dir)),
+              ("ngram_dup_profile",
+               lambda: check_ngram_dup_profile(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

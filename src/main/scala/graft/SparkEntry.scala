@@ -128,6 +128,14 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "ann_lsh_multitable" -> (Similarity.lshMultiTableTopK _),
     "embedding_near_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
+    // semi-supervised label propagation: the labeled 80% votes labels
+    // onto the held-out 20% through sign-bucket KNN neighborhoods
+    "knn_label_propagation" -> ((s: SparkSession, d: String) =>
+      Similarity.knnLabelPropagation(s, d)),
+    // corpus-health duplication panel: distinct 3-grams bucketed by
+    // document frequency (the dedup-threshold tuning signal)
+    "ngram_dup_profile" -> ((s: SparkSession, d: String) =>
+      TextDedup.ngramDuplicationProfile(s, d)),
     "semantic_clusters" -> ((s: SparkSession, d: String) => TextDedup.semanticClusters(s, d)),
     "label_centroids" -> (Similarity.labelCentroids _),
     // -- text analysis --
@@ -1335,6 +1343,39 @@ object SparkEntry {
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
          |FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
          |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // mirrors Similarity.knnLabelPropagation: same auto-sized sign
+    // buckets, 5 nearest labeled neighbors per held-out vector
+    // (rounded-cosine order, nid tie-break), majority vote with
+    // smallest-label tie-break
+    "knn_label_propagation" ->
+      s"""WITH $EmbAutoBucketCte,
+         |u AS (SELECT vec_id, label AS true_label, v, bkt FROM bkt WHERE vec_id % 5 = 0),
+         |l AS (SELECT vec_id AS nid, label AS nlabel, v AS nv, bkt FROM bkt WHERE vec_id % 5 <> 0),
+         |nn AS (SELECT u.vec_id, u.true_label, l.nid, l.nlabel,
+         |  row_number() OVER (PARTITION BY u.vec_id
+         |    ORDER BY round(list_cosine_similarity(u.v, l.nv), 6) DESC, l.nid) AS rn
+         |  FROM u JOIN l ON u.bkt = l.bkt),
+         |vt AS (SELECT vec_id, true_label, nlabel, count(*) AS votes FROM nn WHERE rn <= 5 GROUP BY 1, 2, 3),
+         |wv AS (SELECT vec_id, true_label, nlabel, votes,
+         |  CAST(sum(votes) OVER (PARTITION BY vec_id) AS BIGINT) AS k_used,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, nlabel) AS wr FROM vt)
+         |SELECT vec_id, nlabel AS pred_label, votes, k_used, true_label
+         |FROM wv WHERE wr = 1 ORDER BY vec_id""".stripMargin,
+
+    // mirrors TextDedup.ngramDuplicationProfile: distinct per-doc
+    // 3-grams -> document frequency -> 4-bucket duplication panel
+    "ngram_dup_profile" ->
+      s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |gl AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-2), i -> array_to_string(list_slice(ws, i, i+2), ' ')) END AS garr FROM wrd WHERE len(ws) > 0),
+         |g AS (SELECT DISTINCT doc_id, unnest(garr) AS gram FROM gl),
+         |f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+         |b AS (SELECT CASE WHEN df = 1 THEN '1_unique' WHEN df <= 5 THEN '2_2-5'
+         |  WHEN df <= 10 THEN '3_6-10' ELSE '4_11plus' END AS dup_bucket, df FROM f)
+         |SELECT dup_bucket, count(*) AS n_grams, CAST(sum(df) AS BIGINT) AS n_occurrences,
+         |  round(count(*) / sum(count(*)) OVER (), 6) AS share
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // semantic dedup = components over the verified cosine pairs, same
     // cluster contract as the text families

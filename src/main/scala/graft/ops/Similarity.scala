@@ -265,6 +265,55 @@ object Similarity {
       .orderBy("vec_id", "bench_id")
   }
 
+  /** Semi-supervised k-NN LABEL PROPAGATION — the curation move behind
+    * fastText-style quality labeling at corpus scale: a small labeled
+    * seed set votes labels onto the unlabeled mass through embedding
+    * neighborhoods. Here the fixture's holdout convention plays the
+    * unlabeled side (vec_id % 5 == 0, 20% of the corpus); everyone else
+    * is the labeled pool. Each unlabeled vector takes its `k` nearest
+    * labeled neighbors (rounded-cosine order, neighbor-id tie-break)
+    * and adopts the majority label (tie → smallest label). `true_label`
+    * (the held-out ground truth) rides along so accuracy is one
+    * aggregation away.
+    *
+    * Plan shape: the SAME auto-sized sign-bucket equality join as
+    * [[embeddingNearDup]] — candidates are labeled vectors sharing the
+    * unlabeled vector's bucket, so per-vector work is bucket population
+    * (~[[NearDupTargetPop]]), never |corpus|. One equality-join shuffle
+    * + one per-vector window + one vote aggregate; linear per decade by
+    * the same argument as the near-dup family. An unlabeled vector
+    * whose bucket holds no labeled ones drops (no vote basis) — the
+    * oracle's inner join mirrors that. */
+  def knnLabelPropagation(spark: SparkSession, dir: String,
+                          k: Int = 5, nBits: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = if (nBits > 0) nBits else autoNBits(emb(spark, dir).count())
+    val e = emb(spark, dir).withColumn("bkt", bucket(col("v"), bits))
+    val unl = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qnrm"), col("bkt"))
+    val lab = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("v"), col("nrm"), col("bkt"))
+    val wNn = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    val wVote = Window.partitionBy("vec_id")
+      .orderBy(col("votes").desc, col("nlabel").asc)
+    unl.join(lab, "bkt")
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") <= k)
+      .groupBy("vec_id", "true_label", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("k_used", sum("votes").over(Window.partitionBy("vec_id")))
+      .withColumn("wr", row_number().over(wVote))
+      .filter(col("wr") === 1)
+      .select(col("vec_id"), col("nlabel").as("pred_label"),
+        col("votes"), col("k_used"), col("true_label"))
+      .orderBy("vec_id")
+  }
+
   /** Target expected bucket population for the auto-sized near-dup
     * sign sketch: 125 keeps the historical 4-bit default at sf0.01/0.1
     * (500/2000 vectors) and adds ~3.3 bits per corpus decade — in-bucket

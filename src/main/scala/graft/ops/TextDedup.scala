@@ -372,6 +372,38 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus-level n-gram duplication profile — the RefinedWeb-style
+    * corpus-health panel: how much of the corpus's distinct n-gram mass
+    * appears in more than one document. Distinct grams bucket by their
+    * document frequency (1, 2–5, 6–10, 11+); each bucket reports its
+    * gram count, total (doc, gram) occurrences, and share of distinct
+    * grams. Rising 2+ shares across crawl snapshots are the standard
+    * early-warning signal that drives dedup-threshold tuning.
+    *
+    * Plan shape: one corpus scan + explode → one groupBy(gram) count
+    * (THE shuffle, map-side partial counts first) → a ≤4-row bucket
+    * aggregate. Linear in corpus, nothing pairwise. At 100 TB the
+    * gram-count shuffle is the cost; keying on xxhash64(gram) would cut
+    * shuffle bytes ~6× at the price of collided grams counting
+    * together — kept as raw strings so the profile is exact and the
+    * oracle compares string-for-string. */
+  def ngramDuplicationProfile(spark: SparkSession, dir: String,
+                              n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docGrams(docs(spark, dir), "doc_id", n)
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .withColumn("dup_bucket",
+        when(col("df") === 1, "1_unique")
+          .when(col("df") <= 5, "2_2-5")
+          .when(col("df") <= 10, "3_6-10")
+          .otherwise("4_11plus"))
+      .groupBy("dup_bucket")
+      .agg(count(lit(1)).as("n_grams"), sum("df").as("n_occurrences"))
+      .withColumn("share",
+        round(col("n_grams") / sum("n_grams").over(Window.partitionBy()), 6))
+      .orderBy("dup_bucket")
+  }
+
   /** `benchDir`'s distinct benchmark gram table, materialized ONCE per
     * (session, dir) — every micro-batch of the streaming
     * decontamination gate joins against it instead of re-scanning and

@@ -602,6 +602,71 @@ class OpsSpec extends SparkSpec {
     assert(auto === explicit)
   }
 
+  test("knn label propagation: the held-out vector adopts its colinear neighbor's label") {
+    // fixture: vec 0 is the only held-out id (% 5 == 0); vec 1 (label 0)
+    // is colinear with it and shares its sign bucket; vec 2 (label 1)
+    // sits in a different bucket, so the vote basis is exactly {vec 1}
+    val rows = Similarity.knnLabelPropagation(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("vec_id") === 0L)
+    assert(r.getAs[Int]("pred_label") === 0)
+    assert(r.getAs[Long]("votes") === 1L)
+    assert(r.getAs[Long]("k_used") === 1L)
+    assert(r.getAs[Int]("true_label") === 0)
+  }
+
+  test("knn label propagation: majority vote with smallest-label tie-break") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("knnfix").toString
+    // all-positive vectors share one sign bucket; cosine to the query
+    // decreases with index so the 4 candidates are all within k = 5.
+    // Labels (2, 2, 1, 1): a 2-2 tie must resolve to the SMALLER label.
+    def vec(seed: Int): Array[Float] =
+      (1 to 64).map(i => (1.0 + 0.01 * seed * math.sin(i * seed)).toFloat).toArray
+    Seq((10L, vec(0), 9), (11L, vec(1), 2), (12L, vec(2), 2),
+        (13L, vec(3), 1), (14L, vec(4), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.knnLabelPropagation(spark, d).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("vec_id") === 10L)
+    assert(r.getAs[Long]("k_used") === 4L)
+    assert(r.getAs[Long]("votes") === 2L)
+    assert(r.getAs[Int]("pred_label") === 1, "2-2 tie must take the smallest label")
+    assert(r.getAs[Int]("true_label") === 9)
+  }
+
+  test("ngram duplication profile matches an exhaustive driver-side recount") {
+    val prof = TextDedup.ngramDuplicationProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // recompute document frequencies exhaustively with the same
+    // tokenization contract (lowercase, whitespace, short-doc gram)
+    val texts = TextDedup.docs(spark, dir).collect().map(_.getAs[String]("text"))
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    for (t <- texts) {
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val grams = if (ws.isEmpty) Set.empty[String]
+        else if (ws.length < 3) Set(ws.mkString(" "))
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      grams.foreach(g => df(g) = df.getOrElse(g, 0) + 1)
+    }
+    val expected = df.values.groupBy {
+      case 1 => "1_unique"
+      case d if d <= 5 => "2_2-5"
+      case d if d <= 10 => "3_6-10"
+      case _ => "4_11plus"
+    }.map { case (b, ds) => b -> (ds.size.toLong, ds.map(_.toLong).sum) }
+    assert(prof.keySet === expected.keySet)
+    for ((b, (ng, no)) <- expected) {
+      assert(prof(b)._1 === ng, s"bucket $b gram count")
+      assert(prof(b)._2 === no, s"bucket $b occurrence count")
+    }
+    // shares partition the distinct-gram mass
+    assert(math.abs(prof.values.map(_._3).sum - 1.0) < 1e-4)
+  }
+
   test("brute-force top-k ranks the colinear vector first") {
     val top = Similarity.bruteForceTopK(spark, dir)
       .filter(col("qid") === 0).collect()
