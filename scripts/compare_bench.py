@@ -48,7 +48,8 @@ FAMILY_FILES = {
                         "core/SessionCache.scala"],
     ("contrastive_pairs",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
                              "ops/GraphOps.scala", "core/SessionCache.scala"],
-    ("knn_label_propagation",): ["ops/Similarity.scala", "core/SessionCache.scala"],
+    ("knn_label_propagation", "mmr_rerank"): ["ops/Similarity.scala",
+                                              "core/SessionCache.scala"],
     ("ngram_dup_profile",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
                              "core/SessionCache.scala"],
     ("dedup_", "simhash_", "decontamination"): [

@@ -612,6 +612,43 @@ def check_ngram_dup_profile(sf_dir, out_dir, n=3):
     return len(mine)
 
 
+def check_mmr_rerank(sf_dir, out_dir, k=5, shortlist=20, lam_pct=70):
+    import numpy as np
+    from decimal import Decimal
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype="float64")
+            for r in emb.itertuples()}
+    unit = {v: a / np.linalg.norm(a) for v, a in vecs.items()}
+    lam, one_minus = Decimal(lam_pct) / 100, Decimal(100 - lam_pct) / 100
+    rows = []
+    for qid in (0, 1, 2):
+        rel = {v: Decimal(str(round(float(unit[qid] @ a), 6)))
+               for v, a in unit.items() if v != qid}
+        sl = sorted(rel, key=lambda v: (-rel[v], v))[:shortlist]
+        sim = {(a, b): Decimal(str(round(float(unit[a] @ unit[b]), 6)))
+               for a in sl for b in sl if a != b}
+        selected, remaining = [], list(sl)
+        for rank in range(1, k + 1):
+            if not remaining:
+                break
+            if not selected:
+                scored = [(v, rel[v]) for v in remaining]
+            else:
+                scored = [(v, lam * rel[v] -
+                           one_minus * max(sim[(v, s)] for s in selected))
+                          for v in remaining]
+            best = min(scored, key=lambda t: (-t[1], t[0]))
+            rows.append((qid, rank, best[0], float(best[1])))
+            selected.append(best[0])
+            remaining.remove(best[0])
+    mine = pd.DataFrame(rows, columns=["qid", "mmr_rank", "vec_id", "mmr_score"])
+    got = spark(out_dir, "mmr_rerank") \
+        .sort_values(["qid", "mmr_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine,
+                                  check_dtype=False, atol=2e-6)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
@@ -635,7 +672,8 @@ def main(sf_dir, out_dir):
               ("knn_label_propagation",
                lambda: check_knn_label_propagation(sf_dir, out_dir)),
               ("ngram_dup_profile",
-               lambda: check_ngram_dup_profile(sf_dir, out_dir))]
+               lambda: check_ngram_dup_profile(sf_dir, out_dir)),
+              ("mmr_rerank", lambda: check_mmr_rerank(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

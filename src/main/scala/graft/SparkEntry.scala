@@ -128,6 +128,9 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> (Similarity.lshMultiProbeTopK _),
     "ann_lsh_multitable" -> (Similarity.lshMultiTableTopK _),
     "embedding_near_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
+    // diversity-aware retrieval: greedy MMR over a distributed
+    // shortlist + pairwise-sim table, exact-decimal selection
+    "mmr_rerank" -> ((s: SparkSession, d: String) => Similarity.mmrTopK(s, d)),
     // semi-supervised label propagation: the labeled 80% votes labels
     // onto the held-out 20% through sign-bucket KNN neighborhoods
     "knn_label_propagation" -> ((s: SparkSession, d: String) =>
@@ -507,6 +510,46 @@ object SparkEntry {
        |  FROM best b JOIN af a ON a.c_id = b.c_id AND a.vec_id <> b.qid),
        |r AS (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
        |SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 5 ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
+
+  /** Unrolled greedy-MMR oracle (mirrors Similarity.mmrTopK): step 1
+    * takes the top-rel candidate; step i scores every remaining
+    * candidate λ·rel − (1−λ)·max-sim-to-selected in EXACT decimal
+    * (λ two places, similarities six → scores are exact 8-place
+    * decimals in both engines, so the per-step argmax cannot drift). */
+  private def mmrOracleSql(k: Int, shortlist: Int,
+                           lamHundredths: Int = 70): String = {
+    val lam = f"CAST(0.$lamHundredths%02d AS DECIMAL(3,2))"
+    val oneMinus = f"CAST(0.${100 - lamHundredths}%02d AS DECIMAL(3,2))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+       |sc AS (SELECT qid, e.vec_id, round(list_cosine_similarity(qv, e.v), 6) AS relr, e.v
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+       |sl AS (SELECT qid, vec_id, CAST(relr AS DECIMAL(18,6)) AS rel, v FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY relr DESC, vec_id) AS rn FROM sc) WHERE rn <= $shortlist),
+       |ps AS (SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+       |  CAST(round(list_cosine_similarity(a.v, b.v), 6) AS DECIMAL(18,6)) AS sim
+       |  FROM sl a JOIN sl b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+       |s1 AS (SELECT qid, vec_id, CAST(rel AS DECIMAL(22,8)) AS score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn FROM sl) WHERE rn = 1),
+       |sel1 AS (SELECT qid, vec_id FROM s1)""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s""",
+         |c$i AS (SELECT s.qid, s.vec_id, $lam * s.rel - $oneMinus * mx.m AS score
+         |  FROM sl s JOIN (SELECT p.qid, p.va, max(p.sim) AS m FROM ps p
+         |    JOIN sel${i - 1} t ON p.qid = t.qid AND p.vb = t.vec_id GROUP BY 1, 2) mx
+         |  ON s.qid = mx.qid AND s.vec_id = mx.va
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x WHERE x.qid = s.qid AND x.vec_id = s.vec_id)),
+         |s$i AS (SELECT qid, vec_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM c$i) WHERE rn = 1),
+         |sel$i AS (SELECT qid, vec_id FROM sel${i - 1} UNION ALL SELECT qid, vec_id FROM s$i)""".stripMargin
+    }
+    val unions = (1 to k)
+      .map(i => s"SELECT qid, $i AS mmr_rank, vec_id, score FROM s$i")
+      .mkString(" UNION ALL ")
+    sb ++= s"\nSELECT qid, mmr_rank, vec_id, CAST(score AS DOUBLE) AS mmr_score FROM ($unions) ORDER BY qid, mmr_rank"
+    sb.toString
+  }
 
   private val PqMOracle = 8; private val PqDsubOracle = 8
 
@@ -1343,6 +1386,8 @@ object SparkEntry {
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
          |FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
          |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "mmr_rerank" -> mmrOracleSql(k = 5, shortlist = 20),
 
     // mirrors Similarity.knnLabelPropagation: same auto-sized sign
     // buckets, 5 nearest labeled neighbors per held-out vector

@@ -314,6 +314,81 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Maximal Marginal Relevance (MMR, Carbonell & Goldstein 1998)
+    * diversified top-k: greedily pick the candidate maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-picked, so the result covers the
+    * query's neighborhood instead of returning k near-copies of the
+    * same document — the standard diversity pass over a retrieval
+    * shortlist before using it as training data or context.
+    *
+    * Plan shape: the expensive legs are DISTRIBUTED — the shortlist is
+    * the same broadcast-queries + one-corpus-scan top-`shortlist` as
+    * the brute probe, and the candidate-pairwise similarities are an
+    * equality self-join of the s-row shortlist (s² per query, s = 20).
+    * The greedy selection itself is inherently sequential and runs on
+    * the driver over those two BOUNDED tables (|q|·s + |q|·s² rows —
+    * the Lloyd-centroid-collect precedent, never corpus-sized). All
+    * selection arithmetic is exact decimal (λ and the round-6
+    * similarities are 2- and 6-place decimals, so every score is an
+    * exact 8-place decimal) — the oracle unrolls the same k steps in
+    * DECIMAL and the argmax can't drift on a last bit. */
+  def mmrTopK(spark: SparkSession, dir: String,
+              qids: Seq[Long] = QueryIds.map(_.toLong), k: Int = 5,
+              shortlist: Int = 20, lamHundredths: Int = 70): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(lamHundredths >= 0 && lamHundredths <= 100, s"λ=$lamHundredths%")
+    val e = emb(spark, dir)
+    val q = queriesOf(e, qids)
+    val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("vec_id").asc)
+    val sl = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("rel",
+        round(cosineWithNorms(col("qv"), col("v"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("vec_id"), col("rel"), col("v"), col("nrm"))
+    val pair = sl.as("a").join(sl.as("b"),
+        col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.qid").as("qid"), col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        round(cosineWithNorms(col("a.v"), col("b.v"),
+          col("a.nrm"), col("b.nrm")), 6).as("sim"))
+    def dec6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val rels: Map[Long, Seq[(Long, BigDecimal)]] =
+      sl.select("qid", "vec_id", "rel").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), dec6(r.getDouble(2)))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val sims: Map[(Long, Long, Long), BigDecimal] = pair.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> dec6(r.getDouble(3)))
+      .toMap
+    val lam = BigDecimal(lamHundredths) / 100
+    val oneMinus = BigDecimal(100 - lamHundredths) / 100
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    for (qid <- rels.keys.toSeq.sorted) {
+      var remaining = rels(qid)
+      var selected = List.empty[Long]
+      var rank = 1
+      while (rank <= k && remaining.nonEmpty) {
+        val scored = remaining.map { case (id, rel) =>
+          val score =
+            if (selected.isEmpty) rel
+            else lam * rel - oneMinus * selected.map(s => sims((qid, id, s))).max
+          (id, score)
+        }
+        val best = scored.reduce { (x, y) =>
+          val c = y._2.compare(x._2)
+          if (c > 0 || (c == 0 && y._1 < x._1)) y else x
+        }
+        out += ((qid, rank, best._1, best._2.toDouble))
+        selected ::= best._1
+        remaining = remaining.filterNot(_._1 == best._1)
+        rank += 1
+      }
+    }
+    out.toSeq.toDF("qid", "mmr_rank", "vec_id", "mmr_score")
+      .orderBy("qid", "mmr_rank")
+  }
+
   /** Target expected bucket population for the auto-sized near-dup
     * sign sketch: 125 keeps the historical 4-bit default at sf0.01/0.1
     * (500/2000 vectors) and adds ~3.3 bits per corpus decade — in-bucket

@@ -667,6 +667,40 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(prof.values.map(_._3).sum - 1.0) < 1e-4)
   }
 
+  test("mmr rerank trades relevance for diversity exactly as the greedy recipe says") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("mmrfix").toString
+    // query = e1; a, b are near-copies of each other (cos(a,b) ~ 0.999)
+    // with rels 0.95 / 0.94; c is less relevant (0.75) but far from a.
+    // Plain top-2 = {a, b}; MMR(lambda = 0.7) must pick c at rank 2:
+    //   score(b) = 0.7*0.94 - 0.3*cos(a,b) ~ 0.358
+    //   score(c) = 0.7*0.75 - 0.3*cos(a,c) ~ 0.373
+    def unit(parts: (Int, Double)*): Array[Float] = {
+      val v = Array.fill(64)(0.0)
+      parts.foreach { case (i, x) => v(i) = x }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val sa = math.sqrt(1 - 0.95 * 0.95)
+    val sb = math.sqrt(1 - 0.94 * 0.94)
+    Seq((0L, unit(0 -> 1.0), 0),
+        (1L, unit(0 -> 0.95, 1 -> sa), 0),
+        (2L, unit(0 -> 0.94, 1 -> sb), 0),
+        (3L, unit(0 -> 0.75, 1 -> -0.66), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.mmrTopK(spark, d, qids = Seq(0L), k = 3).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(got(1) === 1L, "rank 1 is pure relevance")
+    assert(got(2) === 3L, "rank 2 must trade the near-copy for the diverse doc")
+    assert(got(3) === 2L, "the near-copy still surfaces once diversity is paid")
+    // degenerate lambda = 100%: pure relevance order restored
+    val rel = Similarity.mmrTopK(spark, d, qids = Seq(0L), k = 3,
+        lamHundredths = 100).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(rel === Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
+  }
+
   test("brute-force top-k ranks the colinear vector first") {
     val top = Similarity.bruteForceTopK(spark, dir)
       .filter(col("qid") === 0).collect()
