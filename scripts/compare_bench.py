@@ -48,8 +48,10 @@ FAMILY_FILES = {
                         "core/SessionCache.scala"],
     ("contrastive_pairs",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
                              "ops/GraphOps.scala", "core/SessionCache.scala"],
-    ("knn_label_propagation", "mmr_rerank"): ["ops/Similarity.scala",
-                                              "core/SessionCache.scala"],
+    ("knn_label_propagation", "mmr_rerank", "cluster_balanced_sample"): [
+        "ops/Similarity.scala", "core/SessionCache.scala"],
+    ("hll_gram_cardinality",): ["ops/TextAnalysis.scala", "ops/TextHashing.scala",
+                                "ops/TextDedup.scala"],
     ("ngram_dup_profile",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
                              "core/SessionCache.scala"],
     ("dedup_", "simhash_", "decontamination"): [

@@ -649,6 +649,37 @@ def check_mmr_rerank(sf_dir, out_dir, k=5, shortlist=20, lam_pct=70):
     return len(mine)
 
 
+def check_hll_gram_cardinality(sf_dir, out_dir, m=64, n=3):
+    import hashlib
+    regs, exact = {}, {}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for r in docs.itertuples():
+        ws = _words(r.text)
+        if not ws:
+            continue
+        grams = ([" ".join(ws)] if len(ws) < n
+                 else [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)])
+        for g in grams:
+            exact.setdefault(r.source, set()).add(g)
+            h = int(hashlib.md5(("hll:" + g).encode()).hexdigest()[:15], 16)
+            reg, r2 = h % m, (h >> 6) % (1 << 32)
+            rho = 33 - r2.bit_length()
+            key = (r.source, reg)
+            regs[key] = max(regs.get(key, 0), rho)
+    rows = []
+    for src in sorted(exact):
+        mj = {reg: v for (s, reg), v in regs.items() if s == src}
+        s_used = sum(1.0 / (1 << v) for v in mj.values())
+        est = round(0.709 * m * m / (s_used + (m - len(mj))), 4)
+        rows.append((src, len(mj), est, len(exact[src])))
+    mine = pd.DataFrame(rows, columns=["source", "n_registers",
+                                       "est_distinct", "exact_distinct"])
+    got = spark(out_dir, "hll_gram_cardinality") \
+        .sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
@@ -673,7 +704,9 @@ def main(sf_dir, out_dir):
                lambda: check_knn_label_propagation(sf_dir, out_dir)),
               ("ngram_dup_profile",
                lambda: check_ngram_dup_profile(sf_dir, out_dir)),
-              ("mmr_rerank", lambda: check_mmr_rerank(sf_dir, out_dir))]
+              ("mmr_rerank", lambda: check_mmr_rerank(sf_dir, out_dir)),
+              ("hll_gram_cardinality",
+               lambda: check_hll_gram_cardinality(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

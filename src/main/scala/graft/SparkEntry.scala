@@ -131,6 +131,10 @@ object SparkEntry {
     // diversity-aware retrieval: greedy MMR over a distributed
     // shortlist + pairwise-sim table, exact-decimal selection
     "mmr_rerank" -> ((s: SparkSession, d: String) => Similarity.mmrTopK(s, d)),
+    // D4-style diversity subset: up to 10 vectors from EVERY trained
+    // IVF cluster, deterministic md5 within-cluster order
+    "cluster_balanced_sample" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterBalancedSample(s, d)),
     // semi-supervised label propagation: the labeled 80% votes labels
     // onto the held-out 20% through sign-bucket KNN neighborhoods
     "knn_label_propagation" -> ((s: SparkSession, d: String) =>
@@ -149,6 +153,10 @@ object SparkEntry {
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_fingerprints" -> (TextAnalysis.fingerprints _),
+    // mergeable-sketch cardinality: HLL distinct-3-gram estimate per
+    // source next to the exact count it approximates
+    "hll_gram_cardinality" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.hllGramCardinality(s, d)),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
@@ -1388,6 +1396,38 @@ object SparkEntry {
          |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
 
     "mmr_rerank" -> mmrOracleSql(k = 5, shortlist = 20),
+
+    // mirrors Similarity.clusterBalancedSample: trained-IVF assignment
+    // (same unrolled Lloyd), up to 10 picks per cluster in md5 order
+    "cluster_balanced_sample" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$ivfTrainCtes,
+         |sk AS (SELECT vec_id, c_id, ${md5LongSql("'cs:' || vec_id")} AS sk FROM af),
+         |r AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY c_id ORDER BY sk, vec_id) AS pick_rank FROM sk)
+         |SELECT vec_id, c_id, CAST(pick_rank AS INTEGER) AS pick_rank FROM r WHERE pick_rank <= 10 ORDER BY c_id, pick_rank""".stripMargin,
+
+    // mirrors TextAnalysis.hllGramCardinality: md5-derived registers
+    // (low 6 bits) and leading-zero ranks (next 32 bits), exact
+    // power-of-two Σ so the estimate is bit-identical cross-engine
+    "hll_gram_cardinality" -> {
+      val bitlen = (32 to 1 by -1)
+        .map(k => s"WHEN r2 >= ${1L << (k - 1)} THEN $k").mkString(" ")
+      s"""WITH wrd AS (SELECT source, $WordsSql AS ws FROM documents),
+         |gl AS (SELECT source, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-2), i -> array_to_string(list_slice(ws, i, i+2), ' ')) END AS garr FROM wrd WHERE len(ws) > 0),
+         |g AS (SELECT source, unnest(garr) AS gram FROM gl),
+         |hb AS (SELECT source, gram, ${md5LongSql("concat('hll:', gram)")} AS h FROM g),
+         |rr AS (SELECT source, gram, h % 64 AS register, (h >> 6) % 4294967296 AS r2 FROM hb),
+         |rh AS (SELECT source, register, 33 - (CASE $bitlen ELSE 0 END) AS rho FROM rr),
+         |regs AS (SELECT source, register, max(rho) AS mj FROM rh GROUP BY 1, 2),
+         |e1 AS (SELECT source, count(*) AS n_registers,
+         |  sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << mj)) AS s_used FROM regs GROUP BY 1),
+         |ex AS (SELECT source, count(DISTINCT gram) AS exact_distinct FROM g GROUP BY 1)
+         |SELECT e1.source, n_registers,
+         |  round(CAST(0.709 AS DOUBLE) * 4096 / (s_used + (64 - n_registers)), 4) AS est_distinct,
+         |  exact_distinct
+         |FROM e1 JOIN ex ON e1.source = ex.source ORDER BY e1.source""".stripMargin
+    },
 
     // mirrors Similarity.knnLabelPropagation: same auto-sized sign
     // buckets, 5 nearest labeled neighbors per held-out vector

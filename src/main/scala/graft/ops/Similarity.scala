@@ -314,6 +314,35 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Cluster-balanced diversity sample — the D4/SemDeDup-family
+    * curation move: instead of sampling the corpus uniformly (which
+    * reproduces its cluster imbalance), take up to `perCluster` vectors
+    * from EVERY trained IVF cluster, so rare neighborhoods keep
+    * representation in the subset. The within-cluster pick is a
+    * deterministic pseudo-random order (md5 of the vector id), so the
+    * sample is reproducible and oracle-checkable.
+    *
+    * Plan shape: reuses the IVF posting table (persisted partitioned
+    * scan, or the session-cached assignment projection) — no fresh
+    * training, no extra corpus pass; then ONE window partitioned by
+    * c_id whose per-partition state is a running count (row_number),
+    * never corpus-wide. At 100 TB: the posting scan is the cost,
+    * already linear and column-pruned to (vec_id, c_id). */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+                            perCluster: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_id").orderBy(col("sk").asc, col("vec_id").asc)
+    ivfPostingsOf(spark, dir)
+      .select(col("vec_id"), col("c_id"))
+      .withColumn("sk",
+        graft.plans.GraftExtensions.md5Long(
+          concat_ws(":", lit("cs"), col("vec_id"))))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= perCluster)
+      .select("vec_id", "c_id", "pick_rank")
+      .orderBy("c_id", "pick_rank")
+  }
+
   /** Maximal Marginal Relevance (MMR, Carbonell & Goldstein 1998)
     * diversified top-k: greedily pick the candidate maximizing
     * λ·rel − (1−λ)·max-sim-to-already-picked, so the result covers the
@@ -659,38 +688,46 @@ object Similarity {
     centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
 
+  /** The IVF posting table (vec_id, v, nrm, c_id), persisted-first.
+    * Postings are deliberately NOT session-cached as a frame when
+    * file-backed: persisting the whole posting table would defeat
+    * partition pruning (the probe must read only its clusters' c_id
+    * partitions from disk) and at 100 TB would pin the entire corpus
+    * index in cluster memory. The persisted path is a plain partitioned
+    * scan; the computed path is a cheap projection over the
+    * (session-cached) normed corpus.
+    * BOTH halves must exist: the centroids file is buildIvfIndex's
+    * commit marker (written last), so postings without centroids mean
+    * a crashed build — fall back to in-session training rather than
+    * probe a possibly-partial index. */
+  private def ivfFilesBacked(spark: SparkSession, dir: String): Boolean =
+    pathExists(spark, ivfPostingsPath(dir)) &&
+      pathExists(spark, ivfIndexPath(dir))
+
+  private def ivfPostingsOf(spark: SparkSession, dir: String): DataFrame = {
+    if (ivfFilesBacked(spark, dir))
+      spark.read.parquet(ivfPostingsPath(dir)).select("vec_id", "v", "nrm", "c_id")
+    else
+      // derive posting lists from the (possibly persisted) quantizer so
+      // both halves always agree (n_clusters rows collected, bounded) —
+      // and session-cache the result: the assignment projection is ~16
+      // literal cosines per row, and every probe in the session would
+      // otherwise recompute it over the whole corpus. The FILE-backed
+      // path above stays uncached on purpose (caching would defeat the
+      // c_id partition pruning that is its whole point); this cache is
+      // the session analog of having built that index.
+      graft.core.SessionCache.getOrBuild(spark, "ivf_session_postings", dir) {
+        assigned(emb(spark, dir),
+          collectedCentroids(ivfCentroidsOf(spark, dir)))
+          .select("vec_id", "v", "nrm", "c_id")
+      }
+  }
+
   def ivfTopKFor(spark: SparkSession, dir: String,
                  qids: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     val e = emb(spark, dir)
     val centroids = ivfCentroidsOf(spark, dir)
-    // postings are deliberately NOT session-cached as a frame: persisting
-    // the whole posting table would defeat partition pruning (the probe
-    // must read only its clusters' c_id partitions from disk) and at
-    // 100 TB would pin the entire corpus index in cluster memory. The
-    // persisted path is a plain partitioned scan; the computed path is a
-    // cheap projection over the (session-cached) normed corpus.
-    // BOTH halves must exist: the centroids file is buildIvfIndex's
-    // commit marker (written last), so postings without centroids mean
-    // a crashed build — fall back to in-session training rather than
-    // probe a possibly-partial index
-    val filesBacked = pathExists(spark, ivfPostingsPath(dir)) &&
-      pathExists(spark, ivfIndexPath(dir))
-    val postings =
-      if (filesBacked)
-        spark.read.parquet(ivfPostingsPath(dir)).select("vec_id", "v", "nrm", "c_id")
-      else
-        // derive posting lists from the (possibly persisted) quantizer so
-        // both halves always agree (n_clusters rows collected, bounded) —
-        // and session-cache the result: the assignment projection is ~16
-        // literal cosines per row, and every probe in the session would
-        // otherwise recompute it over the whole corpus. The FILE-backed
-        // path above stays uncached on purpose (caching would defeat the
-        // c_id partition pruning that is its whole point); this cache is
-        // the session analog of having built that index.
-        graft.core.SessionCache.getOrBuild(spark, "ivf_session_postings", dir) {
-          assigned(e, collectedCentroids(centroids))
-            .select("vec_id", "v", "nrm", "c_id")
-        }
+    val postings = ivfPostingsOf(spark, dir)
     val q = queriesOf(e, qids)
     import org.apache.spark.sql.expressions.Window
     val probe = Window.partitionBy("qid")
@@ -712,7 +749,7 @@ object Similarity {
     // so it skips the extra planning job and lets the broadcast join
     // restrict compute.
     val pruned =
-      if (!filesBacked) postings
+      if (!ivfFilesBacked(spark, dir)) postings
       else {
         val probedIds = best.select("c_id").distinct().collect().map(_.getInt(0)).sorted
         if (probedIds.isEmpty) postings.filter(lit(false))

@@ -701,6 +701,50 @@ class OpsSpec extends SparkSpec {
     assert(rel === Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
   }
 
+  test("cluster-balanced sample covers every cluster with contiguous deterministic ranks") {
+    val rows = Similarity.clusterBalancedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // perCluster = 10 exceeds every fixture cluster: the sample is the
+    // whole corpus, once each
+    assert(rows.map(_._1).sorted === Seq(0L, 1L, 2L))
+    // ranks are 1..size within each cluster
+    for ((_, members) <- rows.groupBy(_._2))
+      assert(members.map(_._3).sorted === (1 to members.length).toSeq)
+    // deterministic: a second run picks the identical sample
+    val again = Similarity.clusterBalancedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.sortBy(_._1) === again.sortBy(_._1))
+  }
+
+  test("hll sketch is insensitive to duplication and matches an exact recount") {
+    val rows = TextAnalysis.hllGramCardinality(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the exact leg really is exact: recount driver-side
+    val texts = TextDedup.docs(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val expected = texts.groupBy(_._1).map { case (s, ts) =>
+      s -> ts.flatMap { case (_, t) =>
+        val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (ws.isEmpty) Seq.empty
+        else if (ws.length < 3) Seq(ws.mkString(" "))
+        else ws.sliding(3).map(_.mkString(" ")).toSeq
+      }.distinct.size.toLong
+    }
+    for (r <- rows)
+      assert(r.getAs[Long]("exact_distinct") === expected(r.getAs[String]("source")))
+    // the DEFINING sketch property: duplicating every document changes
+    // nothing — registers are maxes over hashed grams, multiplicity-blind
+    val d2 = Files.createTempDirectory("hllfix").toString
+    val docsDf = TextDedup.docs(spark, dir)
+    docsDf.union(docsDf).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val dup = TextAnalysis.hllGramCardinality(spark, d2).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_registers"), r.getAs[Double]("est_distinct"))).toMap
+    for (r <- rows)
+      assert(dup(r.getAs[String]("source")) ===
+        (r.getAs[Long]("n_registers"), r.getAs[Double]("est_distinct")))
+  }
+
   test("brute-force top-k ranks the colinear vector first") {
     val top = Similarity.bruteForceTopK(spark, dir)
       .filter(col("qid") === 0).collect()
