@@ -52,6 +52,8 @@ FAMILY_FILES = {
         "ops/Similarity.scala", "core/SessionCache.scala"],
     ("hll_gram_cardinality",): ["ops/TextAnalysis.scala", "ops/TextHashing.scala",
                                 "ops/TextDedup.scala"],
+    ("curriculum_assign", "token_entropy"): ["ops/TextAnalysis.scala",
+                                             "ops/TextHashing.scala"],
     ("ngram_dup_profile",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
                              "core/SessionCache.scala"],
     ("dedup_", "simhash_", "decontamination"): [

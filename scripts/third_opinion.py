@@ -680,6 +680,68 @@ def check_hll_gram_cardinality(sf_dir, out_dir, m=64, n=3):
     return len(mine)
 
 
+def check_curriculum_assign(sf_dir, out_dir, n_shards=16):
+    import hashlib
+    import math
+    from decimal import Decimal
+    docs = load_docs(sf_dir)
+    cnt = {}
+    for _, text in docs:
+        for w in _words(text):
+            cnt[w] = cnt.get(w, 0) + 1
+    n_tot, v = sum(cnt.values()), len(cnt)
+    sur = {w: _round6_half_up(-math.log((c + 1.0) / float(n_tot + v)))
+           for w, c in cnt.items()}
+    d6 = {}
+    for doc_id, text in docs:
+        ws = _words(text)
+        if not ws:
+            continue
+        nll = sum(sur[w] for w in ws)
+        d6[doc_id] = _round6_half_up(float(nll) / len(ws))
+    n = len(d6)
+    mean = float(sum(d6.values())) / n
+    ex2 = float(sum(d * d for d in d6.values())) / n
+    sdev = math.sqrt(ex2 - mean * mean)
+    rows = []
+    for doc_id in sorted(d6):
+        d = float(d6[doc_id])
+        phase = (1 if d < mean - sdev else 2 if d < mean
+                 else 3 if d < mean + sdev else 4)
+        shard = int(hashlib.md5(f"cur:{doc_id}".encode()).hexdigest()[:15],
+                    16) % n_shards
+        rows.append((doc_id, d, phase, shard))
+    mine = pd.DataFrame(rows, columns=["doc_id", "difficulty", "phase", "shard"])
+    got = spark(out_dir, "curriculum_assign") \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_token_entropy(sf_dir, out_dir):
+    import math
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = {}
+    for r in docs.itertuples():
+        for w in _words(r.text):
+            key = (r.source, w)
+            cnt[key] = cnt.get(key, 0) + 1
+    rows = []
+    for src in sorted({s for s, _ in cnt}):
+        cs = [c for (s, _), c in cnt.items() if s == src]
+        n = sum(cs)
+        ent = sum((_round6_half_up(-(c / n) * math.log(c / n)) for c in cs))
+        rows.append((src, n, len(cs), float(ent),
+                     _round6_half_up(max(cs) / n)))
+    mine = pd.DataFrame(rows, columns=["source", "n_tokens", "vocab",
+                                       "entropy_nats", "top_share"])
+    mine["top_share"] = mine["top_share"].astype(float)
+    got = spark(out_dir, "token_entropy") \
+        .sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
@@ -706,7 +768,11 @@ def main(sf_dir, out_dir):
                lambda: check_ngram_dup_profile(sf_dir, out_dir)),
               ("mmr_rerank", lambda: check_mmr_rerank(sf_dir, out_dir)),
               ("hll_gram_cardinality",
-               lambda: check_hll_gram_cardinality(sf_dir, out_dir))]
+               lambda: check_hll_gram_cardinality(sf_dir, out_dir)),
+              ("curriculum_assign",
+               lambda: check_curriculum_assign(sf_dir, out_dir)),
+              ("token_entropy",
+               lambda: check_token_entropy(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

@@ -157,6 +157,13 @@ object SparkEntry {
     // source next to the exact count it approximates
     "hll_gram_cardinality" -> ((s: SparkSession, d: String) =>
       TextAnalysis.hllGramCardinality(s, d)),
+    // curriculum layout: z-score difficulty phases (no global window)
+    // + md5 shards within phase
+    "curriculum_assign" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.curriculumAssign(s, d)),
+    // vocabulary-diversity panel: per-source Shannon token entropy +
+    // top-token share (boilerplate detector)
+    "token_entropy" -> (TextAnalysis.tokenEntropy _),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
@@ -1612,6 +1619,41 @@ object SparkEntry {
          |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1)
          |SELECT doc_id, n_words, CAST(nll AS DOUBLE) AS nll_sum,
          |  CAST(nll AS DOUBLE) / n_words AS nll_avg FROM ds ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.curriculumAssign: same unigram-surprisal
+    // difficulty (round-6 decimal), z-score bands from exact decimal
+    // sums, md5 shards — no rank/ntile anywhere
+    "curriculum_assign" ->
+      s"""WITH t AS (SELECT doc_id, unnest($WordsSql) AS w FROM documents),
+         |lex AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM lex),
+         |sc AS (SELECT doc_id, CAST(round(-ln((CAST(c AS DOUBLE) + 1.0) / CAST(n + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s
+         |  FROM t JOIN lex USING (w) CROSS JOIN st),
+         |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1),
+         |davg AS (SELECT doc_id, CAST(round(CAST(nll AS DOUBLE) / n_words, 6) AS DECIMAL(18,6)) AS d6 FROM ds),
+         |stats AS (SELECT count(*) AS n, sum(d6) AS sd, sum(d6 * d6) AS sd2 FROM davg),
+         |j AS (SELECT doc_id, CAST(d6 AS DOUBLE) AS difficulty,
+         |  CAST(sd AS DOUBLE) / n AS mean, CAST(sd2 AS DOUBLE) / n AS ex2 FROM davg CROSS JOIN stats)
+         |SELECT doc_id, difficulty,
+         |  CASE WHEN difficulty < mean - sqrt(ex2 - mean * mean) THEN 1
+         |       WHEN difficulty < mean THEN 2
+         |       WHEN difficulty < mean + sqrt(ex2 - mean * mean) THEN 3
+         |       ELSE 4 END AS phase,
+         |  CAST(${md5LongSql("'cur:' || doc_id")} % 16 AS INTEGER) AS shard
+         |FROM j ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.tokenEntropy: round-6 decimal -p ln p terms,
+    // exact decimal per-source sums
+    "token_entropy" ->
+      s"""WITH t AS (SELECT source, unnest($WordsSql) AS w FROM documents),
+         |cnt AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS vocab, max(c) AS cmax FROM cnt GROUP BY 1),
+         |tm AS (SELECT source, CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS term
+         |  FROM cnt JOIN tot USING (source)),
+         |e AS (SELECT source, sum(term) AS ent FROM tm GROUP BY 1)
+         |SELECT source, n AS n_tokens, vocab, CAST(ent AS DOUBLE) AS entropy_nats,
+         |  round(CAST(cmax AS DOUBLE) / n, 6) AS top_share
+         |FROM e JOIN tot USING (source) ORDER BY source""".stripMargin,
 
     // mirrors TextAnalysis.qualityRules: same rounded metrics as
     // text_quality/text_repetition, CASE over the identical comparisons

@@ -726,6 +726,75 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Curriculum assignment: every document gets a difficulty PHASE
+    * (z-score band of its unigram surprisal: easy < mean−σ < mid <
+    * mean < hard < mean+σ < hardest) and a deterministic md5 SHARD
+    * within the phase — the easy→hard ordered-training layout
+    * (curriculum learning, Bengio et al. 2009) as a data artifact.
+    *
+    * Deliberately NOT rank-based: a global ntile/row_number window
+    * would funnel the whole corpus through one partition — the exact
+    * shape this engine bans at scale. Z-score banding needs only ONE
+    * tiny aggregate (count + two exact decimal sums, broadcast back),
+    * keeps the per-doc pass embarrassingly parallel, and is
+    * deterministic: the per-doc difficulty is round-6 decimal, the
+    * mean/E[x²] are exact decimal sums cast to double, and both
+    * engines build the band thresholds from the same IEEE ops. Phase
+    * populations are data-shaped (not forced quarters) — that is the
+    * honest trade for scale, and the shard key (md5) balances within
+    * phases regardless. */
+  def curriculumAssign(spark: SparkSession, dir: String,
+                       nShards: Int = 16): DataFrame = {
+    val diff = unigramSurprisal(spark, dir)
+      .select(col("doc_id"),
+        round(col("nll_avg"), 6).cast("decimal(18,6)").as("d6"))
+    val stats = diff.agg(
+      count(lit(1)).as("n"),
+      sum("d6").as("sd"),
+      sum(col("d6") * col("d6")).as("sd2"))
+    diff.crossJoin(broadcast(stats))
+      .withColumn("mean", col("sd").cast("double") / col("n"))
+      .withColumn("ex2", col("sd2").cast("double") / col("n"))
+      .withColumn("sdev", sqrt(col("ex2") - col("mean") * col("mean")))
+      .withColumn("difficulty", col("d6").cast("double"))
+      .withColumn("phase",
+        when(col("difficulty") < col("mean") - col("sdev"), 1)
+          .when(col("difficulty") < col("mean"), 2)
+          .when(col("difficulty") < col("mean") + col("sdev"), 3)
+          .otherwise(4))
+      .withColumn("shard",
+        (md5Long(concat_ws(":", lit("cur"), col("doc_id"))) % nShards)
+          .cast("int"))
+      .select("doc_id", "difficulty", "phase", "shard")
+      .orderBy("doc_id")
+  }
+
+  /** Shannon token entropy per source — the vocabulary-diversity panel
+    * next to [[hllGramCardinality]]: low entropy (or a high top-token
+    * share) marks templated/boilerplate sources before any pairwise
+    * dedup runs. Determinism is the text_perplexity recipe: each
+    * −p·ln p term is round-6 DECIMAL(18,6), the per-source total an
+    * exact order-free decimal sum. Two aggregations (token counts,
+    * per-source rollup) — linear, no joins wider than the vocab. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("source"), explode(col("ws")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(
+      sum("c").as("n"), count(lit(1)).as("vocab"), max("c").as("cmax"))
+    val ent = cnt.join(tot, "source")
+      .withColumn("term",
+        round(-(col("c") / col("n")) * log(col("c") / col("n")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("source").agg(sum("term").as("e"))
+    ent.join(tot, "source")
+      .select(col("source"), col("n").as("n_tokens"), col("vocab"),
+        col("e").cast("double").as("entropy_nats"),
+        round(col("cmax").cast("double") / col("n"), 6).as("top_share"))
+      .orderBy("source")
+  }
+
   /** HyperLogLog distinct-3-gram estimate per source, next to the exact
     * count it approximates — the MERGEABLE-SKETCH cardinality pattern
     * (Flajolet et al. 2007): hash each gram, take register = low 6 hash

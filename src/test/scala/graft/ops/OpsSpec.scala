@@ -745,6 +745,41 @@ class OpsSpec extends SparkSpec {
         (r.getAs[Long]("n_registers"), r.getAs[Double]("est_distinct")))
   }
 
+  test("curriculum assignment: identical texts share difficulty and phase, bands are monotone") {
+    val rows = TextAnalysis.curriculumAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2), r.getInt(3))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // the exact duplicates (2, 3) must land identically
+    assert(rows(2L)._1 === rows(3L)._1)
+    assert(rows(2L)._2 === rows(3L)._2)
+    // phases are 1..4 and MONOTONE in difficulty
+    val byDiff = rows.values.toSeq.sortBy(_._1)
+    assert(byDiff.forall(t => t._2 >= 1 && t._2 <= 4))
+    assert(byDiff.map(_._2) === byDiff.map(_._2).sorted, "phase must not decrease with difficulty")
+    // shards within range
+    assert(rows.values.forall(t => t._3 >= 0 && t._3 < 16))
+  }
+
+  test("token entropy matches an exhaustive driver-side recount") {
+    val rows = TextAnalysis.tokenEntropy(spark, dir).collect()
+    assert(rows.length === 1, "fixture has one source")
+    val r = rows.head
+    val ws = TextDedup.docs(spark, dir).collect()
+      .flatMap(_.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val cnt = ws.groupBy(identity).view.mapValues(_.length).toMap
+    val n = ws.length
+    assert(r.getAs[Long]("n_tokens") === n.toLong)
+    assert(r.getAs[Long]("vocab") === cnt.size.toLong)
+    val ent = cnt.values.map { c =>
+      BigDecimal(-(c.toDouble / n) * math.log(c.toDouble / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(math.abs(r.getAs[Double]("entropy_nats") - ent.toDouble) < 1e-9)
+    assert(r.getAs[Double]("top_share") ===
+      BigDecimal(cnt.values.max.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("brute-force top-k ranks the colinear vector first") {
     val top = Similarity.bruteForceTopK(spark, dir)
       .filter(col("qid") === 0).collect()
