@@ -54,6 +54,8 @@ FAMILY_FILES = {
                                 "ops/TextDedup.scala"],
     ("curriculum_assign", "token_entropy"): ["ops/TextAnalysis.scala",
                                              "ops/TextHashing.scala"],
+    ("bpe_fertility",): ["ops/TextAnalysis.scala", "ops/TextHashing.scala"],
+    ("price_jumps",): ["queries/MarketQueries.scala"],
     ("ngram_dup_profile",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
                              "core/SessionCache.scala"],
     ("dedup_", "simhash_", "decontamination"): [

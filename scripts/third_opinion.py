@@ -742,6 +742,67 @@ def check_token_entropy(sf_dir, out_dir):
     return len(mine)
 
 
+def check_price_jumps(sf_dir, out_dir):
+    import math
+    e = load_events(sf_dir)
+    flagged = []
+    for _uid, g in e.sort_values(["ts_us", "event_id"]).groupby("user_id"):
+        vals = list(zip(g.event_id, g.value))
+        rets = [(vals[i][0], _round6_half_up(vals[i][1] - vals[i - 1][1]))
+                for i in range(1, len(vals))]
+        if not rets:
+            continue
+        n = len(rets)
+        mean = float(sum(r for _, r in rets)) / n
+        ex2 = float(sum(r * r for _, r in rets)) / n
+        sdev = math.sqrt(ex2 - mean * mean)
+        flagged += [eid for eid, r in rets
+                    if abs(float(r) - mean) > 3.0 * sdev]
+    got = spark(out_dir, "price_jumps")
+    assert set(got.event_id) == set(flagged), \
+        f"flag sets differ: {len(set(got.event_id) ^ set(flagged))} ids"
+    return len(flagged)
+
+
+def check_bpe_fertility(sf_dir, out_dir, num_merges=10):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    vocab = {}
+    for r in docs.itertuples():
+        for w in _words(r.text):
+            vocab[w] = vocab.get(w, 0) + 1
+    syms = {w: list(w) for w in vocab}
+    for _ in range(num_merges):
+        pairs = {}
+        for w, ss in syms.items():
+            for a, b in zip(ss, ss[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + vocab[w]
+        if not pairs:
+            break
+        (l, r), _n = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        for w, ss in syms.items():
+            out, i = [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == l and ss[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            syms[w] = out
+    agg = {}
+    for r in docs.itertuples():
+        for w in _words(r.text):
+            nw, nt = agg.get(r.source, (0, 0))
+            agg[r.source] = (nw + 1, nt + len(syms[w]))
+    rows = [(s, nw, nt, float(_round6_half_up(nt / nw)))
+            for s, (nw, nt) in sorted(agg.items())]
+    mine = pd.DataFrame(rows, columns=["source", "n_words", "n_tokens", "fertility"])
+    got = spark(out_dir, "bpe_fertility") \
+        .sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
@@ -772,7 +833,10 @@ def main(sf_dir, out_dir):
               ("curriculum_assign",
                lambda: check_curriculum_assign(sf_dir, out_dir)),
               ("token_entropy",
-               lambda: check_token_entropy(sf_dir, out_dir))]
+               lambda: check_token_entropy(sf_dir, out_dir)),
+              ("price_jumps", lambda: check_price_jumps(sf_dir, out_dir)),
+              ("bpe_fertility",
+               lambda: check_bpe_fertility(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

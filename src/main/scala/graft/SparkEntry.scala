@@ -37,6 +37,9 @@ object SparkEntry {
     "mode_conditional" -> (M.modeConditional _),
     "asof_price" -> (M.asofPrice _),
     "tick_returns" -> (M.tickReturns _),
+    // anomaly face of the window family: per-token 3-sigma return
+    // outliers with z-scores, band edges from exact decimal sums
+    "price_jumps" -> (M.priceJumps _),
     "set_ops" -> (M.setOps _),
     "rollup_stats" -> (M.rollupStats _),
     "distinct_counts" -> (M.distinctCounts _),
@@ -157,6 +160,10 @@ object SparkEntry {
     // source next to the exact count it approximates
     "hll_gram_cardinality" -> ((s: SparkSession, d: String) =>
       TextAnalysis.hllGramCardinality(s, d)),
+    // tokenizer fertility: BPE tokens per word by source (vocab-eval
+    // panel; rides the session-cached tokenizer)
+    "bpe_fertility" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeFertility(s, d)),
     // curriculum layout: z-score difficulty phases (no global window)
     // + md5 shards within phase
     "curriculum_assign" -> ((s: SparkSession, d: String) =>
@@ -974,6 +981,22 @@ object SparkEntry {
         |round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS price_change
         |FROM events WHERE user_id IN (1,7,42,99) ORDER BY event_id""".stripMargin,
 
+    // mirrors MarketQueries.priceJumps: round-6 decimal returns, exact
+    // per-token sums, identical IEEE band arithmetic
+    "price_jumps" ->
+      """WITH r AS (SELECT event_id, user_id, ts, value,
+        |  CAST(round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS DECIMAL(18,6)) AS r6 FROM events),
+        |rr AS (SELECT * FROM r WHERE r6 IS NOT NULL),
+        |st AS (SELECT user_id, count(*) AS n, sum(r6) AS sr, sum(r6 * r6) AS sr2 FROM rr GROUP BY 1),
+        |j AS (SELECT rr.event_id, rr.user_id, rr.ts, rr.value, rr.r6,
+        |  CAST(sr AS DOUBLE) / n AS mean,
+        |  sqrt(CAST(sr2 AS DOUBLE) / n - (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)) AS sdev
+        |  FROM rr JOIN st USING (user_id))
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |  CAST(r6 AS DOUBLE) AS ret, round((CAST(r6 AS DOUBLE) - mean) / sdev, 4) AS z
+        |FROM j WHERE abs(CAST(r6 AS DOUBLE) - mean) > CAST(3.0 AS DOUBLE) * sdev
+        |ORDER BY event_id""".stripMargin,
+
     "set_ops" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT SELECT user_id FROM events WHERE event_type = 'error'
@@ -1619,6 +1642,18 @@ object SparkEntry {
          |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1)
          |SELECT doc_id, n_words, CAST(nll AS DOUBLE) AS nll_sum,
          |  CAST(nll AS DOUBLE) / n_words AS nll_avg FROM ds ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.bpeFertility: same 10-merge training chain,
+    // per-word symbol counts regrouped by source
+    "bpe_fertility" ->
+      s"""WITH RECURSIVE ${bpeTrainCtes(10)},
+         |u AS (SELECT d.source, unnest(w.ws) AS word FROM wrd w JOIN documents d USING (doc_id)),
+         |pw AS (SELECT word, CAST(len(syms) AS BIGINT) AS wt FROM vz10),
+         |t AS (SELECT source, count(*) AS n_words, CAST(sum(wt) AS BIGINT) AS n_tokens
+         |  FROM u JOIN pw USING (word) GROUP BY 1)
+         |SELECT source, n_words, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility
+         |FROM t ORDER BY source""".stripMargin,
 
     // mirrors TextAnalysis.curriculumAssign: same unigram-surprisal
     // difficulty (round-6 decimal), z-score bands from exact decimal

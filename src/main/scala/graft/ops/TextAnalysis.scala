@@ -726,6 +726,30 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Tokenizer FERTILITY per source — BPE tokens emitted per word, the
+    * standard tokenizer-evaluation metric (a fertility far above ~1.3
+    * on a source means the vocabulary serves it badly and its effective
+    * context shrinks). Rides the session-cached/persisted 10-merge
+    * tokenizer ([[bpeTrained]]): per word, weight = |symbols after
+    * merges|; per source, fertility = Σweight / words. The vocab join
+    * is vocab-sized (never corpus²); the corpus side is one token
+    * explode — the token_counts_bpe plan regrouped by source. */
+  def bpeFertility(spark: SparkSession, dir: String,
+                   numMerges: Int = 10): DataFrame = {
+    val (_, vocab) = bpeTrained(spark, dir, numMerges)
+    val wt = vocab.select(col("word"), size(col("syms")).cast("long").as("wt"))
+    docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("source"), explode(col("ws")).as("word"))
+      .join(wt, "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum("wt").as("n_tokens"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .select("source", "n_words", "n_tokens", "fertility")
+      .orderBy("source")
+  }
+
   /** Curriculum assignment: every document gets a difficulty PHASE
     * (z-score band of its unigram surprisal: easy < mean−σ < mid <
     * mean < hard < mean+σ < hardest) and a deterministic md5 SHARD

@@ -225,6 +225,36 @@ object MarketQueries {
       .orderBy("event_id")
   }
 
+  /** Per-token 3σ price-jump outliers — the anomaly face of the window
+    * family: tick-over-tick returns (per-token lag, event-time order),
+    * per-token mean/σ from EXACT decimal sums (round-6 returns, so the
+    * aggregates are order-free and both engines derive identical band
+    * edges), flag returns more than 3σ from the token's mean with the
+    * z-score. Plan shape: one per-token window + one token-sized
+    * aggregate broadcast back — no global anything; a token whose
+    * returns are constant has σ = 0 and flags nothing (the deviation
+    * is exactly 0). */
+  def priceJumps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val rets = events(spark, dir)
+      .withColumn("r6",
+        round(col("value") - lag("value", 1).over(w), 6).cast("decimal(18,6)"))
+      .filter(col("r6").isNotNull)
+    val stats = rets.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum("r6").as("sr"),
+      sum(col("r6") * col("r6")).as("sr2"))
+    rets.join(stats, "user_id")
+      .withColumn("mean", col("sr").cast("double") / col("n"))
+      .withColumn("sdev",
+        sqrt(col("sr2").cast("double") / col("n") - col("mean") * col("mean")))
+      .filter(abs(col("r6").cast("double") - col("mean")) > lit(3.0) * col("sdev"))
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+        col("value"), col("r6").cast("double").as("ret"),
+        round((col("r6").cast("double") - col("mean")) / col("sdev"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
   /** §2.9: set operation — tokens that emitted both 'purchase' and
     * 'error' events (INTERSECT of two key sets). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

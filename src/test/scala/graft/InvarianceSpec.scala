@@ -231,6 +231,31 @@ class InvarianceSpec extends SparkSpec {
     assert(spansOf(docs.repartition(16, col("doc_id"))) === base)
   }
 
+  test("price jumps: flagged set equals an exhaustive driver-side 3-sigma recount") {
+    val flagged = MarketQueries.priceJumps(spark, dir).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    // recompute per-token bands exhaustively with the same round-6
+    // decimal discipline
+    val rows = MarketQueries.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = rows.groupBy(_._1).flatMap { case (_, ts) =>
+      val ordered = ts.sortBy(t => (t._3, t._2))
+      val rets = ordered.zip(ordered.drop(1)).map { case (a, b) => (b._2, d6(b._4 - a._4)) }
+      if (rets.isEmpty) Seq.empty[Long]
+      else {
+        val n = rets.length
+        val mean = rets.map(_._2).sum.toDouble / n
+        val ex2 = rets.map(r => r._2 * r._2).sum.toDouble / n
+        val sdev = math.sqrt(ex2 - mean * mean)
+        rets.filter(r => math.abs(r._2.toDouble - mean) > 3.0 * sdev).map(_._1).toSeq
+      }
+    }.toSet
+    assert(flagged === expected)
+    assert(flagged.nonEmpty, "sf0.001 must plant at least one jump")
+  }
+
   test("approx_count_distinct lands within its error bound") {
     val e = MarketQueries.events(spark, dir)
     val exact = e.select(countDistinct("user_id")).head().getLong(0)

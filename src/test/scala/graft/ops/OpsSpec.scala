@@ -745,6 +745,24 @@ class OpsSpec extends SparkSpec {
         (r.getAs[Long]("n_registers"), r.getAs[Double]("est_distinct")))
   }
 
+  test("bpe fertility: more merges never raise tokens-per-word, totals tie out") {
+    val f10 = TextAnalysis.bpeFertility(spark, dir, numMerges = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val f1 = TextAnalysis.bpeFertility(spark, dir, numMerges = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(f10.nonEmpty)
+    for ((src, (nw, nt, fert)) <- f10) {
+      assert(fert >= 1.0, "a word is never fewer than one token")
+      assert(nt >= nw)
+      // merges only ever SHRINK a word's symbol count
+      assert(fert <= f1(src) + 1e-9, s"$src: 10-merge fertility ${fert} > 1-merge ${f1(src)}")
+    }
+    // n_words ties out against the corpus word count
+    val words = TextDedup.docs(spark, dir).collect()
+      .map(_.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty)).sum
+    assert(f10.values.map(_._1).sum === words.toLong)
+  }
+
   test("curriculum assignment: identical texts share difficulty and phase, bands are monotone") {
     val rows = TextAnalysis.curriculumAssign(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2), r.getInt(3))).toMap
