@@ -803,6 +803,65 @@ def check_bpe_fertility(sf_dir, out_dir, num_merges=10):
     return len(mine)
 
 
+def check_domain_reweight(sf_dir, out_dir, budget=1000):
+    import math
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = {}
+    for r in docs.itertuples():
+        for w in _words(r.text):
+            cnt[w] = cnt.get(w, 0) + 1
+    n_tot, v = sum(cnt.values()), len(cnt)
+    sur = {w: _round6_half_up(-math.log((c + 1.0) / float(n_tot + v)))
+           for w, c in cnt.items()}
+    per_src = {}
+    for r in docs.itertuples():
+        ws = _words(r.text)
+        if not ws:
+            continue
+        d6 = _round6_half_up(float(sum(sur[w] for w in ws)) / len(ws))
+        nd, sd = per_src.get(r.source, (0, 0))
+        per_src[r.source] = (nd + 1, sd + d6)
+    mean6 = {s: _round6_half_up(float(sd) / nd) for s, (nd, sd) in per_src.items()}
+    t6 = float(sum(mean6.values()))
+    rows = [(s, per_src[s][0], float(mean6[s]),
+             float(_round6_half_up(float(mean6[s]) / t6)),
+             int(math.floor(float(mean6[s]) / t6 * budget)))
+            for s in sorted(mean6)]
+    mine = pd.DataFrame(rows, columns=["source", "n_docs", "mean_difficulty",
+                                       "weight", "quota"])
+    got = spark(out_dir, "domain_reweight") \
+        .sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_corpus_drift(sf_dir, out_dir):
+    import math
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = {}
+    for r in docs.itertuples():
+        h = int(r.doc_id) % 2
+        for w in _words(r.text):
+            ca, cb = cnt.setdefault((r.source, w), [0, 0])
+            cnt[(r.source, w)][h] += 1
+    rows = []
+    for src in sorted({s for s, _ in cnt}):
+        pairs = [v for (s, _), v in cnt.items() if s == src]
+        na, nb, v = sum(a for a, _ in pairs), sum(b for _, b in pairs), len(pairs)
+        ka = kb = 0
+        for ca, cb in pairs:
+            pa = (ca + 1.0) / float(na + v)
+            pb = (cb + 1.0) / float(nb + v)
+            ka += _round6_half_up(pa * math.log(pa / pb))
+            kb += _round6_half_up(pb * math.log(pb / pa))
+        rows.append((src, v, float(ka), float(kb)))
+    mine = pd.DataFrame(rows, columns=["source", "vocab", "kl_ab", "kl_ba"])
+    got = spark(out_dir, "corpus_drift") \
+        .sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
@@ -836,7 +895,10 @@ def main(sf_dir, out_dir):
                lambda: check_token_entropy(sf_dir, out_dir)),
               ("price_jumps", lambda: check_price_jumps(sf_dir, out_dir)),
               ("bpe_fertility",
-               lambda: check_bpe_fertility(sf_dir, out_dir))]
+               lambda: check_bpe_fertility(sf_dir, out_dir)),
+              ("domain_reweight",
+               lambda: check_domain_reweight(sf_dir, out_dir)),
+              ("corpus_drift", lambda: check_corpus_drift(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

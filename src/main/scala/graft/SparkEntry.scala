@@ -160,6 +160,13 @@ object SparkEntry {
     // source next to the exact count it approximates
     "hll_gram_cardinality" -> ((s: SparkSession, d: String) =>
       TextAnalysis.hllGramCardinality(s, d)),
+    // DoReMi-lite: difficulty-proportional domain mixture weights +
+    // integer quotas for a 1000-doc budget
+    "domain_reweight" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.domainReweight(s, d)),
+    // distribution-shift monitor: symmetric smoothed KL between the
+    // token distributions of the two corpus halves, per source
+    "corpus_drift" -> (TextAnalysis.corpusDrift _),
     // tokenizer fertility: BPE tokens per word by source (vocab-eval
     // panel; rides the session-cached tokenizer)
     "bpe_fertility" -> ((s: SparkSession, d: String) =>
@@ -1642,6 +1649,42 @@ object SparkEntry {
          |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1)
          |SELECT doc_id, n_words, CAST(nll AS DOUBLE) AS nll_sum,
          |  CAST(nll AS DOUBLE) / n_words AS nll_avg FROM ds ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.domainReweight: round-6 per-doc difficulty,
+    // re-rounded per-source mean, exact cross-source decimal total
+    "domain_reweight" ->
+      s"""WITH t AS (SELECT doc_id, unnest($WordsSql) AS w FROM documents),
+         |lex AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM lex),
+         |sc AS (SELECT doc_id, CAST(round(-ln((CAST(c AS DOUBLE) + 1.0) / CAST(n + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s
+         |  FROM t JOIN lex USING (w) CROSS JOIN st),
+         |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1),
+         |davg AS (SELECT doc_id, CAST(round(CAST(nll AS DOUBLE) / n_words, 6) AS DECIMAL(18,6)) AS d6 FROM ds),
+         |ps AS (SELECT d.source, count(*) AS n_docs, sum(v.d6) AS sd
+         |  FROM davg v JOIN documents d USING (doc_id) GROUP BY 1),
+         |m AS (SELECT source, n_docs, CAST(round(CAST(sd AS DOUBLE) / n_docs, 6) AS DECIMAL(18,6)) AS mean6 FROM ps),
+         |tt AS (SELECT sum(mean6) AS t6 FROM m)
+         |SELECT source, n_docs, CAST(mean6 AS DOUBLE) AS mean_difficulty,
+         |  round(CAST(mean6 AS DOUBLE) / CAST(t6 AS DOUBLE), 6) AS weight,
+         |  CAST(floor(CAST(mean6 AS DOUBLE) / CAST(t6 AS DOUBLE) * 1000) AS BIGINT) AS quota
+         |FROM m CROSS JOIN tt ORDER BY source""".stripMargin,
+
+    // mirrors TextAnalysis.corpusDrift: doc-parity halves, add-one
+    // smoothing over the union vocab, round-6 decimal KL terms
+    "corpus_drift" ->
+      s"""WITH t AS (SELECT source, doc_id % 2 AS half, unnest($WordsSql) AS w FROM documents),
+         |cnt AS (SELECT source, w, sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+         |  sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb FROM t GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb, count(*) AS v FROM cnt GROUP BY 1),
+         |p AS (SELECT cnt.source,
+         |  (CAST(ca AS DOUBLE) + 1.0) / CAST(na + v AS DOUBLE) AS pa,
+         |  (CAST(cb AS DOUBLE) + 1.0) / CAST(nb + v AS DOUBLE) AS pb
+         |  FROM cnt JOIN tot USING (source)),
+         |tm AS (SELECT source, CAST(round(pa * ln(pa / pb), 6) AS DECIMAL(18,6)) AS tab,
+         |  CAST(round(pb * ln(pb / pa), 6) AS DECIMAL(18,6)) AS tba FROM p),
+         |k AS (SELECT source, sum(tab) AS ka, sum(tba) AS kb FROM tm GROUP BY 1)
+         |SELECT source, v AS vocab, CAST(ka AS DOUBLE) AS kl_ab, CAST(kb AS DOUBLE) AS kl_ba
+         |FROM k JOIN tot USING (source) ORDER BY source""".stripMargin,
 
     // mirrors TextAnalysis.bpeFertility: same 10-merge training chain,
     // per-word symbol counts regrouped by source

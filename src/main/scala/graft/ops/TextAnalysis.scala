@@ -726,6 +726,79 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Difficulty-proportional DOMAIN REWEIGHTING (DoReMi-lite, after
+    * Xie et al. 2023's domain-reweighting idea with a deterministic
+    * surprisal proxy instead of a trained reference model): a source's
+    * mixture weight is its mean per-doc unigram surprisal normalized
+    * over sources — harder (more novel) domains get proportionally more
+    * of the training budget, templated ones less. Emits the weight and
+    * the integer quota a 1000-doc budget would allocate (floor, so
+    * quotas never oversubscribe).
+    *
+    * Determinism: per-doc difficulty is round-6 decimal (the curriculum
+    * recipe); the per-source mean re-rounds to 6; the cross-source
+    * total is an exact ≤|sources|-term decimal sum, so the final
+    * weight division is one IEEE op on identical inputs. */
+  def domainReweight(spark: SparkSession, dir: String,
+                     budget: Int = 1000): DataFrame = {
+    val diff = unigramSurprisal(spark, dir)
+      .select(col("doc_id"),
+        round(col("nll_avg"), 6).cast("decimal(18,6)").as("d6"))
+    val perSource = docs(spark, dir).select("doc_id", "source")
+      .join(diff, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("d6").as("sd"))
+      .withColumn("mean6",
+        round(col("sd").cast("double") / col("n_docs"), 6)
+          .cast("decimal(18,6)"))
+    val total = perSource.agg(sum("mean6").as("t6"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("weight",
+        round(col("mean6").cast("double") / col("t6").cast("double"), 6))
+      .withColumn("quota",
+        floor(col("mean6").cast("double") / col("t6").cast("double")
+          * budget).cast("long"))
+      .select(col("source"), col("n_docs"),
+        col("mean6").cast("double").as("mean_difficulty"),
+        col("weight"), col("quota"))
+      .orderBy("source")
+  }
+
+  /** Corpus DRIFT monitor — symmetric pair of smoothed KL divergences
+    * between the token distributions of the two corpus halves
+    * (doc_id parity = the stand-in for consecutive crawl snapshots;
+    * a production deployment passes two real snapshot dirs through the
+    * same shape). Add-one smoothing over the union vocabulary keeps
+    * every term finite; each p·ln(p/q) term is round-6 DECIMAL(18,6)
+    * so the per-source sums are exact and order-free. Rising KL across
+    * snapshots is the retrain-the-filters signal. One token count +
+    * one vocab-sized pass per source — linear, no pairwise anything. */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("source"), (col("doc_id") % 2).as("half"),
+        explode(col("ws")).as("w"))
+      .groupBy("source", "w")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.groupBy("source").agg(
+      sum("ca").as("na"), sum("cb").as("nb"), count(lit(1)).as("v"))
+    cnt.join(tot, "source")
+      .withColumn("pa", (col("ca") + lit(1.0)) / (col("na") + col("v")))
+      .withColumn("pb", (col("cb") + lit(1.0)) / (col("nb") + col("v")))
+      .withColumn("tab",
+        round(col("pa") * log(col("pa") / col("pb")), 6).cast("decimal(18,6)"))
+      .withColumn("tba",
+        round(col("pb") * log(col("pb") / col("pa")), 6).cast("decimal(18,6)"))
+      .groupBy("source")
+      .agg(min("v").as("vocab"),
+        sum("tab").as("ka"), sum("tba").as("kb"))
+      .select(col("source"), col("vocab"),
+        col("ka").cast("double").as("kl_ab"),
+        col("kb").cast("double").as("kl_ba"))
+      .orderBy("source")
+  }
+
   /** Tokenizer FERTILITY per source — BPE tokens emitted per word, the
     * standard tokenizer-evaluation metric (a fertility far above ~1.3
     * on a source means the vocabulary serves it badly and its effective

@@ -745,6 +745,50 @@ class OpsSpec extends SparkSpec {
         (r.getAs[Long]("n_registers"), r.getAs[Double]("est_distinct")))
   }
 
+  test("domain reweighting: single-source corpus takes the whole budget") {
+    val rows = TextAnalysis.domainReweight(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Double]("weight") === 1.0)
+    assert(r.getAs[Long]("quota") === 1000L)
+    assert(r.getAs[Long]("n_docs") === 5L)
+  }
+
+  test("domain reweighting: harder domains get proportionally more budget, quotas never oversubscribe") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("dorefix").toString
+    // srcA repeats one word (low surprisal); srcB is all-novel words
+    val docsA = (0L until 4L).map(i => (i * 2, "common common common common", "en", "a", 27L))
+    val docsB = (0L until 4L).map(i => (i * 2 + 1,
+      s"novel${i}x novel${i}y novel${i}z novel${i}w", "en", "b", 27L))
+    (docsA ++ docsB).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val w = TextAnalysis.domainReweight(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("weight"), r.getAs[Long]("quota"))).toMap
+    assert(w("b")._1 > w("a")._1, "the novel-word domain must out-weigh the repetitive one")
+    assert(math.abs(w.values.map(_._1).sum - 1.0) < 1e-4)
+    assert(w.values.map(_._2).sum <= 1000L, "floor quotas never oversubscribe")
+  }
+
+  test("corpus drift: identical halves sit near zero, disjoint halves far above") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("driftfix").toString
+    // stable: both halves draw the same text; drifted: the halves share
+    // no vocabulary at all
+    val stable = (0L until 8L).map(i => (i, "alpha beta gamma delta", "en", "stable", 22L))
+    val drifted = (0L until 8L).map(i => (100L + i,
+      if (i % 2 == 0) "oldword1 oldword2 oldword3 oldword4"
+      else "newword1 newword2 newword3 newword4", "en", "drifted", 35L))
+    (stable ++ drifted).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val k = TextAnalysis.corpusDrift(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("kl_ab"), r.getAs[Double]("kl_ba"))).toMap
+    assert(k("stable")._1 < 0.01 && k("stable")._2 < 0.01)
+    assert(k("drifted")._1 > 0.5 && k("drifted")._2 > 0.5)
+    // smoothed KL of proper distributions is nonnegative (mod rounding)
+    assert(k.values.forall(t => t._1 > -1e-4 && t._2 > -1e-4))
+  }
+
   test("bpe fertility: more merges never raise tokens-per-word, totals tie out") {
     val f10 = TextAnalysis.bpeFertility(spark, dir, numMerges = 10).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
