@@ -46,8 +46,9 @@ FAMILY_FILES = {
     ("dataset_card",): ["ops/TextAnalysis.scala", "ops/TextDedup.scala",
                         "ops/TextHashing.scala", "ops/GraphOps.scala",
                         "core/SessionCache.scala"],
-    ("contrastive_pairs",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
-                             "ops/GraphOps.scala", "core/SessionCache.scala"],
+    ("contrastive_",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
+                        "ops/GraphOps.scala", "ops/Similarity.scala",
+                        "core/SessionCache.scala"],
     ("knn_label_propagation", "mmr_rerank", "cluster_balanced_sample"): [
         "ops/Similarity.scala", "core/SessionCache.scala"],
     ("hll_gram_cardinality",): ["ops/TextAnalysis.scala", "ops/TextHashing.scala",

@@ -103,6 +103,10 @@ object SparkEntry {
     // near-dup pair = (anchor, positive); deterministic pool negative
     "contrastive_pairs" -> ((s: SparkSession, d: String) =>
       TextDedup.contrastivePairs(s, d)),
+    // the embedding-training upgrade over random negatives: highest-
+    // cosine neighbor OUTSIDE the anchor's near-dup cluster
+    "contrastive_hard_negatives" -> ((s: SparkSession, d: String) =>
+      TextDedup.contrastiveHardNegatives(s, d)),
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
     "dedup_simhash" -> (TextDedup.simhash _),
     "dedup_simhash_clusters" -> (TextDedup.simhashClusters _),
@@ -1278,6 +1282,26 @@ object SparkEntry {
          |pick AS (SELECT doc_a, doc_b, neg_id,
          |  row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY nk, neg_id) AS rn FROM cnd)
          |SELECT doc_a, doc_b, neg_id FROM pick WHERE rn = 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors TextDedup.contrastiveHardNegatives: same pair/cluster
+    // algebra + the auto-sized sign buckets; hard negative = top-cosine
+    // same-bucket vector outside the anchor's cluster
+    "contrastive_hard_negatives" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |${docComponentsCtes("mhp")},
+         |clus AS (SELECT doc_id, cluster_rep FROM allc JOIN rep USING (comp)),
+         |$EmbAutoBucketCte,
+         |anc AS (SELECT m.doc_a, m.doc_b, a.cluster_rep, b.v AS av, b.bkt AS abkt
+         |  FROM mhp m JOIN clus a ON a.doc_id = m.doc_a JOIN bkt b ON b.vec_id = m.doc_a),
+         |hcand AS (SELECT anc.doc_a, anc.doc_b, nbr.vec_id AS neg_id,
+         |    round(list_cosine_similarity(anc.av, nbr.v), 6) AS neg_cos
+         |  FROM anc JOIN bkt nbr ON nbr.bkt = anc.abkt
+         |  JOIN clus nc ON nc.doc_id = nbr.vec_id
+         |  WHERE nc.cluster_rep <> anc.cluster_rep),
+         |hpick AS (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY neg_cos DESC, neg_id) AS rn FROM hcand)
+         |SELECT doc_a, doc_b, neg_id, neg_cos FROM hpick WHERE rn = 1
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // same cluster algebra, split drawn from md5("split:" || rep)/2^60

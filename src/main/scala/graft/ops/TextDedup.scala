@@ -372,6 +372,50 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** ANN-mined HARD negatives for the contrastive pairs — the upgrade
+    * every embedding-training recipe makes over random negatives: the
+    * negative should be semantically CLOSE to the anchor yet verifiably
+    * not a duplicate, so the model learns the boundary instead of the
+    * obvious. For each verified (anchor, positive) MinHash pair, the
+    * hard negative is the highest-cosine embedding neighbor of the
+    * anchor among vectors OUTSIDE the anchor's near-dup cluster
+    * (rounded-cosine order, id tie-break); the positive is in the
+    * anchor's cluster by construction, so it can never be chosen.
+    *
+    * Plan shape: anchors are pair-table-sized; candidates come from the
+    * SAME auto-sized sign-bucket equality join as the near-dup family
+    * (per-anchor work ~bucket population, never corpus), then one
+    * per-pair window. An anchor whose bucket holds only its own cluster
+    * drops — no honest hard negative exists there and the oracle's
+    * inner join agrees. */
+  def contrastiveHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val clusters = minhashClusters(spark, dir).select("doc_id", "cluster_rep")
+    val e = Similarity.emb(spark, dir)
+    val bits = Similarity.autoNBits(e.count())
+    val eb = e.withColumn("bkt", Similarity.bucket(col("v"), bits))
+    val anchors = pairs
+      .join(clusters.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(eb.select(col("vec_id").as("doc_a"), col("v").as("av"),
+        col("nrm").as("anrm"), col("bkt")), "doc_a")
+    val w = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("neg_cos").desc, col("neg_id").asc)
+    anchors
+      .join(eb.select(col("vec_id").as("neg_id"), col("v").as("nv"),
+        col("nrm").as("nnrm"), col("bkt")), Seq("bkt"))
+      .join(clusters.select(col("doc_id").as("neg_id"),
+        col("cluster_rep").as("neg_rep")), "neg_id")
+      .filter(col("neg_rep") =!= col("cluster_rep"))
+      .withColumn("neg_cos",
+        round(Similarity.cosineWithNorms(col("av"), col("nv"),
+          col("anrm"), col("nnrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_a", "doc_b", "neg_id", "neg_cos")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Corpus-level n-gram duplication profile — the RefinedWeb-style
     * corpus-health panel: how much of the corpus's distinct n-gram mass
     * appears in more than one document. Distinct grams bucket by their

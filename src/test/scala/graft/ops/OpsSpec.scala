@@ -745,6 +745,38 @@ class OpsSpec extends SparkSpec {
         (r.getAs[Long]("n_registers"), r.getAs[Double]("est_distinct")))
   }
 
+  test("hard negatives: semantically-closest out-of-cluster vector, never the positive") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("hnegfix").toString
+    // docs 0/1 are the near-dup pair; 2 and 3 are distinct singletons
+    Seq((0L, "the quick brown fox jumps over the lazy dog again today", "en", "s", 55L),
+        (1L, "the quick brown fox leaps over the lazy dog again today", "en", "s", 55L),
+        (2L, "completely different content about spark query engines and storage", "en", "s", 66L),
+        (3L, "unrelated text on streaming watermarks and checkpoint recovery", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // embeddings: 0 and 1 colinear (one cluster); 2 shares 0's sign
+    // bucket but is NOT its duplicate (the intended hard negative);
+    // 3 lives in another bucket entirely
+    val base = (1 to 64).map(i => math.sin(i.toDouble).toFloat).toArray
+    val near = base.zipWithIndex.map { case (x, i) =>
+      (x + (if (i % 7 == 0) 0.05f * math.signum(x) else 0.0f)) }
+    val far = (1 to 64).map(i => -math.sin(i.toDouble).toFloat).toArray
+    Seq((0L, base, 0), (1L, base.map(_ * 2.0f), 0), (2L, near, 1), (3L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = TextDedup.contrastiveHardNegatives(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.contains((0L, 1L)), s"the near-dup pair must surface: $rows")
+    assert(rows((0L, 1L)) === 2L,
+      "the hard negative is the close-but-out-of-cluster vector, not the positive")
+    // the negative is never inside the anchor's cluster
+    val clusters = TextDedup.minhashClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (((a, _), n) <- rows)
+      assert(clusters(n) !== clusters(a), s"negative $n shares $a's cluster")
+  }
+
   test("domain reweighting: single-source corpus takes the whole budget") {
     val rows = TextAnalysis.domainReweight(spark, dir).collect()
     assert(rows.length === 1)
