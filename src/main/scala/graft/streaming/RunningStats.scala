@@ -80,6 +80,64 @@ object RunningStats {
   final case class PriceJump(
       token: String, prev_price: Double, price: Double, jump_pct: Double)
 
+  /** Welford running-variance state: last price plus (n, mean, M2) of
+    * the token's return history — fixed width per token, like every
+    * state record here. */
+  final case class AdaptState(lastPrice: Double, n: Long, mean: Double, m2: Double)
+
+  final case class AdaptiveJump(token: String, price: Double, ret: Double, z: Double)
+
+  /** ADAPTIVE anomaly bands — the streaming face of
+    * MarketQueries.priceJumps' batch 3σ detector: instead of a fixed
+    * percentage threshold (priceJumpAlerts), each token's alert band is
+    * ±nSigma running standard deviations of ITS OWN return history,
+    * maintained incrementally with Welford's algorithm in keyed state.
+    * A volatile instrument needs a big move to alert; a quiet one
+    * alerts on small ones — no per-instrument tuning. A return is
+    * tested against the history BEFORE it is absorbed (the alert asks
+    * "is this surprising given the past", and one outlier must not
+    * widen the band that judges it). Warm-up: silent until `minObs`
+    * returns are absorbed; σ = 0 (constant history) never alerts.
+    * State is four numbers per token; within-batch rows are imposed
+    * into (ts, seq) order like the fixed-threshold detector. */
+  def adaptiveJumpAlerts(
+      spark: SparkSession, ticks: DataFrame,
+      minObs: Int = 5, nSigma: Double = 3.0): Dataset[AdaptiveJump] = {
+    import spark.implicits._
+    def detect(
+        token: String,
+        rows: Iterator[TickLite],
+        state: GroupState[AdaptState]): Iterator[AdaptiveJump] = {
+      val out = Seq.newBuilder[AdaptiveJump]
+      var st = state.getOption
+      rows.toSeq.sortBy(t => (t.tsUs, t.seq)).foreach { t =>
+        st match {
+          case None =>
+            st = Some(AdaptState(t.price, 0L, 0.0, 0.0))
+          case Some(s) =>
+            val r = t.price - s.lastPrice
+            if (s.n >= minObs) {
+              val sd = math.sqrt(s.m2 / s.n)
+              if (sd > 0.0 && math.abs(r - s.mean) > nSigma * sd)
+                out += AdaptiveJump(token, t.price, r,
+                  math.rint((r - s.mean) / sd * 1e4) / 1e4)
+            }
+            val n1 = s.n + 1
+            val d = r - s.mean
+            val mean1 = s.mean + d / n1
+            st = Some(AdaptState(t.price, n1, mean1, s.m2 + d * (r - mean1)))
+        }
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+    liteOf(ticks)
+      .as[TickLite]
+      .groupByKey(_.token)
+      .flatMapGroupsWithState[AdaptState, AdaptiveJump](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(detect _)
+  }
+
   /** Keyed anomaly detection — the flatMapGroupsWithState rung: unlike
     * mapGroupsWithState (exactly one row per key per trigger), a quiet
     * token emits NOTHING and a volatile one emits one alert per jump.

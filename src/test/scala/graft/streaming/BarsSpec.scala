@@ -207,4 +207,43 @@ class BarsSpec extends SparkSpec {
       "within-batch rows must be processed in event-time order")
     assert(b.getAs[Double]("price") === 200.0)
   }
+
+  test("adaptive jump alerts: per-token Welford bands, warm-up silence, cross-batch state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Tick]
+    val q = RunningStats.adaptiveJumpAlerts(spark, stream.toDF(), minObs = 5)
+      .writeStream.format("memory").queryName("adaptive_alerts_test")
+      .outputMode("append").start()
+
+    // token A: alternating +/-1 returns (sd ~ 1), then a +10 outlier;
+    // token B: constant price (sd = 0) must NEVER alert
+    val pricesA = Seq(100.0, 101.0, 100.0, 101.0, 100.0, 101.0)
+    pricesA.zipWithIndex.foreach { case (p, i) =>
+      stream.addData(tick("A", i + 1, T0 + i * 1000, p))
+      stream.addData(tick("B", i + 1, T0 + i * 1000, 50.0))
+    }
+    q.processAllAvailable() // five returns absorbed: warm-up, silent
+    assert(spark.table("adaptive_alerts_test").isEmpty,
+      "warm-up and in-band moves must stay silent")
+    // the outlier arrives in a LATER batch: state must span batches
+    stream.addData(tick("A", 7, T0 + 6000, 111.0), tick("B", 7, T0 + 6000, 50.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val alerts = spark.table("adaptive_alerts_test").collect()
+    assert(alerts.length === 1, s"exactly the outlier alerts: ${alerts.toSeq}")
+    val a = alerts.head
+    assert(a.getAs[String]("token") === "A")
+    assert(a.getAs[Double]("price") === 111.0)
+    assert(a.getAs[Double]("ret") === 10.0)
+    // offline Welford replay of the 5 warm-up returns gives the exact z
+    val rets = pricesA.zip(pricesA.tail).map { case (x, y) => y - x }
+    var (n, mean, m2) = (0L, 0.0, 0.0)
+    rets.foreach { r =>
+      n += 1; val d = r - mean; mean += d / n; m2 += d * (r - mean)
+    }
+    val z = math.rint((10.0 - mean) / math.sqrt(m2 / n) * 1e4) / 1e4
+    assert(a.getAs[Double]("z") === z)
+  }
 }
