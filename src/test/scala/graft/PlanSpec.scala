@@ -142,6 +142,38 @@ class PlanSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("round-11 continuation operators: cartesian-free, bucket joins stay equality joins") {
+    // scalar-attach crossJoin(broadcast(1-row)) is the intended shape
+    // for the stats/total attaches (curriculum, reweight) — only
+    // CartesianProduct is banned there; the bucket-join family gets the
+    // stricter no-nested-loop gate
+    for (df <- Seq(
+        graft.ops.Similarity.knnLabelPropagation(spark, dir),
+        graft.ops.Similarity.clusterBalancedSample(spark, dir),
+        graft.ops.TextDedup.contrastiveHardNegatives(spark, dir),
+        graft.ops.TextDedup.ngramDuplicationProfile(spark, dir),
+        graft.ops.TextAnalysis.hllGramCardinality(spark, dir),
+        graft.ops.TextAnalysis.tokenEntropy(spark, dir),
+        graft.ops.TextAnalysis.bpeFertility(spark, dir),
+        graft.ops.TextAnalysis.corpusDrift(spark, dir),
+        MarketQueries.priceJumps(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    }
+    // the KNN vote and the hard-negative mine join on the sign bucket —
+    // equality hash joins, never a nested loop over the corpus
+    for (df <- Seq(
+        graft.ops.Similarity.knnLabelPropagation(spark, dir),
+        graft.ops.TextDedup.contrastiveHardNegatives(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+      assert(p.contains("HashJoin"), s"no hash join in:\n$p")
+    }
+    // per-vector top-k pushes into the window operator
+    assert(plan(graft.ops.Similarity.knnLabelPropagation(spark, dir))
+      .contains("WindowGroupLimit"))
+  }
+
   test("semantic decontamination: bench side broadcasts, corpus never shuffles") {
     val p = plan(Similarity.semanticDecontamination(spark, dir))
     // the eval-suite side is bounded; the corpus leg must stream once
