@@ -67,7 +67,7 @@ FAMILY_FILES = {
     ("ann_", "similarity_", "embedding_", "label_centroids", "semantic_clusters"): [
         "ops/Similarity.scala", "ops/ScalarQuant.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],
-    ("bm25_", "hybrid_"): [
+    ("bm25_", "hybrid_", "rag_context"): [
         "ops/TextRanking.scala", "ops/Similarity.scala", "core/SessionCache.scala"],
     ("temperature_mix", "quota_sample", "weighted_sample", "pack_shards",
      "epoch_repeat"): ["ops/Mixing.scala"],

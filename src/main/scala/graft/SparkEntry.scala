@@ -251,6 +251,10 @@ object SparkEntry {
     // reciprocal-rank fusion of the BM25 and exact-cosine rank lists
     "hybrid_rrf" -> ((s: SparkSession, d: String) =>
       TextRanking.hybridRrfTopK(s, d, Seq(0L, 1L, 2L), 10)),
+    // serving-side composition: hybrid top-5 packed into a 256-word
+    // context budget in fused-rank order
+    "rag_context" -> ((s: SparkSession, d: String) =>
+      TextRanking.ragContext(s, d)),
     // same fusion with the vector leg routed through the composed
     // IVF+PQ probe instead of the exact scan — the 100 TB shape (both
     // legs pruned probes); kEach=5/nprobe=2/shortlist=20 reuse the
@@ -2133,6 +2137,33 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rn FROM f)
          |SELECT qid, doc_id, rrf_score FROM r WHERE rn <= 10
          |ORDER BY qid, rrf_score DESC, doc_id""".stripMargin,
+
+    // mirrors TextRanking.ragContext: the hybrid_rrf fusion at k = 5,
+    // then greedy word-budget packing in fused-rank order (256 words)
+    "rag_context" ->
+      s"""WITH $Bm25Cte,
+         |$Bm25MultiCtes,
+         |b20 AS (SELECT qid, doc_id, bm_rank FROM br WHERE bm_rank <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+         |sc AS (SELECT qid, vec_id AS doc_id, round(list_cosine_similarity(qv, v), 6) AS cos_sim
+         |  FROM q JOIN e ON vec_id <> qid),
+         |ar AS (SELECT qid, doc_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, doc_id) AS ann_rank FROM sc),
+         |a20 AS (SELECT qid, doc_id, ann_rank FROM ar WHERE ann_rank <= 20),
+         |f AS (SELECT coalesce(b.qid, a.qid) AS qid, coalesce(b.doc_id, a.doc_id) AS doc_id,
+         |  CAST(coalesce(CAST(round(1.0 / (60 + b.bm_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+         |     + coalesce(CAST(round(1.0 / (60 + a.ann_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score
+         |  FROM b20 b FULL OUTER JOIN a20 a ON a.qid = b.qid AND a.doc_id = b.doc_id),
+         |r AS (SELECT qid, doc_id, rrf_score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rn FROM f),
+         |topk AS (SELECT qid, doc_id, rn AS rank FROM r WHERE rn <= 5),
+         |wc AS (SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS n_words FROM documents),
+         |cw AS (SELECT t.qid, t.rank, t.doc_id, w.n_words,
+         |  CAST(sum(w.n_words) OVER (PARTITION BY t.qid ORDER BY t.rank) AS BIGINT) AS cum_words
+         |  FROM topk t JOIN wc w USING (doc_id))
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, n_words, cum_words
+         |FROM cw WHERE cum_words <= 256 ORDER BY qid, rank""".stripMargin,
 
     "hybrid_rrf_ann" ->
       s"""WITH $Bm25Cte,

@@ -581,4 +581,34 @@ object TextRanking {
       .select("qid", "doc_id", "rrf_score")
       .orderBy(col("qid"), col("rrf_score").desc, col("doc_id"))
   }
+
+  /** RAG CONTEXT ASSEMBLY — the serving-side composition the retrieval
+    * stack exists for: per query, take the hybrid-RRF top-k, then pack
+    * documents into the context in fused-rank order until a word
+    * budget is spent (a document that would overflow the budget is cut
+    * and nothing after it enters — the standard greedy context
+    * packer). Emits the packed list with per-doc and cumulative word
+    * counts so the caller can see exactly what filled the window.
+    *
+    * Plan shape: the retrieval legs are the hybrid plan (bucket-pruned
+    * BM25 + vector top-k); the packing adds one doc-length projection
+    * join and a per-query running sum over ≤ k rows — bounded windows
+    * only, nothing corpus-wide. */
+  def ragContext(spark: SparkSession, dir: String,
+                 qids: Seq[Long] = Seq(0L, 1L, 2L), k: Int = 5,
+                 budgetWords: Long = 256L): DataFrame = {
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    val wCum = Window.partitionBy("qid").orderBy("rank")
+    val top = hybridRrfTopK(spark, dir, qids, k)
+      .withColumn("rank", row_number().over(wRank))
+    val wc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(TextHashing.words(col("text"))).cast("long").as("n_words"))
+    top.join(wc, "doc_id")
+      .withColumn("cum_words", sum("n_words").over(wCum))
+      .filter(col("cum_words") <= budgetWords)
+      .select("qid", "rank", "doc_id", "n_words", "cum_words")
+      .orderBy("qid", "rank")
+  }
 }

@@ -82,6 +82,31 @@ class TextRankingSpec extends SparkSpec {
     assert(top > 1.0 / 61.0)
   }
 
+  test("rag context: budget-prefix of the fused ranking, cumulative sums exact") {
+    val top = TextRanking.hybridRrfTopK(spark, dir, Seq(0L), 5).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val wordsOf = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty).toLong).toMap
+    val packed = TextRanking.ragContext(spark, dir, Seq(0L), k = 5, budgetWords = 1000L)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("cum_words")))
+    // a generous budget packs the whole top-k, in fused order
+    assert(packed.map(_._2).toSeq === top)
+    // cumulative sums are exact running totals of the doc word counts
+    var cum = 0L
+    for ((_, d, nw, cw) <- packed) {
+      assert(nw === wordsOf(d)); cum += nw; assert(cw === cum)
+    }
+    // a budget below the first doc's length packs nothing; a budget of
+    // exactly the first two docs cuts after rank 2 (prefix semantics)
+    assert(TextRanking.ragContext(spark, dir, Seq(0L), 5,
+      budgetWords = wordsOf(top.head) - 1).count() === 0L)
+    val two = wordsOf(top.head) + wordsOf(top(1))
+    assert(TextRanking.ragContext(spark, dir, Seq(0L), 5, budgetWords = two)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq === top.take(2))
+  }
+
   test("hybrid rrf ann routing: probe-all composed leg == exact leg, auto prefers the pruned probe") {
     val brute = TextRanking.hybridRrfTopK(spark, dir, Seq(0L), 3, kEach = 4).collect()
     // probe-all + corpus-wide shortlist makes the composed leg exact
