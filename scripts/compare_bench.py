@@ -56,8 +56,8 @@ FAMILY_FILES = {
     ("curriculum_assign", "token_entropy"): ["ops/TextAnalysis.scala",
                                              "ops/TextHashing.scala"],
     ("bpe_fertility",): ["ops/TextAnalysis.scala", "ops/TextHashing.scala"],
-    ("domain_reweight", "corpus_drift"): ["ops/TextAnalysis.scala",
-                                          "ops/TextHashing.scala"],
+    ("domain_reweight", "corpus_drift", "length_buckets", "charset_stats"): [
+        "ops/TextAnalysis.scala", "ops/TextHashing.scala"],
     ("price_jumps",): ["queries/MarketQueries.scala"],
     ("ngram_dup_profile",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
                              "core/SessionCache.scala"],

@@ -862,6 +862,53 @@ def check_corpus_drift(sf_dir, out_dir):
     return len(mine)
 
 
+def check_length_buckets(sf_dir, out_dir):
+    buckets = {}
+    for _doc_id, text in load_docs(sf_dir):
+        n = len(_words(text))
+        if n == 0:
+            continue
+        b = 1
+        while b < n:
+            b <<= 1
+        nd, wm = buckets.get(b, (0, 0))
+        buckets[b] = (nd + 1, wm + n)
+    rows = [(b, nd, wm, b * nd, _round6_half_up((b * nd - wm) / (b * nd)))
+            for b, (nd, wm) in sorted(buckets.items())]
+    mine = pd.DataFrame(rows, columns=["bucket", "n_docs", "word_mass",
+                                       "padded_mass", "waste_share"])
+    mine["waste_share"] = mine["waste_share"].astype(float)
+    got = spark(out_dir, "length_buckets") \
+        .sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_charset_stats(sf_dir, out_dir):
+    import re as _re
+    from decimal import Decimal, ROUND_HALF_UP
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    agg = {}
+    for r in docs.itertuples():
+        t = r.text
+        na = sum(1 for ch in t if ord(ch) > 0x7F)
+        cc = len(_re.findall("[\x00-\x08\x0b\x0c\x0e-\x1f]", t))
+        rc = t.count("�")
+        s = agg.setdefault(r.source, [0, 0, 0, 0])
+        s[0] += len(t); s[1] += na; s[2] += cc; s[3] += rc
+    rows = [(src, n, na, cc, rc,
+             float(Decimal(repr(na / n)).quantize(Decimal("0.0001"),
+                                                  ROUND_HALF_UP)))
+            for src, (n, na, cc, rc) in sorted(agg.items())]
+    mine = pd.DataFrame(rows, columns=["source", "n_chars", "non_ascii",
+                                       "control_chars", "replacement_chars",
+                                       "non_ascii_share"])
+    got = spark(out_dir, "charset_stats") \
+        .sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
@@ -898,7 +945,11 @@ def main(sf_dir, out_dir):
                lambda: check_bpe_fertility(sf_dir, out_dir)),
               ("domain_reweight",
                lambda: check_domain_reweight(sf_dir, out_dir)),
-              ("corpus_drift", lambda: check_corpus_drift(sf_dir, out_dir))]
+              ("corpus_drift", lambda: check_corpus_drift(sf_dir, out_dir)),
+              ("length_buckets",
+               lambda: check_length_buckets(sf_dir, out_dir)),
+              ("charset_stats",
+               lambda: check_charset_stats(sf_dir, out_dir))]
     n_fail = 0
     for name, fn in checks:
         try:

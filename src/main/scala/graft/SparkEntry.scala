@@ -164,6 +164,12 @@ object SparkEntry {
     // source next to the exact count it approximates
     "hll_gram_cardinality" -> ((s: SparkSession, d: String) =>
       TextAnalysis.hllGramCardinality(s, d)),
+    // padding-waste accounting for sequence bucketing: power-of-two
+    // word-length buckets with per-bucket waste share
+    "length_buckets" -> (TextAnalysis.lengthBuckets _),
+    // charset health per source: non-ASCII share, control chars,
+    // U+FFFD replacement chars (the double-decode fingerprint)
+    "charset_stats" -> (TextAnalysis.charsetStats _),
     // DoReMi-lite: difficulty-proportional domain mixture weights +
     // integer quotas for a 1000-doc budget
     "domain_reweight" -> ((s: SparkSession, d: String) =>
@@ -1677,6 +1683,34 @@ object SparkEntry {
          |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1)
          |SELECT doc_id, n_words, CAST(nll AS DOUBLE) AS nll_sum,
          |  CAST(nll AS DOUBLE) / n_words AS nll_avg FROM ds ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.lengthBuckets: descending-priority CASE =
+    // the Scala fold (largest matching power of two wins)
+    "length_buckets" -> {
+      val chain = (24 to 1 by -1)
+        .map(k => s"WHEN n_words > ${1L << (k - 1)} THEN ${1L << k}").mkString(" ")
+      s"""WITH w AS (SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS n_words FROM documents),
+         |b AS (SELECT doc_id, n_words, CAST(CASE $chain ELSE 1 END AS BIGINT) AS bucket FROM w WHERE n_words > 0),
+         |g AS (SELECT bucket, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS word_mass FROM b GROUP BY 1)
+         |SELECT bucket, n_docs, word_mass, bucket * n_docs AS padded_mass,
+         |  round((bucket * n_docs - word_mass) / (bucket * n_docs), 6) AS waste_share
+         |FROM g ORDER BY bucket""".stripMargin
+    },
+
+    // mirrors TextAnalysis.charsetStats (regexp_replace needs the 'g'
+    // flag in DuckDB; length() counts code points in both engines)
+    "charset_stats" ->
+      """WITH c AS (SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS non_ascii,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS control_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '�', '', 'g')) AS BIGINT) AS replacement_chars
+        |  FROM documents),
+        |g AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars, CAST(sum(non_ascii) AS BIGINT) AS non_ascii,
+        |  CAST(sum(control_chars) AS BIGINT) AS control_chars, CAST(sum(replacement_chars) AS BIGINT) AS replacement_chars
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_chars, non_ascii, control_chars, replacement_chars,
+        |  round(CAST(non_ascii AS DOUBLE) / n_chars, 4) AS non_ascii_share
+        |FROM g ORDER BY source""".stripMargin,
 
     // mirrors TextAnalysis.domainReweight: round-6 per-doc difficulty,
     // re-rounded per-source mean, exact cross-source decimal total

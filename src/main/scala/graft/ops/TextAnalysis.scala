@@ -726,6 +726,62 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** LENGTH-BUCKET packing panel — the padding-waste accounting behind
+    * sequence bucketing: documents group into power-of-two word-length
+    * buckets (a training batch pads every sequence to its bucket size),
+    * and the panel reports per-bucket doc counts, real word mass, and
+    * the padding waste share a bucketed batcher would pay. High waste
+    * in a bucket says to split it; the panel is one narrow projection
+    * + a ≤log₂(maxlen)-row aggregate. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // bucket = smallest power of two >= n_words (ceil via bit length)
+    val n = size(words(col("text"))).cast("long")
+    val bucket = (1 to 24).foldLeft(lit(1L)) { (acc, k) =>
+      when(col("n_words") > lit(1L << (k - 1)), lit(1L << k)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .select(col("doc_id"), n.as("n_words"))
+      .filter(col("n_words") > 0)
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("word_mass"))
+      .withColumn("padded_mass", col("bucket") * col("n_docs"))
+      .withColumn("waste_share",
+        round((col("padded_mass") - col("word_mass")) / col("padded_mass"), 6))
+      .select("bucket", "n_docs", "word_mass", "padded_mass", "waste_share")
+      .orderBy("bucket")
+  }
+
+  /** CHARSET health stats per source — the mojibake/control-character
+    * cleaning signal: share of non-ASCII characters, count of control
+    * characters (tab/newline excluded), and U+FFFD replacement-char
+    * occurrences (the classic double-decode fingerprint). Pure
+    * regex/length arithmetic, embarrassingly parallel, round-4 shares. */
+  def charsetStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))).cast("long")
+          .as("non_ascii"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+          .cast("long").as("control_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "�", ""))).cast("long")
+          .as("replacement_chars"))
+      .groupBy("source")
+      .agg(sum("n_chars").as("n_chars"),
+        sum("non_ascii").as("non_ascii"),
+        sum("control_chars").as("control_chars"),
+        sum("replacement_chars").as("replacement_chars"))
+      .withColumn("non_ascii_share",
+        round(col("non_ascii").cast("double") / col("n_chars"), 4))
+      .select("source", "n_chars", "non_ascii", "control_chars",
+        "replacement_chars", "non_ascii_share")
+      .orderBy("source")
+
   /** Difficulty-proportional DOMAIN REWEIGHTING (DoReMi-lite, after
     * Xie et al. 2023's domain-reweighting idea with a deterministic
     * surprisal proxy instead of a trained reference model): a source's

@@ -777,6 +777,41 @@ class OpsSpec extends SparkSpec {
       assert(clusters(n) !== clusters(a), s"negative $n shares $a's cluster")
   }
 
+  test("length buckets: ceil-power-of-two assignment, waste identity holds") {
+    val rows = TextAnalysis.lengthBuckets(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val lens = TextDedup.docs(spark, dir).collect()
+      .map(_.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty).toLong)
+      .filter(_ > 0)
+    def ceilPow2(n: Long): Long = { var b = 1L; while (b < n) b <<= 1; b }
+    val expected = lens.groupBy(ceilPow2).view
+      .mapValues(ls => (ls.length.toLong, ls.sum)).toMap
+    assert(rows.map(_._1).toSet === expected.keySet)
+    for ((b, (nd, wm, pm, ws)) <- rows) {
+      assert((nd, wm) === expected(b))
+      assert(pm === b * nd, "padded mass identity")
+      assert(math.abs(ws - (pm - wm).toDouble / pm) < 1e-6)
+    }
+  }
+
+  test("charset stats: planted mojibake and control chars are counted exactly") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("charfix").toString
+    // 2 non-ASCII (é, ñ), 1 control (), 2 replacement chars
+    Seq((0L, "café niño", "en", "s", 9L),
+        (1L, "badctl ��", "en", "s", 9L),
+        (2L, "plain ascii only", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.charsetStats(spark, d).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // é, ñ and the two U+FFFD are all non-ASCII (4 total)
+    assert(row.getAs[Long]("non_ascii") === 4L)
+    assert(row.getAs[Long]("control_chars") === 1L)
+    assert(row.getAs[Long]("replacement_chars") === 2L)
+  }
+
   test("domain reweighting: single-source corpus takes the whole budget") {
     val rows = TextAnalysis.domainReweight(spark, dir).collect()
     assert(rows.length === 1)
