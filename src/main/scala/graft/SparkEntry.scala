@@ -283,6 +283,10 @@ object SparkEntry {
     // the composed batch pipeline end-to-end: keep-best dedup ->
     // quality gate -> holdout + exact decontamination -> chunking
     "pipeline_training_manifest" -> (CurationPipeline.trainingManifest _),
+    // the composed training layout: manifest survivors banded into
+    // z-score curriculum phases (survivor-only statistics) + md5 shards
+    "pipeline_curriculum_manifest" -> ((s: SparkSession, d: String) =>
+      CurationPipeline.curriculumManifest(s, d)),
     // the streaming gates under the oracle: 3 sequential micro-batches
     // through processBatch with REAL persisted fp/band/sig indexes
     "curation_replay" -> (CurationPipeline.curationReplay _),
@@ -2293,6 +2297,51 @@ object SparkEntry {
          |  FROM cy GROUP BY doc_id)
          |SELECT ca.doc_id, clean.quality_score, ca.n_chunks, ca.n_tokens
          |FROM ca JOIN clean USING (doc_id) ORDER BY ca.doc_id""".stripMargin,
+
+    // mirrors CurationPipeline.curriculumManifest: the manifest's
+    // survivor set (CTE `clean`), full-corpus surprisal lexicon,
+    // z-bands from survivor-only statistics
+    "pipeline_curriculum_manifest" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |${docComponentsCtes("mhp")},
+         |cl AS (SELECT doc_id, cluster_rep, cluster_size FROM allc JOIN rep USING (comp)),
+         |qb AS (SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS n_words,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio
+         |  FROM documents),
+         |qq AS (SELECT doc_id, round(least(CAST(1.0 AS DOUBLE), n_words / 50.0) * (CAST(1.0 AS DOUBLE) - punct_ratio), 4) AS quality_score FROM qb),
+         |rk AS (SELECT cl.doc_id, cluster_rep, cluster_size, qq.quality_score,
+         |  row_number() OVER (PARTITION BY cluster_rep ORDER BY qq.quality_score DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN qq ON qq.doc_id = cl.doc_id),
+         |kp AS (SELECT rk.doc_id, rk.quality_score FROM rk JOIN qb ON qb.doc_id = rk.doc_id
+         |  WHERE rk.rn = 1 AND rk.quality_score >= 0.3
+         |    AND qb.n_words BETWEEN 20 AND 5000 AND rk.doc_id % 20 <> 0),
+         |gl AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-12), i -> array_to_string(list_slice(ws, i, i+12), ' ')) END AS garr FROM wrd WHERE len(ws) > 0),
+         |g AS (SELECT DISTINCT doc_id, unnest(garr) AS gram FROM gl),
+         |flagged AS (SELECT DISTINCT cg.doc_id FROM g cg
+         |  JOIN (SELECT gram FROM g WHERE doc_id % 20 = 0) bg USING (gram)
+         |  WHERE cg.doc_id % 20 <> 0),
+         |clean AS (SELECT k.doc_id, k.quality_score FROM kp k
+         |  LEFT JOIN flagged f ON f.doc_id = k.doc_id WHERE f.doc_id IS NULL),
+         |cu_t AS (SELECT doc_id, unnest(ws) AS w FROM wrd),
+         |cu_lex AS (SELECT w, count(*) AS c FROM cu_t GROUP BY 1),
+         |cu_st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cu_lex),
+         |cu_sc AS (SELECT doc_id, CAST(round(-ln((CAST(c AS DOUBLE) + 1.0) / CAST(n + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s
+         |  FROM cu_t JOIN cu_lex USING (w) CROSS JOIN cu_st),
+         |cu_ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM cu_sc GROUP BY 1),
+         |cu_davg AS (SELECT d.doc_id, CAST(round(CAST(nll AS DOUBLE) / n_words, 6) AS DECIMAL(18,6)) AS d6
+         |  FROM cu_ds d JOIN clean USING (doc_id)),
+         |cu_stats AS (SELECT count(*) AS n, sum(d6) AS sd, sum(d6 * d6) AS sd2 FROM cu_davg),
+         |cu_j AS (SELECT doc_id, CAST(d6 AS DOUBLE) AS difficulty,
+         |  CAST(sd AS DOUBLE) / n AS mean, CAST(sd2 AS DOUBLE) / n AS ex2 FROM cu_davg CROSS JOIN cu_stats)
+         |SELECT doc_id, difficulty,
+         |  CASE WHEN difficulty < mean - sqrt(ex2 - mean * mean) THEN 1
+         |       WHEN difficulty < mean THEN 2
+         |       WHEN difficulty < mean + sqrt(ex2 - mean * mean) THEN 3
+         |       ELSE 4 END AS phase,
+         |  CAST(${md5LongSql("'cur:' || doc_id")} % 16 AS INTEGER) AS shard
+         |FROM cu_j ORDER BY doc_id""".stripMargin,
 
     "curation_replay" -> curationReplaySql(nBatches = 3, threshold = 0.2),
     "curation_replay_decontam" ->

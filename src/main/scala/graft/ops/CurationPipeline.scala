@@ -603,4 +603,21 @@ object CurationPipeline {
       .select("doc_id", "quality_score", "n_chunks", "n_tokens")
       .orderBy("doc_id")
   }
+
+  /** CURRICULUM over the curated manifest — the composed layout a
+    * training job actually consumes: the [[trainingManifest]] survivors
+    * (deduped, quality-gated, holdout- and contamination-free) banded
+    * into z-score difficulty phases with md5 shards. Band statistics
+    * are computed over the SURVIVORS (the honest banding for what you
+    * train on — curation shifts the difficulty distribution, and bands
+    * from the raw corpus would mislabel the tails), while per-doc
+    * difficulty keeps the full-corpus lexicon like every surprisal
+    * face. One extra semi-join over curriculumAssign's plan; every
+    * stage rides the session caches the manifest already warmed. */
+  def curriculumManifest(spark: SparkSession, dir: String,
+                         nShards: Int = 16): DataFrame = {
+    val surv = trainingManifest(spark, dir).select("doc_id")
+    TextAnalysis.zBandAssign(
+      TextAnalysis.unigramSurprisal(spark, dir).join(surv, "doc_id"), nShards)
+  }
 }

@@ -897,8 +897,15 @@ object TextAnalysis {
     * honest trade for scale, and the shard key (md5) balances within
     * phases regardless. */
   def curriculumAssign(spark: SparkSession, dir: String,
-                       nShards: Int = 16): DataFrame = {
-    val diff = unigramSurprisal(spark, dir)
+                       nShards: Int = 16): DataFrame =
+    zBandAssign(unigramSurprisal(spark, dir), nShards)
+
+  /** The z-band + shard stage of [[curriculumAssign]], factored so a
+    * pipeline can band a RESTRICTED difficulty table (e.g. the training
+    * manifest's survivors) with the band statistics computed over
+    * exactly the docs being banded. Input needs (doc_id, nll_avg). */
+  private[ops] def zBandAssign(sur: DataFrame, nShards: Int): DataFrame = {
+    val diff = sur
       .select(col("doc_id"),
         round(col("nll_avg"), 6).cast("decimal(18,6)").as("d6"))
     val stats = diff.agg(

@@ -70,6 +70,29 @@ class OpsSpec extends SparkSpec {
     assert(m.forall(r => r.getLong(2) >= 1 && r.getLong(3) >= r.getLong(2)))
   }
 
+  test("curriculum manifest: exactly the survivors are banded, with survivor-only statistics") {
+    val td = "/root/testdata/sf0.001"
+    val surv = CurationPipeline.trainingManifest(spark, td).collect()
+      .map(_.getLong(0)).toSet
+    val banded = CurationPipeline.curriculumManifest(spark, td).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2), r.getInt(3))).toMap
+    assert(banded.keySet === surv, "banded set must be exactly the manifest survivors")
+    // phases are monotone in difficulty and the thresholds come from
+    // SURVIVOR statistics: recompute mean/sigma over the banded set
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val d6 = banded.view.mapValues(v => dec6(v._1)).toMap
+    val n = d6.size
+    val mean = d6.values.sum.toDouble / n
+    val ex2 = d6.values.map(v => v * v).sum.toDouble / n
+    val sdev = math.sqrt(ex2 - mean * mean)
+    for ((id, (dd, p, sh)) <- banded) {
+      val expect = if (dd < mean - sdev) 1 else if (dd < mean) 2
+        else if (dd < mean + sdev) 3 else 4
+      assert(p === expect, s"doc $id phase $p != survivor-stats band $expect")
+      assert(sh >= 0 && sh < 16)
+    }
+  }
+
   test("leakage-free split: a near-dup cluster never straddles splits") {
     val s = TextDedup.leakageFreeSplit(spark, dir).collect()
     assert(s.length === 5, "every doc gets a split")
