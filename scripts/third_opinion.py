@@ -698,7 +698,10 @@ def check_curriculum_assign(sf_dir, out_dir, n_shards=16):
         if not ws:
             continue
         nll = sum(sur[w] for w in ws)
-        d6[doc_id] = _round6_half_up(float(nll) / len(ws))
+        # the engines' PORTABLE round-6: floor(x*1e6 + 0.5)/1e6 in IEEE
+        d6[doc_id] = Decimal(repr(
+            math.floor(float(nll) / len(ws) * 1e6 + 0.5) / 1e6)) \
+            .quantize(Decimal("0.000001"))
     n = len(d6)
     mean = float(sum(d6.values())) / n
     ex2 = float(sum(d * d for d in d6.values())) / n
@@ -805,6 +808,7 @@ def check_bpe_fertility(sf_dir, out_dir, num_merges=10):
 
 def check_domain_reweight(sf_dir, out_dir, budget=1000):
     import math
+    from decimal import Decimal
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
     cnt = {}
     for r in docs.itertuples():
@@ -813,15 +817,19 @@ def check_domain_reweight(sf_dir, out_dir, budget=1000):
     n_tot, v = sum(cnt.values()), len(cnt)
     sur = {w: _round6_half_up(-math.log((c + 1.0) / float(n_tot + v)))
            for w, c in cnt.items()}
+    def _r6p(x):
+        # the engines' portable round-6: floor(x*1e6 + 0.5)/1e6 in IEEE
+        return Decimal(repr(math.floor(x * 1e6 + 0.5) / 1e6)) \
+            .quantize(Decimal("0.000001"))
     per_src = {}
     for r in docs.itertuples():
         ws = _words(r.text)
         if not ws:
             continue
-        d6 = _round6_half_up(float(sum(sur[w] for w in ws)) / len(ws))
+        d6 = _r6p(float(sum(sur[w] for w in ws)) / len(ws))
         nd, sd = per_src.get(r.source, (0, 0))
         per_src[r.source] = (nd + 1, sd + d6)
-    mean6 = {s: _round6_half_up(float(sd) / nd) for s, (nd, sd) in per_src.items()}
+    mean6 = {s: _r6p(float(sd) / nd) for s, (nd, sd) in per_src.items()}
     t6 = float(sum(mean6.values()))
     rows = [(s, per_src[s][0], float(mean6[s]),
              float(_round6_half_up(float(mean6[s]) / t6)),

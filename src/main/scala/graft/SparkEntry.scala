@@ -1725,10 +1725,10 @@ object SparkEntry {
          |sc AS (SELECT doc_id, CAST(round(-ln((CAST(c AS DOUBLE) + 1.0) / CAST(n + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s
          |  FROM t JOIN lex USING (w) CROSS JOIN st),
          |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1),
-         |davg AS (SELECT doc_id, CAST(round(CAST(nll AS DOUBLE) / n_words, 6) AS DECIMAL(18,6)) AS d6 FROM ds),
+         |davg AS (SELECT doc_id, CAST(floor(CAST(nll AS DOUBLE) / n_words * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS d6 FROM ds),
          |ps AS (SELECT d.source, count(*) AS n_docs, sum(v.d6) AS sd
          |  FROM davg v JOIN documents d USING (doc_id) GROUP BY 1),
-         |m AS (SELECT source, n_docs, CAST(round(CAST(sd AS DOUBLE) / n_docs, 6) AS DECIMAL(18,6)) AS mean6 FROM ps),
+         |m AS (SELECT source, n_docs, CAST(floor(CAST(sd AS DOUBLE) / n_docs * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS mean6 FROM ps),
          |tt AS (SELECT sum(mean6) AS t6 FROM m)
          |SELECT source, n_docs, CAST(mean6 AS DOUBLE) AS mean_difficulty,
          |  round(CAST(mean6 AS DOUBLE) / CAST(t6 AS DOUBLE), 6) AS weight,
@@ -1774,7 +1774,7 @@ object SparkEntry {
          |sc AS (SELECT doc_id, CAST(round(-ln((CAST(c AS DOUBLE) + 1.0) / CAST(n + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s
          |  FROM t JOIN lex USING (w) CROSS JOIN st),
          |ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM sc GROUP BY 1),
-         |davg AS (SELECT doc_id, CAST(round(CAST(nll AS DOUBLE) / n_words, 6) AS DECIMAL(18,6)) AS d6 FROM ds),
+         |davg AS (SELECT doc_id, CAST(floor(CAST(nll AS DOUBLE) / n_words * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS d6 FROM ds),
          |stats AS (SELECT count(*) AS n, sum(d6) AS sd, sum(d6 * d6) AS sd2 FROM davg),
          |j AS (SELECT doc_id, CAST(d6 AS DOUBLE) AS difficulty,
          |  CAST(sd AS DOUBLE) / n AS mean, CAST(sd2 AS DOUBLE) / n AS ex2 FROM davg CROSS JOIN stats)
@@ -2330,7 +2330,7 @@ object SparkEntry {
          |cu_sc AS (SELECT doc_id, CAST(round(-ln((CAST(c AS DOUBLE) + 1.0) / CAST(n + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s
          |  FROM cu_t JOIN cu_lex USING (w) CROSS JOIN cu_st),
          |cu_ds AS (SELECT doc_id, count(*) AS n_words, sum(s) AS nll FROM cu_sc GROUP BY 1),
-         |cu_davg AS (SELECT d.doc_id, CAST(round(CAST(nll AS DOUBLE) / n_words, 6) AS DECIMAL(18,6)) AS d6
+         |cu_davg AS (SELECT d.doc_id, CAST(floor(CAST(nll AS DOUBLE) / n_words * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS d6
          |  FROM cu_ds d JOIN clean USING (doc_id)),
          |cu_stats AS (SELECT count(*) AS n, sum(d6) AS sd, sum(d6 * d6) AS sd2 FROM cu_davg),
          |cu_j AS (SELECT doc_id, CAST(d6 AS DOUBLE) AS difficulty,

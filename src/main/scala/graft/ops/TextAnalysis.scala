@@ -799,13 +799,13 @@ object TextAnalysis {
                      budget: Int = 1000): DataFrame = {
     val diff = unigramSurprisal(spark, dir)
       .select(col("doc_id"),
-        round(col("nll_avg"), 6).cast("decimal(18,6)").as("d6"))
+        round6Portable(col("nll_avg")).cast("decimal(18,6)").as("d6"))
     val perSource = docs(spark, dir).select("doc_id", "source")
       .join(diff, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("d6").as("sd"))
       .withColumn("mean6",
-        round(col("sd").cast("double") / col("n_docs"), 6)
+        round6Portable(col("sd").cast("double") / col("n_docs"))
           .cast("decimal(18,6)"))
     val total = perSource.agg(sum("mean6").as("t6"))
     perSource.crossJoin(broadcast(total))
@@ -900,6 +900,17 @@ object TextAnalysis {
                        nShards: Int = 16): DataFrame =
     zBandAssign(unigramSurprisal(spark, dir), nShards)
 
+  /** PORTABLE half-up round-6 for doubles: floor(x·10⁶ + 0.5)/10⁶ —
+    * three IEEE ops that land on identical bits in Spark and DuckDB.
+    * Needed where the rounded value feeds a COMPARISON: `nll_avg` is a
+    * 6-dp decimal sum over a small integer, so its 7th digit is OFTEN
+    * exactly 5 (any n_words ∈ {2,4,5,…}), and on those ties Spark's
+    * HALF_UP-on-shortest-repr and DuckDB's multiply-based round()
+    * disagree by 1e-6 — enough to flip a z-band phase (found by the
+    * sf0.1 gate; sf0.01 survived by luck). Positive inputs only. */
+  private[ops] def round6Portable(c: Column): Column =
+    floor(c * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+
   /** The z-band + shard stage of [[curriculumAssign]], factored so a
     * pipeline can band a RESTRICTED difficulty table (e.g. the training
     * manifest's survivors) with the band statistics computed over
@@ -907,7 +918,7 @@ object TextAnalysis {
   private[ops] def zBandAssign(sur: DataFrame, nShards: Int): DataFrame = {
     val diff = sur
       .select(col("doc_id"),
-        round(col("nll_avg"), 6).cast("decimal(18,6)").as("d6"))
+        round6Portable(col("nll_avg")).cast("decimal(18,6)").as("d6"))
     val stats = diff.agg(
       count(lit(1)).as("n"),
       sum("d6").as("sd"),
