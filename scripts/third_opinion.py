@@ -475,6 +475,150 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
+def check_cms_heavy_hitters(sf_dir, out_dir, d=4, w=256, k=20):
+    import hashlib
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt, cells = {}, {}
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    for r in docs.itertuples():
+        for word in _words(r.text):
+            cnt[word] = cnt.get(word, 0) + 1
+            for i in range(d):
+                key = (i, h60(f"cm{i}:{word}") % w)
+                cells[key] = cells.get(key, 0) + 1
+    top = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:k]
+    rows = [(word, c,
+             min(cells[(i, h60(f"cm{i}:{word}") % w)] for i in range(d)))
+            for word, c in top]
+    mine = pd.DataFrame(
+        [(word, c, e, e - c) for word, c, e in rows],
+        columns=["word", "exact_count", "cms_estimate", "overcount"])
+    got = spark(out_dir, "cms_heavy_hitters").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_ewma_prices(sf_dir, out_dir, tokens=(1, 7, 42, 99)):
+    ev = load_events(sf_dir)
+    ev = ev[ev.user_id.isin(tokens)]
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = list(g.value)
+        for i in range(15, len(v)):
+            # the engines' exact IEEE term order (dyadic divisors)
+            acc = v[i] / 2
+            for j in range(1, 15):
+                acc += v[i - j] / (1 << (j + 1))
+            acc += v[i - 15] / 32768
+            rows.append((int(g.event_id[i]), acc))
+    mine = dict(rows)
+    got = spark(out_dir, "ewma_prices")
+    assert len(got) == len(mine)
+    for r in got.itertuples():
+        assert mine[int(r.event_id)] == r.ewma, \
+            f"event {r.event_id}: {mine[int(r.event_id)]} != {r.ewma}"
+    return len(mine)
+
+
+def check_vwap_daily(sf_dir, out_dir):
+    import json as _json
+    import math
+    from decimal import Decimal
+    ev = load_events(sf_dir)
+    agg = {}
+    for r in ev.itertuples():
+        k = int(_json.loads(r.props)["k"])
+        p = Decimal(repr(r.value)).quantize(Decimal("0.01"))
+        key = (int(r.user_id), str(pd.Timestamp(r.ts).date()))
+        n, q, pv = agg.get(key, (0, 0, Decimal(0)))
+        agg[key] = (n + 1, q + k, pv + p * k)
+    rows = [(u, d, n, q, math.floor(float(pv) / q * 1e6 + 0.5) / 1e6)
+            for (u, d), (n, q, pv) in agg.items() if q > 0]
+    mine = pd.DataFrame(rows, columns=["user_id", "date", "n_trades", "qty", "vwap"]) \
+        .sort_values(["user_id", "date"]).reset_index(drop=True)
+    got = spark(out_dir, "vwap_daily") \
+        .sort_values(["user_id", "date"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_tfidf_keywords(sf_dir, out_dir, k=3, emit_every=100):
+    import math
+    from decimal import Decimal
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_doc, dfreq = {}, {}
+    for r in docs.itertuples():
+        ws = _words(r.text)
+        if not ws:
+            continue
+        seen = {}
+        for w in ws:
+            seen[w] = seen.get(w, 0) + 1
+        per_doc[int(r.doc_id)] = seen
+        for w in seen:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    n = len(per_doc)
+    rows = []
+    for d in sorted(per_doc):
+        if d % emit_every:
+            continue
+        cand = []
+        for w, c in per_doc[d].items():
+            # the engines' portable round-6 of ln(N/df), then EXACT
+            # decimal tf x idf so ordering cannot drift
+            idf6 = Decimal(repr(
+                math.floor(math.log(n / dfreq[w]) * 1e6 + 0.5) / 1e6)) \
+                .quantize(Decimal("0.000001"))
+            s = c * idf6
+            cand.append((-s, w, float(s)))
+        cand.sort()
+        rows.extend((d, i, w, s) for i, (_, w, s) in enumerate(cand[:k], 1))
+    mine = pd.DataFrame(rows, columns=["doc_id", "rk", "word", "score"])
+    got = spark(out_dir, "tfidf_keywords") \
+        .sort_values(["doc_id", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns],
+                                  mine.reset_index(drop=True),
+                                  check_dtype=False)
+    return len(mine)
+
+
+def check_decontamination_bloom(sf_dir, out_dir, n=13):
+    # independent exact 13-gram containment; the bloom stage must be
+    # invisible in the rows
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    grams = {}
+    for r in docs.itertuples():
+        ws = _words(r.text)
+        if not ws:
+            continue
+        g = {" ".join(ws)} if len(ws) < n else \
+            {" ".join(ws[i:i + n]) for i in range(len(ws) - (n - 1))}
+        grams[int(r.doc_id)] = g
+    bench_of = {}  # gram -> bench ids containing it (inverted, tiny)
+    for b, bg in grams.items():
+        if b % 20 != 0:
+            continue
+        for g in bg:
+            bench_of.setdefault(g, []).append(b)
+    rows = []
+    for d, g in grams.items():
+        if d % 20 == 0:
+            continue
+        hits = {}
+        for gr in g:
+            for b in bench_of.get(gr, ()):
+                hits[b] = hits.get(b, 0) + 1
+        rows.extend((d, b, h) for b, h in hits.items())
+    mine = pd.DataFrame(rows, columns=["doc_id", "bench_id", "n_hits"]) \
+        .sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+    got = spark(out_dir, "decontamination_bloom") \
+        .sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_decontamination_semantic(sf_dir, out_dir, threshold=0.35, bench_cap=2000):
     import numpy as np
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -933,6 +1077,14 @@ def main(sf_dir, out_dir):
               ("shuffle_shards", lambda: check_shuffle_shards(sf_dir, out_dir)),
               ("decontamination_semantic",
                lambda: check_decontamination_semantic(sf_dir, out_dir)),
+              ("decontamination_bloom",
+               lambda: check_decontamination_bloom(sf_dir, out_dir)),
+              ("tfidf_keywords",
+               lambda: check_tfidf_keywords(sf_dir, out_dir)),
+              ("cms_heavy_hitters",
+               lambda: check_cms_heavy_hitters(sf_dir, out_dir)),
+              ("ewma_prices", lambda: check_ewma_prices(sf_dir, out_dir)),
+              ("vwap_daily", lambda: check_vwap_daily(sf_dir, out_dir)),
               ("bpe_encode", lambda: check_bpe_encode(sf_dir, out_dir)),
               ("text_perplexity_bigram",
                lambda: check_text_perplexity_bigram(sf_dir, out_dir)),

@@ -40,6 +40,10 @@ object SparkEntry {
     // anomaly face of the window family: per-token 3-sigma return
     // outliers with z-scores, band edges from exact decimal sums
     "price_jumps" -> (M.priceJumps _),
+    // 16-tick dyadic EWMA (bit-identical cross-engine, no rounding)
+    "ewma_prices" -> (M.ewmaPrices _),
+    // daily VWAP with props.k as trade size (exact decimal p x q)
+    "vwap_daily" -> (M.vwapDaily _),
     "set_ops" -> (M.setOps _),
     "rollup_stats" -> (M.rollupStats _),
     "distinct_counts" -> (M.distinctCounts _),
@@ -91,6 +95,9 @@ object SparkEntry {
     // exact 13-gram containment (the verbatim-quote complement of the
     // banded near-dup flagger above)
     "decontamination_ngram" -> (TextDedup.decontaminationNgram _),
+    // same rows via the bloom-prefiltered plan (no corpus-gram shuffle;
+    // candidates only) — the gate pins that the bloom stage is lossless
+    "decontamination_bloom" -> (TextDedup.decontaminationBloom _),
     // embedding-space decontamination: cosine-to-benchmark over a
     // broadcast bench side (catches paraphrases the shingle flaggers miss)
     "decontamination_semantic" -> ((s: SparkSession, d: String) =>
@@ -164,6 +171,10 @@ object SparkEntry {
     // source next to the exact count it approximates
     "hll_gram_cardinality" -> ((s: SparkSession, d: String) =>
       TextAnalysis.hllGramCardinality(s, d)),
+    // count-min sketch estimates beside exact counts for the top-20
+    // words (the frequency twin of the HLL panel)
+    "cms_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.cmsHeavyHitters(s, d)),
     // padding-waste accounting for sequence bucketing: power-of-two
     // word-length buckets with per-bucket waste share
     "length_buckets" -> (TextAnalysis.lengthBuckets _),
@@ -188,6 +199,10 @@ object SparkEntry {
     // vocabulary-diversity panel: per-source Shannon token entropy +
     // top-token share (boilerplate detector)
     "token_entropy" -> (TextAnalysis.tokenEntropy _),
+    // top-3 tf-idf keywords per sampled doc (corpus df over the FULL
+    // corpus; portable-rounded idf feeds the ordering)
+    "tfidf_keywords" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tfidfKeywords(s, d)),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
@@ -1022,6 +1037,42 @@ object SparkEntry {
         |FROM j WHERE abs(CAST(r6 AS DOUBLE) - mean) > CAST(3.0 AS DOUBLE) * sdev
         |ORDER BY event_id""".stripMargin,
 
+    // mirrors MarketQueries.ewmaPrices: dyadic weights are exponent
+    // shifts and the 16-term addition chain is the same left-to-right
+    // IEEE sequence in both engines — NO output rounding needed
+    "ewma_prices" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value,
+        |  row_number() OVER win AS rn,
+        |  lag(value, 1) OVER win AS l1, lag(value, 2) OVER win AS l2,
+        |  lag(value, 3) OVER win AS l3, lag(value, 4) OVER win AS l4,
+        |  lag(value, 5) OVER win AS l5, lag(value, 6) OVER win AS l6,
+        |  lag(value, 7) OVER win AS l7, lag(value, 8) OVER win AS l8,
+        |  lag(value, 9) OVER win AS l9, lag(value, 10) OVER win AS l10,
+        |  lag(value, 11) OVER win AS l11, lag(value, 12) OVER win AS l12,
+        |  lag(value, 13) OVER win AS l13, lag(value, 14) OVER win AS l14,
+        |  lag(value, 15) OVER win AS l15
+        |  FROM events WHERE user_id IN (1,7,42,99)
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |  value/2 + l1/4 + l2/8 + l3/16 + l4/32 + l5/64 + l6/128 + l7/256
+        |  + l8/512 + l9/1024 + l10/2048 + l11/4096 + l12/8192 + l13/16384
+        |  + l14/32768 + l15/32768 AS ewma
+        |FROM l WHERE rn >= 16 ORDER BY event_id""".stripMargin,
+
+    // mirrors MarketQueries.vwapDaily: exact DECIMAL(10,2) x k products,
+    // order-free sums, portable round-6 on the quotient (ORACLE.md's
+    // guaranteed-tie case: a decimal sum divided by an integer)
+    "vwap_daily" ->
+      """WITH t AS (SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(value AS DECIMAL(10,2)) AS p FROM events),
+        |g AS (SELECT user_id, date, count(*) AS n_trades,
+        |  CAST(sum(k) AS BIGINT) AS qty, sum(p * k) AS pv_sum
+        |  FROM t GROUP BY 1, 2)
+        |SELECT user_id, date, n_trades, qty,
+        |  floor(CAST(pv_sum AS DOUBLE) / qty * 1000000.0 + 0.5) / 1000000.0 AS vwap
+        |FROM g WHERE qty > 0 ORDER BY user_id, date""".stripMargin,
+
     "set_ops" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT SELECT user_id FROM events WHERE event_type = 'error'
@@ -1234,6 +1285,19 @@ object SparkEntry {
     // short docs contribute their whole text as one gram, hits = distinct
     // shared grams per (training doc, benchmark doc) pair)
     "decontamination_ngram" ->
+      s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |gl AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-12), i -> array_to_string(list_slice(ws, i, i+12), ' ')) END AS garr FROM wrd WHERE len(ws) > 0),
+         |g AS (SELECT DISTINCT doc_id, unnest(garr) AS gram FROM gl),
+         |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
+         |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 20 = 0)
+         |SELECT c.doc_id, b.bench_id, count(*) AS n_hits
+         |FROM c JOIN b USING (gram)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // bloom-prefiltered variant: the bloom stage is a lossless plan
+    // optimization, so the oracle is the SAME exact-containment SQL
+    "decontamination_bloom" ->
       s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
          |gl AS (SELECT doc_id, CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
          |  ELSE list_transform(generate_series(1, len(ws)-12), i -> array_to_string(list_slice(ws, i, i+12), ' ')) END AS garr FROM wrd WHERE len(ws) > 0),
@@ -1503,6 +1567,26 @@ object SparkEntry {
          |  exact_distinct
          |FROM e1 JOIN ex ON e1.source = ex.source ORDER BY e1.source""".stripMargin
     },
+
+    // mirrors TextAnalysis.cmsHeavyHitters: d=4 x w=256 md5 counter
+    // grid, estimate = min over the word's four cells, top-20 by exact
+    // count (word tie-break) measured against its own sketch
+    "cms_heavy_hitters" ->
+      s"""WITH wrd AS (SELECT $WordsSql AS ws FROM documents),
+         |tok AS (SELECT unnest(ws) AS w FROM wrd),
+         |ex AS (SELECT w, count(*) AS exact_count FROM tok GROUP BY 1),
+         |top AS (SELECT * FROM ex ORDER BY exact_count DESC, w LIMIT 20),
+         |hs AS (SELECT w, r.i,
+         |  ${md5LongSql("concat('cm', CAST(r.i AS VARCHAR), ':', w)")} % 256 AS bucket
+         |  FROM tok CROSS JOIN range(4) r(i)),
+         |c AS (SELECT i, bucket, count(*) AS cell FROM hs GROUP BY 1, 2),
+         |tb AS (SELECT DISTINCT t.w, t.exact_count, h.i, h.bucket
+         |  FROM top t JOIN hs h USING (w)),
+         |est AS (SELECT w, exact_count, min(cell) AS cms_estimate
+         |  FROM tb JOIN c USING (i, bucket) GROUP BY 1, 2)
+         |SELECT w AS word, exact_count, cms_estimate,
+         |  cms_estimate - exact_count AS overcount
+         |FROM est ORDER BY exact_count DESC, word""".stripMargin,
 
     // mirrors Similarity.knnLabelPropagation: same auto-sized sign
     // buckets, 5 nearest labeled neighbors per held-out vector
@@ -1798,6 +1882,24 @@ object SparkEntry {
          |SELECT source, n AS n_tokens, vocab, CAST(ent AS DOUBLE) AS entropy_nats,
          |  round(CAST(cmax AS DOUBLE) / n, 6) AS top_share
          |FROM e JOIN tot USING (source) ORDER BY source""".stripMargin,
+
+    // mirrors TextAnalysis.tfidfKeywords: tf x portable-round-6 idf as
+    // exact decimals (the product and the ordering cannot drift);
+    // row_number is BIGINT in DuckDB -> CAST AS INT per the playbook
+    "tfidf_keywords" ->
+      s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM wrd),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         |sc AS (SELECT doc_id, w,
+         |  CAST(CAST(tf AS DECIMAL(12,0)) * CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS score
+         |  FROM tf JOIN dfreq USING (w) CROSS JOIN nd
+         |  WHERE doc_id % 100 = 0),
+         |r AS (SELECT doc_id, w, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk FROM sc)
+         |SELECT doc_id, CAST(rk AS INT) AS rk, w AS word, CAST(score AS DOUBLE) AS score
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // mirrors TextAnalysis.qualityRules: same rounded metrics as
     // text_quality/text_repetition, CASE over the identical comparisons

@@ -592,6 +592,84 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Count-Min heavy hitters — the frequency twin of the HLL panel,
+    * completing the mergeable-sketch family: a d x w counter grid
+    * (md5-derived row hashes, cell = how many corpus tokens land
+    * there), point estimate = min over the d cells a word hashes to.
+    * The defining property — estimate >= true count, overcount bounded
+    * by collisions — is emitted beside the exact count so the panel
+    * measures its own sketch error, exactly like hllGramCardinality.
+    *
+    * Why it matters at 100 TB: the cell table is d x w COUNTERS
+    * regardless of corpus size (map-side partial aggregation does all
+    * the work; the shuffle carries <= d*w rows per partition), where an
+    * exact word count shuffles the whole vocabulary. The exact side
+    * here is the fixture's ground truth; a real deployment keeps only
+    * the grid. Everything is md5 arithmetic — deterministic, oracle-
+    * mirrorable, no sampling. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, d: Int = 4,
+                      w: Int = 256, k: Int = 20): DataFrame = {
+    require(d >= 1 && w >= 1, s"d=$d, w=$w must be positive")
+    val toks = docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(explode(col("ws")).as("w"))
+    val hashes = array((0 until d).map(i =>
+      pmod(md5Long(concat(lit(s"cm$i:"), col("w"))), lit(w.toLong))): _*)
+    val cells = toks.select(posexplode(hashes).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cell"))
+    val top = toks.groupBy("w").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("w")).limit(k)
+    top.select(col("w"), col("exact_count"),
+        posexplode(hashes).as(Seq("row", "bucket")))
+      .join(broadcast(cells), Seq("row", "bucket"))
+      .groupBy("w", "exact_count")
+      .agg(min("cell").as("cms_estimate"))
+      .select(col("w").as("word"), col("exact_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overcount"))
+      .orderBy(col("exact_count").desc, col("word"))
+  }
+
+  /** TF-IDF keyword extraction — the top-k CHARACTERISTIC words per
+    * document (classic tf x ln(N/df)), the lightweight tagging/topic
+    * signal next to the BM25 index (same statistic family, per-doc
+    * face instead of per-query). Corpus statistics (document frequency,
+    * doc count) are computed over the WHOLE corpus; the query face
+    * emits every `emitEvery`-th doc so the dump stays bounded while the
+    * heavy stages stay full-width.
+    *
+    * Determinism: idf = round6-portable(ln(N/df)) as DECIMAL(18,6)
+    * (it feeds the top-k ORDERING, so the portable round — see
+    * round6Portable's note), score = tf x idf6 as an EXACT decimal
+    * product; rank ties break on the word. Scale shape: one token
+    * explode, two count aggregates, one vocab-keyed equality join
+    * (the postings-join class), and a per-doc window — no stage sees
+    * more than (corpus tokens, vocab) and nothing is driver-sized. */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3,
+                    emitEvery: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val wnd = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("w"))
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("doc_id") % emitEvery === 0)
+      .withColumn("idf6",
+        round6Portable(log(col("n_docs").cast("double") / col("df")))
+          .cast("decimal(18,6)"))
+      .withColumn("score",
+        (col("tf").cast("decimal(12,0)") * col("idf6")).cast("decimal(18,6)"))
+      .withColumn("rk", row_number().over(wnd))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("w").as("word"),
+        col("score").cast("double").as("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Interpolated BIGRAM-LM surprisal — the full CCNet-style perplexity
     * signal (unigramSurprisal is its backoff floor): per token,
     * p = lambda * c(prev,w)/c(prev,*) + (1-lambda) * (c(w)+1)/(N+V),

@@ -325,6 +325,77 @@ object TextDedup {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Bloom-PREFILTERED exact decontamination — the 100 TB plan shape
+    * for `exactNgramContamination`, same rows out. The exact path's one
+    * scale weakness is `docGrams(corpus).distinct()`: it shuffles the
+    * ENTIRE corpus gram set (13-word strings, ~13x the corpus bytes)
+    * just to dedup before the broadcast join, even though ~all grams
+    * match nothing. Here the benchmark side (tiny by definition — an
+    * eval suite doesn't grow with the training corpus) is folded into a
+    * Bloom filter over xxhash64(gram) (Spark's own
+    * `BloomFilterAggregate`, the runtime-filter machinery), shipped to
+    * the corpus scan as a FOLDABLE binary literal, and every corpus
+    * gram is tested by `BloomFilterMightContain` BEFORE the distinct —
+    * so the only shuffle carries the ~fpp-sized candidate set. False
+    * positives die at the exact string-equality join that follows; the
+    * result is provably identical to the unfiltered path
+    * (BloomPrefilterSpec asserts both).
+    *
+    * Driver state is bounded: the collected bloom is one binary row of
+    * `optimalNumOfBits(|bench grams|, fpp)` bits (~1.2 MB per million
+    * benchmark grams at fpp=0.01) — bench-sized, never corpus-sized. */
+  def bloomNgramContamination(corpus: DataFrame, bench: DataFrame,
+                              n: Int = 13, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    import org.apache.spark.util.sketch.BloomFilter
+
+    require(n >= 1, s"n=$n must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
+    val benchGrams = docGrams(bench, "bench_id", n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = benchGrams.count() // sizes the bit array; also the empty guard
+      if (m == 0L) // nothing to decontaminate against; schema-stable empty
+        return corpus.select(col("doc_id"), col("doc_id").as("bench_id"),
+          lit(0L).as("n_hits")).limit(0)
+      val numBits = math.max(64L, BloomFilter.optimalNumOfBits(m, fpp))
+      val bfBytes = benchGrams
+        .agg(Bridge.column(new BloomFilterAggregate(
+          Bridge.expression(xxhash64(col("gram"))),
+          Literal.create(m, LongType),
+          Literal.create(numBits, LongType))).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Literal.create(bfBytes, BinaryType),
+        Bridge.expression(xxhash64(col("gram")))))
+      corpus
+        .withColumn("ws", words(col("text")))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), explode(ngramsOf(col("ws"), n)).as("gram"))
+        .filter(mightContain) // BEFORE distinct: the shuffle carries candidates only
+        .distinct()
+        .join(broadcast(benchGrams), "gram") // exact confirm kills bloom FPs
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id", "bench_id")
+    } finally benchGrams.unpersist(blocking = false)
+  }
+
+  /** Bloom decontamination as an oracle-checkable query: same split and
+    * n as `decontaminationNgram`, so the DuckDB oracle is the same
+    * exact-containment SQL — the bloom stage must be invisible in the
+    * rows (the `dedup_ngram_ppjoin` precedent: a lossless plan variant
+    * carries its own query face so the gate pins its losslessness). */
+  def decontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    bloomNgramContamination(
+      d.filter(col("doc_id") % 20 =!= 0),
+      d.filter(col("doc_id") % 20 === 0), n = 13)
+  }
+
   /** Distinct (id, n-gram) pairs of a docs-shaped frame. Zero-word docs
     * are skipped: the short-doc branch would emit the empty-string
     * gram, making one empty benchmark doc "contaminate" every empty

@@ -255,6 +255,59 @@ object MarketQueries {
       .orderBy("event_id")
   }
 
+  /** Truncated EWMA price indicator with DYADIC weights — the
+    * exponential-smoothing member of the window family. Weight of the
+    * tick j steps back is 2^-(j+1) (j = 0..14) with the tail weight
+    * 2^-15 doubled onto the oldest term so the 16 weights sum to
+    * EXACTLY 1. Dyadic weights make every product an exponent shift
+    * (no rounding) and the fixed left-to-right 16-term addition chain
+    * is the same IEEE sequence in Spark and DuckDB — the result is
+    * bit-identical cross-engine with NO output rounding at all (the
+    * ewma_half recipe: where a 0.3-style factor would diverge between
+    * binary and decimal engines, powers of two cannot). Only rows with
+    * a full 16-tick history emit. Plan shape: one per-token window —
+    * embarrassingly parallel over tokens, no global anything. */
+  def ewmaPrices(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ewma = (0 until 15)
+      .map(j => lag(col("value"), j).over(w) / lit(1L << (j + 1)))
+      .reduceLeft(_ + _) + lag(col("value"), 15).over(w) / lit(32768L)
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ewma", ewma)
+      .filter(col("rn") >= 16)
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+        col("value"), col("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** Daily VWAP per token — volume-weighted average price with the
+    * props.k payload as the trade size (F10's JSON decode feeding A-
+    * family aggregation). price x qty is an EXACT decimal product
+    * (value cast to DECIMAL(10,2) — the doubles are 2-dp prices, so
+    * the cast is unambiguous), the day's numerator/denominator are
+    * order-free decimal/integer sums, and the emitted vwap is the
+    * PORTABLE round-6 of their double quotient (it divides by an
+    * arbitrary integer, the guaranteed-tie case ORACLE.md documents).
+    * Days with zero total quantity are dropped rather than divided by.
+    * One hash aggregate on (token, day) — the daily_stats shape. */
+  def vwapDaily(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("pv", col("value").cast("decimal(10,2)") * col("k"))
+      .groupBy(col("user_id"), dateStr(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n_trades"), sum("k").as("qty"),
+        sum("pv").as("pv_sum"))
+      .filter(col("qty") > 0)
+      .withColumn("vwap",
+        floor(col("pv_sum").cast("double") / col("qty") * lit(1.0e6)
+          + lit(0.5)) / lit(1.0e6))
+      .select(col("user_id"), col("date"), col("n_trades"), col("qty"),
+        col("vwap"))
+      .orderBy("user_id", "date")
+
   /** §2.9: set operation — tokens that emitted both 'purchase' and
     * 'error' events (INTERSECT of two key sets). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

@@ -256,6 +256,48 @@ class InvarianceSpec extends SparkSpec {
     assert(flagged.nonEmpty, "sf0.001 must plant at least one jump")
   }
 
+  test("ewma prices: exhaustive dyadic recount is BIT-exact (==, no tolerance)") {
+    val got = MarketQueries.ewmaPrices(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val rows = MarketQueries.events(spark, dir)
+      .filter(col("user_id").isin(MarketQueries.Tokens: _*))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).flatMap { case (_, ts) =>
+      val v = ts.sortBy(t => (t._3, t._2))
+      (15 until v.length).map { i =>
+        // the engines' exact term order: newest/2 + ... + oldest/2^15 twice
+        var acc = v(i)._4 / 2
+        for (j <- 1 until 15) acc += v(i - j)._4 / (1L << (j + 1))
+        acc += v(i - 15)._4 / 32768L
+        v(i)._2 -> acc
+      }
+    }
+    assert(got.size === expected.size)
+    for ((eid, e) <- expected)
+      assert(got(eid) == e, s"event $eid: ${got(eid)} != $e (must be bit-exact)")
+  }
+
+  test("vwap daily: exact decimal recount of price x size sums") {
+    val got = MarketQueries.vwapDaily(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val rows = MarketQueries.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).cast("string"),
+        get_json_object(col("props"), "$.k").cast("long"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(t => (t._1, t._2)).flatMap { case (k, ts) =>
+      val qty = ts.map(_._3).sum
+      if (qty <= 0) None else {
+        val pv = ts.map(t => BigDecimal(t._4).setScale(2, BigDecimal.RoundingMode.HALF_UP) * t._3).sum
+        val vwap = math.floor(pv.toDouble / qty * 1.0e6 + 0.5) / 1.0e6
+        Some(k -> ((ts.length.toLong, qty, vwap)))
+      }
+    }
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("approx_count_distinct lands within its error bound") {
     val e = MarketQueries.events(spark, dir)
     val exact = e.select(countDistinct("user_id")).head().getLong(0)

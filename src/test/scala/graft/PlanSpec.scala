@@ -85,6 +85,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in contamination plan:\n$p")
   }
 
+  test("bloom decontamination: might_contain prefilter ahead of the candidate shuffle") {
+    val p = plan(TextDedup.decontaminationBloom(spark, dir))
+    assert(p.toLowerCase.contains("might_contain"),
+      s"expected the bloom prefilter on the corpus gram stream:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast confirm join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the confirm join must not shuffle the corpus at any scale:\n$p")
+    // the candidate distinct's shuffle must sit ABOVE the bloom filter
+    // (tree prints root-first, so upstream ops have LARGER indices):
+    // the shuffle carries only bloom survivors, never the raw gram set
+    val filterIdx = p.toLowerCase.indexOf("might_contain")
+    val shuffleIdx = p.indexOf("Exchange hashpartitioning")
+    assert(shuffleIdx >= 0, s"expected a candidate-set exchange:\n$p")
+    assert(filterIdx > shuffleIdx,
+      s"bloom filter must be upstream of the first shuffle:\n$p")
+  }
+
   test("similarity top-k: query side broadcast, no shuffle of the corpus for the join") {
     val p = plan(Similarity.bruteForceTopK(spark, dir))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

@@ -558,6 +558,76 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_words") === words.toLong)
   }
 
+  test("bloom decontamination == exact contamination, planted verbatim quote found") {
+    import spark.implicits._
+    // bench doc is exactly 13 words -> one gram; corpus doc 1 embeds it
+    // verbatim inside longer text, corpus doc 2 shares nothing
+    val bench = Seq((100L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu and a trailing suffix"),
+      (2L, "nothing shared with the benchmark at all in any window of " +
+        "thirteen consecutive words whatsoever here"))
+      .toDF("doc_id", "text")
+    val exact = TextDedup.exactNgramContamination(corpus, bench).collect()
+    val bloom = TextDedup.bloomNgramContamination(corpus, bench).collect()
+    assert(exact.map(_.toSeq).toSeq === bloom.map(_.toSeq).toSeq,
+      "the bloom prefilter must be lossless")
+    assert(exact.length === 1 && exact(0).getLong(0) === 1L &&
+      exact(0).getLong(1) === 100L && exact(0).getLong(2) === 1L)
+  }
+
+  test("bloom decontamination: empty benchmark -> schema-stable empty result") {
+    import spark.implicits._
+    val corpus = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = TextDedup.bloomNgramContamination(corpus, bench)
+    assert(out.columns.toSeq === Seq("doc_id", "bench_id", "n_hits"))
+    assert(out.count() === 0L)
+  }
+
+  test("bloom decontamination == exact on the fixture dir's %20 split") {
+    val a = TextDedup.decontaminationNgram(spark, dir).collect().map(_.toSeq)
+    val b = TextDedup.decontaminationBloom(spark, dir).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("cms heavy hitters: estimate never undercounts, degenerate grid counts everything") {
+    val rows = TextAnalysis.cmsHeavyHitters(spark, dir, k = 50).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_count"),
+        s"CMS undercounted ${r.getString(0)}")
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("cms_estimate") - r.getAs[Long]("exact_count"))
+    }
+    // exact ranking is by true count: "the" (4 occurrences) leads
+    assert(rows.head.getString(0) === "the" && rows.head.getLong(1) === 4L)
+    // d=1, w=1: every token lands in the single cell, so every
+    // estimate is the total token count — the degenerate bound
+    val total = TextAnalysis.docs(spark, dir).collect()
+      .map(_.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty)).sum
+    val degen = TextAnalysis.cmsHeavyHitters(spark, dir, d = 1, w = 1, k = 5).collect()
+    assert(degen.forall(_.getAs[Long]("cms_estimate") === total.toLong))
+  }
+
+  test("tfidf keywords: repeated common word vs unique word ranked by tf x idf") {
+    // fixture doc 0 (the only doc_id % 100 == 0): "the" appears twice
+    // with df=2 (docs 0,1), "jumps" once with df=1, everything else
+    // once with df=2 -> expect the(2 x ln 2.5) > jumps(ln 5) > the
+    // word-ascending first of the ln-2.5 pack ("again")
+    val rows = TextAnalysis.tfidfKeywords(spark, dir).collect()
+    assert(rows.forall(_.getLong(0) % 100 === 0L))
+    val d0 = rows.filter(_.getLong(0) === 0L)
+      .sortBy(_.getInt(1)).map(r => (r.getString(2), r.getDouble(3)))
+    assert(d0.map(_._1).toSeq === Seq("the", "jumps", "again"), d0.toSeq)
+    assert(math.abs(d0(0)._2 - 1.832582) < 1e-9) // 2 x round6(ln 2.5)
+    assert(math.abs(d0(1)._2 - 1.609438) < 1e-9) // round6(ln 5)
+    assert(math.abs(d0(2)._2 - 0.916291) < 1e-9) // round6(ln 2.5)
+  }
+
   test("semantic decontamination flags the vector colinear with the benchmark") {
     // fixture: vec 0 is the only benchmark vector (vec_id % 20 == 0);
     // vec 1 = 2 x vec 0 (cos exactly 1), vec 2 points elsewhere
