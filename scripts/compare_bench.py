@@ -59,8 +59,9 @@ FAMILY_FILES = {
     ("domain_reweight", "corpus_drift", "length_buckets", "charset_stats"): [
         "ops/TextAnalysis.scala", "ops/TextHashing.scala"],
     ("price_jumps", "ewma_prices", "vwap_daily"): ["queries/MarketQueries.scala"],
-    ("ngram_dup_profile",): ["ops/TextDedup.scala", "ops/TextHashing.scala",
-                             "core/SessionCache.scala"],
+    ("ngram_dup_profile", "pagerank_neardup"): [
+        "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
+        "core/SessionCache.scala"],
     ("dedup_", "simhash_", "decontamination"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],

@@ -475,6 +475,69 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
+def check_pagerank_neardup(sf_dir, out_dir, iters=5):
+    # recompute the power iteration in exact Decimal from the VERIFIED
+    # pair table (dedup_minhash's output, whose own oracle covers the
+    # pair mining) — validates the pagerank math independently
+    import math
+    from decimal import Decimal
+    pairs = spark(out_dir, "dedup_minhash")[["doc_a", "doc_b"]]
+    adj, deg = {}, {}
+    for r in pairs.itertuples():
+        a, b = int(r.doc_a), int(r.doc_b)
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    n = len(deg)
+    def r6(x):
+        return Decimal(repr(math.floor(x * 1e6 + 0.5) / 1e6)) \
+            .quantize(Decimal("0.000001"))
+    base, d85 = r6(0.15 / n), Decimal("0.85")
+    rank = {v: r6(1.0 / n) for v in deg}
+    for _ in range(iters):
+        contrib = {v: Decimal(0) for v in deg}
+        for v, ns in adj.items():
+            c = r6(float(rank[v]) / deg[v])
+            for u in ns:
+                contrib[u] += c
+        rank = {v: (base + d85 * contrib[v])
+                .quantize(Decimal("0.000001"), rounding="ROUND_HALF_UP")
+                for v in deg}
+    mine = pd.DataFrame(
+        sorted((v, deg[v], float(rank[v])) for v in deg),
+        columns=["doc_id", "deg", "pagerank"])
+    got = spark(out_dir, "pagerank_neardup").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_dedup_exact_normalized(sf_dir, out_dir):
+    import hashlib
+    import re as _re
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    groups = {}
+    for r in docs.itertuples():
+        t = r.text.lower()
+        # re.ASCII pins \s to the engines' ASCII class (Python's default
+        # \s would also eat U+00A0 etc. and diverge on mojibake docs)
+        norm = _re.sub(r"\s+", " ",
+                       _re.sub(r"[^a-z0-9\s]", "", t, flags=_re.ASCII),
+                       flags=_re.ASCII).strip()
+        h = hashlib.md5(norm.encode()).hexdigest()
+        raws, ids = groups.setdefault(h, (set(), []))
+        raws.add(hashlib.md5(t.encode()).hexdigest())
+        ids.append(int(r.doc_id))
+    rows = [(min(ids), h, len(ids), len(raws))
+            for h, (raws, ids) in groups.items()]
+    mine = pd.DataFrame(rows, columns=[
+        "keep_id", "content_hash", "n_dups", "n_raw_variants"]) \
+        .sort_values("keep_id").reset_index(drop=True)
+    got = spark(out_dir, "dedup_exact_normalized") \
+        .sort_values("keep_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_cms_heavy_hitters(sf_dir, out_dir, d=4, w=256, k=20):
     import hashlib
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -1083,6 +1146,10 @@ def main(sf_dir, out_dir):
                lambda: check_tfidf_keywords(sf_dir, out_dir)),
               ("cms_heavy_hitters",
                lambda: check_cms_heavy_hitters(sf_dir, out_dir)),
+              ("dedup_exact_normalized",
+               lambda: check_dedup_exact_normalized(sf_dir, out_dir)),
+              ("pagerank_neardup",
+               lambda: check_pagerank_neardup(sf_dir, out_dir)),
               ("ewma_prices", lambda: check_ewma_prices(sf_dir, out_dir)),
               ("vwap_daily", lambda: check_vwap_daily(sf_dir, out_dir)),
               ("bpe_encode", lambda: check_bpe_encode(sf_dir, out_dir)),

@@ -71,6 +71,14 @@ object SparkEntry {
     "supplier_summary" -> (R.supplierSummary _),
     // -- dedup family --
     "dedup_exact" -> (TextDedup.exact _),
+    // normalized exact dedup: punctuation/casing/whitespace variants
+    // collapse; n_raw_variants counts what the raw hash missed
+    "dedup_exact_normalized" -> (TextDedup.exactNormalized _),
+    // 5-iteration PageRank over the verified near-dup pair graph
+    // (exact-decimal power iteration; the centrality face of the
+    // dedup structure next to connected components)
+    "pagerank_neardup" -> ((s: SparkSession, d: String) =>
+      ops.GraphOps.pagerankNearDup(s, d)),
     "dedup_ngram" -> (TextDedup.ngramJaccard _),
     // PPJoin-grade lossless filtering: same output as dedup_ngram by
     // construction (the oracle IS the unfiltered SQL), so the hash gate
@@ -1193,6 +1201,15 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, md5(lower(text)) AS content_hash, count(*) AS n_dups
         |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin,
 
+    // mirrors TextDedup.exactNormalized: ASCII-class normalization
+    // (identical in Java regex and RE2), md5 group, raw-variant count
+    "dedup_exact_normalized" ->
+      """SELECT min(doc_id) AS keep_id,
+        |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+        |count(*) AS n_dups,
+        |count(DISTINCT md5(lower(text))) AS n_raw_variants
+        |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin,
+
     "dedup_ngram" ->
       s"""WITH $JaccardCte
          |SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin,
@@ -1340,6 +1357,31 @@ object SparkEntry {
       s"""WITH RECURSIVE $JaccardCte,
          |$MinhashPairsCtes,
          |${docComponentsSql("mhp")}""".stripMargin,
+
+    // mirrors GraphOps.pagerankNearDup round for round: symmetrized
+    // mhp edges, portable-round-6 contributions as DECIMAL (exact
+    // order-free sums), exact-decimal damping, unrolled 5 iterations
+    "pagerank_neardup" -> {
+      val iters = 5
+      val chain = (1 to iters).map { k =>
+        s"""c$k AS (SELECT e.doc_b AS doc_id,
+           |  CAST(sum(CAST(floor(CAST(r.rank AS DOUBLE) / r.deg * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+           |  FROM ed e JOIN r${k - 1} r ON e.doc_a = r.doc_id GROUP BY 1),
+           |r$k AS (SELECT nd.doc_id, nd.deg,
+           |  CAST(round(pb.b + CAST(0.85 AS DECIMAL(3,2)) * coalesce(c$k.s, CAST(0 AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS rank
+           |  FROM nd CROSS JOIN pb LEFT JOIN c$k ON nd.doc_id = c$k.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |ed AS (SELECT doc_a, doc_b FROM mhp UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM mhp),
+         |nd AS (SELECT doc_a AS doc_id, count(*) AS deg FROM ed GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM nd),
+         |pb AS (SELECT CAST(floor(CAST(0.15 AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS b,
+         |  CAST(floor(CAST(1.0 AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS r0v FROM nn),
+         |r0 AS (SELECT doc_id, deg, r0v AS rank FROM nd CROSS JOIN pb),
+         |$chain
+         |SELECT doc_id, deg, CAST(rank AS DOUBLE) AS pagerank FROM r$iters ORDER BY doc_id""".stripMargin
+    },
 
     // mirrors TextDedup.contrastivePairs: verified pair = (anchor,
     // positive); negative = the md5-min pool member outside the

@@ -387,6 +387,61 @@ object GraphOps {
     (ids, cleanPairs)
   }
 
+  /** PageRank over the verified near-dup pair graph — the centrality
+    * face of the dedup structure next to connected components: a high-
+    * rank doc is the "template" its duplicate family orbits (the doc to
+    * keep for provenance, or to inspect when a family explodes). Fixed
+    * `iters` power iterations with damping 0.85 on the SYMMETRIZED pair
+    * graph, every node having degree >= 1 by construction (no dangling
+    * mass).
+    *
+    * Determinism (the iterative-decimal recipe, cf. bpe_merges'
+    * unrolled oracle): per-edge contributions are PORTABLE-round-6 of
+    * rank/deg as DECIMAL(18,6) — sums are then exact and order-free;
+    * the damping step is exact decimal arithmetic (0.85 as
+    * DECIMAL(3,2), the base term a portable-round-6 constant) with a
+    * decimal round(...,6) between iterations, so both engines walk
+    * identical grids for any iteration count. Scale shape: the rank
+    * and degree tables are DUP-STRUCTURE-sized (never corpus-sized),
+    * each iteration is one equality join + one aggregation over the
+    * session-cached pair table, and the driver holds two scalars
+    * (node count, base constant). */
+  def pagerankNearDup(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      iters: Int = 5): DataFrame =
+    pagerankOf(TextDedup.minhashPairs(spark, dir).select("doc_a", "doc_b"),
+      iters)
+
+  /** The power-iteration core over any (doc_a, doc_b) pair relation
+    * (factored for fixtures and for callers with their own graphs). */
+  def pagerankOf(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be positive")
+    val dec = "decimal(18,6)"
+    def r6(c: Column) = floor(c * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val nodes = edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+      .select(col("doc_a").as("doc_id"), col("deg"))
+    val n = nodes.count() // dup-structure-sized; bounds the whole loop
+    val r0 = math.floor(1.0 / n * 1.0e6 + 0.5) / 1.0e6
+    val base = math.floor(0.15 / n * 1.0e6 + 0.5) / 1.0e6
+    var rank = nodes.withColumn("rank", lit(r0).cast(dec))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(rank, edges("doc_a") === rank("doc_id"))
+        .select(col("doc_b"),
+          r6(col("rank").cast("double") / col("deg")).cast(dec).as("c"))
+        .groupBy("doc_b").agg(sum("c").cast(dec).as("s"))
+      rank = nodes.join(contrib, nodes("doc_id") === contrib("doc_b"), "left")
+        .select(nodes("doc_id"), nodes("deg"),
+          round(lit(base).cast(dec) +
+            lit(BigDecimal("0.85")).cast("decimal(3,2)") *
+              coalesce(col("s"), lit(0).cast(dec)), 6).cast(dec).as("rank"))
+    }
+    rank.select(col("doc_id"), col("deg"),
+      col("rank").cast("double").as("pagerank"))
+      .orderBy("doc_id")
+  }
+
   /** Map long-space labels back to strings with label = min STRING id
     * of each component (hash/dense order is meaningless to callers). */
   private def minStringLabels(byKey: DataFrame): DataFrame = {

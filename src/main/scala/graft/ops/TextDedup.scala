@@ -84,6 +84,32 @@ object TextDedup {
       .select("keep_id", "content_hash", "n_dups")
       .orderBy("keep_id")
 
+  /** CCNet-style aggressive text normalization: lowercase, strip every
+    * char outside [a-z0-9 whitespace], collapse whitespace runs, trim.
+    * ASCII character classes only — Java regex, RE2 (DuckDB) and
+    * Python `re` with re.ASCII agree on them codepoint-for-codepoint
+    * (an unanchored \\s would NOT: Python's default includes U+00A0). */
+  private[ops] def normalizedText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Exact dedup over NORMALIZED text — catches the punctuation/
+    * casing/whitespace variants the raw-hash group misses ("Hello,
+    * World!" == "hello world"), the standard pre-pass before shingle
+    * dedup. Same trivially-parallel hash-groupBy shape as `exact`;
+    * `n_raw_variants` counts how many DISTINCT raw-lowercase hashes the
+    * normalization merged into the group (1 = normalization changed
+    * nothing for this group; >1 = catches `exact` cannot see). */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame =
+    exactNormalizedOf(docs(spark, dir))
+
+  def exactNormalizedOf(d: DataFrame): DataFrame = d
+    .groupBy(md5(normalizedText(col("text"))).as("content_hash"))
+    .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"),
+      count_distinct(md5(lower(col("text")))).as("n_raw_variants"))
+    .select("keep_id", "content_hash", "n_dups", "n_raw_variants")
+    .orderBy("keep_id")
+
   /** N-gram Jaccard near-dedup: word 3-gram shingles, inverted-index
     * self-join on shingle, exact Jaccard >= threshold. Runs over the
     * session shingle index (the self-join reads the cache twice). */

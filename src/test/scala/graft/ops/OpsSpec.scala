@@ -594,6 +594,46 @@ class OpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("pagerank: star center outranks leaves, exact decimal grid") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    // one iteration by hand on the n=4 grid: r0 = 0.25, base = 0.0375;
+    // center receives 3 x round6(0.25/1) -> 0.0375 + 0.85*0.75 = 0.675;
+    // each leaf receives round6(0.25/3) = 0.083333 ->
+    // round6(0.0375 + 0.85*0.083333) = round6(0.10833305) = 0.108333
+    val one = GraphOps.pagerankOf(star, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(one(1L) === 0.675)
+    assert(one(2L) === 0.108333 && one(3L) === 0.108333 && one(4L) === 0.108333)
+    // more iterations keep the center on top; degrees ride along
+    val five = GraphOps.pagerankOf(star, iters = 5).collect()
+    val byId = five.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(1L) > byId(2L))
+    assert(five.find(_.getLong(0) == 1L).get.getLong(1) === 3L)
+    // a 2-regular symmetric pair graph is stationary at 1/n from round 0
+    val pair = Seq((10L, 11L)).toDF("doc_a", "doc_b")
+    val p = GraphOps.pagerankOf(pair, iters = 3).collect()
+    assert(p.forall(_.getDouble(2) === 0.5))
+  }
+
+  test("normalized exact dedup merges punctuation/casing/whitespace variants") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "HELLO WORLD."),
+      (4L, "a different doc")).toDF("doc_id", "text")
+    val g = TextDedup.exactNormalizedOf(d).collect()
+    assert(g.length === 2)
+    val hw = g.find(_.getLong(0) === 1L).get
+    assert(hw.getAs[Long]("n_dups") === 3L)
+    // three RAW lowercase forms merged — the catches `exact` cannot see
+    assert(hw.getAs[Long]("n_raw_variants") === 3L)
+    val other = g.find(_.getLong(0) === 4L).get
+    assert(other.getAs[Long]("n_dups") === 1L &&
+      other.getAs[Long]("n_raw_variants") === 1L)
+  }
+
   test("cms heavy hitters: estimate never undercounts, degenerate grid counts everything") {
     val rows = TextAnalysis.cmsHeavyHitters(spark, dir, k = 50).collect()
     assert(rows.nonEmpty)
