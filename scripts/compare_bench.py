@@ -59,7 +59,8 @@ FAMILY_FILES = {
     ("domain_reweight", "corpus_drift", "length_buckets", "charset_stats"): [
         "ops/TextAnalysis.scala", "ops/TextHashing.scala"],
     ("price_jumps", "ewma_prices", "vwap_daily"): ["queries/MarketQueries.scala"],
-    ("ngram_dup_profile", "pagerank_neardup"): [
+    ("ngram_dup_profile", "pagerank_neardup", "triangle_stats",
+     "cross_source_dups"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],
     ("dedup_", "simhash_", "decontamination"): [
@@ -73,7 +74,7 @@ FAMILY_FILES = {
     ("temperature_mix", "quota_sample", "weighted_sample", "pack_shards",
      "epoch_repeat"): ["ops/Mixing.scala"],
     ("text_", "token_histogram", "stratified_sample", "cross_modal",
-     "chunk_documents", "bpe_", "tfidf_", "cms_"): [
+     "chunk_documents", "bpe_", "tfidf_", "cms_", "pmi_"): [
         "ops/TextAnalysis.scala", "ops/TextHashing.scala"],
     ("leakage_free_split", "dedup_keep_best"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",

@@ -475,6 +475,93 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
+def check_pmi_collocations(sf_dir, out_dir, k=20, min_count=5):
+    import math
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    uni, bg = {}, {}
+    for r in docs.itertuples():
+        ws = _words(r.text)
+        if not ws:
+            continue
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    n, nb = sum(uni.values()), sum(bg.values())
+    rows = []
+    for (a, b), c in bg.items():
+        if c < min_count:
+            continue
+        # the engines' exact expression order, then portable round-6
+        pmi = math.floor(math.log((float(c) * n * n) /
+                                  (float(nb) * uni[a] * uni[b]))
+                         * 1e6 + 0.5) / 1e6
+        rows.append((a, b, c, pmi))
+    rows.sort(key=lambda t: (-t[3], t[0], t[1]))
+    mine = pd.DataFrame(rows[:k],
+                        columns=["word_a", "word_b", "n_pair", "pmi"])
+    got = spark(out_dir, "pmi_collocations").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_triangle_stats(sf_dir, out_dir):
+    # independent union-find + set-intersection triangle count over the
+    # verified pair table (dedup_minhash's output)
+    pairs = spark(out_dir, "dedup_minhash")[["doc_a", "doc_b"]]
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    adj = {}
+    for r in pairs.itertuples():
+        a, b = int(r.doc_a), int(r.doc_b)
+        parent[find(a)] = find(b)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    groups = {}
+    for v in adj:
+        groups.setdefault(find(v), []).append(v)
+    stats = {}
+    for members in groups.values():
+        rep = min(members)
+        n_nodes = len(members)
+        n_edges = sum(len(adj[v]) for v in members) // 2
+        n_tri = 0
+        for r2 in pairs.itertuples():
+            a, b = int(r2.doc_a), int(r2.doc_b)
+            if find(a) == find(members[0]):
+                n_tri += len([c for c in adj[a] & adj[b] if c > b])
+        stats[rep] = (n_nodes, n_edges, n_tri)
+    mine = pd.DataFrame(
+        sorted((r, n, e, t) for r, (n, e, t) in stats.items()),
+        columns=["cluster_rep", "n_nodes", "n_edges", "n_triangles"])
+    got = spark(out_dir, "triangle_stats").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
+def check_cross_source_dups(sf_dir, out_dir):
+    import math
+    pairs = spark(out_dir, "dedup_minhash")[["doc_a", "doc_b"]]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    src = {int(r.doc_id): r.source for r in docs.itertuples()}
+    cnt = {}
+    for r in pairs.itertuples():
+        a, b = src[int(r.doc_a)], src[int(r.doc_b)]
+        key = (min(a, b), max(a, b))
+        cnt[key] = cnt.get(key, 0) + 1
+    total = len(pairs)
+    rows = [(a, b, c, math.floor(c / total * 1e6 + 0.5) / 1e6)
+            for (a, b), c in sorted(cnt.items())]
+    mine = pd.DataFrame(rows, columns=["source_a", "source_b", "n_pairs", "share6"])
+    got = spark(out_dir, "cross_source_dups").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_pagerank_neardup(sf_dir, out_dir, iters=5):
     # recompute the power iteration in exact Decimal from the VERIFIED
     # pair table (dedup_minhash's output, whose own oracle covers the
@@ -1150,6 +1237,12 @@ def main(sf_dir, out_dir):
                lambda: check_dedup_exact_normalized(sf_dir, out_dir)),
               ("pagerank_neardup",
                lambda: check_pagerank_neardup(sf_dir, out_dir)),
+              ("pmi_collocations",
+               lambda: check_pmi_collocations(sf_dir, out_dir)),
+              ("triangle_stats",
+               lambda: check_triangle_stats(sf_dir, out_dir)),
+              ("cross_source_dups",
+               lambda: check_cross_source_dups(sf_dir, out_dir)),
               ("ewma_prices", lambda: check_ewma_prices(sf_dir, out_dir)),
               ("vwap_daily", lambda: check_vwap_daily(sf_dir, out_dir)),
               ("bpe_encode", lambda: check_bpe_encode(sf_dir, out_dir)),

@@ -79,6 +79,11 @@ object SparkEntry {
     // dedup structure next to connected components)
     "pagerank_neardup" -> ((s: SparkSession, d: String) =>
       ops.GraphOps.pagerankNearDup(s, d)),
+    // per-cluster triangle cohesion (template family vs drift chain)
+    "triangle_stats" -> ((s: SparkSession, d: String) =>
+      ops.GraphOps.triangleStats(s, d)),
+    // cross-source duplication matrix over the verified pair table
+    "cross_source_dups" -> (TextDedup.crossSourceDups _),
     "dedup_ngram" -> (TextDedup.ngramJaccard _),
     // PPJoin-grade lossless filtering: same output as dedup_ngram by
     // construction (the oracle IS the unfiltered SQL), so the hash gate
@@ -211,6 +216,9 @@ object SparkEntry {
     // corpus; portable-rounded idf feeds the ordering)
     "tfidf_keywords" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tfidfKeywords(s, d)),
+    // top-20 PMI collocations (pair count >= 5) — phrase mining
+    "pmi_collocations" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.pmiCollocations(s, d)),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
@@ -1383,6 +1391,45 @@ object SparkEntry {
          |SELECT doc_id, deg, CAST(rank AS DOUBLE) AS pagerank FROM r$iters ORDER BY doc_id""".stripMargin
     },
 
+    // mirrors GraphOps.triangleStats: a<b<c oriented triangles via two
+    // self-joins of mhp, grouped by the recursive-CC cluster rep
+    "triangle_stats" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |${docComponentsCtes("mhp")},
+         |clus AS (SELECT doc_id, cluster_rep FROM allc JOIN rep USING (comp)),
+         |gn AS (SELECT cluster_rep, count(*) AS n_nodes FROM (
+         |    SELECT doc_a AS doc_id FROM mhp UNION SELECT doc_b FROM mhp) p
+         |  JOIN clus USING (doc_id) GROUP BY 1),
+         |ge AS (SELECT c.cluster_rep, count(*) AS n_edges
+         |  FROM mhp m JOIN clus c ON m.doc_a = c.doc_id GROUP BY 1),
+         |tr AS (SELECT e1.doc_a AS a FROM mhp e1
+         |  JOIN mhp e2 ON e1.doc_b = e2.doc_a
+         |  JOIN mhp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |gt AS (SELECT c.cluster_rep, count(*) AS n_triangles
+         |  FROM tr JOIN clus c ON tr.a = c.doc_id GROUP BY 1)
+         |SELECT gn.cluster_rep, n_nodes, n_edges,
+         |  coalesce(n_triangles, 0) AS n_triangles
+         |FROM gn JOIN ge USING (cluster_rep) LEFT JOIN gt USING (cluster_rep)
+         |ORDER BY cluster_rep""".stripMargin,
+
+    // mirrors TextDedup.crossSourceDups: least/greatest source pair,
+    // portable-round-6 share of all verified pairs
+    "cross_source_dups" ->
+      s"""WITH RECURSIVE $JaccardCte,
+         |$MinhashPairsCtes,
+         |sm AS (SELECT doc_id, source FROM documents),
+         |sp AS (SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b
+         |  FROM mhp JOIN sm a ON mhp.doc_a = a.doc_id
+         |  JOIN sm b ON mhp.doc_b = b.doc_id),
+         |tt AS (SELECT count(*) AS n_total FROM mhp),
+         |gp AS (SELECT source_a, source_b, count(*) AS n_pairs
+         |  FROM sp GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_pairs,
+         |  floor(CAST(n_pairs AS DOUBLE) / n_total * 1000000.0 + 0.5) / 1000000.0 AS share6
+         |FROM gp CROSS JOIN tt ORDER BY source_a, source_b""".stripMargin,
+
     // mirrors TextDedup.contrastivePairs: verified pair = (anchor,
     // positive); negative = the md5-min pool member outside the
     // anchor's cluster (pool = 16 docs by md5('neg:' id))
@@ -1942,6 +1989,28 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk FROM sc)
          |SELECT doc_id, CAST(rk AS INT) AS rk, w AS word, CAST(score AS DOUBLE) AS score
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // mirrors TextAnalysis.pmiCollocations: identical single-ln
+    // integer-ratio expression, portable round-6 (feeds the ordering)
+    "pmi_collocations" ->
+      s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |wnz AS (SELECT ws FROM wrd WHERE len(ws) > 0),
+         |ut AS (SELECT unnest(ws) AS w FROM wnz),
+         |uc AS (SELECT w, count(*) AS c FROM ut GROUP BY 1),
+         |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uc),
+         |bgl AS (SELECT CASE WHEN len(ws) < 2 THEN []
+         |  ELSE list_transform(generate_series(1, len(ws)-1), i -> [ws[i], ws[i+1]]) END AS bgs FROM wnz),
+         |be AS (SELECT unnest(bgs) AS bg FROM bgl),
+         |bc AS (SELECT bg[1] AS pw, bg[2] AS w, count(*) AS cbg FROM be GROUP BY 1, 2),
+         |nb AS (SELECT CAST(sum(cbg) AS BIGINT) AS n_bigrams FROM bc),
+         |sc AS (SELECT bc.pw, bc.w, bc.cbg,
+         |  floor(ln((CAST(bc.cbg AS DOUBLE) * n_tokens * n_tokens) /
+         |           (CAST(n_bigrams AS DOUBLE) * ua.c * ub.c)) * 1000000.0 + 0.5) / 1000000.0 AS pmi
+         |  FROM bc JOIN uc ua ON ua.w = bc.pw JOIN uc ub ON ub.w = bc.w
+         |  CROSS JOIN nt CROSS JOIN nb
+         |  WHERE bc.cbg >= 5)
+         |SELECT pw AS word_a, w AS word_b, cbg AS n_pair, pmi
+         |FROM sc ORDER BY pmi DESC, word_a, word_b LIMIT 20""".stripMargin,
 
     // mirrors TextAnalysis.qualityRules: same rounded metrics as
     // text_quality/text_repetition, CASE over the identical comparisons

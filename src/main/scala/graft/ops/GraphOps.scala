@@ -442,6 +442,44 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Per-cluster triangle cohesion over the verified near-dup graph —
+    * the third graph face beside components and PageRank: a duplicate
+    * family whose edge set is triangle-dense is a true template family
+    * (every copy resembles every copy); a triangle-free chain of the
+    * same size is drift (A~B~C where A and C no longer match) and
+    * deserves a look before keep-best collapses it. Triangles are
+    * counted on the a<b<c orientation (each triangle once) via two
+    * equality self-joins of the PAIR table — dup-structure-sized, the
+    * standard distributed triangle recipe, never corpus-anything. */
+  def triangleStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    val pairs = TextDedup.minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val clus = TextDedup.minhashClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_rep"))
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .join(clus, "doc_id")
+      .groupBy("cluster_rep").agg(count(lit(1)).as("n_nodes"))
+    val edges = pairs.join(clus, pairs("doc_a") === clus("doc_id"))
+      .groupBy("cluster_rep").agg(count(lit(1)).as("n_edges"))
+    val tri = orientedTriangles(pairs)
+      .join(clus, col("a") === clus("doc_id"))
+      .groupBy("cluster_rep").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(edges, "cluster_rep")
+      .join(tri, Seq("cluster_rep"), "left")
+      .select(col("cluster_rep"), col("n_nodes"), col("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("cluster_rep")
+  }
+
+  /** Each triangle of an a<b oriented pair relation exactly once, on
+    * the a<b<c orientation (two equality self-joins). */
+  private[ops] def orientedTriangles(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(pairs.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+      .join(pairs.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+
   /** Map long-space labels back to strings with label = min STRING id
     * of each component (hash/dense order is meaningless to callers). */
   private def minStringLabels(byKey: DataFrame): DataFrame = {

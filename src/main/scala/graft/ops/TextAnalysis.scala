@@ -629,6 +629,43 @@ object TextAnalysis {
       .orderBy(col("exact_count").desc, col("word"))
   }
 
+  /** PMI collocation mining — the top-k word pairs whose adjacency is
+    * most ABOVE chance (pointwise mutual information, the classic
+    * phrase/multi-word-expression detector): pmi = ln(p(ab) / (p(a)
+    * p(b))) computed as one ln over an integer-ratio expression both
+    * engines evaluate with the identical IEEE sequence, portable-
+    * round-6 because it feeds the top-k ORDERING; a minimum pair count
+    * keeps one-off juxtapositions of two rare words from dominating
+    * (the standard PMI sparsity fix). Scale shape: the bigram and
+    * unigram counts are the postings-aggregate class, the two totals
+    * broadcast, and the top-k lowers to TakeOrderedAndProject. */
+  def pmiCollocations(spark: SparkSession, dir: String, k: Int = 20,
+                      minCount: Int = 5): DataFrame = {
+    val toks = docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) > 0)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws)), i -> " +
+          "struct(ws[i-1] AS w, CASE WHEN i >= 2 THEN ws[i-2] END AS pw))")).as("t"))
+      .select(col("t.w").as("w"), col("t.pw").as("pw"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("n_tokens"))
+    val bg = toks.filter(col("pw").isNotNull)
+      .groupBy("pw", "w").agg(count(lit(1)).as("cbg"))
+    val btot = bg.agg(sum("cbg").as("n_bigrams"))
+    bg.filter(col("cbg") >= minCount)
+      .join(uni.select(col("w").as("pw"), col("c").as("ca")), "pw")
+      .join(uni.select(col("w"), col("c").as("cb")), "w")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .withColumn("pmi", round6Portable(log(
+        (col("cbg").cast("double") * col("n_tokens") * col("n_tokens")) /
+          (col("n_bigrams").cast("double") * col("ca") * col("cb")))))
+      .select(col("pw").as("word_a"), col("w").as("word_b"),
+        col("cbg").as("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
+      .limit(k)
+  }
+
   /** TF-IDF keyword extraction — the top-k CHARACTERISTIC words per
     * document (classic tf x ln(N/df)), the lightweight tagging/topic
     * signal next to the BM25 index (same statistic family, per-doc

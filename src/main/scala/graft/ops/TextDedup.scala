@@ -432,6 +432,32 @@ object TextDedup {
     .select(col("doc_id").as(idAs), explode(ngramsOf(col("ws"), n)).as("gram"))
     .distinct()
 
+  /** Cross-SOURCE duplication matrix — corpus governance over the
+    * verified pair table: how much of each source duplicates each
+    * other source (licensing leaks, scraper overlap, mirror sites all
+    * show up here first). Sources are ordered within the pair so each
+    * unordered source pair appears once; `share6` is each cell's
+    * portable-round-6 share of all verified pairs (an integer ratio —
+    * the guaranteed-tie class). Pair-table-sized throughout; the
+    * doc->source map joins via broadcast-friendly narrow projections. */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .withColumn("share6",
+        floor(col("n_pairs").cast("double") / col("n_total") * lit(1.0e6)
+          + lit(0.5)) / lit(1.0e6))
+      .select(col("source_a"), col("source_b"), col("n_pairs"), col("share6"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** CONTRASTIVE training pairs mined from the dedup structure — the
     * embedding-model data face of the near-dup graph: every verified
     * MinHash pair is an (anchor, positive); each pair draws a hard-ish

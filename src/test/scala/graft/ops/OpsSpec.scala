@@ -594,6 +594,41 @@ class OpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("pmi collocations: rare-word adjacency outranks common-word adjacency") {
+    val got = TextAnalysis.pmiCollocations(spark, dir, k = 50, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // "quick brown" (both words x2) binds tighter than "the quick"
+    // ("the" appears 4x, diluting the pair)
+    assert(got.contains(("quick", "brown")) && got.contains(("the", "quick")))
+    assert(got(("quick", "brown")) > got(("the", "quick")))
+    // every emitted pair met the count floor
+    val counts = TextAnalysis.pmiCollocations(spark, dir, k = 50, minCount = 2)
+      .collect().map(_.getLong(2))
+    assert(counts.forall(_ >= 2L))
+  }
+
+  test("oriented triangles: one per triangle, none on a square") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val t = GraphOps.orientedTriangles(tri).collect()
+    assert(t.length === 1)
+    assert((t(0).getLong(0), t(0).getLong(1), t(0).getLong(2)) === ((1L, 2L, 3L)))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    assert(GraphOps.orientedTriangles(square).count() === 0L)
+    // fixture graph: two disjoint edges -> two clusters, no triangles
+    val stats = GraphOps.triangleStats(spark, dir).collect()
+    assert(stats.length === 2)
+    assert(stats.forall(r => r.getLong(1) === 2L && r.getLong(2) === 1L &&
+      r.getLong(3) === 0L))
+  }
+
+  test("cross-source dup matrix: single-source fixture is one full-share cell") {
+    val m = TextDedup.crossSourceDups(spark, dir).collect()
+    assert(m.length === 1)
+    assert(m(0).getString(0) === "s" && m(0).getString(1) === "s")
+    assert(m(0).getLong(2) === 2L && m(0).getDouble(3) === 1.0)
+  }
+
   test("pagerank: star center outranks leaves, exact decimal grid") {
     import spark.implicits._
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
