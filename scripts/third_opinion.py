@@ -475,6 +475,30 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
+def check_distinct_ngram_diversity(sf_dir, out_dir):
+    import math
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    agg = {}
+    for r in docs.itertuples():
+        ws = _words(r.text)
+        if not ws:
+            continue
+        for n in (1, 2, 3):
+            grams = [" ".join(ws)] if len(ws) < n else \
+                [" ".join(ws[i:i + n]) for i in range(len(ws) - (n - 1))]
+            tot, dis = agg.setdefault((r.source, n), [0, set()])
+            agg[(r.source, n)][0] += len(grams)
+            dis.update(grams)
+    rows = [(s, n, t, len(d), math.floor(len(d) / t * 1e6 + 0.5) / 1e6)
+            for (s, n), (t, d) in sorted(agg.items())]
+    mine = pd.DataFrame(rows, columns=[
+        "source", "n", "n_total", "n_distinct", "distinct_share"])
+    got = spark(out_dir, "distinct_ngram_diversity") \
+        .sort_values(["source", "n"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_pmi_collocations(sf_dir, out_dir, k=20, min_count=5):
     import math
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -1239,6 +1263,8 @@ def main(sf_dir, out_dir):
                lambda: check_pagerank_neardup(sf_dir, out_dir)),
               ("pmi_collocations",
                lambda: check_pmi_collocations(sf_dir, out_dir)),
+              ("distinct_ngram_diversity",
+               lambda: check_distinct_ngram_diversity(sf_dir, out_dir)),
               ("triangle_stats",
                lambda: check_triangle_stats(sf_dir, out_dir)),
               ("cross_source_dups",

@@ -219,6 +219,9 @@ object SparkEntry {
     // top-20 PMI collocations (pair count >= 5) — phrase mining
     "pmi_collocations" -> ((s: SparkSession, d: String) =>
       TextAnalysis.pmiCollocations(s, d)),
+    // distinct-1/2/3 per source — corpus-level diversity panel
+    "distinct_ngram_diversity" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.distinctNgramDiversity(s, d)),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
@@ -2011,6 +2014,26 @@ object SparkEntry {
          |  WHERE bc.cbg >= 5)
          |SELECT pw AS word_a, w AS word_b, cbg AS n_pair, pmi
          |FROM sc ORDER BY pmi DESC, word_a, word_b LIMIT 20""".stripMargin,
+
+    // mirrors TextAnalysis.distinctNgramDiversity: short-doc whole-text
+    // gram convention per n, portable-round-6 integer-ratio share
+    "distinct_ngram_diversity" ->
+      s"""WITH wrd AS (SELECT source, $WordsSql AS ws FROM documents),
+         |wnz AS (SELECT source, ws FROM wrd WHERE len(ws) > 0),
+         |g1 AS (SELECT source, unnest(ws) AS gram FROM wnz),
+         |d1 AS (SELECT source, 1 AS n, count(*) AS n_total, count(DISTINCT gram) AS n_distinct FROM g1 GROUP BY 1),
+         |gl2 AS (SELECT source, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-1), i -> array_to_string(list_slice(ws, i, i+1), ' ')) END AS garr FROM wnz),
+         |g2 AS (SELECT source, unnest(garr) AS gram FROM gl2),
+         |d2 AS (SELECT source, 2 AS n, count(*) AS n_total, count(DISTINCT gram) AS n_distinct FROM g2 GROUP BY 1),
+         |gl3 AS (SELECT source, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-2), i -> array_to_string(list_slice(ws, i, i+2), ' ')) END AS garr FROM wnz),
+         |g3 AS (SELECT source, unnest(garr) AS gram FROM gl3),
+         |d3 AS (SELECT source, 3 AS n, count(*) AS n_total, count(DISTINCT gram) AS n_distinct FROM g3 GROUP BY 1),
+         |u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+         |SELECT source, n, n_total, n_distinct,
+         |  floor(CAST(n_distinct AS DOUBLE) / n_total * 1000000.0 + 0.5) / 1000000.0 AS distinct_share
+         |FROM u ORDER BY source, n""".stripMargin,
 
     // mirrors TextAnalysis.qualityRules: same rounded metrics as
     // text_quality/text_repetition, CASE over the identical comparisons

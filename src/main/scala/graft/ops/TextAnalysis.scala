@@ -613,8 +613,7 @@ object TextAnalysis {
     val toks = docs(spark, dir)
       .withColumn("ws", words(col("text")))
       .select(explode(col("ws")).as("w"))
-    val hashes = array((0 until d).map(i =>
-      pmod(md5Long(concat(lit(s"cm$i:"), col("w"))), lit(w.toLong))): _*)
+    val hashes = cmsCellColumns(col("w"), d, w)
     val cells = toks.select(posexplode(hashes).as(Seq("row", "bucket")))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cell"))
     val top = toks.groupBy("w").agg(count(lit(1)).as("exact_count"))
@@ -627,6 +626,37 @@ object TextAnalysis {
       .select(col("w").as("word"), col("exact_count"), col("cms_estimate"),
         (col("cms_estimate") - col("exact_count")).as("overcount"))
       .orderBy(col("exact_count").desc, col("word"))
+  }
+
+  /** Distinct-n diversity panel — the corpus-level generation-quality
+    * metric (distinct-1/2/3 of Li et al.): per source and n, the share
+    * of n-gram OCCURRENCES that are distinct types. A templated or
+    * self-repetitive source scores low long before per-doc repetition
+    * flags fire; the three n's separate vocabulary poverty (n=1) from
+    * phrase-level boilerplate (n=2,3). One gram explode + count pair
+    * per n (the postings-aggregate class), ratio portable-round-6 (an
+    * integer ratio — the guaranteed-tie class). */
+  def distinctNgramDiversity(spark: SparkSession, dir: String,
+                             ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n list: $ns")
+    val base = docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) > 0)
+    ns.map { n =>
+      base
+        .select(col("source"),
+          explode(TextDedup.ngramsOf(col("ws"), n)).as("gram"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count_distinct(col("gram")).as("n_distinct"))
+        .withColumn("n", lit(n))
+    }.reduce(_ unionByName _)
+      .withColumn("distinct_share",
+        floor(col("n_distinct").cast("double") / col("n_total") * lit(1.0e6)
+          + lit(0.5)) / lit(1.0e6))
+      .select(col("source"), col("n"), col("n_total"), col("n_distinct"),
+        col("distinct_share"))
+      .orderBy("source", "n")
   }
 
   /** PMI collocation mining — the top-k word pairs whose adjacency is
@@ -665,6 +695,14 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
       .limit(k)
   }
+
+  /** The d per-row CMS bucket hashes of a word column (shared by the
+    * batch panel above and the streaming cell maintenance in
+    * `streaming.Sketches` — both sides MUST hash identically or a
+    * stream-built grid answers garbage for batch probes). */
+  private[graft] def cmsCellColumns(wCol: Column, d: Int, w: Int): Column =
+    array((0 until d).map(i =>
+      pmod(md5Long(concat(lit(s"cm$i:"), wCol)), lit(w.toLong))): _*)
 
   /** TF-IDF keyword extraction — the top-k CHARACTERISTIC words per
     * document (classic tf x ln(N/df)), the lightweight tagging/topic

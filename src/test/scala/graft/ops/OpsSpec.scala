@@ -594,6 +594,25 @@ class OpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("distinct-n diversity: exhaustive recount, dup docs depress the share") {
+    val texts = TextAnalysis.docs(spark, dir).collect()
+      .map(_.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    def gramsOf(ws: Seq[String], n: Int): Seq[String] =
+      if (ws.size < n) Seq(ws.mkString(" "))
+      else ws.sliding(n).map(_.mkString(" ")).toSeq
+    val got = TextAnalysis.distinctNgramDiversity(spark, dir).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    for (n <- Seq(1, 2, 3)) {
+      val all = texts.flatMap(gramsOf(_, n))
+      assert(got(n) === ((all.size.toLong, all.distinct.size.toLong)), s"n=$n")
+    }
+    // docs 2 and 3 are identical, so every n has duplicates: share < 1
+    val shares = TextAnalysis.distinctNgramDiversity(spark, dir).collect()
+      .map(_.getDouble(4))
+    assert(shares.forall(s => s > 0 && s < 1))
+  }
+
   test("pmi collocations: rare-word adjacency outranks common-word adjacency") {
     val got = TextAnalysis.pmiCollocations(spark, dir, k = 50, minCount = 2)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
