@@ -72,7 +72,7 @@ FAMILY_FILES = {
     ("bm25_", "hybrid_", "rag_context"): [
         "ops/TextRanking.scala", "ops/Similarity.scala", "core/SessionCache.scala"],
     ("temperature_mix", "quota_sample", "weighted_sample", "pack_shards",
-     "epoch_repeat"): ["ops/Mixing.scala"],
+     "epoch_repeat", "rendezvous_shards"): ["ops/Mixing.scala"],
     ("text_", "token_histogram", "stratified_sample", "cross_modal",
      "chunk_documents", "bpe_", "tfidf_", "cms_", "pmi_"): [
         "ops/TextAnalysis.scala", "ops/TextHashing.scala"],

@@ -475,6 +475,32 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
+def check_rendezvous_shards(sf_dir, out_dir, k=16):
+    import hashlib
+    import math
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    def assign(doc_id, kk):
+        # argmax of h, smallest shard on the (practically impossible) tie
+        return max(range(kk),
+                   key=lambda s: (h60(f"rdv:{s}:{doc_id}"), -s))
+    agg = {}
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        old, new = assign(d, k), assign(d, k + 1)
+        n, m = agg.get(old, (0, 0))
+        agg[old] = (n + 1, m + (1 if old != new else 0))
+        # HRW: a moved doc can only land on the NEW shard
+        assert old == new or new == k, (d, old, new)
+    rows = [(s, n, m, math.floor(m / n * 1e6 + 0.5) / 1e6)
+            for s, (n, m) in sorted(agg.items())]
+    mine = pd.DataFrame(rows, columns=["shard", "n_docs", "n_moved", "moved_share6"])
+    got = spark(out_dir, "rendezvous_shards").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_distinct_ngram_diversity(sf_dir, out_dir):
     import math
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -1265,6 +1291,8 @@ def main(sf_dir, out_dir):
                lambda: check_pmi_collocations(sf_dir, out_dir)),
               ("distinct_ngram_diversity",
                lambda: check_distinct_ngram_diversity(sf_dir, out_dir)),
+              ("rendezvous_shards",
+               lambda: check_rendezvous_shards(sf_dir, out_dir)),
               ("triangle_stats",
                lambda: check_triangle_stats(sf_dir, out_dir)),
               ("cross_source_dups",

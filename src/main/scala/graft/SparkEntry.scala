@@ -222,6 +222,10 @@ object SparkEntry {
     // distinct-1/2/3 per source — corpus-level diversity panel
     "distinct_ngram_diversity" -> ((s: SparkSession, d: String) =>
       TextAnalysis.distinctNgramDiversity(s, d)),
+    // rendezvous sharding: per-shard movement audit for a 16 -> 17
+    // rescale (minimal-movement property; moved docs only go NEW)
+    "rendezvous_shards" -> ((s: SparkSession, d: String) =>
+      Mixing.rendezvousShards(s, d)),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
@@ -2014,6 +2018,28 @@ object SparkEntry {
          |  WHERE bc.cbg >= 5)
          |SELECT pw AS word_a, w AS word_b, cbg AS n_pair, pmi
          |FROM sc ORDER BY pmi DESC, word_a, word_b LIMIT 20""".stripMargin,
+
+    // mirrors Mixing.rendezvousShards: argmax-of-k-md5 assignment for
+    // k=16 and 17 (h desc, shard asc), per-old-shard movement audit
+    "rendezvous_shards" -> {
+      def assign(k: Int, name: String) =
+        s"""$name AS (SELECT doc_id, s FROM (
+           |  SELECT d.doc_id, r.s, row_number() OVER (PARTITION BY d.doc_id
+           |    ORDER BY ${md5LongSql("concat('rdv:', CAST(r.s AS VARCHAR), ':', CAST(d.doc_id AS VARCHAR))")} DESC, r.s) AS rk
+           |  FROM (SELECT doc_id FROM documents) d
+           |  CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS s) r) t
+           |  WHERE rk = 1)""".stripMargin
+      s"""WITH ${assign(16, "o16")},
+         |${assign(17, "o17")},
+         |jj AS (SELECT o16.doc_id, o16.s AS s_old, o17.s AS s_new
+         |  FROM o16 JOIN o17 USING (doc_id)),
+         |gg AS (SELECT s_old AS shard, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |  FROM jj GROUP BY 1)
+         |SELECT shard, n_docs, n_moved,
+         |  floor(CAST(n_moved AS DOUBLE) / n_docs * 1000000.0 + 0.5) / 1000000.0 AS moved_share6
+         |FROM gg ORDER BY shard""".stripMargin
+    },
 
     // mirrors TextAnalysis.distinctNgramDiversity: short-doc whole-text
     // gram convention per n, portable-round-6 integer-ratio share

@@ -419,4 +419,45 @@ object Mixing {
         sum(((col("skey") % pp) * (col("rk") % pp)) % pp).as("order_checksum"))
       .orderBy("shard_id")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: a doc's shard
+    * among k is argmax over shards of md5("rdv:<shard>:<doc>") — the
+    * sharding scheme whose RESIZE cost is provably minimal: growing
+    * k -> k+1 moves ONLY the docs whose new shard's hash beats all old
+    * ones (expected 1/(k+1) of the corpus), and every moved doc moves
+    * TO the new shard — nothing reshuffles between old shards. For an
+    * incremental corpus that means re-embedding / re-indexing 6% of
+    * docs on a 16 -> 17 rescale instead of ~94% under mod-k. The query
+    * face emits the per-shard movement audit for exactly that rescale;
+    * MixingSpec asserts the only-to-the-new-shard property exactly.
+    *
+    * Scale shape: k hashes per doc (posexplode, k tiny) + a k-row
+    * per-doc window — embarrassingly parallel, nothing global. */
+  def rendezvousShards(spark: SparkSession, dir: String,
+                       k: Int = 16): DataFrame = {
+    val d = docs(spark, dir).select("doc_id")
+    rendezvousAssign(d, k, "shard_old")
+      .join(rendezvousAssign(d, k + 1, "shard_new"), "doc_id")
+      .groupBy(col("shard_old").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_old") =!= col("shard_new"), 1L)
+          .otherwise(0L)).as("n_moved"))
+      .withColumn("moved_share6",
+        floor(col("n_moved").cast("double") / col("n_docs") * lit(1.0e6)
+          + lit(0.5)) / lit(1.0e6))
+      .orderBy("shard")
+  }
+
+  /** The argmax-of-k-hashes core (h desc, shard asc tie order). */
+  private[ops] def rendezvousAssign(d: DataFrame, k: Int,
+                                    as: String): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    d.select(col("doc_id"), posexplode(array((0 until k).map(s =>
+        md5Long(concat(lit(s"rdv:$s:"), col("doc_id")))): _*))
+        .as(Seq("s", "h")))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("h").desc, col("s"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("s").as(as))
+  }
 }

@@ -223,4 +223,24 @@ class MixingSpec extends SparkSpec {
       assert(firstDocs(s) === d, s"shard $s head mismatch")
     }
   }
+
+  test("rendezvous sharding: rescale moves docs ONLY to the new shard") {
+    val d = Mixing.docs(spark, dir).select("doc_id")
+    val old16 = Mixing.rendezvousAssign(d, 16, "s_old")
+    val new17 = Mixing.rendezvousAssign(d, 17, "s_new")
+    val moved = old16.join(new17, "doc_id")
+      .filter(col("s_old") =!= col("s_new")).collect()
+    assert(moved.nonEmpty, "a rescale must move someone")
+    // the defining HRW property: every moved doc lands on shard 16
+    assert(moved.forall(_.getAs[Int]("s_new") === 16),
+      s"moved docs must only go to the NEW shard: ${moved.take(5).toSeq}")
+    // movement is ~1/17 of docs, not ~16/17 like mod-k resharding
+    val n = d.count().toDouble
+    assert(moved.length < n * 2 / 17,
+      s"${moved.length} moved of $n — far above the 1/17 expectation")
+    // assignment is total and deterministic
+    assert(old16.count() === n.toLong)
+    assert(Mixing.rendezvousAssign(d, 16, "s2").join(old16, "doc_id")
+      .filter(col("s2") =!= col("s_old")).count() === 0L)
+  }
 }
