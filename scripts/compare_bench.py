@@ -79,7 +79,7 @@ FAMILY_FILES = {
     ("leakage_free_split", "dedup_keep_best"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],
-    ("multimodal_",): ["ops/Multimodal.scala"],
+    ("multimodal_", "media_"): ["ops/Multimodal.scala"],
     ("pipeline_",): ["ops/CurationPipeline.scala", "ops/TextAnalysis.scala",
                      "ops/TextDedup.scala"],
     ("curation_replay",): ["ops/CurationPipeline.scala", "ops/TextDedup.scala",

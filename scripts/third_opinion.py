@@ -475,6 +475,30 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
+def check_media_phash_dedup(sf_dir, out_dir, max_hamming=6):
+    import hashlib
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    ph = {int(r.doc_id): int(hashlib.md5(r.text.encode()).hexdigest()[:15], 16)
+          for r in docs.itertuples()}
+    buckets = {}
+    for d, h in ph.items():
+        for i in range(4):
+            buckets.setdefault((i, (h >> (i * 15)) & 32767, ), []).append(d)
+    pairs = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                pairs.add((a, b))
+    rows = [(a, b, bin(ph[a] ^ ph[b]).count("1"))
+            for a, b in sorted(pairs)
+            if bin(ph[a] ^ ph[b]).count("1") <= max_hamming]
+    mine = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+    got = spark(out_dir, "media_phash_dedup").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_rendezvous_shards(sf_dir, out_dir, k=16):
     import hashlib
     import math
@@ -1293,6 +1317,8 @@ def main(sf_dir, out_dir):
                lambda: check_distinct_ngram_diversity(sf_dir, out_dir)),
               ("rendezvous_shards",
                lambda: check_rendezvous_shards(sf_dir, out_dir)),
+              ("media_phash_dedup",
+               lambda: check_media_phash_dedup(sf_dir, out_dir)),
               ("triangle_stats",
                lambda: check_triangle_stats(sf_dir, out_dir)),
               ("cross_source_dups",

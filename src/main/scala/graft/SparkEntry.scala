@@ -226,6 +226,9 @@ object SparkEntry {
     // rescale (minimal-movement property; moved docs only go NEW)
     "rendezvous_shards" -> ((s: SparkSession, d: String) =>
       Mixing.rendezvousShards(s, d)),
+    // banded perceptual-hash near-dup over the media column
+    "media_phash_dedup" -> ((s: SparkSession, d: String) =>
+      Multimodal.phashNearDup(s, d)),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
@@ -2482,6 +2485,20 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rn FROM f)
          |SELECT qid, doc_id, rrf_score FROM r WHERE rn <= 10
          |ORDER BY qid, rrf_score DESC, doc_id""".stripMargin,
+
+    // mirrors Multimodal.phashNearDup's stub arm: md5-60 phash, 4x15-bit
+    // band candidates, exact bit_count(xor) verify at hamming <= 6
+    "media_phash_dedup" ->
+      s"""WITH ph AS (SELECT doc_id, ${md5LongSql("text")} AS phash FROM documents),
+         |bnd AS (SELECT doc_id, phash, r.i, (phash >> (r.i * 15)) & 32767 AS bb
+         |  FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) r),
+         |cp AS (SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa,
+         |    b.doc_id AS doc_b, b.phash AS pb
+         |  FROM bnd a JOIN bnd b ON a.i = b.i AND a.bb = b.bb
+         |  AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+         |FROM cp WHERE bit_count(xor(pa, pb)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "multimodal_meta" ->
       s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,

@@ -152,6 +152,96 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** 60-bit perceptual hash per media payload: real images get an
+    * 8x8 average-hash over block-averaged grayscale (the classic aHash
+    * — robust to recompression and small edits), everything else the
+    * deterministic md5-derived stub (same labeled-stub contract as
+    * decodeStub; the fixture corpus is all-stub, so the oracle mirrors
+    * the md5 arm while MultimodalSpec drives the real arm with encoded
+    * PNGs). 60 bits so the hash, its 4x15-bit bands, and the oracle
+    * all live in the library's standard md5-60 integer space. */
+  def phashOf(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val ph = sniffImage(r.media) match {
+          case Some(_) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) stubPhash(md, r.media) else aHash60(img)
+          case None => stubPhash(md, r.media)
+        }
+        (r.doc_id, ph)
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  private def stubPhash(md: MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Classic average-hash, 60 of the 64 cells: block-average the image
+    * to an 8x8 grayscale grid, bit i = cell i brighter than the grid
+    * mean. One or two differing pixels move at most a few cells across
+    * the mean — near-identical images land within a small hamming
+    * radius; unrelated images differ in ~30 bits. */
+  private[ops] def aHash60(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cells = Array.ofDim[Double](64)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+      val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var sum = 0.0; var n = 0
+      for (y <- y0 until math.min(y1, h); x <- x0 until math.min(x1, w)) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3.0
+        n += 1
+      }
+      cells(cy * 8 + cx) = if (n == 0) 0.0 else sum / n
+    }
+    val mean = cells.sum / 64
+    var bits = 0L
+    for (i <- 0 until 60) if (cells(i) > mean) bits |= 1L << i
+    bits
+  }
+
+  /** Banded perceptual near-dup over the media column — the dedup
+    * family extended to the multimodal side with the SAME candidate
+    * discipline as simhash: 4 x 15-bit bands, candidates only from
+    * band-equality joins (never all-pairs; a pair within hamming <= 6
+    * of 60 bits must agree on >= 1 band when... a 4-band split
+    * guarantees agreement only at hamming <= 3, so like simhash this
+    * is the standard recall/cost banding trade, not a lossless gate),
+    * exact bit_count(xor) verify. On the all-stub fixture the pairs
+    * are the exact-duplicate payloads (hamming 0) — pinned green
+    * against the md5-arm oracle; the real-image arm is MultimodalSpec
+    * territory (one-pixel edit stays near, inversion lands far). */
+  def phashNearDup(spark: SparkSession, dir: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val ph = phashOf(mediaTable(spark, dir))
+    val bands = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("phash"), i * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("i", "bb")))
+    bands.select(col("doc_id").as("doc_a"), col("phash").as("pa"),
+        col("i"), col("bb"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("phash").as("pb"),
+        col("i"), col("bb")), Seq("i", "bb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "pa", "doc_b", "pb").distinct()
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Aggregate media stats by fake format — the "how much of each modality
     * do we have" query every dataset card needs. */
   def formatStats(spark: SparkSession, dir: String): DataFrame =

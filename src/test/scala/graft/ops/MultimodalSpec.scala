@@ -76,4 +76,36 @@ class MultimodalSpec extends SparkSpec {
         s"doc $id must take the stub arm")
     }
   }
+
+  test("perceptual hash: one-pixel edit stays near, inversion lands far") {
+    import spark.implicits._
+    def gradientPng(invert: Boolean, editPixel: Boolean): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val g = (x * 8) % 256
+        val v = if (invert) 255 - g else g
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (editPixel) img.setRGB(5, 5, 0xffffff)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, gradientPng(invert = false, editPixel = false)),
+      Multimodal.MediaRow(2L, gradientPng(invert = false, editPixel = true)),
+      Multimodal.MediaRow(3L, gradientPng(invert = true, editPixel = false)))
+      .toDS()
+    val ph = Multimodal.phashOf(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(ph(1L), ph(2L)) <= 6,
+      s"one-pixel edit must stay within the near-dup radius: ${hamming(ph(1L), ph(2L))}")
+    assert(hamming(ph(1L), ph(3L)) > 20,
+      s"inverted image must land far: ${hamming(ph(1L), ph(3L))}")
+    // identical payloads hash identically (the hamming-0 exact arm)
+    val ph2 = Multimodal.phashOf(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph2 === ph)
+  }
 }
