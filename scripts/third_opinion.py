@@ -475,6 +475,37 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
+def check_embedding_outliers(sf_dir, out_dir, n_sigma=3.0):
+    import numpy as np
+    from decimal import Decimal
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    by_label = {}
+    for r in emb.itertuples():
+        by_label.setdefault(int(r.label), []).append(
+            (int(r.vec_id), np.asarray(list(r.embedding), dtype="float64")))
+    rows = []
+    for lab, vs in by_label.items():
+        cent = np.mean([v for _, v in vs], axis=0)
+        cn = np.linalg.norm(cent)
+        c6 = {vid: Decimal(str(round(float(v @ cent) /
+                                     (np.linalg.norm(v) * cn), 6)))
+              for vid, v in vs}
+        n = len(c6)
+        mean = float(sum(c6.values())) / n
+        ex2 = float(sum(d * d for d in c6.values())) / n
+        sdev = (ex2 - mean * mean) ** 0.5
+        for vid, d in c6.items():
+            if float(d) < mean - n_sigma * sdev:
+                rows.append((vid, lab, float(d),
+                             round((mean - float(d)) / sdev, 4)))
+    mine = pd.DataFrame(sorted(rows), columns=[
+        "vec_id", "label", "cos_to_centroid", "z"])
+    got = spark(out_dir, "embedding_outliers").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine,
+                                  check_dtype=False, atol=3e-4)
+    return len(mine)
+
+
 def check_media_phash_dedup(sf_dir, out_dir, max_hamming=6):
     import hashlib
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -1319,6 +1350,8 @@ def main(sf_dir, out_dir):
                lambda: check_rendezvous_shards(sf_dir, out_dir)),
               ("media_phash_dedup",
                lambda: check_media_phash_dedup(sf_dir, out_dir)),
+              ("embedding_outliers",
+               lambda: check_embedding_outliers(sf_dir, out_dir)),
               ("triangle_stats",
                lambda: check_triangle_stats(sf_dir, out_dir)),
               ("cross_source_dups",

@@ -172,6 +172,9 @@ object SparkEntry {
       TextDedup.ngramDuplicationProfile(s, d)),
     "semantic_clusters" -> ((s: SparkSession, d: String) => TextDedup.semanticClusters(s, d)),
     "label_centroids" -> (Similarity.labelCentroids _),
+    // 3-sigma below-cohesion outliers per label (vector quality gate)
+    "embedding_outliers" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingOutliers(s, d)),
     // -- text analysis --
     "text_lang_stats" -> (TextAnalysis.langStats _),
     "text_quality" -> (TextAnalysis.qualityScore _),
@@ -1728,6 +1731,29 @@ object SparkEntry {
          |  FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
          |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35),
          |${docComponentsSql("sem")}""".stripMargin,
+
+    // mirrors Similarity.embeddingOutliers: exact-decimal centroid
+    // means, list_cosine_similarity (== CosineSimilarityExpr), round-6
+    // decimal cosines, price_jumps band arithmetic
+    "embedding_outliers" -> {
+      val cents = (0 until 64).map(i =>
+        s"CAST(sum(CAST(v[${i + 1}] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c$i")
+        .mkString(", ")
+      val clist = (0 until 64).map(i => s"c$i").mkString("list_value(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ct AS (SELECT label, $cents FROM e GROUP BY label),
+         |sc AS (SELECT e.vec_id, e.label,
+         |  CAST(round(list_cosine_similarity(e.v, $clist), 6) AS DECIMAL(18,6)) AS cos6
+         |  FROM e JOIN ct USING (label)),
+         |st AS (SELECT label, count(*) AS n, sum(cos6) AS s1, sum(cos6 * cos6) AS s2 FROM sc GROUP BY 1),
+         |jo AS (SELECT sc.vec_id, sc.label, sc.cos6, CAST(s1 AS DOUBLE) / n AS mean,
+         |  sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sdev
+         |  FROM sc JOIN st USING (label))
+         |SELECT vec_id, label, CAST(cos6 AS DOUBLE) AS cos_to_centroid,
+         |  round((mean - CAST(cos6 AS DOUBLE)) / sdev, 4) AS z
+         |FROM jo WHERE CAST(cos6 AS DOUBLE) < mean - CAST(3.0 AS DOUBLE) * sdev
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "label_centroids" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

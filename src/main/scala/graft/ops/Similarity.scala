@@ -1798,6 +1798,50 @@ object Similarity {
     } finally truth.unpersist()
   }
 
+  /** Embedding outliers — the vector-space quality gate beside the
+    * text heuristics: per label, every vector's cosine to its OWN
+    * label centroid, flagging vectors more than 3 sigma BELOW the
+    * label's mean cohesion (mislabeled points, encoder failures, and
+    * corrupted rows all present as far-from-centroid). The exact
+    * price_jumps discipline in vector space: centroids from per-dim
+    * EXACT decimal sums divided by n (identical IEEE in both engines),
+    * cosines via the same expression pair the semantic family pins
+    * (CosineSimilarityExpr == list_cosine_similarity), round-6 decimal
+    * cosines so the band statistics are order-free sums. Plan shape:
+    * one centroid aggregate (label-sized, broadcast back), one
+    * per-vector scoring pass, one label-sized stats aggregate —
+    * embarrassingly parallel between two tiny broadcasts. */
+  def embeddingOutliers(spark: SparkSession, dir: String,
+                        nSigma: Double = 3.0): DataFrame =
+    embeddingOutliersOf(emb(spark, dir), dim = 64, nSigma = nSigma)
+
+  /** The scoring core over any (vec_id, label, v) frame (factored for
+    * fixture corpora of other dimensionality). */
+  def embeddingOutliersOf(e: DataFrame, dim: Int,
+                          nSigma: Double = 3.0): DataFrame = {
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("v"), i + 1).cast("decimal(27,12)")).as(s"s$i"))
+    val cents = e.groupBy("label")
+      .agg(count(lit(1)).as("nl"), sums: _*)
+      .select(col("label"), array((0 until dim).map(i =>
+        col(s"s$i").cast("double") / col("nl")): _*).as("centroid"))
+    val scored = e.join(broadcast(cents), "label")
+      .withColumn("cos6",
+        round(graft.plans.GraftExtensions.cosine(col("v"), col("centroid")), 6)
+          .cast("decimal(18,6)"))
+    val stats = scored.groupBy("label").agg(count(lit(1)).as("n"),
+      sum("cos6").as("sc"), sum(col("cos6") * col("cos6")).as("sc2"))
+    scored.join(broadcast(stats), "label")
+      .withColumn("mean", col("sc").cast("double") / col("n"))
+      .withColumn("sdev",
+        sqrt(col("sc2").cast("double") / col("n") - col("mean") * col("mean")))
+      .filter(col("cos6").cast("double") < col("mean") - lit(nSigma) * col("sdev"))
+      .select(col("vec_id"), col("label"),
+        col("cos6").cast("double").as("cos_to_centroid"),
+        round((col("mean") - col("cos6").cast("double")) / col("sdev"), 4).as("z"))
+      .orderBy("vec_id")
+  }
+
   /** Centroid per label — the reduction side of an IVF index build: one
     * pass, partial aggregation per partition (sums of 64-dim arrays). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {

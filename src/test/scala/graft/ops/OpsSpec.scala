@@ -594,6 +594,17 @@ class OpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("embedding outliers: the orthogonal vector in a tight label flags, cohesive ones don't") {
+    import spark.implicits._
+    val tight = (1L to 19L).map(i => (i, 0, Seq(1.0, 0.0, 0.0, 0.0)))
+    val odd = Seq((20L, 0, Seq(0.0, 1.0, 0.0, 0.0)))
+    val e = (tight ++ odd).toDF("vec_id", "label", "v")
+    val out = Similarity.embeddingOutliersOf(e, dim = 4).collect()
+    assert(out.length === 1 && out(0).getLong(0) === 20L,
+      s"exactly the orthogonal vector must flag: ${out.toSeq}")
+    assert(out(0).getDouble(3) > 3.0) // its z clears the gate by definition
+  }
+
   test("distinct-n diversity: exhaustive recount, dup docs depress the share") {
     val texts = TextAnalysis.docs(spark, dir).collect()
       .map(_.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
