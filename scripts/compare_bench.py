@@ -59,6 +59,7 @@ FAMILY_FILES = {
     ("domain_reweight", "corpus_drift", "length_buckets", "charset_stats"): [
         "ops/TextAnalysis.scala", "ops/TextHashing.scala"],
     ("price_jumps", "ewma_prices", "vwap_daily"): ["queries/MarketQueries.scala"],
+    ("zorder_key",): ["queries/MarketQueries.scala", "storage/TickTable.scala"],
     ("ngram_dup_profile", "pagerank_neardup", "triangle_stats",
      "cross_source_dups"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",

@@ -475,6 +475,26 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
+def check_zorder_key(sf_dir, out_dir, k=50):
+    ev = load_events(sf_dir)
+    rows = []
+    for r in ev.itertuples():
+        x = int(r.user_id) & 65535
+        y = (int(r.ts_us) // 60000000) & 65535
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        rows.append((z, int(r.event_id), x, y))
+    rows.sort()
+    mine = pd.DataFrame(
+        [(e, x, y, z) for z, e, x, y in rows[:k]],
+        columns=["event_id", "x", "y", "z"])
+    got = spark(out_dir, "zorder_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_embedding_outliers(sf_dir, out_dir, n_sigma=3.0):
     import numpy as np
     from decimal import Decimal
@@ -1352,6 +1372,7 @@ def main(sf_dir, out_dir):
                lambda: check_media_phash_dedup(sf_dir, out_dir)),
               ("embedding_outliers",
                lambda: check_embedding_outliers(sf_dir, out_dir)),
+              ("zorder_key", lambda: check_zorder_key(sf_dir, out_dir)),
               ("triangle_stats",
                lambda: check_triangle_stats(sf_dir, out_dir)),
               ("cross_source_dups",

@@ -44,6 +44,8 @@ object SparkEntry {
     "ewma_prices" -> (M.ewmaPrices _),
     // daily VWAP with props.k as trade size (exact decimal p x q)
     "vwap_daily" -> (M.vwapDaily _),
+    // morton-interleave layout key (two-dimension storage sort)
+    "zorder_key" -> ((s: SparkSession, d: String) => M.zorderKey(s, d)),
     "set_ops" -> (M.setOps _),
     "rollup_stats" -> (M.rollupStats _),
     "distinct_counts" -> (M.distinctCounts _),
@@ -1101,6 +1103,18 @@ object SparkEntry {
         |SELECT user_id, date, n_trades, qty,
         |  floor(CAST(pv_sum AS DOUBLE) / qty * 1000000.0 + 0.5) / 1000000.0 AS vwap
         |FROM g WHERE qty > 0 ORDER BY user_id, date""".stripMargin,
+
+    // mirrors MarketQueries.zorderKey / TickTable.morton16: the same 16
+    // unrolled shift/mask interleave terms (pure integer bit arithmetic)
+    "zorder_key" -> {
+      val z = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT event_id, user_id & 65535 AS x,
+         |  (epoch_us(ts) // 60000000) & 65535 AS y FROM events)
+         |SELECT event_id, x, y, $z AS z
+         |FROM b ORDER BY z, event_id LIMIT 50""".stripMargin
+    },
 
     "set_ops" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -308,6 +308,20 @@ object MarketQueries {
         col("vwap"))
       .orderBy("user_id", "date")
 
+  /** Z-order layout key over (token, minute) — the multi-dimensional
+    * storage-sort face of O5: the first 50 events in morton order,
+    * pinning the interleave arithmetic both engines must agree on
+    * bit-for-bit (graft.storage.TickTable.morton16; the write path and
+    * its measured two-dimension locality are StorageSpec territory). */
+  def zorderKey(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        col("user_id").bitwiseAND(lit(65535L)).as("x"),
+        expr("unix_micros(ts) div 60000000").bitwiseAND(lit(65535L)).as("y"))
+      .withColumn("z", graft.storage.TickTable.morton16(col("x"), col("y")))
+      .orderBy("z", "event_id")
+      .limit(k)
+
   /** §2.9: set operation — tokens that emitted both 'purchase' and
     * 'error' events (INTERSECT of two key sets). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

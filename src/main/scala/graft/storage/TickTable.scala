@@ -117,6 +117,38 @@ object TickTable {
       .filter(col("exchange_timestamp") >= to_timestamp(lit(fromTs))
         && col("exchange_timestamp") < to_timestamp(lit(toTs)))
 
+  /** 32-bit Morton (Z-order) interleave of two 16-bit dimensions — the
+    * multi-dimensional layout key: sorting by the interleaved bits
+    * clusters BOTH dimensions at once, so a scan filtered on either
+    * one (token OR time) skips most row groups, where a single-column
+    * sort serves only its own column. Pure shift/mask arithmetic (16
+    * unrolled terms), identical bit-for-bit in any engine. */
+  def morton16(x: org.apache.spark.sql.Column,
+               y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val xb = x.bitwiseAND(lit(65535L))
+    val yb = y.bitwiseAND(lit(65535L))
+    (0 until 16).map { i =>
+      shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write a frame Z-ORDERED on two dimensions: range-partition by the
+    * morton key, sort within partitions by it, write parquet. Each
+    * output file then covers a compact rectangle in (x, y) space —
+    * min/max footer stats prune on BOTH dimensions (StorageSpec
+    * measures per-file spans against a time-sorted layout). The write
+    * shuffle is the one-time layout cost, exactly like bucketing. */
+  def saveZOrdered(df: DataFrame, path: String,
+                   x: org.apache.spark.sql.Column,
+                   y: org.apache.spark.sql.Column,
+                   numFiles: Int = 8): Unit =
+    df.withColumn("z_key", morton16(x, y))
+      .repartitionByRange(numFiles, col("z_key"))
+      .sortWithinPartitions("z_key")
+      .drop("z_key")
+      .write.mode("overwrite").parquet(path)
+
   /** Save as a BUCKETED catalog table: hash-bucketed and sorted by `key`.
     * Two tables bucketed the same way join WITHOUT a shuffle — the
     * co-located fact-to-fact join (SURVEY §7.4.6; GraftConf clusterNotes:

@@ -115,4 +115,37 @@ class StorageSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("z-ordered layout clusters BOTH dimensions; time-sort clusters only time") {
+    import spark.implicits._
+    // 64 tokens x 256 minutes, shuffled arrival order
+    val rows = new scala.util.Random(42).shuffle(
+      (for (tok <- 0 until 64; m <- 0 until 256) yield (tok.toLong, m.toLong))
+        .toVector)
+      .zipWithIndex.map { case ((t, m), i) => (i.toLong, t, m) }
+    val df = rows.toDF("event_id", "token", "minute")
+    val zdir = java.nio.file.Files.createTempDirectory("zord").toString
+    val tdir = java.nio.file.Files.createTempDirectory("tsort").toString
+    TickTable.saveZOrdered(df, zdir, col("token"), col("minute"), numFiles = 16)
+    df.repartitionByRange(16, col("minute")).sortWithinPartitions("minute")
+      .write.mode("overwrite").parquet(tdir)
+
+    def medianSpans(path: String): (Double, Double) = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("token") - min("token")).as("ts"),
+          (max("minute") - min("minute")).as("ms"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      def med(xs: Seq[Long]) = xs.sorted.apply(xs.length / 2).toDouble
+      (med(spans.map(_._1).toSeq), med(spans.map(_._2).toSeq))
+    }
+    val (zTok, zMin) = medianSpans(zdir)
+    val (sTok, sMin) = medianSpans(tdir)
+    // time-sorted: minute span tiny per file, token span ~full (63)
+    assert(sMin < 64 && sTok > 48, s"time-sort layout: tok=$sTok min=$sMin")
+    // z-ordered: BOTH spans a fraction of their full ranges — a filter
+    // on EITHER dimension prunes most files via footer min/max
+    assert(zTok <= 48 && zMin <= 128,
+      s"z-order must bound both dims: tok=$zTok min=$zMin")
+  }
 }
