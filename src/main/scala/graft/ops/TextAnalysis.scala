@@ -1140,24 +1140,11 @@ object TextAnalysis {
     * enters. α = 0.709, the published m = 64 constant. */
   def hllGramCardinality(spark: SparkSession, dir: String,
                          m: Int = 64, n: Int = 3): DataFrame = {
-    require(Integer.bitCount(m) == 1, s"m=$m must be a power of two")
-    val logM = Integer.numberOfTrailingZeros(m)
-    val h = md5Long(concat(lit("hll:"), col("gram")))
-    // bit surgery stays in LONG space (Column./ is double division and
-    // would lose bits past 2^53): register = low log2(m) bits, r2 = the
-    // next 32 bits
-    val r2 = shiftright(h, logM) % lit(1L << 32)
-    // bit length of the 32-bit slice: the largest k with r2 >= 2^(k-1)
-    val bitlen = (1 to 32).foldLeft(lit(0)) { (acc, k) =>
-      when(r2 >= lit(1L << (k - 1)), lit(k)).otherwise(acc)
-    }
     val grams = docs(spark, dir)
       .withColumn("ws", words(col("text")))
       .filter(size(col("ws")) > 0)
       .select(col("source"), explode(TextDedup.ngramsOf(col("ws"), n)).as("gram"))
-    val registers = grams
-      .select(col("source"), (h % m).as("register"), (lit(33) - bitlen).as("rho"))
-      .groupBy("source", "register").agg(max("rho").as("mj"))
+    val registers = hllRegistersOf(grams, m)
     val alpha = 0.709
     // 1/(1 << mj) is an EXACT power-of-two double, and the <= m terms
     // span under 53 bits, so the sum is exact and order-independent —
@@ -1173,6 +1160,29 @@ object TextAnalysis {
     est.join(exact, "source")
       .select("source", "n_registers", "est_distinct", "exact_distinct")
       .orderBy("source")
+  }
+
+  /** The HLL register table of a (source, gram) frame: register = low
+    * log2(m) md5 bits, rho = leading-zero rank of the next 32 bits,
+    * max per (source, register). Factored so the STREAMING face
+    * (`streaming.Sketches.hllRegisters`) maintains the identical
+    * registers as bounded aggregation state — max is the mergeable-
+    * sketch update, exactly like the CMS grid's count. */
+  private[graft] def hllRegistersOf(grams: DataFrame, m: Int): DataFrame = {
+    require(Integer.bitCount(m) == 1, s"m=$m must be a power of two")
+    val logM = Integer.numberOfTrailingZeros(m)
+    val h = md5Long(concat(lit("hll:"), col("gram")))
+    // bit surgery stays in LONG space (Column./ is double division and
+    // would lose bits past 2^53): register = low log2(m) bits, r2 = the
+    // next 32 bits
+    val r2 = shiftright(h, logM) % lit(1L << 32)
+    // bit length of the 32-bit slice: the largest k with r2 >= 2^(k-1)
+    val bitlen = (1 to 32).foldLeft(lit(0)) { (acc, k) =>
+      when(r2 >= lit(1L << (k - 1)), lit(k)).otherwise(acc)
+    }
+    grams
+      .select(col("source"), (h % m).as("register"), (lit(33) - bitlen).as("rho"))
+      .groupBy("source", "register").agg(max("rho").as("mj"))
   }
 
   /** Document fingerprints: full-content md5, a 60-bit integer fingerprint,

@@ -584,7 +584,7 @@ object TextDedup {
 
   /** Word n-grams of an already-materialized words column (generalizes
     * TextHashing.shinglesOf beyond n = 3, same short-doc convention). */
-  private[ops] def ngramsOf(ws: Column, n: Int): Column =
+  private[graft] def ngramsOf(ws: Column, n: Int): Column =
     when(size(ws) < n, array(concat_ws(" ", ws)))
       .otherwise(transform(
         sequence(lit(1), size(ws) - (n - 1)),

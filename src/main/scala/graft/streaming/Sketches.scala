@@ -32,4 +32,21 @@ object Sketches {
         .as(Seq("row", "bucket")))
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cell"))
+
+  /** HLL register maintenance over a STREAMING docs frame (doc_id,
+    * text, source, ...): the batch panel's (source, register, max rho)
+    * table as streaming-aggregation state — max is the mergeable
+    * update, state is sources x m registers at any volume, and a cold
+    * consumer computes the SAME alpha*m^2/SUM estimate the batch query
+    * emits (`TextAnalysis.hllRegistersOf` — one register definition
+    * for both sides; SketchStreamSpec pins stream == batch). */
+  def hllRegisters(docsStream: DataFrame, m: Int = 64,
+                   n: Int = 3): DataFrame =
+    graft.ops.TextAnalysis.hllRegistersOf(
+      docsStream
+        .withColumn("ws", graft.ops.TextHashing.words(col("text")))
+        .filter(size(col("ws")) > 0)
+        .select(col("source"),
+          explode(graft.ops.TextDedup.ngramsOf(col("ws"), n)).as("gram")),
+      m)
 }

@@ -54,4 +54,36 @@ class SketchStreamSpec extends SparkSpec {
     val est = buckets.zipWithIndex.map { case (b, i) => streamed((i, b)) }.min
     assert(est >= 3L)
   }
+
+  test("streaming HLL registers == batch registers; max-merge absorbs re-sends") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon", "web"),
+      (2L, "zeta eta theta iota kappa", "books"))
+    val b2 = Seq((3L, "lambda mu nu xi omicron pi", "web"),
+      (1L, "alpha beta gamma delta epsilon", "web")) // exact re-send
+    val stream = MemoryStream[(Long, String, String)]
+    val regs = Sketches.hllRegisters(
+      stream.toDF().toDF("doc_id", "text", "source"))
+    val q = regs.writeStream.format("memory").queryName("hll_regs_test")
+      .outputMode("complete").start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_regs_test").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+
+    val batch = graft.ops.TextAnalysis.hllRegistersOf(
+      (b1 ++ b2).toDF("doc_id", "text", "source")
+        .withColumn("ws", graft.ops.TextHashing.words(col("text")))
+        .select(col("source"),
+          explode(graft.ops.TextDedup.ngramsOf(col("ws"), 3)).as("gram")),
+      m = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // max-merge: the duplicate doc re-send cannot move any register
+    assert(streamed === batch)
+    assert(streamed.keys.map(_._1).toSet === Set("web", "books"))
+  }
 }
