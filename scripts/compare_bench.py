@@ -61,7 +61,7 @@ FAMILY_FILES = {
     ("price_jumps", "ewma_prices", "vwap_daily"): ["queries/MarketQueries.scala"],
     ("zorder_key",): ["queries/MarketQueries.scala", "storage/TickTable.scala"],
     ("ngram_dup_profile", "pagerank_neardup", "triangle_stats",
-     "cross_source_dups"): [
+     "cross_source_dups", "memorization_risk"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],
     ("dedup_", "simhash_", "decontamination"): [

@@ -475,6 +475,33 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
+def check_memorization_risk(sf_dir, out_dir, n=3):
+    import math
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    grams = {}
+    for r in docs.itertuples():
+        ws = _words(r.text)
+        if not ws:
+            continue
+        g = {" ".join(ws)} if len(ws) < n else \
+            {" ".join(ws[i:i + n]) for i in range(len(ws) - (n - 1))}
+        grams[int(r.doc_id)] = g
+    df = {}
+    for g in grams.values():
+        for gr in g:
+            df[gr] = df.get(gr, 0) + 1
+    rows = []
+    for d, g in sorted(grams.items()):
+        uniq = sum(1 for gr in g if df[gr] == 1)
+        rows.append((d, len(g), uniq,
+                     math.floor(uniq / len(g) * 1e6 + 0.5) / 1e6))
+    mine = pd.DataFrame(rows, columns=[
+        "doc_id", "n_grams", "n_unique", "unique_share6"])
+    got = spark(out_dir, "memorization_risk").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_zorder_key(sf_dir, out_dir, k=50):
     ev = load_events(sf_dir)
     rows = []
@@ -1373,6 +1400,8 @@ def main(sf_dir, out_dir):
               ("embedding_outliers",
                lambda: check_embedding_outliers(sf_dir, out_dir)),
               ("zorder_key", lambda: check_zorder_key(sf_dir, out_dir)),
+              ("memorization_risk",
+               lambda: check_memorization_risk(sf_dir, out_dir)),
               ("triangle_stats",
                lambda: check_triangle_stats(sf_dir, out_dir)),
               ("cross_source_dups",

@@ -172,6 +172,9 @@ object SparkEntry {
     // document frequency (the dedup-threshold tuning signal)
     "ngram_dup_profile" -> ((s: SparkSession, d: String) =>
       TextDedup.ngramDuplicationProfile(s, d)),
+    // per-doc share of corpus-unique 3-grams (extraction-risk screen)
+    "memorization_risk" -> ((s: SparkSession, d: String) =>
+      TextDedup.memorizationRisk(s, d)),
     "semantic_clusters" -> ((s: SparkSession, d: String) => TextDedup.semanticClusters(s, d)),
     "label_centroids" -> (Similarity.labelCentroids _),
     // 3-sigma below-cohesion outliers per label (vector quality gate)
@@ -1736,6 +1739,21 @@ object SparkEntry {
          |SELECT dup_bucket, count(*) AS n_grams, CAST(sum(df) AS BIGINT) AS n_occurrences,
          |  round(count(*) / sum(count(*)) OVER (), 6) AS share
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mirrors TextDedup.memorizationRisk: doc-level df=1 share with
+    // the portable round-6 integer ratio
+    "memorization_risk" ->
+      s"""WITH wrd AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |gl AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_transform(generate_series(1, len(ws)-2), i -> array_to_string(list_slice(ws, i, i+2), ' ')) END AS garr FROM wrd WHERE len(ws) > 0),
+         |g AS (SELECT DISTINCT doc_id, unnest(garr) AS gram FROM gl),
+         |f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+         |pd AS (SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |  FROM g JOIN f USING (gram) GROUP BY 1)
+         |SELECT doc_id, n_grams, n_unique,
+         |  floor(CAST(n_unique AS DOUBLE) / n_grams * 1000000.0 + 0.5) / 1000000.0 AS unique_share6
+         |FROM pd ORDER BY doc_id""".stripMargin,
 
     // semantic dedup = components over the verified cosine pairs, same
     // cluster contract as the text families

@@ -571,6 +571,28 @@ object TextDedup {
       .orderBy("dup_bucket")
   }
 
+  /** Per-document memorization-risk panel — the doc-level face of the
+    * duplication profile: the share of a doc's distinct n-grams that
+    * appear in NO other document (df = 1). A high-unique-share doc is
+    * idiosyncratic content a model can only reproduce by memorizing it
+    * — the standard extraction-risk screen (and, dually, the docs
+    * dedup can never catch). Same gram-count shuffle as the profile
+    * plus one gram-keyed equality join back — postings class, nothing
+    * pairwise; share is portable-round-6 (integer ratio). */
+  def memorizationRisk(spark: SparkSession, dir: String,
+                       n: Int = 3): DataFrame = {
+    val grams = docGrams(docs(spark, dir), "doc_id", n)
+    val df_ = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df_, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("unique_share6",
+        floor(col("n_unique").cast("double") / col("n_grams") * lit(1.0e6)
+          + lit(0.5)) / lit(1.0e6))
+      .orderBy("doc_id")
+  }
+
   /** `benchDir`'s distinct benchmark gram table, materialized ONCE per
     * (session, dir) — every micro-batch of the streaming
     * decontamination gate joins against it instead of re-scanning and

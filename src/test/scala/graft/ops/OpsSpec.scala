@@ -594,6 +594,19 @@ class OpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("memorization risk: exact dups score 0, singleton doc scores 1, near-dups in between") {
+    val m = TextDedup.memorizationRisk(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 2 and 3 are identical: every gram appears twice -> share 0
+    assert(m(2L)._3 === 0.0 && m(3L)._3 === 0.0)
+    // doc 4 is one word: its whole-text gram exists nowhere else
+    assert(m(4L) === ((1L, 1L, 1.0)))
+    // docs 0/1 differ by one word: shared windows df=2, the windows
+    // around the differing word are unique -> strictly between
+    assert(m(0L)._3 > 0.0 && m(0L)._3 < 1.0)
+    assert(m(1L)._3 > 0.0 && m(1L)._3 < 1.0)
+  }
+
   test("embedding outliers: the orthogonal vector in a tight label flags, cohesive ones don't") {
     import spark.implicits._
     val tight = (1L to 19L).map(i => (i, 0, Seq(1.0, 0.0, 0.0, 0.0)))
