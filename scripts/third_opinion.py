@@ -475,6 +475,37 @@ def check_shuffle_shards(sf_dir, out_dir, n_shards=16, seed="graft"):
     return len(mine)
 
 
+def check_corpus_drift_deciles(sf_dir, out_dir):
+    import math
+    from decimal import Decimal
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    mx = int(docs.doc_id.max())
+    cw, gw = {}, {}
+    for r in docs.itertuples():
+        dec = (int(r.doc_id) * 10) // (mx + 1)
+        for w in _words(r.text):
+            cw[(dec, w)] = cw.get((dec, w), 0) + 1
+            gw[w] = gw.get(w, 0) + 1
+    v, n = len(gw), sum(gw.values())
+    nd = {}
+    for (dec, _), c in cw.items():
+        nd[dec] = nd.get(dec, 0) + c
+    rows = []
+    for dec in sorted(nd):
+        kl = Decimal(0)
+        for w, c in gw.items():
+            pd_ = (cw.get((dec, w), 0) + 1.0) / float(nd[dec] + v)
+            pc = (c + 1.0) / float(n + v)
+            kl += Decimal(repr(round(pd_ * math.log(pd_ / pc), 6))) \
+                .quantize(Decimal("0.000001"))
+        rows.append((dec, nd[dec], float(kl)))
+    mine = pd.DataFrame(rows, columns=["dec", "n_tokens", "kl_to_corpus"])
+    got = spark(out_dir, "corpus_drift_deciles").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine,
+                                  check_dtype=False, atol=5e-6)
+    return len(mine)
+
+
 def check_memorization_risk(sf_dir, out_dir, n=3):
     import math
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -1402,6 +1433,8 @@ def main(sf_dir, out_dir):
               ("zorder_key", lambda: check_zorder_key(sf_dir, out_dir)),
               ("memorization_risk",
                lambda: check_memorization_risk(sf_dir, out_dir)),
+              ("corpus_drift_deciles",
+               lambda: check_corpus_drift_deciles(sf_dir, out_dir)),
               ("triangle_stats",
                lambda: check_triangle_stats(sf_dir, out_dir)),
               ("cross_source_dups",

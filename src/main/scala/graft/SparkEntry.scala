@@ -209,6 +209,8 @@ object SparkEntry {
     // distribution-shift monitor: symmetric smoothed KL between the
     // token distributions of the two corpus halves, per source
     "corpus_drift" -> (TextAnalysis.corpusDrift _),
+    // WHERE the corpus shifted: KL(decile || corpus) per arrival slice
+    "corpus_drift_deciles" -> (TextAnalysis.corpusDriftDeciles _),
     // tokenizer fertility: BPE tokens per word by source (vocab-eval
     // panel; rides the session-cached tokenizer)
     "bpe_fertility" -> ((s: SparkSession, d: String) =>
@@ -1992,6 +1994,28 @@ object SparkEntry {
          |k AS (SELECT source, sum(tab) AS ka, sum(tba) AS kb FROM tm GROUP BY 1)
          |SELECT source, v AS vocab, CAST(ka AS DOUBLE) AS kl_ab, CAST(kb AS DOUBLE) AS kl_ba
          |FROM k JOIN tot USING (source) ORDER BY source""".stripMargin,
+
+    // mirrors TextAnalysis.corpusDriftDeciles: arithmetic doc_id-range
+    // deciles, full union vocab per decile (missing words carry their
+    // add-one mass), round-6 decimal KL terms
+    "corpus_drift_deciles" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($WordsSql) AS w FROM documents),
+         |mx AS (SELECT max(doc_id) AS mx FROM toks),
+         |t AS (SELECT (doc_id * 10) // (mx + 1) AS dec, w FROM toks CROSS JOIN mx),
+         |cw AS (SELECT dec, w, count(*) AS cdw FROM t GROUP BY 1, 2),
+         |gw AS (SELECT w, count(*) AS cw FROM t GROUP BY 1),
+         |nd AS (SELECT dec, CAST(sum(cdw) AS BIGINT) AS ndec FROM cw GROUP BY 1),
+         |vn AS (SELECT count(*) AS v, CAST(sum(cw) AS BIGINT) AS n FROM gw),
+         |ds AS (SELECT unnest(generate_series(0, 9)) AS dec),
+         |fl AS (SELECT ds.dec, gw.w, gw.cw, coalesce(cw.cdw, 0) AS cdw
+         |  FROM gw CROSS JOIN ds LEFT JOIN cw ON cw.dec = ds.dec AND cw.w = gw.w),
+         |p AS (SELECT fl.dec,
+         |  (CAST(cdw AS DOUBLE) + 1.0) / CAST(ndec + v AS DOUBLE) AS pd,
+         |  (CAST(cw AS DOUBLE) + 1.0) / CAST(n + v AS DOUBLE) AS pc, ndec
+         |  FROM fl JOIN nd ON nd.dec = fl.dec CROSS JOIN vn),
+         |tm AS (SELECT dec, ndec, CAST(round(pd * ln(pd / pc), 6) AS DECIMAL(18,6)) AS t6 FROM p)
+         |SELECT dec, min(ndec) AS n_tokens, CAST(sum(t6) AS DOUBLE) AS kl_to_corpus
+         |FROM tm GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mirrors TextAnalysis.bpeFertility: same 10-merge training chain,
     // per-word symbol counts regrouped by source

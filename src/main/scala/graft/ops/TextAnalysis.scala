@@ -1008,6 +1008,45 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Rolling drift by corpus DECILE — WHERE the distribution shifted,
+    * not just whether ([[corpusDrift]] answers the halves question;
+    * this one localizes it): KL(decile || whole corpus) for ten
+    * doc_id-range slices (arrival order; a production run slices on
+    * ingest batch). Deliberately arithmetic bucketing, NOT a global
+    * ntile — the curriculum lesson: a global rank window funnels the
+    * corpus through one partition. The full union vocabulary
+    * contributes to every decile (a missing word's add-one mass is
+    * part of the divergence), so the term table is 10 x vocab — the
+    * postings class; terms are round-6 DECIMAL so decile sums are
+    * exact and order-free. A decile whose KL spikes is the batch to
+    * quarantine. */
+  def corpusDriftDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+    val mx = toks.agg(max("doc_id").as("mx"))
+    val t = toks.crossJoin(broadcast(mx))
+      .withColumn("dec", expr("(doc_id * 10) div (mx + 1)"))
+    val cw = t.groupBy("dec", "w").agg(count(lit(1)).as("cdw"))
+    val gw = t.groupBy("w").agg(count(lit(1)).as("cw"))
+    val nd = cw.groupBy("dec").agg(sum("cdw").as("ndec"))
+    val vn = gw.agg(count(lit(1)).as("v"), sum("cw").as("n"))
+    val decs = spark.range(10).select(col("id").as("dec"))
+    gw.crossJoin(decs)
+      .join(cw, Seq("dec", "w"), "left")
+      .withColumn("cdw", coalesce(col("cdw"), lit(0L)))
+      .join(nd, "dec")
+      .crossJoin(broadcast(vn))
+      .withColumn("pd", (col("cdw") + lit(1.0)) / (col("ndec") + col("v")))
+      .withColumn("pc", (col("cw") + lit(1.0)) / (col("n") + col("v")))
+      .withColumn("t6",
+        round(col("pd") * log(col("pd") / col("pc")), 6).cast("decimal(18,6)"))
+      .groupBy("dec")
+      .agg(min("ndec").as("n_tokens"), sum("t6").as("kl"))
+      .select(col("dec"), col("n_tokens"), col("kl").cast("double").as("kl_to_corpus"))
+      .orderBy("dec")
+  }
+
   /** Tokenizer FERTILITY per source — BPE tokens emitted per word, the
     * standard tokenizer-evaluation metric (a fertility far above ~1.3
     * on a source means the vocabulary serves it badly and its effective

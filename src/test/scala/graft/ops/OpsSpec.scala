@@ -594,6 +594,18 @@ class OpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("decile drift: deciles partition the token mass, every KL is non-negative") {
+    val rows = TextAnalysis.corpusDriftDeciles(spark, dir).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val total = TextAnalysis.docs(spark, dir).collect()
+      .map(_.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty)).sum
+    assert(rows.map(_.getLong(1)).sum === total.toLong,
+      "decile token counts must partition the corpus")
+    // KL of proper add-one-smoothed distributions is >= 0 (up to the
+    // per-term round-6 grid)
+    assert(rows.forall(_.getDouble(2) >= -1e-4))
+  }
+
   test("memorization risk: exact dups score 0, singleton doc scores 1, near-dups in between") {
     val m = TextDedup.memorizationRisk(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
