@@ -298,6 +298,10 @@ class InvarianceSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("driver entry contract: the flagship query returns rows at sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0L)
+  }
+
   test("approx_count_distinct lands within its error bound") {
     val e = MarketQueries.events(spark, dir)
     val exact = e.select(countDistinct("user_id")).head().getLong(0)
