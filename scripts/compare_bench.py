@@ -14,6 +14,9 @@ script separates the two failure modes:
 
 Usage:
   python3 scripts/compare_bench.py OLD.json NEW.json [GIT_RANGE]
+  python3 scripts/compare_bench.py --audit BENCH_OR_CORRECTNESS.json
+      # fail if any query name resolves to DEFAULT_FILES without a
+      # MARKET_WHITELIST row (attribution gap)
 
 GIT_RANGE (e.g. "2c75a71..HEAD") scopes `git diff --name-only`; when
 omitted, every query is treated as potentially code-attributable (no
@@ -75,7 +78,8 @@ FAMILY_FILES = {
     ("temperature_mix", "quota_sample", "weighted_sample", "pack_shards",
      "epoch_repeat", "rendezvous_shards"): ["ops/Mixing.scala"],
     ("text_", "token_histogram", "stratified_sample", "cross_modal",
-     "chunk_documents", "bpe_", "tfidf_", "cms_", "pmi_"): [
+     "chunk_documents", "bpe_", "tfidf_", "cms_", "pmi_",
+     "distinct_ngram_diversity", "quality_rules", "token_counts_bpe"): [
         "ops/TextAnalysis.scala", "ops/TextHashing.scala"],
     ("leakage_free_split", "dedup_keep_best"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
@@ -93,12 +97,48 @@ GLOBAL_FILES = ["SparkEntry.scala", "Bench.scala", "core/GraftConf.scala",
 DEFAULT_FILES = ["queries/MarketQueries.scala", "queries/TickQueries.scala",
                  "ops/RangeJoin.scala", "ops/Skew.scala", "streaming/"]
 
+# Queries ALLOWED to resolve to DEFAULT_FILES: the MarketQueries /
+# TickQueries / AsofJoin / RangeJoin parity family. Any query name that
+# falls through to DEFAULT_FILES *without* being listed here is an
+# attribution gap — a regression in its real implementing file would be
+# misclassified "environmental" under a GIT_RANGE. `--audit` enforces
+# this: every new SparkEntry.queries name needs either a FAMILY_FILES
+# prefix or an explicit row below.
+MARKET_WHITELIST = {
+    "asof_join", "asof_price", "cube_stats", "cum_volume", "daily_ohlcv",
+    "daily_stats", "distinct_counts", "enriched_by_segment", "event_gaps",
+    "except_tokens", "hourly_bars", "inactive_tokens", "json_props",
+    "latest_prices_topk", "latest_tick", "mode_conditional", "percentiles",
+    "pivot_counts", "range_join_errors", "rank_by_day", "rollup_stats",
+    "scaled_projection", "seq_dedup", "session_stats", "set_ops",
+    "tick_returns", "time_format", "time_range_scan", "token_freshness",
+    "token_stats", "tokens_by_type", "volume_profile",
+}
+
 
 def family_files(query):
     for prefixes, files in FAMILY_FILES.items():
         if any(query.startswith(p) for p in prefixes):
             return files
     return DEFAULT_FILES
+
+
+def audit(path):
+    """Check every query name in a bench/correctness JSON resolves to a
+    non-DEFAULT family or is whitelisted MarketQueries-family."""
+    d = json.load(open(path))
+    names = sorted(d["queries"]) if "queries" in d else sorted(d)
+    gaps = [q for q in names
+            if family_files(q) is DEFAULT_FILES and q not in MARKET_WHITELIST]
+    if gaps:
+        print(f"attribution gaps ({len(gaps)}): queries resolving to "
+              "DEFAULT_FILES without a whitelist row:")
+        for q in gaps:
+            print(f"  {q}")
+        sys.exit(1)
+    print(f"attribution audit: all {len(names)} query names resolve "
+          "(family or whitelisted)")
+    sys.exit(0)
 
 
 def changed_files(git_range):
@@ -108,6 +148,8 @@ def changed_files(git_range):
 
 
 def main():
+    if len(sys.argv) == 3 and sys.argv[1] == "--audit":
+        audit(sys.argv[2])
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     def load(path):

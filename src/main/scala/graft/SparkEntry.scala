@@ -2568,12 +2568,14 @@ object SparkEntry {
          |SELECT qid, doc_id, rrf_score FROM r WHERE rn <= 10
          |ORDER BY qid, rrf_score DESC, doc_id""".stripMargin,
 
-    // mirrors Multimodal.phashNearDup's stub arm: md5-60 phash, 4x15-bit
+    // mirrors Multimodal.phashNearDup's stub arm: md5-60 phash, 7-band
+    // split (4x9 + 3x8 bits — lossless at hamming <= 6 by pigeonhole)
     // band candidates, exact bit_count(xor) verify at hamming <= 6
     "media_phash_dedup" ->
       s"""WITH ph AS (SELECT doc_id, ${md5LongSql("text")} AS phash FROM documents),
-         |bnd AS (SELECT doc_id, phash, r.i, (phash >> (r.i * 15)) & 32767 AS bb
-         |  FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) r),
+         |bnd AS (SELECT doc_id, phash, r.i, (phash >> r.sh) & r.mk AS bb
+         |  FROM ph CROSS JOIN (VALUES (0,0,511),(1,9,511),(2,18,511),(3,27,511),
+         |    (4,36,255),(5,44,255),(6,52,255)) r(i, sh, mk)),
          |cp AS (SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa,
          |    b.doc_id AS doc_b, b.phash AS pb
          |  FROM bnd a JOIN bnd b ON a.i = b.i AND a.bb = b.bb

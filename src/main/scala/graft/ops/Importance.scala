@@ -64,11 +64,17 @@ object Importance {
   def importanceTopK(spark: SparkSession, dir: String,
                      buckets: Int = Buckets, k: Int = TopK): DataFrame = {
     // the narrow (doc_id, b) projection feeds BOTH the bucket-count pass
-    // and the scoring pass — persist it so the corpus is tokenized once,
-    // not twice (spills to disk if it outgrows memory; at 100 TB this is
-    // the same cache-the-feature-stream trade QualityClassifier makes)
-    val feats = features(docs(spark, dir), buckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // and the scoring pass — session-cache it so the corpus is tokenized
+    // once, not twice (spills to disk if it outgrows memory; at 100 TB
+    // this is the same cache-the-feature-stream trade QualityClassifier
+    // makes). Keyed through SessionCache (the ivf_session_postings
+    // pattern) so repeat calls in one session reuse ONE cached copy and
+    // session-end eviction applies — a bare persist here accumulated a
+    // duplicate corpus-sized cache entry per invocation.
+    val feats = graft.core.SessionCache.getOrBuild(
+        spark, s"dsir_feats_$buckets", dir) {
+      features(docs(spark, dir), buckets)
+    }
     val isTarget = col("doc_id") % 7 === 0
     val cnt = feats.groupBy("b").agg(
       sum(when(isTarget, 1L).otherwise(0L)).as("ct"),

@@ -211,23 +211,40 @@ object Multimodal {
     bits
   }
 
+  /** Per-band (shift, mask) split of the 60-bit phash: 4 bands of 9 bits
+    * + 3 bands of 8 bits. Seven bands make the default radius LOSSLESS:
+    * <= 6 differing bits across 7 disjoint bands leave >= 1 band with
+    * zero differences (pigeonhole), so every pair within maxHamming = 6
+    * shares at least one band-equality bucket. */
+  private[ops] val PhashBands: Seq[(Int, Int, Long)] =
+    (0 until 4).map(i => (i, i * 9, 511L)) ++
+      (0 until 3).map(i => (4 + i, 36 + i * 8, 255L))
+
   /** Banded perceptual near-dup over the media column — the dedup
     * family extended to the multimodal side with the SAME candidate
-    * discipline as simhash: 4 x 15-bit bands, candidates only from
-    * band-equality joins (never all-pairs; a pair within hamming <= 6
-    * of 60 bits must agree on >= 1 band when... a 4-band split
-    * guarantees agreement only at hamming <= 3, so like simhash this
-    * is the standard recall/cost banding trade, not a lossless gate),
-    * exact bit_count(xor) verify. On the all-stub fixture the pairs
-    * are the exact-duplicate payloads (hamming 0) — pinned green
-    * against the md5-arm oracle; the real-image arm is MultimodalSpec
-    * territory (one-pixel edit stays near, inversion lands far). */
+    * discipline as simhash: candidates only from band-equality joins
+    * (never all-pairs), exact bit_count(xor) verify.
+    *
+    * Recall contract: COMPLETE for `maxHamming <= 6` — the 7-band split
+    * (`PhashBands`) guarantees a shared band for any pair within 6 bits
+    * of hamming distance, so the band join is a lossless candidate gate
+    * at the default radius, not a recall trade. Callers passing a larger
+    * `maxHamming` get banding recall only down to the pigeonhole bound
+    * (pairs differing in > 6 bits with no agreeing band are missed).
+    *
+    * On an all-stub fixture the pairs are the exact-duplicate payloads
+    * (hamming 0); planted decodable PNG near-duplicates exercise the
+    * real aHash decode arm under the oracle, and MultimodalSpec drives
+    * it with one-pixel edits and inversions. */
   def phashNearDup(spark: SparkSession, dir: String,
-                   maxHamming: Int = 6): DataFrame = {
-    val ph = phashOf(mediaTable(spark, dir))
+                   maxHamming: Int = 6): DataFrame =
+    phashPairsOf(phashOf(mediaTable(spark, dir)), maxHamming)
+
+  /** Band + verify over an arbitrary (doc_id, phash) frame. */
+  private[ops] def phashPairsOf(ph: DataFrame, maxHamming: Int): DataFrame = {
     val bands = ph.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("phash"), i * 15).bitwiseAND(lit(32767L))): _*))
+      posexplode(array(PhashBands.map { case (_, sh, mk) =>
+        shiftright(col("phash"), sh).bitwiseAND(lit(mk)) }: _*))
         .as(Seq("i", "bb")))
     bands.select(col("doc_id").as("doc_a"), col("phash").as("pa"),
         col("i"), col("bb"))

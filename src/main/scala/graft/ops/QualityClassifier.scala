@@ -96,7 +96,7 @@ object QualityClassifier {
       graft.core.Fs.exists(spark, modelPath(dir)) &&
       (try spark.read.parquet(modelStatsPath(dir))
         .head().getLong(0) == buckets.toLong
-       catch { case _: Throwable => false })
+       catch { case scala.util.control.NonFatal(_) => false })
 
   /** Score ANY corpus with the model persisted at `modelDir` — zero
     * training passes: hash the corpus's presence features into the
@@ -115,6 +115,10 @@ object QualityClassifier {
     * row (nothing to assess). */
   def scoreFrameWith(df: DataFrame, modelDir: String): DataFrame = {
     val spark = df.sparkSession
+    // marker first: a missing or crashed (marker-less) model must surface
+    // as the intended error, not a raw AnalysisException from the stats read
+    require(graft.core.Fs.exists(spark, modelStatsPath(modelDir)),
+      s"no committed quality model at $modelDir")
     val stats = spark.read.parquet(modelStatsPath(modelDir)).head()
     val buckets = stats.getLong(0).toInt
     require(hasModel(spark, modelDir, buckets),
