@@ -62,6 +62,7 @@ FAMILY_FILES = {
     ("domain_reweight", "corpus_drift", "length_buckets", "charset_stats"): [
         "ops/TextAnalysis.scala", "ops/TextHashing.scala"],
     ("price_jumps", "ewma_prices", "vwap_daily"): ["queries/MarketQueries.scala"],
+    ("quantile_sketch",): ["ops/QuantileSketch.scala", "queries/MarketQueries.scala"],
     ("zorder_key",): ["queries/MarketQueries.scala", "storage/TickTable.scala"],
     ("ngram_dup_profile", "pagerank_neardup", "triangle_stats",
      "cross_source_dups", "memorization_risk"): [

@@ -586,13 +586,35 @@ def check_embedding_outliers(sf_dir, out_dir, n_sigma=3.0):
 
 def check_media_phash_dedup(sf_dir, out_dir, max_hamming=6):
     import hashlib
+    import math
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
     ph = {int(r.doc_id): int(hashlib.md5(r.text.encode()).hexdigest()[:15], 16)
           for r in docs.itertuples()}
+    # planted 8x8 PNG near-duplicates: recompute the aHash from the
+    # shared pixel formula (the Spark side recovers the same values
+    # through a real encode -> decode path; hash equality is the proof)
+    for g in range(4):
+        for j in range(3):
+            cells = []
+            for cell in range(64):
+                v = int(hashlib.md5(f"img:{g}:{cell}".encode())
+                        .hexdigest()[:15], 16) % 256
+                if j == 1 and cell == 0:
+                    v = (v + 64) % 256
+                cells.append(v)
+            mean = sum(cells) / 64.0
+            h = 0
+            for cell in range(60):
+                if cells[cell] > mean:
+                    h |= 1 << cell
+            ph[900000000 + g * 3 + j] = h
+    # 7-band split (4x9 + 3x8 bits): lossless at hamming <= 6 by pigeonhole
+    bands = [(i, i * 9, 511) for i in range(4)] + \
+            [(4 + i, 36 + i * 8, 255) for i in range(3)]
     buckets = {}
     for d, h in ph.items():
-        for i in range(4):
-            buckets.setdefault((i, (h >> (i * 15)) & 32767, ), []).append(d)
+        for i, sh, mk in bands:
+            buckets.setdefault((i, (h >> sh) & mk), []).append(d)
     pairs = set()
     for ds in buckets.values():
         ds.sort()
@@ -1394,9 +1416,49 @@ def check_charset_stats(sf_dir, out_dir):
     return len(mine)
 
 
+def check_quantile_sketch(e, out_dir, b=256):
+    import math
+    rows = []
+    for et, g in e.groupby("event_type"):
+        vals = g["value"].sort_values().to_numpy()
+        n = len(vals)
+        lo, hi = float(vals.min()), float(vals.max())
+        w0 = (hi - lo) / b
+        width = 1.0 if w0 == 0 else w0
+        cells = {}
+        for v in vals:
+            bk = min(b - 1, max(0, math.floor((v - lo) / width)))
+            cells[bk] = cells.get(bk, 0) + 1
+        out = [et, n]
+        for q in (0.5, 0.9, 0.99):
+            t = math.ceil(q * n)
+            cum = 0
+            for bk in sorted(cells):
+                cum += cells[bk]
+                if cum >= t:
+                    est = lo + (bk + 1) * width
+                    break
+            out.append(math.floor(est * 1e6 + 0.5) / 1e6)
+            # exact leg: linear-interpolated percentile (type 7)
+            pos = q * (n - 1)
+            lo_i = int(math.floor(pos))
+            frac = pos - lo_i
+            exact = vals[lo_i] if frac == 0 else \
+                vals[lo_i] + frac * (vals[lo_i + 1] - vals[lo_i])
+            out.append(round(exact, 4))
+        rows.append(out)
+    mine = pd.DataFrame(sorted(rows), columns=[
+        "event_type", "tick_count", "p50_est", "p50_exact",
+        "p90_est", "p90_exact", "p99_est", "p99_exact"])
+    got = spark(out_dir, "quantile_sketch").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
+              ("quantile_sketch", lambda: check_quantile_sketch(e, out_dir)),
               ("session_stats", lambda: check_session_stats(e, out_dir)),
               ("daily_ohlcv", lambda: check_daily_ohlcv(e, out_dir)),
               ("cum_volume", lambda: check_cum_volume(e, out_dir)),

@@ -157,21 +157,34 @@ object Graft {
       chunksDir: Option[String] = None,
       benchDir: Option[String] = None,
       modelDir: Option[String] = None,
-      minScore: Double = 0.0): StreamingQuery = {
+      minScore: Double = 0.0,
+      phashDir: Option[String] = None,
+      phashMaxHamming: Int = 6): StreamingQuery = {
     import org.apache.spark.sql.functions._
     val raw = sources.DocSources.withSyntheticIds(
       spark.readStream
         .schema(sources.DocSources.documentSchema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
         .json(docsGlob))
-    val gated = ops.TextAnalysis.withQuality(raw)
+    val gatedText = ops.TextAnalysis.withQuality(raw)
       .filter(col("quality_score") >= minQuality
         && col("n_words") >= minWords && col("n_words") <= maxWords)
-      .select("doc_id", "text", "lang", "n_words", "quality_score")
+    // jsonl is text, so media rides base64; decoded here once (only
+    // when the media gate is on — text-only corpora keep their schema)
+    // so the perceptual-hash gate hashes real bytes, not the text.
+    // try_to_binary, not unbase64: a malformed payload must yield a
+    // null (doc falls back to text bytes), never abort the stream.
+    val gated =
+      if (phashDir.isDefined)
+        gatedText
+          .withColumn("media", try_to_binary(col("media_b64"), lit("base64")))
+          .select("doc_id", "text", "lang", "n_words", "quality_score", "media")
+      else
+        gatedText.select("doc_id", "text", "lang", "n_words", "quality_score")
     ops.CurationPipeline.streamingDedup(
       gated, corpusDir, indexDir, checkpointDir, trigger, compactEvery,
       nearDupDir, nearDupThreshold, textIndexDir, chunksDir, benchDir,
-      modelDir, minScore)
+      modelDir, minScore, phashDir, phashMaxHamming)
   }
 
   /** The vector-modality sibling of `curateCorpus` as ONE call: stream

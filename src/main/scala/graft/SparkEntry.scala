@@ -52,6 +52,10 @@ object SparkEntry {
     "json_props" -> (M.jsonProps _),
     "time_format" -> (M.timeFormat _),
     "percentiles" -> (M.percentiles _),
+    // fixed-size mergeable quantile histogram (B counters per group)
+    // beside the exact interpolated legs — the 100 TB percentile path
+    "quantile_sketch" -> ((s: SparkSession, d: String) =>
+      graft.ops.QuantileSketch.quantileSketch(s, d)),
     "session_stats" -> (M.sessionStats _),
     "inactive_tokens" -> (M.inactiveTokens _),
     "pivot_counts" -> (M.pivotCounts _),
@@ -1909,6 +1913,41 @@ object SparkEntry {
         |round(quantile_cont(value, 0.9), 4) AS p90, round(quantile_cont(value, 0.99), 4) AS p99,
         |count(*) AS tick_count FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // mirrors ops.QuantileSketch.quantileSketch: data-derived per-group
+    // [lo, hi) domain, 256-bucket clamp(floor((v-lo)/width)) histogram,
+    // estimate = upper edge of the first bucket whose cumulative count
+    // reaches ceil(q*n) (portable round 6), exact legs = the proven
+    // percentiles formulation. All double literals cast explicitly —
+    // DuckDB decimal-literal trap (ORACLE.md).
+    "quantile_sketch" ->
+      """WITH mm AS (SELECT event_type, min(value) AS lo, max(value) AS hi,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |mw AS (SELECT event_type, lo, hi, n,
+        |  CASE WHEN (hi - lo) / CAST(256.0 AS DOUBLE) = CAST(0.0 AS DOUBLE)
+        |    THEN CAST(1.0 AS DOUBLE) ELSE (hi - lo) / CAST(256.0 AS DOUBLE) END AS width
+        |  FROM mm),
+        |bk AS (SELECT e.event_type,
+        |  least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+        |    CAST(floor((e.value - m.lo) / m.width) AS BIGINT))) AS bucket
+        |  FROM events e JOIN mw m USING (event_type)),
+        |cl AS (SELECT event_type, bucket, count(*) AS cell FROM bk GROUP BY 1, 2),
+        |cm AS (SELECT event_type, bucket, CAST(sum(cell) OVER (
+        |    PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum FROM cl),
+        |eb AS (SELECT c.event_type,
+        |  min(CASE WHEN c.cum >= CAST(ceil(CAST(0.5 AS DOUBLE) * m.n) AS BIGINT) THEN c.bucket END) AS b_p50,
+        |  min(CASE WHEN c.cum >= CAST(ceil(CAST(0.9 AS DOUBLE) * m.n) AS BIGINT) THEN c.bucket END) AS b_p90,
+        |  min(CASE WHEN c.cum >= CAST(ceil(CAST(0.99 AS DOUBLE) * m.n) AS BIGINT) THEN c.bucket END) AS b_p99
+        |  FROM cm c JOIN mw m USING (event_type) GROUP BY 1),
+        |ex AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(value, 0.9), 4) AS p90_exact,
+        |  round(quantile_cont(value, 0.99), 4) AS p99_exact FROM events GROUP BY 1)
+        |SELECT m.event_type, m.n AS tick_count,
+        |  floor((m.lo + (b.b_p50 + 1) * m.width) * 1000000.0 + 0.5) / 1000000.0 AS p50_est, x.p50_exact,
+        |  floor((m.lo + (b.b_p90 + 1) * m.width) * 1000000.0 + 0.5) / 1000000.0 AS p90_est, x.p90_exact,
+        |  floor((m.lo + (b.b_p99 + 1) * m.width) * 1000000.0 + 0.5) / 1000000.0 AS p99_est, x.p99_exact
+        |FROM mw m JOIN eb b USING (event_type) JOIN ex x USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "stratified_sample" ->
       s"""SELECT lang, count(*) AS n_sampled FROM documents
          |WHERE ${md5LongSql("lower(text)")} % 10 = 0 GROUP BY lang ORDER BY lang""".stripMargin,
@@ -2568,11 +2607,29 @@ object SparkEntry {
          |SELECT qid, doc_id, rrf_score FROM r WHERE rn <= 10
          |ORDER BY qid, rrf_score DESC, doc_id""".stripMargin,
 
-    // mirrors Multimodal.phashNearDup's stub arm: md5-60 phash, 7-band
-    // split (4x9 + 3x8 bits — lossless at hamming <= 6 by pigeonhole)
-    // band candidates, exact bit_count(xor) verify at hamming <= 6
+    // mirrors Multimodal.phashNearDup: stub arm = md5-60 over text;
+    // planted arm = the deterministic 8x8 PNGs' aHash recomputed from
+    // the SHARED pixel formula (md5-60 % 256 per cell, one-cell edit at
+    // j=1, exact dyadic mean) — the Spark side must recover the same
+    // values through the real encode->ImageIO-decode->block-average
+    // path. 7-band split (4x9 + 3x8 bits — lossless at hamming <= 6 by
+    // pigeonhole) band candidates, exact bit_count(xor) verify.
     "media_phash_dedup" ->
-      s"""WITH ph AS (SELECT doc_id, ${md5LongSql("text")} AS phash FROM documents),
+      s"""WITH pc AS (SELECT g.g, j.j, c.cell,
+         |    ${md5LongSql("concat('img:', CAST(g.g AS VARCHAR), ':', CAST(c.cell AS VARCHAR))")} % 256 AS v0
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS g) g
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS cell) c),
+         |pv AS (SELECT 900000000 + g * 3 + j AS doc_id, cell,
+         |    CASE WHEN j = 1 AND cell = 0 THEN (v0 + 64) % 256 ELSE v0 END AS v
+         |  FROM pc),
+         |pm AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 64.0 AS mean FROM pv GROUP BY 1),
+         |pp AS (SELECT pv.doc_id,
+         |    CAST(sum(CASE WHEN pv.cell < 60 AND CAST(pv.v AS DOUBLE) > pm.mean
+         |      THEN (CAST(1 AS BIGINT) << pv.cell) ELSE 0 END) AS BIGINT) AS phash
+         |  FROM pv JOIN pm USING (doc_id) GROUP BY 1),
+         |ph AS (SELECT doc_id, ${md5LongSql("text")} AS phash FROM documents
+         |  UNION ALL SELECT doc_id, phash FROM pp),
          |bnd AS (SELECT doc_id, phash, r.i, (phash >> r.sh) & r.mk AS bb
          |  FROM ph CROSS JOIN (VALUES (0,0,511),(1,9,511),(2,18,511),(3,27,511),
          |    (4,36,255),(5,44,255),(6,52,255)) r(i, sh, mk)),

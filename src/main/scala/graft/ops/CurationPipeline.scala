@@ -106,6 +106,68 @@ object CurationPipeline {
     (survivors, sigs.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
   }
 
+  /** Incremental MEDIA dedup: drop incoming docs whose perceptual hash
+    * is within `maxHamming` of anything curated by a previous run, plus
+    * phash-near-dups of a smaller-id doc inside the batch — the
+    * multimodal sibling of `incrementalNearDedup` (a re-encoded or
+    * one-pixel-edited copy of an already-curated image sails through
+    * both text gates; this one catches it through the DECODE path).
+    *
+    * Media column contract: rows are hashed from `media` when the batch
+    * carries one (per-row fallback to the text bytes — the fixture
+    * stand-in), via the same real-PNG/JPEG-decode-or-stub `phashOf`
+    * path as the batch query. Rows whose effective payload is null pass
+    * the gate un-indexed (nothing to hash; the upstream minWords gate
+    * already dropped null-text docs).
+    *
+    * State is ONE append-only table, `(doc_id, phash, i, bb)` — 7 rows
+    * per doc (the lossless-at-hamming<=6 band split), bucketable by
+    * (i, bb) at 100 TB; the phash rides in the band rows, so candidate
+    * verification is a bit_count on the joined row — the historical
+    * images' BYTES are never re-read or re-decoded. Same-doc_id index
+    * hits are ignored (crash-replay safety, as in the text gate).
+    *
+    * Returns (survivors, survivorBands) — the caller appends
+    * survivorBands to the index. */
+  def incrementalPhashDedup(
+      newDocs: DataFrame, phashBandIndex: DataFrame,
+      maxHamming: Int = 6): (DataFrame, DataFrame) = {
+    val bands = Multimodal.phashBandsOf(Multimodal.phashOf(effectiveMedia(newDocs)))
+    val dropOld = bands
+      .join(phashBandIndex.select(col("i"), col("bb"),
+        col("doc_id").as("idx_doc"), col("phash").as("idx_ph")), Seq("i", "bb"))
+      .filter(col("doc_id") =!= col("idx_doc"))
+      .filter(bit_count(col("phash").bitwiseXOR(col("idx_ph"))) <= maxHamming)
+      .select("doc_id").distinct()
+    val dropNew = bands.as("x")
+      .join(bands.as("y"),
+        col("x.i") === col("y.i") && col("x.bb") === col("y.bb")
+          && col("x.doc_id") > col("y.doc_id"))
+      .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming)
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    val dropped = dropOld.unionByName(dropNew).distinct()
+    val survivors = newDocs.join(dropped, Seq("doc_id"), "left_anti")
+    (survivors,
+      bands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
+  }
+
+  /** The media payload the phash gate hashes: the batch's `media`
+    * column when it carries one (per-row fallback to text bytes), else
+    * the text bytes — one definition shared by the gate and the
+    * post-snapshot index recomputation. Null payloads are excluded
+    * (pass un-indexed). */
+  private def effectiveMedia(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    val mediaCol =
+      if (docs.columns.contains("media"))
+        coalesce(col("media"), col("text").cast("binary"))
+      else col("text").cast("binary")
+    docs.select(col("doc_id"), mediaCol.as("media"))
+      .filter(col("media").isNotNull)
+      .as[Multimodal.MediaRow]
+  }
+
   /** Read a batch_id-partitioned index dir with an explicit schema
     * (inference over an empty dir throws forever, wedging the stream)
     * and WITHOUT any rows the current batch itself may have written on a
@@ -158,14 +220,16 @@ object CurationPipeline {
       chunksDir: Option[String] = None,
       benchDir: Option[String] = None,
       modelDir: Option[String] = None,
-      minScore: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery =
+      minScore: Double = 0.0,
+      phashDir: Option[String] = None,
+      phashMaxHamming: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, corpusDir, indexDir,
           nearDupDir, nearDupThreshold, compactEvery, textIndexDir, chunksDir,
-          benchDir, modelDir, minScore)
+          benchDir, modelDir, minScore, phashDir, phashMaxHamming)
       }
       .start()
 
@@ -181,14 +245,16 @@ object CurationPipeline {
       chunksDir: Option[String] = None,
       benchDir: Option[String] = None,
       modelDir: Option[String] = None,
-      minScore: Double = 0.0): Unit = {
+      minScore: Double = 0.0,
+      phashDir: Option[String] = None,
+      phashMaxHamming: Int = 6): Unit = {
     // gate latency lands in the process-wide histogram (`/metrics`
     // `graft_gate_duration_seconds_bucket` series) — one observation
     // per batch, driver-side, reference-bucket shape
     val gateT0 = System.nanoTime()
     try processBatchBody(batch, batchId, corpusDir, indexDir,
       nearDupDir, nearDupThreshold, compactEvery, textIndexDir, chunksDir,
-      benchDir, modelDir, minScore)
+      benchDir, modelDir, minScore, phashDir, phashMaxHamming)
     finally graft.obs.PipelineMetrics.gateDuration.observeNanos(System.nanoTime() - gateT0)
   }
 
@@ -199,7 +265,9 @@ object CurationPipeline {
       chunksDir: Option[String],
       benchDir: Option[String],
       modelDir: Option[String] = None,
-      minScore: Double = 0.0): Unit = {
+      minScore: Double = 0.0,
+      phashDir: Option[String] = None,
+      phashMaxHamming: Int = 6): Unit = {
     // the TRAINED quality gate (when a persisted model is given): docs
     // whose margin under the session-cached weight table falls below
     // minScore never enter the pipeline — the deployment face of
@@ -223,8 +291,8 @@ object CurationPipeline {
     // banded-candidate lookup against the persisted band index, then
     // signature verification — one equality join + one candidate-only
     // join per batch, history never rescanned
-    val out = nearDupDir match {
-      case None => exactSurvivors.persist()
+    val afterNear = nearDupDir match {
+      case None => exactSurvivors
       case Some(nd) =>
         val bandIdx = readBatchIndex(spark, s"$nd/bands", StructType(Seq(
           StructField("doc_id", LongType), StructField("band", IntegerType),
@@ -232,20 +300,36 @@ object CurationPipeline {
         val sigIdx = readBatchIndex(spark, s"$nd/sigs", StructType(Seq(
           StructField("doc_id", LongType), StructField("sig", ArrayType(LongType)),
           StructField("batch_id", LongType))), batchId)
-        val (survivors, _) =
-          incrementalNearDedup(exactSurvivors, bandIdx, sigIdx, nearDupThreshold)
-        // eager localCheckpoint, NOT persist: writing the fp index
-        // below auto-invalidates every cached plan that READS that
-        // path — including the survivors' anti-join — so a merely
-        // persisted frame would silently recompute against the
-        // already-updated index (= empty) for the later band/sig
-        // writes. The checkpoint snapshots the rows with no path
-        // dependency left to invalidate.
-        survivors.localCheckpoint(true)
+        incrementalNearDedup(exactSurvivors, bandIdx, sigIdx, nearDupThreshold)._1
     }
+    // the media gate (when enabled) runs on the text survivors: banded
+    // phash lookup against the persisted (i, bb)-bucketable band index,
+    // hamming verify on the joined rows — the decode runs once per
+    // incoming doc, history is never re-read
+    val afterPhash = phashDir match {
+      case None => afterNear
+      case Some(pd) =>
+        val phIdx = readBatchIndex(spark, s"$pd/bands", StructType(Seq(
+          StructField("doc_id", LongType), StructField("phash", LongType),
+          StructField("i", IntegerType), StructField("bb", LongType),
+          StructField("batch_id", LongType))), batchId)
+        incrementalPhashDedup(afterNear, phIdx, phashMaxHamming)._1
+    }
+    // eager localCheckpoint when any index-backed gate ran, NOT
+    // persist: writing the fp index below auto-invalidates every
+    // cached plan that READS the index paths — including the
+    // survivors' anti-joins — so a merely persisted frame would
+    // silently recompute against the already-updated index (= empty)
+    // for the later band/sig/phash writes. The checkpoint snapshots
+    // the rows with no path dependency left to invalidate.
+    val out =
+      if (nearDupDir.isEmpty && phashDir.isEmpty) afterPhash.persist()
+      else afterPhash.localCheckpoint(true)
     // index rows are recomputed from the snapshotted survivors (one
-    // shingling pass over a small batch)
+    // shingling / decode pass over a small batch)
     val sigsOut = nearDupDir.map(_ => TextDedup.minhashSigs(out).persist())
+    val phashBandsOut = phashDir.map(_ =>
+      Multimodal.phashBandsOf(Multimodal.phashOf(effectiveMedia(out))).persist())
     try {
       out.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
@@ -310,6 +394,14 @@ object CurationPipeline {
           .partitionBy("batch_id")
           .parquet(s"$nd/sigs")
       }
+      phashBandsOut.foreach { pb =>
+        pb.select("doc_id", "phash", "i", "bb")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"${phashDir.get}/bands")
+      }
       // retrieval-index maintenance rides the same replay recipe: the
       // batch's survivors append as (batch_id, bucket) delta postings
       // (dynamic overwrite of their own partitions), the batch stats
@@ -325,6 +417,7 @@ object CurationPipeline {
     } finally {
       out.unpersist()
       sigsOut.foreach(_.unpersist())
+      phashBandsOut.foreach(_.unpersist())
       releaseLocalCheckpoint(out)
     }
     // periodic sink maintenance from INSIDE the running pipeline (no
@@ -340,6 +433,7 @@ object CurationPipeline {
         compactSink(spark, s"$nd/bands")
         compactSink(spark, s"$nd/sigs")
       }
+      phashDir.foreach(pd => compactSink(spark, s"$pd/bands"))
       // the text index compacts with keepRecent=1 — same contract as
       // compactSink: this batch's delta partitions survive the fold, so
       // a post-crash replay still dynamic-overwrites its own output
@@ -361,14 +455,17 @@ object CurationPipeline {
                     nearDupDir: Option[String] = None,
                     nearDupThreshold: Double = TextDedup.JaccardThreshold,
                     chunksDir: Option[String] = None,
-                    benchDir: Option[String] = None): DataFrame = {
+                    benchDir: Option[String] = None,
+                    phashDir: Option[String] = None,
+                    phashMaxHamming: Int = 6): DataFrame = {
     val withB = docs.withColumn("__replay_b", batchCol.cast("long"))
     val ids = withB.select("__replay_b").distinct()
       .collect().map(_.getLong(0)).sorted
     ids.foreach { b =>
       processBatch(withB.filter(col("__replay_b") === b).drop("__replay_b"),
         b, corpusDir, indexDir, nearDupDir, nearDupThreshold, compactEvery = 0,
-        textIndexDir = None, chunksDir = chunksDir, benchDir = benchDir)
+        textIndexDir = None, chunksDir = chunksDir, benchDir = benchDir,
+        phashDir = phashDir, phashMaxHamming = phashMaxHamming)
     }
     docs.sparkSession.read.parquet(corpusDir)
   }

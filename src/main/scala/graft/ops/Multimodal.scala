@@ -211,6 +211,54 @@ object Multimodal {
     bits
   }
 
+  // -- planted real-image near-duplicates ----------------------------
+  // The fixture corpus's media column is text bytes (all-stub), so the
+  // oracle face of phash dedup would never exercise the DECODE path.
+  // These deterministic 8x8 grayscale PNGs are unioned in by
+  // phashNearDup: pixel values come from a formula BOTH engines can
+  // evaluate (md5-60 % 256 per cell), so the DuckDB oracle recomputes
+  // the expected aHash from the formula while the Spark side must
+  // recover the SAME values through the real encode -> ImageIO decode ->
+  // block-average path — a lossy or buggy decode breaks the hash gate.
+  // Each group g plants 3 variants: base, a one-cell edit ((v+64)%256 at
+  // cell 0 — hamming stays small), and a re-encoded duplicate (identical
+  // pixels, one byte appended after IEND so the payload md5 differs —
+  // the recompressed-copy stand-in). 8x8 pixels = one pixel per aHash
+  // cell, so cell means are exact integers and the 64-int sum / 64 is
+  // dyadic — bit-identical mean arithmetic in both engines.
+
+  private[ops] val PlantedBase = 900000000L
+  private[ops] val PlantedGroups = 4
+
+  /** Deterministic per-cell gray value of planted image (g, j). */
+  private[ops] def plantedGray(md: MessageDigest, g: Int, j: Int, cell: Int): Int = {
+    md.reset()
+    val hex = md.digest(s"img:$g:$cell".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val v = (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256L).toInt
+    if (j == 1 && cell == 0) (v + 64) % 256 else v
+  }
+
+  /** The planted (doc_id, png_bytes) rows. Encoded once per call —
+    * PlantedGroups x 3 tiny images, driver-side by construction. */
+  private[ops] def plantedPngs(): Seq[(Long, Array[Byte])] = {
+    val md = MessageDigest.getInstance("MD5")
+    for (g <- 0 until PlantedGroups; j <- 0 until 3) yield {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (cell <- 0 until 64) {
+        val v = plantedGray(md, g, j, cell)
+        img.setRGB(cell % 8, cell / 8, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val bytes =
+        if (j == 2) bos.toByteArray :+ 0x00.toByte // re-encoded duplicate
+        else bos.toByteArray
+      (PlantedBase + g * 3 + j, bytes)
+    }
+  }
+
   /** Per-band (shift, mask) split of the 60-bit phash: 4 bands of 9 bits
     * + 3 bands of 8 bits. Seven bands make the default radius LOSSLESS:
     * <= 6 differing bits across 7 disjoint bands leave >= 1 band with
@@ -232,20 +280,36 @@ object Multimodal {
     * `maxHamming` get banding recall only down to the pigeonhole bound
     * (pairs differing in > 6 bits with no agreeing band are missed).
     *
-    * On an all-stub fixture the pairs are the exact-duplicate payloads
-    * (hamming 0); planted decodable PNG near-duplicates exercise the
-    * real aHash decode arm under the oracle, and MultimodalSpec drives
-    * it with one-pixel edits and inversions. */
+    * On an all-stub fixture the corpus arm's pairs are the
+    * exact-duplicate payloads (hamming 0); the PLANTED decodable PNG
+    * near-duplicates (`plantedPngs`) are unioned in so the real
+    * encode -> decode -> aHash path runs UNDER THE ORACLE with nonzero
+    * rows at every scale — the oracle recomputes their hashes from the
+    * shared pixel formula, never from the bytes. MultimodalSpec
+    * additionally drives the decode arm with one-pixel edits and
+    * inversions. */
   def phashNearDup(spark: SparkSession, dir: String,
-                   maxHamming: Int = 6): DataFrame =
-    phashPairsOf(phashOf(mediaTable(spark, dir)), maxHamming)
+                   maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val planted = spark.createDataset(
+      plantedPngs().map { case (id, b) => MediaRow(id, b) })
+    phashPairsOf(
+      phashOf(mediaTable(spark, dir).unionByName(planted)), maxHamming)
+  }
 
-  /** Band + verify over an arbitrary (doc_id, phash) frame. */
-  private[ops] def phashPairsOf(ph: DataFrame, maxHamming: Int): DataFrame = {
-    val bands = ph.select(col("doc_id"), col("phash"),
+  /** The 7-band rows of a (doc_id, phash) frame: (doc_id, phash, i, bb)
+    * — the phash carried alongside so band-join consumers (the pair
+    * query, the incremental gate's persisted index) verify from the
+    * joined rows without a second signature table. */
+  private[ops] def phashBandsOf(ph: DataFrame): DataFrame =
+    ph.select(col("doc_id"), col("phash"),
       posexplode(array(PhashBands.map { case (_, sh, mk) =>
         shiftright(col("phash"), sh).bitwiseAND(lit(mk)) }: _*))
         .as(Seq("i", "bb")))
+
+  /** Band + verify over an arbitrary (doc_id, phash) frame. */
+  private[ops] def phashPairsOf(ph: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = phashBandsOf(ph)
     bands.select(col("doc_id").as("doc_a"), col("phash").as("pa"),
         col("i"), col("bb"))
       .join(bands.select(col("doc_id").as("doc_b"), col("phash").as("pb"),

@@ -255,56 +255,162 @@ object TextAnalysis {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum("wcnt").cast("long").as("n"))
 
-  /** Greedy left-to-right application of ONE merge rule (l, r) to every
-    * symbol sequence, as a codegen'd array fold: append x, except when
-    * the accumulator ends in l and x = r — then replace that tail with
-    * the merged token. This equals the canonical pointer-walk greedy
-    * merge: a cascade (the just-merged token immediately re-merging as
-    * the LEFT side) would need l+r = l, impossible for non-empty r, so
-    * the fold never merges a token the walk would have skipped.
-    * OpsSpec pins the classic overlap cases ("aaa" -> [aa, a]). */
-  private def bpeApplyMerge(l: String, r: String): Column =
+  /** Greedy left-to-right application of a BATCH of pairwise
+    * token-disjoint merge rules to every symbol sequence, as one
+    * codegen'd array fold: append x, except when the accumulator ends
+    * in some rule's l and x = that rule's r — then replace that tail
+    * with the merged token. For a single rule this equals the canonical
+    * pointer-walk greedy merge: a cascade (the just-merged token
+    * immediately re-merging as the LEFT side) would need l+r = l,
+    * impossible for non-empty r, so the fold never merges a token the
+    * walk would have skipped (OpsSpec pins "aaa" -> [aa, a]). For a
+    * batch, disjointness means a position matches at most one rule and
+    * no rule's output string equals another rule's operand (the
+    * selection guard checks the whole pair table), so one simultaneous
+    * pass equals applying the rules one-after-another in rank order. */
+  private def bpeApplyMerges(pairs: Seq[(String, String)]): Column =
     aggregate(col("syms"), lit(Array.empty[String]),
-      (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x))))
+      (acc, x) => pairs.foldRight(concat(acc, array(x))) {
+        case ((l, r), els) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(els)
+      })
 
   /** ITERATIVE BPE training over the corpus word vocabulary — the public
     * recipe (Sennrich et al. 2016): count adjacent symbol pairs weighted
     * by word frequency, merge the most frequent pair everywhere, repeat.
     * Tie-break (n desc, "l r" asc) keeps the table engine-portable.
     *
+    * BATCHED ROUNDS: each round applies up to `maxBatch` merges whose
+    * simultaneous application is PROVABLY order-equivalent to the
+    * sequential loop (`maxBatch = 1` IS the sequential loop — the
+    * equivalence oracle OpsSpec trains both ways and compares). The
+    * batch is the longest ranked strict prefix p_1..p_m such that:
+    *
+    *  1. pairwise token-disjoint (truncate at the FIRST overlap, so
+    *     every old pair sharing a token with the batch ranks >= m+1) —
+    *     disjoint merges cannot change each other's candidate counts;
+    *  2. a self-pair (l == r) closes the batch inclusively: its merge
+    *     creates new pairs (e.g. "aaa" -> aa adjacent a) whose count is
+    *     bounded only by ITS OWN count, so nothing may merge after it
+    *     in the same round;
+    *  3. count(p_m) > count(p_{m+1}) STRICTLY (skipped when the pair
+    *     list is exhausted): every new pair created by merging p_j is
+    *     count-bounded by an old pair overlapping p_j — which ranks
+    *     >= m+1 by (1) — so the strict gap guarantees the sequential
+    *     picker would still choose p_2..p_m over any newly created
+    *     pair;
+    *  4. no candidate's merged output string equals a token still
+    *     adjacent anywhere in the corpus (checked against the full
+    *     pair table): a string-equality collision would let merge j
+    *     INCREASE a later pair's count, breaking (3)'s bound.
+    *
     * Scale shape: ONE corpus-sized word-count shuffle builds the vocab;
-    * each of the `numMerges` rounds is a vocab-sized aggregate plus a
-    * one-row collect (the chosen pair) and a vocab-sized narrow rewrite.
-    * Rounds persist their vocab and drop the previous one, so round r
-    * never replays rounds 1..r-1 and plan depth stays constant.
+    * each round is two vocab-sized aggregates (top-(B+1) collect +
+    * collision probe) and one vocab-sized narrow rewrite — ~3 jobs per
+    * round of up to `maxBatch` merges, vs 2 jobs PER MERGE sequentially.
+    * A 32k-merge vocabulary at maxBatch=64 is ~hundreds of rounds
+    * instead of ~64k driver-coordinated jobs. Rounds persist their
+    * vocab and drop the previous one, so round r never replays rounds
+    * 1..r-1 and plan depth stays constant.
     *
     * Returns the merge list in rank order plus the FINAL rewritten
     * vocab frame (persisted; caller unpersists when done). */
-  def bpeTrainMerges(d: DataFrame, numMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
+  def bpeTrainMerges(d: DataFrame, numMerges: Int,
+                     maxBatch: Int = 16): (Seq[(String, String, Long)], DataFrame) = {
     require(numMerges >= 1, s"numMerges=$numMerges must be positive")
+    require(maxBatch >= 1, s"maxBatch=$maxBatch must be positive")
     bpeTrainRuns.incrementAndGet()
     var vocab = bpeVocab(d).persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
+    var roundsSinceCut = 0
+    var lastCutRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     while (merges.size < numMerges && !exhausted) {
-      val top = bpePairCounts(vocab)
+      bpeMergeRounds.incrementAndGet()
+      val want = math.min(maxBatch, numMerges - merges.size)
+      val cands = bpePairCounts(vocab)
         .orderBy(col("n").desc, concat_ws(" ", col("l"), col("r")).asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true // every word fully merged
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cands.isEmpty) exhausted = true // every word fully merged
       else {
-        val (l, r) = (top(0).getString(0), top(0).getString(1))
-        merges += ((l, r, top(0).getLong(2)))
-        val next = vocab.withColumn("syms", bpeApplyMerge(l, r)).persist()
+        val listExhausted = cands.length < want + 1
+        // (1) + (2): longest disjoint strict prefix, self-pair closes
+        val used = scala.collection.mutable.Set.empty[String]
+        var m = 0
+        var open = true
+        while (open && m < math.min(want, cands.length)) {
+          val (l, r, _) = cands(m)
+          if (used.contains(l) || used.contains(r)) open = false
+          else {
+            used += l; used += r; m += 1
+            if (l == r) open = false // rule (2)
+          }
+        }
+        // (4): merged outputs must not collide with any adjacent token.
+        // Probed only when a real batch formed — a single merge IS the
+        // sequential step, so tie/overlap-heavy rounds pay no extra job
+        // (and the probe stays an uncached aggregate: caching the pair
+        // table every round costs more than the probes it serves).
+        if (m >= 2) {
+          val outs = cands.take(m).map { case (l, r, _) => l + r }
+          val collisions: Set[String] = bpePairCounts(vocab)
+            .filter(col("l").isin(outs: _*) || col("r").isin(outs: _*))
+            .select(col("l"), col("r")).collect()
+            .flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+          val firstCollision = cands.take(m).indexWhere { case (l, r, _) =>
+            collisions.contains(l + r) }
+          if (firstCollision >= 0) m = math.max(firstCollision, 1)
+        }
+        // (3): strict count gap to the first excluded candidate
+        if (!(listExhausted && m == cands.length))
+          while (m >= 2 && cands(m - 1)._3 == cands(m)._3) m -= 1
+        if (m < 1) m = 1 // a single merge is the sequential step itself
+        val batch = cands.take(m)
+        merges ++= batch
+        val next = vocab
+          .withColumn("syms", bpeApplyMerges(batch.map(c => (c._1, c._2))))
+          .persist()
         next.count() // materialize before dropping the parent
         vocab.unpersist()
         vocab = next
+        roundsSinceCut += 1
+        // Sever the cached-plan NESTING every few rounds: each round's
+        // InMemoryRelation embeds the previous round's full (adaptive)
+        // cached plan, and AQE's per-query explain walks that nest at
+        // ~2^depth nodes — a long run hangs in plan STRINGIFICATION
+        // long before compute matters (observed: 200 sequential rounds
+        // pinned the driver in generateTreeString). localCheckpoint
+        // replaces the plan with a flat LogicalRDD, bounding depth at
+        // CutEvery; the previous cut's blocks are freed once the new
+        // cut has materialized.
+        if (roundsSinceCut >= CutEvery) {
+          val cut = vocab.localCheckpoint(true)
+          vocab.unpersist()
+          lastCutRdd.foreach(_.unpersist(blocking = false))
+          lastCutRdd = checkpointRddOf(cut)
+          vocab = cut
+          roundsSinceCut = 0
+        }
       }
     }
     (merges.toSeq, vocab)
   }
+
+  /** Plan-depth bound for the training loop (see the localCheckpoint
+    * note in bpeTrainMerges). */
+  private val CutEvery = 8
+
+  /** The cached RDD behind a localCheckpoint'd frame — so the trainer
+    * can free a superseded cut's blocks (Dataset.unpersist is a no-op
+    * on checkpoint storage). */
+  private def checkpointRddOf(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 
   /** Session-cached trained tokenizer for (dir, numMerges): the merge
     * list plus the final rewritten vocab, trained ONCE per session — a
@@ -400,6 +506,11 @@ object TextAnalysis {
     * assert consumers share one run, and that a persisted tokenizer is
     * loaded without any run at all). */
   private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Driver-coordinated merge ROUNDS across all training runs — the
+    * batching win is rounds << merges (OpsSpec asserts it; SCALING.md
+    * tables it). */
+  private[graft] val bpeMergeRounds = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val trainedMergeLists =
     new java.util.concurrent.ConcurrentHashMap[
@@ -502,7 +613,7 @@ object TextAnalysis {
     merges.foldLeft(
       vocabWords.withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {
-      case (df, (l, r, _)) => df.withColumn("syms", bpeApplyMerge(l, r))
+      case (df, (l, r, _)) => df.withColumn("syms", bpeApplyMerges(Seq((l, r))))
     }
 
   /** Encode `corpusDir`'s documents with a tokenizer trained ELSEWHERE

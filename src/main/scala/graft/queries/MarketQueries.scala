@@ -438,7 +438,15 @@ object MarketQueries {
 
   /** Exact interpolated percentiles per event type (the distribution
     * summary the reference's histogram metrics gesture at,
-    * /root/reference/metrics/metrics.go:53). */
+    * /root/reference/metrics/metrics.go:53).
+    *
+    * SCALE NOTE: this is the EXACT-ORACLE face of the quantile family —
+    * Spark's `percentile` buffers every distinct (value, count) of a
+    * group in one aggregation buffer, O(group values) state on a single
+    * reducer, which does not survive low-cardinality group keys over
+    * billions of rows. The 100 TB path is `ops.QuantileSketch`
+    * (`quantile_sketch`): B counters per group, mergeable, with this
+    * exact leg emitted beside the estimate to measure sketch error. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy("event_type")

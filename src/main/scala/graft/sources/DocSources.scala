@@ -13,10 +13,15 @@ import org.apache.spark.sql.types._
   */
 object DocSources {
 
+  /** `media_b64`: optional base64-encoded media payload (image bytes
+    * etc.) — JSONL is text, so binary rides base64; the curation reader
+    * decodes it to a `media` binary column for the perceptual-hash gate.
+    * Absent/null in text-only corpora. */
   val documentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
-    StructField("lang", StringType)))
+    StructField("lang", StringType),
+    StructField("media_b64", StringType)))
 
   /** JSONL (one JSON object per line), the lingua franca of LLM corpora.
     * Works on .jsonl and compressed .jsonl.gz alike (Spark's text codecs).

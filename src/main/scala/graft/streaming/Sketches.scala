@@ -49,4 +49,28 @@ object Sketches {
         .select(col("source"),
           explode(graft.ops.TextDedup.ngramsOf(col("ws"), n)).as("gram")),
       m)
+
+  /** Quantile-histogram cell maintenance over a STREAMING events frame
+    * (event_type, value, ...): the batch sketch's B-bucket count table
+    * (`ops.QuantileSketch.bucketCol` — one bucket definition for both
+    * sides) as streaming-aggregation state. The bucket domain [lo, hi)
+    * is CALLER-FIXED — a stream cannot run the batch face's min/max
+    * pass; this is exactly the reference's fixed-bucket latency
+    * histogram shape (metrics/metrics.go:16, buckets pinned at deploy
+    * time). State is B counters per group at any volume; a cold
+    * consumer reads p_q as the upper edge of the bucket where the
+    * cumulative count first reaches ceil(q*n), identically to the
+    * batch estimate on the same data (SketchStreamSpec pins
+    * stream == batch). */
+  def histogramCells(eventsStream: DataFrame, lo: Double, hi: Double,
+                     b: Int = graft.ops.QuantileSketch.Buckets): DataFrame = {
+    require(hi > lo, s"need a non-empty bucket domain, got [$lo, $hi)")
+    val width = (hi - lo) / b
+    eventsStream
+      .select(col("event_type"),
+        graft.ops.QuantileSketch.bucketCol(
+          col("value"), lit(lo), lit(width), b).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cell"))
+  }
 }

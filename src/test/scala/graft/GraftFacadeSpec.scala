@@ -378,6 +378,51 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(got === expected, "streamed chunks must equal the batch chunking of the corpus")
   }
 
+  test("curation media gate: a re-encoded copy of a prior run's image is dropped") {
+    val spark = Graft.session(cores = 4)
+    val docsDir = Files.createTempDirectory("gph_in").toString
+    val corpusDir = Files.createTempDirectory("gph_corpus").toString + "/c"
+    val indexDir = Files.createTempDirectory("gph_fp").toString + "/i"
+    val phashDir = Files.createTempDirectory("gph_ph").toString + "/p"
+    val ckpt = Files.createTempDirectory("gph_ck").toString
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (cell <- 0 until 64) {
+        val v = (seed * 37 + cell * 11) % 256
+        img.setRGB(cell % 8, cell / 8, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    def mdoc(id: Long, text: String, media: Array[Byte]): String = {
+      val b64 = java.util.Base64.getEncoder.encodeToString(media)
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "media_b64": "$b64"}"""
+    }
+    def run(): Unit = {
+      val q = Graft.curateCorpus(spark, docsDir, corpusDir, indexDir, ckpt,
+        maxFilesPerTrigger = 1, compactEvery = 0, phashDir = Some(phashDir))
+      assert(q.awaitTermination(120000), "AvailableNow curation must drain and stop")
+    }
+    // run 1: one image doc
+    writeJsonlGz(docsDir, "r1.jsonl.gz", Seq(mdoc(1, goodText("alpha"), png(5))))
+    run()
+    // run 2: a RE-ENCODED copy of run 1's image (identical pixels, one
+    // byte appended after IEND — different payload md5 AND different
+    // text, so every text gate passes it), a genuinely new image, and a
+    // text-only doc (no media field)
+    writeJsonlGz(docsDir, "r2.jsonl.gz", Seq(
+      mdoc(2, goodText("beta"), png(5) :+ 0x00.toByte),
+      mdoc(3, goodText("gamma"), png(91)),
+      doc(4, goodText("delta"))))
+    run()
+    val ids = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L, 4L),
+      s"the re-encoded duplicate image (doc 2) must be dropped by the phash gate: $ids")
+  }
+
   test("streaming decontamination gate: contaminated docs are curated yet never chunk") {
     val spark = Graft.session(cores = 4)
     val docsDir = Files.createTempDirectory("gdc_in").toString

@@ -108,4 +108,54 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ph2 === ph)
   }
+
+  test("7-band split is lossless at hamming <= 6 (pigeonhole, brute-forced)") {
+    def bandsOf(h: Long): Seq[Long] =
+      Multimodal.PhashBands.map { case (_, sh, mk) => (h >>> sh) & mk }
+    val md = MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // deterministic sweep: random base hashes x random <=6-bit flips
+    for (i <- 0 until 50) {
+      val base = h60(s"band-base:$i")
+      val k = 1 + (i % 6)
+      val flipped = (0 until k).foldLeft(base) { (h, j) =>
+        h ^ (1L << ((h60(s"band-bit:$i:$j") % 60).toInt))
+      }
+      val hamming = java.lang.Long.bitCount(base ^ flipped)
+      assert(hamming <= 6)
+      val shared = bandsOf(base).zip(bandsOf(flipped)).count { case (a, b) => a == b }
+      assert(shared >= 1,
+        s"pair at hamming $hamming must share a band (pigeonhole)")
+    }
+    // band widths cover exactly the 60 hash bits, disjointly
+    val covered = Multimodal.PhashBands.flatMap { case (_, sh, mk) =>
+      (0 until 64).filter(b => ((mk >> (b - sh)) & 1L) == 1L && b >= sh)
+    }
+    assert(covered.sorted === (0 until 60))
+  }
+
+  test("planted PNGs: real decode arm yields the expected near-dup pairs under the query") {
+    val pairs = Multimodal.phashNearDup(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = pairs.filter(_._1 >= Multimodal.PlantedBase)
+    // each of the 4 groups: (base, edit), (base, recompress), (edit, recompress)
+    assert(planted.length === 12, s"expected 12 planted pairs, got ${planted.toSeq}")
+    for (g <- 0 until Multimodal.PlantedGroups) {
+      val ids = (0 until 3).map(j => Multimodal.PlantedBase + g * 3 + j)
+      val grp = planted.filter(p => ids.contains(p._1) && ids.contains(p._2))
+      assert(grp.length === 3, s"group $g must produce all 3 pairs")
+      // the re-encoded duplicate (identical pixels, different bytes)
+      // must land at hamming 0 THROUGH the decode path
+      val recompress = grp.find(p => p._1 == ids(0) && p._2 == ids(2)).get
+      assert(recompress._3 === 0, "re-encoded copy must hash identically")
+      assert(grp.forall(_._3 <= 6))
+    }
+    // cross-group pairs must NOT appear (unrelated images land far)
+    assert(planted.forall { case (a, b, _) =>
+      (a - Multimodal.PlantedBase) / 3 === (b - Multimodal.PlantedBase) / 3 })
+  }
 }

@@ -128,6 +128,83 @@ class OpsSpec extends SparkSpec {
     vx.unpersist()
   }
 
+  test("batched BPE rounds == sequential merge list (maxBatch=1 is the oracle)") {
+    import spark.implicits._
+    def train(df: org.apache.spark.sql.DataFrame, n: Int, batch: Int) = {
+      val (m, v) = TextAnalysis.bpeTrainMerges(df, n, maxBatch = batch)
+      val vocab = v.select("word", "syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      v.unpersist()
+      (m, vocab)
+    }
+
+    // overlap fixture: top-2 pairs share a token — a naive batch would
+    // merge both; the disjointness filter defers the second, and the
+    // deferred merge then happens against the REWRITTEN vocab ((x, ay),
+    // not (x, a)) exactly like the sequential loop
+    val overlap = Seq((0L, "xay xay xay")).toDF("doc_id", "text")
+    val r0 = TextAnalysis.bpeMergeRounds.get()
+    val (mo, _) = train(overlap, 2, batch = 8)
+    assert(mo === Seq(("a", "y", 3L), ("x", "ay", 3L)),
+      "overlapping second pair must defer to the next round")
+    assert(TextAnalysis.bpeMergeRounds.get() - r0 === 2L,
+      "overlap must cost two rounds even with batching on")
+    val (ms, _) = train(overlap, 2, batch = 1)
+    assert(mo === ms)
+
+    // disjoint distinct-count pairs batch in ONE round
+    val disjoint = (Seq.fill(16)("ab") ++ Seq.fill(8)("cd") ++
+      Seq.fill(4)("ef") ++ Seq.fill(2)("gh")).mkString(" ")
+    val dj = Seq((0L, disjoint)).toDF("doc_id", "text")
+    val r1 = TextAnalysis.bpeMergeRounds.get()
+    val (mb, vb) = train(dj, 4, batch = 8)
+    assert(TextAnalysis.bpeMergeRounds.get() - r1 === 1L,
+      "four disjoint strictly-ranked merges must take one round")
+    val (msq, vsq) = train(dj, 4, batch = 1)
+    assert(mb === msq && vb === vsq)
+
+    // a count TIE at the batch boundary truncates: new pairs created by
+    // the kept merges could tie the excluded candidate, so the strict
+    // gap rule defers it
+    val tie = (Seq.fill(3)("ab") ++ Seq.fill(3)("cd") ++
+      Seq.fill(3)("ef")).mkString(" ")
+    val tf = Seq((0L, tie)).toDF("doc_id", "text")
+    val r2 = TextAnalysis.bpeMergeRounds.get()
+    val (mt, _) = train(tf, 2, batch = 8)
+    assert(mt === train(tf, 2, batch = 1)._1)
+    assert(TextAnalysis.bpeMergeRounds.get() - r2 >= 2L,
+      "an all-tie ranking must not batch past the first merge")
+
+    // a self-pair (l == r) closes its batch: its merge creates pairs
+    // bounded only by its own count
+    val self = (Seq.fill(4)("aa") ++ Seq.fill(3)("bc")).mkString(" ")
+    val sf = Seq((0L, self)).toDF("doc_id", "text")
+    val (mself, _) = train(sf, 2, batch = 8)
+    assert(mself === train(sf, 2, batch = 1)._1)
+    assert(mself.head._1 === "a" && mself.head._2 === "a")
+
+    // property sweep: deterministic pseudo-random corpora, batched and
+    // sequential lists AND final vocabularies must agree exactly
+    def h64(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    for (seed <- 1 to 3) {
+      val words = (0 until 60).map { i =>
+        val h = h64(s"corpus$seed:$i")
+        val len = 2 + (math.abs(h) % 5).toInt
+        (0 until len).map(j =>
+          ('a' + (math.abs(h >> (j * 7)) % 6).toInt).toChar).mkString
+      }
+      val df = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      val (mBat, vBat) = train(df, 15, batch = 4)
+      val (mSeq, vSeq) = train(df, 15, batch = 1)
+      assert(mBat === mSeq, s"seed $seed: merge lists diverge")
+      assert(vBat === vSeq, s"seed $seed: final vocab diverges")
+    }
+  }
+
   test("BPE encode: token streams are lossless and consistent with the counts") {
     val toks = TextAnalysis.bpeEncode(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
@@ -1353,6 +1430,11 @@ class OpsSpec extends SparkSpec {
     val exact = Similarity.planAnn(spark, d, targetRecall = 0.99)
     assert(exact.calibratedRecall >= 0.99, s"plan misses 0.99: $exact")
     assert(exact.scanFraction < 1.0, s"0.99 should no longer need brute: $exact")
+    // ... and the rung that serves it is SPECIFICALLY the SQ8 rerank:
+    // every cheaper rung (lsh, ivf probes, pq/ivfpq shortlists) misses
+    // 0.99 on this corpus, so sq_rerank is the measured-cheapest pick
+    assert(exact.method === "sq_rerank",
+      s"the near-exact contract must land on the SQ8 rerank rung: $exact")
     // ladder-exhausted fallback mechanics: no candidates -> exact scan
     val fb = Similarity.planAnnWith(Seq.empty, spark, d, targetRecall = 0.5)
     assert(fb.method === "brute" && fb.scanFraction === 1.0)
@@ -1604,6 +1686,63 @@ class OpsSpec extends SparkSpec {
     assert(flagged.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((100L, 1L)),
       "the one-word edit of a benchmark doc must be flagged; the clean doc must not")
     assert(flagged(0).getAs[Double]("est_jaccard") >= 0.2)
+  }
+
+  test("incremental phash dedup: within-batch, cross-run, replay-safe, through the real decode path") {
+    import spark.implicits._
+    def png(seed: Int, editCell: Int = -1): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (cell <- 0 until 64) {
+        var v = (seed * 37 + cell * 11) % 256
+        if (cell == editCell) v = (v + 64) % 256
+        img.setRGB(cell % 8, cell / 8, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("phash", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bb", org.apache.spark.sql.types.LongType))))
+
+    // run 1: base image + an in-batch one-cell edit of it (bigger id
+    // loses) + an unrelated image — texts all DIFFER, so only the
+    // media gate can see the duplication
+    val run1 = Seq(
+      (10L, "first unique text", png(5)),
+      (11L, "second unique text", png(5, editCell = 0)),
+      (12L, "third unique text", png(9))).toDF("doc_id", "text", "media")
+    val (s1, bands1) = CurationPipeline.incrementalPhashDedup(run1, emptyIdx)
+    assert(s1.select("doc_id").as[Long].collect().sorted === Array(10L, 12L),
+      "the within-batch phash near-dup (11 ~ 10) must drop; min id and the unrelated image survive")
+    val idx1 = bands1.select("doc_id", "phash", "i", "bb")
+    assert(idx1.count() === 14, "7 band rows per survivor")
+
+    // run 2: a RE-ENCODED copy of run 1's image (identical pixels,
+    // different bytes — both text gates would pass it), plus a new image
+    val run2 = Seq(
+      (20L, "fourth unique text", png(5) :+ 0x00.toByte),
+      (21L, "fifth unique text", png(77))).toDF("doc_id", "text", "media")
+    val (s2, _) = CurationPipeline.incrementalPhashDedup(run2, idx1)
+    assert(s2.select("doc_id").as[Long].collect().sorted === Array(21L),
+      "the cross-run re-encoded copy (20 ~ indexed 10) must drop through the decode path")
+
+    // replay safety: the batch's own rows already indexed (crash after
+    // index write) must not delete the replayed batch
+    val (s1b, _) = CurationPipeline.incrementalPhashDedup(run1, idx1)
+    assert(s1b.select("doc_id").as[Long].collect().sorted === Array(10L, 12L))
+
+    // docs with NULL media pass un-indexed instead of throwing
+    val nullMedia = Seq((30L, "text only doc", null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "text", "media")
+    val (s3, b3) = CurationPipeline.incrementalPhashDedup(nullMedia, idx1)
+    assert(s3.count() === 1 && b3.count() === 7,
+      "null media falls back to text bytes (the fixture stand-in)")
   }
 
   test("a JSONL corpus flows through the dedup operators unchanged") {

@@ -86,4 +86,50 @@ class SketchStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.keys.map(_._1).toSet === Set("web", "books"))
   }
+
+  test("streaming quantile-histogram cells == batch cells; estimate brackets the true quantile") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val b = 16
+    val lo = 0.0; val hi = 160.0
+    val width = (hi - lo) / b
+    val b1 = (1 to 40).map(i => ("click", i * 2.0))
+    val b2 = (41 to 80).map(i => ("click", i * 2.0)) ++
+      Seq(("view", 5.0), ("view", 155.0))
+
+    val stream = MemoryStream[(String, Double)]
+    val cells = Sketches.histogramCells(
+      stream.toDF().toDF("event_type", "value"), lo, hi, b)
+    val q = cells.writeStream.format("memory").queryName("qh_cells_test")
+      .outputMode("complete").start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qh_cells_test").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // batch recompute with the same fixed domain
+    val batch = (b1 ++ b2).toDF("event_type", "value")
+      .select(col("event_type"),
+        graft.ops.QuantileSketch.bucketCol(
+          col("value"), lit(lo), lit(width), b).as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("cell"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+
+    // cold-consumer readout from the streamed state: p50 of the 80
+    // click values (2..160) — upper edge of the bucket where the
+    // cumulative count first reaches ceil(0.5 * 80) = 40
+    val clicks = streamed.collect { case (("click", bk), c) => bk -> c }
+      .toSeq.sortBy(_._1)
+    val n = clicks.map(_._2).sum
+    val cum = clicks.scanLeft(0L)(_ + _._2).tail
+    val idx = cum.indexWhere(_ >= math.ceil(0.5 * n).toLong)
+    val est = lo + (clicks(idx)._1 + 1) * width
+    val trueP50 = 81.0 // median of 2,4,...,160
+    assert(est >= trueP50 && est - trueP50 <= width,
+      s"stream-state estimate $est must bracket $trueP50 within $width")
+  }
 }
