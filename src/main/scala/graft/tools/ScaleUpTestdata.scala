@@ -29,7 +29,15 @@ import org.apache.spark.sql.functions._
   *  - nation/region: copied (dimensions don't scale).
   *
   * Deterministic end to end; rerunning overwrites the same corpus.
-  * Usage: runMain graft.tools.ScaleUpTestdata [outDir] [srcDir] [k]
+  * Usage: runMain graft.tools.ScaleUpTestdata [outDir] [srcDir] [k] [strideMul]
+  *
+  * `strideMul` (default 1) scales every id stride — REQUIRED when the
+  * source is itself a replicated corpus: sf10 (built 100x from sf0.1)
+  * already occupies id ranges up to 99 strides, so replicating it
+  * 10x for sf100 needs offsets of i * stride * 100 to stay
+  * collision-free. Word suffixes compose (wxIxJ), keeping shingle
+  * vocabularies pairwise disjoint across the whole replica tree, so
+  * dup DENSITY still matches the original corpus at any depth.
   */
 object ScaleUpTestdata {
 
@@ -45,6 +53,7 @@ object ScaleUpTestdata {
     val out = if (args.length > 0) args(0) else "/tmp/graft_sf1"
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val k = if (args.length > 2) args(2).toInt else 10
+    val strideMul = if (args.length > 3) args(3).toLong else 1L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -63,29 +72,29 @@ object ScaleUpTestdata {
     wr(rd("region"), "region")
     wr(rd("nation"), "nation")
     wr(folds(rd("customer")) { (d, i) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(i * CustStride))
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * CustStride * strideMul))
     }, "customer")
     wr(folds(rd("supplier")) { (d, i) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * SuppStride))
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * SuppStride * strideMul))
     }, "supplier")
     wr(folds(rd("part")) { (d, i) =>
-      d.withColumn("p_partkey", col("p_partkey") + lit(i * PartStride))
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * PartStride * strideMul))
     }, "part")
     wr(folds(rd("orders")) { (d, i) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * OrderStride))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * CustStride))
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * OrderStride * strideMul))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * CustStride * strideMul))
     }, "orders")
     wr(folds(rd("lineitem")) { (d, i) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * OrderStride))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * PartStride))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * SuppStride))
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * OrderStride * strideMul))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * PartStride * strideMul))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * SuppStride * strideMul))
     }, "lineitem")
     // events ts arrives as TIMESTAMP(NANOS) → long (nanosAsLong); written
     // back as a plain long column — the schema-adaptive reader
     // (MarketQueries.events) treats both identically
     wr(folds(rd("events")) { (d, i) =>
-      d.withColumn("event_id", col("event_id") + lit(i * EventStride))
-        .withColumn("user_id", col("user_id") + lit(i * UserStride))
+      d.withColumn("event_id", col("event_id") + lit(i * EventStride * strideMul))
+        .withColumn("user_id", col("user_id") + lit(i * UserStride * strideMul))
     }, "events")
     wr(folds(rd("documents")) { (d, i) =>
       // replica i > 0 suffixes EVERY word with its replica id: shingle
@@ -99,7 +108,7 @@ object ScaleUpTestdata {
         else concat_ws(" ", transform(
           filter(split(lower(col("text")), "\\s+"), w => w =!= ""),
           w => concat(w, lit(s"x$i"))))
-      d.withColumn("doc_id", col("doc_id") + lit(i * DocStride))
+      d.withColumn("doc_id", col("doc_id") + lit(i * DocStride * strideMul))
         .withColumn("text", t)
     }, "documents")
     wr(folds(rd("embeddings")) { (d, i) =>
@@ -112,7 +121,7 @@ object ScaleUpTestdata {
       val e = if (i == 0) col("embedding")
         else zip_with(col("embedding"),
           lit(signs.toArray), (x, s) => x * s)
-      d.withColumn("vec_id", col("vec_id") + lit(i * DocStride))
+      d.withColumn("vec_id", col("vec_id") + lit(i * DocStride * strideMul))
         .withColumn("embedding", e.cast("array<float>"))
     }, "embeddings")
     spark.stop()

@@ -94,6 +94,41 @@ class BarsSpec extends SparkSpec {
     assert(sessions(1).getAs[Long]("tick_count") === 1L, "burst 2 is its own session")
   }
 
+  test("session windows: a later batch's tick MERGES two pending sessions; gap closes state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.core.Schemas.Tick]
+    val q = Bars.sessions(stream.toDF(), gap = "2 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_merge_test")
+      .outputMode("append").start()
+
+    // batch 1: two ticks 3 min apart — FURTHER than the 2-min gap, so
+    // the state store holds two separate pending sessions
+    stream.addData(
+      tick("A", 1, T0, 100.0),
+      tick("A", 2, T0 + 180000, 104.0))
+    q.processAllAvailable()
+    // batch 2: a tick BETWEEN them (in-watermark) bridges the gap —
+    // session_window state must MERGE the two pending sessions into one
+    stream.addData(tick("A", 3, T0 + 90000, 102.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close (gap-close: the merged
+    // session emits once its end + gap falls behind the watermark)
+    stream.addData(tick("A", 20, T0 + 7200000, 120.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions_merge_test").collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+    assert(sessions.length === 1, s"bridged bursts must emit ONE merged session: ${sessions.toSeq}")
+    assert(sessions(0).getAs[Long]("tick_count") === 3L,
+      "the merged session must contain both batches' ticks plus the bridge")
+    assert(sessions(0).getAs[Double]("low_price") === 100.0)
+    assert(sessions(0).getAs[Double]("high_price") === 104.0)
+    assert(sessions(0).getAs[java.sql.Timestamp]("session_start").getTime === T0,
+      "merged session must span from the first burst's start")
+  }
+
   test("running stats: custom keyed state accumulates across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
