@@ -352,17 +352,18 @@ object TextDedup {
   }
 
   /** Bloom-PREFILTERED exact decontamination — the 100 TB plan shape
-    * for `exactNgramContamination`, same rows out. The exact path's one
-    * scale weakness is `docGrams(corpus).distinct()`: it shuffles the
-    * ENTIRE corpus gram set (13-word strings, ~13x the corpus bytes)
-    * just to dedup before the broadcast join, even though ~all grams
+    * for `exactNgramContamination`, same rows out. The exact path is
+    * already shuffle-free up to the broadcast join (docGrams dedups
+    * per-doc with `array_distinct`, narrowly), but every corpus gram
+    * still reaches the broadcast hash probe even though ~all grams
     * match nothing. Here the benchmark side (tiny by definition — an
     * eval suite doesn't grow with the training corpus) is folded into a
     * Bloom filter over xxhash64(gram) (Spark's own
     * `BloomFilterAggregate`, the runtime-filter machinery), shipped to
     * the corpus scan as a FOLDABLE binary literal, and every corpus
-    * gram is tested by `BloomFilterMightContain` BEFORE the distinct —
-    * so the only shuffle carries the ~fpp-sized candidate set. False
+    * gram is tested by `BloomFilterMightContain` in the scan stage —
+    * a bit-test per gram instead of a string hash + equality probe,
+    * and only the ~fpp-sized candidate set reaches the join. False
     * positives die at the exact string-equality join that follows; the
     * result is provably identical to the unfiltered path
     * (BloomPrefilterSpec asserts both).
@@ -400,9 +401,9 @@ object TextDedup {
       corpus
         .withColumn("ws", words(col("text")))
         .filter(size(col("ws")) > 0)
-        .select(col("doc_id"), explode(ngramsOf(col("ws"), n)).as("gram"))
-        .filter(mightContain) // BEFORE distinct: the shuffle carries candidates only
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(ngramsOf(col("ws"), n))).as("gram"))
+        .filter(mightContain) // candidates only reach the confirm join
         .join(broadcast(benchGrams), "gram") // exact confirm kills bloom FPs
         .groupBy("doc_id", "bench_id")
         .agg(count(lit(1)).as("n_hits"))
@@ -425,12 +426,16 @@ object TextDedup {
   /** Distinct (id, n-gram) pairs of a docs-shaped frame. Zero-word docs
     * are skipped: the short-doc branch would emit the empty-string
     * gram, making one empty benchmark doc "contaminate" every empty
-    * training doc — spurious on both sides. */
+    * training doc — spurious on both sides.
+    *
+    * Distinctness is per document, so it is the narrow
+    * `array_distinct`-before-explode form (see docShingles) — no
+    * corpus-wide (id, gram) exchange. */
   private def docGrams(d: DataFrame, idAs: String, n: Int): DataFrame = d
     .withColumn("ws", words(col("text")))
     .filter(size(col("ws")) > 0)
-    .select(col("doc_id").as(idAs), explode(ngramsOf(col("ws"), n)).as("gram"))
-    .distinct()
+    .select(col("doc_id").as(idAs),
+      explode(array_distinct(ngramsOf(col("ws"), n))).as("gram"))
 
   /** Cross-SOURCE duplication matrix — corpus governance over the
     * verified pair table: how much of each source duplicates each
@@ -630,13 +635,22 @@ object TextDedup {
     * references the signature table FIVE times in one plan (unique sigs,
     * both sides of the cross-sig expansion, both sides of the same-sig
     * pairing) — the scan + explode + distinct + 48-column agg must not
-    * run five times. */
+    * run five times.
+    *
+    * Per-doc word dedup is `array_distinct` BEFORE the explode, not a
+    * global `.distinct()` after it: the votes are per (doc_id, word),
+    * so distinctness never needed a corpus-wide exchange. The old
+    * global distinct shuffled every (doc_id, word) pair — at sf100
+    * (5M docs) it spilled ~50 GB and was the single worst shuffle in
+    * the suite; with the narrow form the exploded rows stay co-located
+    * with their document, the 48-sum partial aggregation collapses
+    * them map-side, and the only exchange left carries one 49-column
+    * row per document. */
   def simhashSigs(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionCache.getOrBuild(spark, "simhash_sigs", dir) {
       val dw = docs(spark, dir)
         .withColumn("ws", words(col("text")))
-        .select(col("doc_id"), explode(col("ws")).as("w"))
-        .distinct()
+        .select(col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
         .withColumn("wh", md5Long(col("w")))
       val voteCols = (0 until SimHashBits).map { j =>
         sum(when(expr(s"shiftright(wh, $j)") % 2 === 1, 1).otherwise(-1)).as(s"v$j")

@@ -92,14 +92,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected a broadcast confirm join:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"the confirm join must not shuffle the corpus at any scale:\n$p")
-    // the candidate distinct's shuffle must sit ABOVE the bloom filter
-    // (tree prints root-first, so upstream ops have LARGER indices):
-    // the shuffle carries only bloom survivors, never the raw gram set
+    // the first shuffle (the n_hits aggregate's exchange — per-doc gram
+    // dedup is narrow array_distinct, so no distinct shuffle exists)
+    // must sit ABOVE the bloom filter (tree prints root-first, so
+    // upstream ops have LARGER indices): every exchanged row is a bloom
+    // survivor, never the raw gram set
     val filterIdx = p.toLowerCase.indexOf("might_contain")
     val shuffleIdx = p.indexOf("Exchange hashpartitioning")
     assert(shuffleIdx >= 0, s"expected a candidate-set exchange:\n$p")
     assert(filterIdx > shuffleIdx,
       s"bloom filter must be upstream of the first shuffle:\n$p")
+  }
+
+  test("per-doc shingle/gram dedup is narrow: no corpus-wide distinct exchange") {
+    // distinctness of (doc_id, shingle)/(doc_id, gram) is per document,
+    // so it must be array_distinct before the explode — a global
+    // .distinct() here shuffled every pair in the corpus (~50 GB of
+    // spill at sf100 for the word-level equivalent in simhashSigs)
+    val shP = plan(graft.ops.TextHashing.docShingles(TextDedup.docs(spark, dir)))
+    assert(!shP.contains("Exchange"), s"docShingles must be shuffle-free:\n$shP")
+    // exact contamination: scan -> narrow gram dedup -> broadcast
+    // confirm -> ONE hash exchange (the n_hits aggregate, which only
+    // carries confirmed hits); a second hashpartitioning would mean the
+    // gram distinct came back
+    val exP = plan(TextDedup.decontaminationNgram(spark, dir))
+    val nHash = "Exchange hashpartitioning".r.findAllIn(exP).size
+    assert(nHash == 1,
+      s"expected exactly the n_hits aggregate exchange, got $nHash:\n$exP")
   }
 
   test("similarity top-k: query side broadcast, no shuffle of the corpus for the join") {
