@@ -111,7 +111,8 @@ MARKET_WHITELIST = {
     "except_tokens", "hourly_bars", "inactive_tokens", "json_props",
     "latest_prices_topk", "latest_tick", "mode_conditional", "percentiles",
     "pivot_counts", "range_join_errors", "rank_by_day", "rollup_stats",
-    "scaled_projection", "seq_dedup", "session_stats", "set_ops",
+    "scaled_projection", "seq_dedup", "session_stats", "session_window_agg",
+    "set_ops",
     "tick_returns", "time_format", "time_range_scan", "token_freshness",
     "token_stats", "tokens_by_type", "volume_profile",
 }

@@ -71,6 +71,35 @@ def check_session_stats(e, out_dir):
     return len(mine)
 
 
+def check_session_window_agg(e, out_dir):
+    # Engine session_window rule (pinned by the BarsSpec boundary
+    # fixture): [ts, ts+gap] merges INCLUSIVELY -> only diff > gap
+    # starts a NEW session; end = last ts + gap.
+    gap = 4 * 3600 * 1000000
+    rows = []
+    f = e[e.user_id.isin(TOKENS)].sort_values(["user_id", "ts_us", "event_id"])
+    for uid, g in f.groupby("user_id"):
+        sid = 0
+        prev = None
+        for _, r in g.iterrows():
+            if prev is None or r.ts_us - prev > gap:
+                sid += 1
+            rows.append((uid, sid, r.ts_us))
+            prev = r.ts_us
+    df = pd.DataFrame(rows, columns=["user_id", "session_id", "ts_us"])
+    mine = df.groupby(["user_id", "session_id"], as_index=False).agg(
+        n_events=("ts_us", "size"),
+        session_start_us=("ts_us", "min"),
+        session_end_us=("ts_us", "max"))
+    mine["session_end_us"] = mine["session_end_us"] + gap
+    mine = mine.drop(columns=["session_id"]) \
+        .sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
+    got = spark(out_dir, "session_window_agg") \
+        .sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_daily_ohlcv(e, out_dir):
     f = e[e.user_id == 7].copy()
     f["trade_date"] = f["ts"].dt.strftime("%Y-%m-%d")
@@ -1460,6 +1489,7 @@ def main(sf_dir, out_dir):
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
               ("quantile_sketch", lambda: check_quantile_sketch(e, out_dir)),
               ("session_stats", lambda: check_session_stats(e, out_dir)),
+              ("session_window_agg", lambda: check_session_window_agg(e, out_dir)),
               ("daily_ohlcv", lambda: check_daily_ohlcv(e, out_dir)),
               ("cum_volume", lambda: check_cum_volume(e, out_dir)),
               ("chunk_documents", lambda: check_chunk_documents(sf_dir, out_dir)),

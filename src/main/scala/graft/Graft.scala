@@ -194,14 +194,21 @@ object Graft {
     * vector+norm) -> curated batch_id-partitioned parquet with the same
     * replay-idempotent sink scheme and in-pipeline compaction. New
     * files dropped into `vecsDir` are picked up by later triggers;
-    * restart with the same checkpoint resumes incrementally. */
+    * restart with the same checkpoint resumes incrementally.
+    *
+    * `nBits` sizes the sign-bucket index and is part of the index
+    * contract (same value across runs against one indexDir) — size it
+    * for the EXPECTED corpus with `ops.Similarity.autoNBits(n)`; the
+    * bucket join is quadratic in bucket population, so the 16-bucket
+    * default is only right up to a few hundred thousand vectors. */
   def curateVectors(
       spark: SparkSession, vecsDir: String,
       corpusDir: String, indexDir: String, checkpointDir: String,
       threshold: Double = 0.9,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Int = 16,
-      compactEvery: Int = 8): StreamingQuery = {
+      compactEvery: Int = 8,
+      nBits: Int = 4): StreamingQuery = {
     // FIXED contract schema, not inference: inferring needs files to
     // already exist, but the documented contract is that files may be
     // dropped into vecsDir AFTER the stream starts (curateCorpus makes
@@ -216,7 +223,8 @@ object Graft {
       .parquet(vecsDir)
       .select("vec_id", "embedding")
     ops.CurationPipeline.streamingVectorDedup(
-      vecs, corpusDir, indexDir, checkpointDir, trigger, threshold, compactEvery)
+      vecs, corpusDir, indexDir, checkpointDir, trigger, threshold, compactEvery,
+      nBits)
   }
 
   /** Build (train + persist) an ANN index for an embeddings dir —

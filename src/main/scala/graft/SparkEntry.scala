@@ -57,6 +57,9 @@ object SparkEntry {
     "quantile_sketch" -> ((s: SparkSession, d: String) =>
       graft.ops.QuantileSketch.quantileSketch(s, d)),
     "session_stats" -> (M.sessionStats _),
+    // the engine's built-in session_window (batch face of the
+    // streaming construct), vs an independent gap-recipe oracle
+    "session_window_agg" -> (M.sessionWindowAgg _),
     "inactive_tokens" -> (M.inactiveTokens _),
     "pivot_counts" -> (M.pivotCounts _),
     "tokens_by_type" -> (M.tokensByType _),
@@ -934,20 +937,24 @@ object SparkEntry {
     * batch for batch): sign-bucket + Hamming-1 probe candidates, cosine
     * verification with zero-norm guards, index = earlier survivors. */
   private def vectorReplaySql(nBatches: Int, threshold: Double): String = {
-    def probes(xa: String, ya: String) =
-      s"$ya.bkt IN ($xa.bkt, xor($xa.bkt, 1), xor($xa.bkt, 2), xor($xa.bkt, 4), xor($xa.bkt, 8))"
+    // Candidate generation mirrors Similarity.incrementalNearDup at the
+    // AUTO-SIZED nbits (Similarity.autoNBits — the embedding_near_dup
+    // formula: GREATEST(4, CEIL(LOG2(n/125))), exact at power-of-two
+    // ratios): each x row explodes to its own bucket + the nbits
+    // Hamming-1 probe buckets, then an EQUALITY join on y's bucket —
+    // the same probe-side explode the Spark plan runs.
     val guards =
       "list_inner_product(x.v, x.v) > 0 AND list_inner_product(y.v, y.v) > 0"
     val perBatch = (0 until nBatches).map { b =>
       val dropOld = if (b == 0) "" else
-        s"""vdo$b AS (SELECT DISTINCT x.vec_id FROM vn x JOIN vn y
-           |  ON ${probes("x", "y")} AND x.vec_id <> y.vec_id
+        s"""vdo$b AS (SELECT DISTINCT x.vec_id FROM vnp x JOIN vn y
+           |  ON x.probe_bkt = y.bkt AND x.vec_id <> y.vec_id
            |  WHERE x.b = $b AND y.vec_id IN (SELECT vec_id FROM vprv$b)
            |    AND $guards
            |    AND list_cosine_similarity(x.v, y.v) >= $threshold)""".stripMargin
       val dropNew =
-        s"""vdn$b AS (SELECT DISTINCT x.vec_id FROM vn x JOIN vn y
-           |  ON ${probes("x", "y")} AND x.vec_id > y.vec_id
+        s"""vdn$b AS (SELECT DISTINCT x.vec_id FROM vnp x JOIN vn y
+           |  ON x.probe_bkt = y.bkt AND x.vec_id > y.vec_id
            |  WHERE x.b = $b AND y.b = $b
            |    AND $guards
            |    AND list_cosine_similarity(x.v, y.v) >= $threshold)""".stripMargin
@@ -964,10 +971,13 @@ object SparkEntry {
     val finalUnion = (0 until nBatches)
       .map(b => s"SELECT vec_id, CAST($b AS BIGINT) AS batch_id FROM vout$b")
       .mkString(" UNION ALL ")
-    s"""WITH vn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-       |   + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bkt,
-       |  vec_id % $nBatches AS b FROM embeddings),
+    s"""WITH vnb AS (SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(count(*) AS DOUBLE) / 125.0)) AS INTEGER)) AS nbits FROM embeddings),
+       |ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, vec_id % $nBatches AS b FROM embeddings),
+       |vn AS (SELECT vec_id, v, b,
+       |  CAST(list_sum(list_transform(range(1, (SELECT nbits FROM vnb) + 1),
+       |    i -> CASE WHEN v[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS BIGINT) AS bkt FROM ve),
+       |vnp AS (SELECT vec_id, v, b, unnest([bkt] || list_transform(range(0, (SELECT nbits FROM vnb)),
+       |    i -> xor(bkt, CAST(1 AS BIGINT) << i))) AS probe_bkt FROM vn),
        |$perBatch
        |SELECT vec_id, batch_id FROM ($finalUnion) ORDER BY vec_id"""
       .stripMargin
@@ -1907,6 +1917,21 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events, epoch_us(min(ts)) AS session_start_us,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    // session_window boundary rule (pinned by the BarsSpec fixture):
+    // [ts, ts+gap] merges INCLUSIVELY — diff == gap extends, diff > gap
+    // splits (the same predicate as session_stats) — and a session's
+    // end is its last event's ts + gap
+    "session_window_agg" ->
+      """WITH f AS (SELECT * FROM events WHERE user_id IN (1,7,42,99)),
+        |l AS (SELECT *, CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 14400000000
+        |  THEN 1 ELSE 0 END AS new_session FROM f),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM l)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) + 14400000000 AS session_end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start_us""".stripMargin,
 
     "percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,

@@ -529,18 +529,33 @@ object CurationPipeline {
     * the same dynamic-overwrite replay idempotence, and the index grows
     * append-only (one (vec_id, bkt, v, nrm) row per survivor). Same
     * maintenance protocol: in-pipeline compaction every `compactEvery`
-    * batches keeps both read paths O(1) partitions. */
+    * batches keeps both read paths O(1) partitions.
+    *
+    * `nBits` is part of the INDEX CONTRACT, like `threshold`: persisted
+    * bkt values are nBits-dependent, so every run against the same
+    * indexDir must pass the same value. Size it for the EXPECTED corpus
+    * (`Similarity.autoNBits(expectedVecs)`): bucket population is
+    * n / 2^nBits and the per-batch candidate join is quadratic in it —
+    * the default 4 (16 buckets) was measured at 2M vectors spending
+    * ~30 min/batch on ~1.4e11 bucket pairs that 14 bits cut ~340x.
+    * More bits trade recall for that speed (an exact duplicate always
+    * shares its source's bucket at ANY nBits; a merely-near vector can
+    * drift more than one sign plane), which is why the gate does not
+    * silently auto-size per batch: recall and bkt layout must not
+    * change under a stream's feet. */
   def streamingVectorDedup(
       vecs: DataFrame, corpusDir: String, indexDir: String,
       checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger,
       threshold: Double = 0.9,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      nBits: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processVectorBatch(batch, batchId, corpusDir, indexDir, threshold, compactEvery)
+        processVectorBatch(batch, batchId, corpusDir, indexDir, threshold,
+          compactEvery, nBits)
       }
       .start()
 
@@ -549,7 +564,7 @@ object CurationPipeline {
     * `replayVectorBatches`, like `processBatch` for the text gate). */
   private[ops] def processVectorBatch(
       batch: DataFrame, batchId: Long, corpusDir: String, indexDir: String,
-      threshold: Double, compactEvery: Int): Unit = {
+      threshold: Double, compactEvery: Int, nBits: Int = 4): Unit = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
     val index = readBatchIndex(spark, indexDir, StructType(Seq(
@@ -557,13 +572,13 @@ object CurationPipeline {
       StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType),
       StructField("batch_id", LongType))), batchId)
     val (survivors, _) =
-      graft.ops.Similarity.incrementalNearDup(batch, index, threshold)
+      graft.ops.Similarity.incrementalNearDup(batch, index, threshold, nBits)
     // snapshot before the sink writes: the index write below
     // invalidates every cached plan reading indexDir (see
     // streamingDedup's near-dup path for the measured failure)
     val out = survivors.localCheckpoint(true)
     // index rows re-derived from the snapshot (no path deps)
-    val rows = graft.ops.Similarity.vectorIndexRows(out)
+    val rows = graft.ops.Similarity.vectorIndexRows(out, nBits)
     try {
       out.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
@@ -588,13 +603,13 @@ object CurationPipeline {
     * batch_id-partitioned index dirs. */
   def replayVectorBatches(vecs: DataFrame, batchCol: org.apache.spark.sql.Column,
                           corpusDir: String, indexDir: String,
-                          threshold: Double): DataFrame = {
+                          threshold: Double, nBits: Int = 4): DataFrame = {
     val withB = vecs.withColumn("__replay_b", batchCol.cast("long"))
     val ids = withB.select("__replay_b").distinct()
       .collect().map(_.getLong(0)).sorted
     ids.foreach { b =>
       processVectorBatch(withB.filter(col("__replay_b") === b).drop("__replay_b"),
-        b, corpusDir, indexDir, threshold, compactEvery = 0)
+        b, corpusDir, indexDir, threshold, compactEvery = 0, nBits = nBits)
     }
     vecs.sparkSession.read.parquet(corpusDir)
   }
@@ -605,14 +620,24 @@ object CurationPipeline {
     * vector index, at the fixture-scale threshold (0.35 — the corpus's
     * near-dup range; production gates pass 0.9+). The DuckDB oracle
     * applies the sign-bucket + Hamming-1 candidate generation and the
-    * cosine verification sequentially, batch by batch. */
+    * cosine verification sequentially, batch by batch.
+    *
+    * nBits is auto-sized from the corpus count (`Similarity.autoNBits`,
+    * the formula the oracle mirrors in SQL) — the replay face KNOWS the
+    * whole corpus, so it sizes buckets the way a production caller
+    * would size them from the expected stream volume. At the gate
+    * scales (500 / 2000 vectors) the formula lands on the legacy 4
+    * bits, so oracle values are unchanged there; at sf100 (2M vectors)
+    * it is the difference between ~1.4e11 bucket pairs (~30 min/run,
+    * measured) and ~4e8. */
   def vectorCurationReplay(spark: SparkSession, dir: String): DataFrame = {
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding")
+    val bits = graft.ops.Similarity.autoNBits(vecs.count())
     val tmp = java.nio.file.Files.createTempDirectory("vec_replay").toString
     try {
       val corpus = replayVectorBatches(vecs, col("vec_id") % 3,
-        s"$tmp/corpus", s"$tmp/index", threshold = 0.35)
+        s"$tmp/corpus", s"$tmp/index", threshold = 0.35, nBits = bits)
       // snapshot-then-delete, like curationReplay
       corpus.select(col("vec_id"), col("batch_id").cast("long").as("batch_id"))
         .orderBy("vec_id")

@@ -436,6 +436,30 @@ object MarketQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** The BUILT-IN `session_window` in batch mode — the same construct
+    * the streaming face (`streaming.Bars.sessions`) groups by, pinned
+    * against an independent lag/cumsum sessionization oracle. Engine
+    * boundary rule (pinned by a BarsSpec fixture that FALSIFIED the
+    * first-draft exclusive `>=` oracle — the corpora contain no
+    * boundary-exact pair, so only the fixture could tell): the
+    * point-event window [ts, ts+gap] merges INCLUSIVELY — an event
+    * exactly gap after its predecessor still extends the session, one
+    * microsecond past it splits — so the lag-recipe equivalent is the
+    * same `diff > gap` predicate `sessionStats` uses, and a session's
+    * end is its last event's ts + gap. Same plan shape as any session
+    * agg: one hash exchange on user_id, per-partition session merge,
+    * no driver state. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id").isin(Tokens: _*))
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+
   /** Exact interpolated percentiles per event type (the distribution
     * summary the reference's histogram metrics gesture at,
     * /root/reference/metrics/metrics.go:53).

@@ -1245,6 +1245,43 @@ class OpsSpec extends SparkSpec {
     assert(s1b.select("vec_id").as[Long].collect().sorted === Array(10L, 12L))
   }
 
+  test("incremental embedding near-dup: nBits is the index contract, colinear dups caught at any width") {
+    import spark.implicits._
+    val base = (1 to 64).map(i => math.sin(i.toDouble).toFloat).toArray
+    val emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("nrm", org.apache.spark.sql.types.DoubleType))))
+    val b1 = Seq((10L, base)).toDF("vec_id", "embedding")
+    val b2 = Seq((20L, base.map(x => x * 3.0f))).toDF("vec_id", "embedding")
+    for (bits <- Seq(4, 10, 14)) {
+      // a colinear copy shares EVERY sign plane, so it lands in its
+      // source's bucket at any nBits — widening the index can never
+      // lose the exact/colinear-duplicate class
+      val (_, rows1) = Similarity.incrementalNearDup(b1, emptyIdx, threshold = 0.9, nBits = bits)
+      val (s2, _) = Similarity.incrementalNearDup(b2, rows1, threshold = 0.9, nBits = bits)
+      assert(s2.count() === 0L, s"colinear copy must be dropped at nBits=$bits")
+      // the persisted bkt is nBits-dependent: at wider nBits the stored
+      // bucket ids exceed the 4-bit range, so a mismatched reader would
+      // probe the wrong buckets — which is exactly why nBits is pinned
+      // per index like threshold
+      if (bits > 4) {
+        val maxBkt = rows1.agg(org.apache.spark.sql.functions.max("bkt")).head().getLong(0)
+        assert(maxBkt >= 16L || bits == 4,
+          s"fixture vector must exercise planes above bit 4 (got bkt=$maxBkt)")
+      }
+    }
+    // autoNBits is the sizing rule the replay face applies: it holds
+    // bucket population ~constant (pop <= 125 once past the 4-bit floor)
+    assert(Similarity.autoNBits(500) === 4)
+    assert(Similarity.autoNBits(2000) === 4, "gate-scale corpora stay on the legacy width")
+    assert(Similarity.autoNBits(2000000) === 14)
+  }
+
   test("persisted IVF index: trained quantizer, cold sessions probe the files with zero training") {
     val live = Similarity.ivfTopK(spark, dir).collect()
     assert(live.nonEmpty)

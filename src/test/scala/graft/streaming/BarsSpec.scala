@@ -66,6 +66,39 @@ class BarsSpec extends SparkSpec {
     assert(minute5.length === 1 && minute5(0).getAs[Long]("tick_count") === 1L)
   }
 
+  // Pins the engine boundary rule MarketQueries.sessionWindowAgg's oracle
+  // mirrors: the point-event window [ts, ts+gap] merges INCLUSIVELY, so an
+  // event landing exactly gap after its predecessor still EXTENDS the
+  // session (a first draft of the oracle assumed exclusive `>=` splitting;
+  // THIS fixture is what falsified it — the sf0.01/sf0.1 corpora contain no
+  // boundary-exact pair, so the hash gate alone could not tell the rules
+  // apart), a gap+1us event starts a new one, and a session's end is its
+  // last event's ts + gap. The lag-recipe equivalent is sessionStats' own
+  // `diff > gap` predicate.
+  test("batch session_window boundary: gap-equal event merges, gap+1us splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val gapUs = 4L * 3600 * 1000000 // 4 hours in micros
+    val t0 = 1704447000000000L
+    val df = Seq(
+      (1L, t0), (1L, t0 + gapUs),     // exactly gap apart -> still ONE session
+      (2L, t0), (2L, t0 + gapUs + 1)  // 1 us past the gap -> splits
+    ).toDF("user_id", "ts_us").withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = df.groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("s"),
+        unix_micros(col("session_window.end")).as("e"), col("n"))
+      .collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.length === 1, "exact-gap event must extend the session (inclusive merge)")
+    assert(u1(0).getAs[Long]("n") === 2L)
+    assert(u1(0).getAs[Long]("e") === t0 + gapUs + gapUs, "end = last event ts + gap")
+    val u2 = out.filter(_.getLong(0) == 2L).sortBy(_.getAs[Long]("s"))
+    assert(u2.length === 2, "one microsecond past the gap must split")
+    assert(u2(0).getAs[Long]("n") === 1L)
+    assert(u2(0).getAs[Long]("e") === t0 + gapUs)
+  }
+
   test("session windows: ticks merge across small gaps, split at large ones") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
