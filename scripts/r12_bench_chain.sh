@@ -36,5 +36,7 @@ SPARK_DRIVER_MEM=48g GRAFT_BENCH_REPS=1 SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 \
   GRAFT_BENCH_OUT=docs/BENCH_R12_SF10.json scripts/run_main.sh graft.Bench \
   > /tmp/bench_sf10.log 2>&1
 echo "SF10 exit=$? $(date +%H:%M:%S)"
-rm -rf /tmp/spark-local
+# recreate, never delete-last (round-12 verdict #1: the stale exported
+# SPARK_LOCAL_DIRS killed the next driver bench when this dir was gone)
+rm -rf /tmp/spark-local && mkdir -p /tmp/spark-local
 echo "CHAIN DONE $(date +%H:%M:%S)"

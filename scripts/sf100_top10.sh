@@ -23,5 +23,7 @@ for q in "${QUERIES[@]}"; do
     scripts/run_main.sh graft.Bench > "$OUT_DIR/$q.log" 2>&1
   echo "    exit=$? $(tail -c 200 "$OUT_DIR/$q.json" 2>/dev/null || echo 'NO OUTPUT')"
 done
-rm -rf /tmp/spark-local
+# recreate, never delete-last: a later run inheriting the exported
+# SPARK_LOCAL_DIRS must find the directory present (round-12 verdict #1)
+rm -rf /tmp/spark-local && mkdir -p /tmp/spark-local
 echo "ALL DONE $(date +%H:%M:%S)"

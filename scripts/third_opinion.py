@@ -636,7 +636,7 @@ def check_media_phash_dedup(sf_dir, out_dir, max_hamming=6):
             for cell in range(60):
                 if cells[cell] > mean:
                     h |= 1 << cell
-            ph[900000000 + g * 3 + j] = h
+            ph[-1000000000 + g * 3 + j] = h
     # 7-band split (4x9 + 3x8 bits): lossless at hamming <= 6 by pigeonhole
     bands = [(i, i * 9, 511) for i in range(4)] + \
             [(4 + i, 36 + i * 8, 255) for i in range(3)]

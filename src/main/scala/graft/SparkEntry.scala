@@ -2645,7 +2645,7 @@ object SparkEntry {
          |  FROM (SELECT unnest(generate_series(0, 3)) AS g) g
          |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
          |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS cell) c),
-         |pv AS (SELECT 900000000 + g * 3 + j AS doc_id, cell,
+         |pv AS (SELECT -1000000000 + g * 3 + j AS doc_id, cell,
          |    CASE WHEN j = 1 AND cell = 0 THEN (v0 + 64) % 256 ELSE v0 END AS v
          |  FROM pc),
          |pm AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 64.0 AS mean FROM pv GROUP BY 1),

@@ -29,6 +29,30 @@ object GraftConf {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
 
+  /** Create every configured Spark local (spill) directory before the
+    * session starts. Round 12's official driver bench died 143/149 with
+    * `FileNotFoundException: /tmp/spark-local/...` because a benchmark
+    * script exported `SPARK_LOCAL_DIRS` and deleted the directory on
+    * exit — the stale env var then pointed a LATER Spark launch at a
+    * spill dir that no longer existed. One mkdirs at startup makes the
+    * whole class of stale-env failures impossible. Honors the same
+    * precedence Spark's Utils.getConfiguredLocalDirs does for local
+    * mode: SPARK_LOCAL_DIRS env, else spark.local.dir system property
+    * (comma-separated lists in both). */
+  def ensureLocalDirs(): Unit = {
+    val dirs = sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(sys.props.get("spark.local.dir"))
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    dirs.foreach { d =>
+      val f = new java.io.File(d)
+      if (!f.isDirectory && !f.mkdirs() && !f.isDirectory)
+        throw new java.io.IOException(
+          s"Spark local dir '$d' (from SPARK_LOCAL_DIRS/spark.local.dir) " +
+            "does not exist and could not be created — fix the env before " +
+            "launching, or every shuffle spill will fail mid-query")
+    }
+  }
+
   /** Runtime SQL confs that must hold for the engine's readers, applied to
     * an already-built session (builder-time configs don't reach reused
     * sessions). `nanosAsLong`: the driver's events.parquet stores ts as

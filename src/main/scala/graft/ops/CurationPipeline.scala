@@ -128,11 +128,22 @@ object CurationPipeline {
     * hits are ignored (crash-replay safety, as in the text gate).
     *
     * Returns (survivors, survivorBands) — the caller appends
-    * survivorBands to the index. */
+    * survivorBands to the index.
+    *
+    * `newBands`: the batch's banded phash frame when the caller has
+    * already computed (and persisted/checkpointed) it — the decode is
+    * the pipeline's most expensive stage with a real codec, and this
+    * plan references the band frame on FOUR paths (dropOld, both sides
+    * of the in-batch self-join, survivorBands), so an unpersisted
+    * default decodes ~4x. `processBatchBody` snapshots it once per
+    * batch and passes it here, then reuses the same snapshot for the
+    * index write — one decode per incoming doc, total. */
   def incrementalPhashDedup(
       newDocs: DataFrame, phashBandIndex: DataFrame,
-      maxHamming: Int = 6): (DataFrame, DataFrame) = {
-    val bands = Multimodal.phashBandsOf(Multimodal.phashOf(effectiveMedia(newDocs)))
+      maxHamming: Int = 6,
+      newBands: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val bands = newBands.getOrElse(
+      Multimodal.phashBandsOf(Multimodal.phashOf(effectiveMedia(newDocs))))
     val dropOld = bands
       .join(phashBandIndex.select(col("i"), col("bb"),
         col("doc_id").as("idx_doc"), col("phash").as("idx_ph")), Seq("i", "bb"))
@@ -304,8 +315,13 @@ object CurationPipeline {
     }
     // the media gate (when enabled) runs on the text survivors: banded
     // phash lookup against the persisted (i, bb)-bucketable band index,
-    // hamming verify on the joined rows — the decode runs once per
-    // incoming doc, history is never re-read
+    // hamming verify on the joined rows — history is never re-read, and
+    // the batch's own decode runs ONCE: the band frame is eagerly
+    // localCheckpoint'd here (same rationale as `out` below — a merely
+    // persisted plan would be invalidated by the later index-path
+    // writes and silently recompute) and the SAME snapshot feeds the
+    // gate's four references and the index write.
+    var phashBatchBands: Option[DataFrame] = None
     val afterPhash = phashDir match {
       case None => afterNear
       case Some(pd) =>
@@ -313,7 +329,11 @@ object CurationPipeline {
           StructField("doc_id", LongType), StructField("phash", LongType),
           StructField("i", IntegerType), StructField("bb", LongType),
           StructField("batch_id", LongType))), batchId)
-        incrementalPhashDedup(afterNear, phIdx, phashMaxHamming)._1
+        val bands = Multimodal.phashBandsOf(
+          Multimodal.phashOf(effectiveMedia(afterNear))).localCheckpoint(true)
+        phashBatchBands = Some(bands)
+        incrementalPhashDedup(afterNear, phIdx, phashMaxHamming,
+          newBands = Some(bands))._1
     }
     // eager localCheckpoint when any index-backed gate ran, NOT
     // persist: writing the fp index below auto-invalidates every
@@ -326,10 +346,13 @@ object CurationPipeline {
       if (nearDupDir.isEmpty && phashDir.isEmpty) afterPhash.persist()
       else afterPhash.localCheckpoint(true)
     // index rows are recomputed from the snapshotted survivors (one
-    // shingling / decode pass over a small batch)
+    // shingling pass over a small batch). The phash rows are NOT
+    // re-decoded: the batch's band snapshot already holds every
+    // incoming doc's bands, so the survivors' rows are a semi join of
+    // two checkpoints — no path dependency, no second decode.
     val sigsOut = nearDupDir.map(_ => TextDedup.minhashSigs(out).persist())
-    val phashBandsOut = phashDir.map(_ =>
-      Multimodal.phashBandsOf(Multimodal.phashOf(effectiveMedia(out))).persist())
+    val phashBandsOut = phashBatchBands.map(bands =>
+      bands.join(out.select("doc_id"), Seq("doc_id"), "left_semi").persist())
     try {
       out.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
@@ -419,6 +442,7 @@ object CurationPipeline {
       sigsOut.foreach(_.unpersist())
       phashBandsOut.foreach(_.unpersist())
       releaseLocalCheckpoint(out)
+      phashBatchBands.foreach(releaseLocalCheckpoint)
     }
     // periodic sink maintenance from INSIDE the running pipeline (no
     // external scheduler): every `compactEvery` batches, cold batch

@@ -227,7 +227,13 @@ object Multimodal {
   // cell, so cell means are exact integers and the 64-int sum / 64 is
   // dyadic — bit-identical mean arithmetic in both engines.
 
-  private[ops] val PlantedBase = 900000000L
+  // NEGATIVE id range: real doc_ids are non-negative at every scale
+  // (testdata and ScaleUpTestdata replicas alike), so planted rows can
+  // never collide with a corpus id. The first draft used 900000000 and
+  // sf10's replica 90 (DocStride 1e7) landed real docs exactly there —
+  // planted pairs would have been attributed to unrelated corpus docs
+  // while the oracle, mirroring the same union, stayed green.
+  private[ops] val PlantedBase = -1000000000L
   private[ops] val PlantedGroups = 4
 
   /** Deterministic per-cell gray value of planted image (g, j). */

@@ -141,7 +141,10 @@ class MultimodalSpec extends SparkSpec {
   test("planted PNGs: real decode arm yields the expected near-dup pairs under the query") {
     val pairs = Multimodal.phashNearDup(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    val planted = pairs.filter(_._1 >= Multimodal.PlantedBase)
+    // planted ids live in a NEGATIVE range disjoint from every corpus id
+    val plantedIds = (0 until Multimodal.PlantedGroups * 3)
+      .map(Multimodal.PlantedBase + _).toSet
+    val planted = pairs.filter(p => plantedIds(p._1) || plantedIds(p._2))
     // each of the 4 groups: (base, edit), (base, recompress), (edit, recompress)
     assert(planted.length === 12, s"expected 12 planted pairs, got ${planted.toSeq}")
     for (g <- 0 until Multimodal.PlantedGroups) {
