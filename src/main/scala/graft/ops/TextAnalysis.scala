@@ -304,7 +304,22 @@ object TextAnalysis {
     *  4. no candidate's merged output string equals a token still
     *     adjacent anywhere in the corpus (checked against the full
     *     pair table): a string-equality collision would let merge j
-    *     INCREASE a later pair's count, breaking (3)'s bound.
+    *     INCREASE a later pair's count, breaking (3)'s bound;
+    *  5. no candidate's merged output equals an EARLIER candidate's
+    *     output (e.g. ("a","bc") and ("ab","c"), both -> "abc"):
+    *     token-disjointness does not forbid this, and two same-output
+    *     rewrites in one round would POOL their newly created pairs
+    *     ((x,"abc") fed by both), up to 2x the per-rewrite bound that
+    *     (3)'s strict gap relies on. Defense-in-depth: a 600k-trial
+    *     trainer simulation plus an exhaustive depth-5 merge-table
+    *     state search found NO corpus reachable from character
+    *     initialization where two token-disjoint equal-output pairs
+    *     are simultaneously adjacent (the greedy fold leaves merge
+    *     debris between any two operands that escape a rule pass, so
+    *     the two tokenizations of the shared output string exclude
+    *     each other) — but the equivalence proof should not lean on
+    *     that meta-argument, so the batch closes at the first
+    *     duplicate output regardless.
     *
     * Scale shape: ONE corpus-sized word-count shuffle builds the vocab;
     * each round is two vocab-sized aggregates (top-(B+1) collect +
@@ -316,7 +331,11 @@ object TextAnalysis {
     * 1..r-1 and plan depth stays constant.
     *
     * Returns the merge list in rank order plus the FINAL rewritten
-    * vocab frame (persisted; caller unpersists when done). */
+    * vocab frame (persisted; caller releases with `bpeReleaseVocab`
+    * when done — a plain unpersist() leaks the final localCheckpoint
+    * cut's blocks, which live in checkpoint storage where Dataset
+    * unpersist is a no-op; the cut is registered in `bpeCutRdds` at
+    * exit and bpeReleaseVocab frees both). */
   def bpeTrainMerges(d: DataFrame, numMerges: Int,
                      maxBatch: Int = 16): (Seq[(String, String, Long)], DataFrame) = {
     require(numMerges >= 1, s"numMerges=$numMerges must be positive")
@@ -336,38 +355,13 @@ object TextAnalysis {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (cands.isEmpty) exhausted = true // every word fully merged
       else {
-        val listExhausted = cands.length < want + 1
-        // (1) + (2): longest disjoint strict prefix, self-pair closes
-        val used = scala.collection.mutable.Set.empty[String]
-        var m = 0
-        var open = true
-        while (open && m < math.min(want, cands.length)) {
-          val (l, r, _) = cands(m)
-          if (used.contains(l) || used.contains(r)) open = false
-          else {
-            used += l; used += r; m += 1
-            if (l == r) open = false // rule (2)
-          }
-        }
-        // (4): merged outputs must not collide with any adjacent token.
-        // Probed only when a real batch formed — a single merge IS the
-        // sequential step, so tie/overlap-heavy rounds pay no extra job
-        // (and the probe stays an uncached aggregate: caching the pair
-        // table every round costs more than the probes it serves).
-        if (m >= 2) {
-          val outs = cands.take(m).map { case (l, r, _) => l + r }
+        val m = bpeSelectBatch(cands, want, outs => {
           val collisions: Set[String] = bpePairCounts(vocab)
             .filter(col("l").isin(outs: _*) || col("r").isin(outs: _*))
             .select(col("l"), col("r")).collect()
             .flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
-          val firstCollision = cands.take(m).indexWhere { case (l, r, _) =>
-            collisions.contains(l + r) }
-          if (firstCollision >= 0) m = math.max(firstCollision, 1)
-        }
-        // (3): strict count gap to the first excluded candidate
-        if (!(listExhausted && m == cands.length))
-          while (m >= 2 && cands(m - 1)._3 == cands(m)._3) m -= 1
-        if (m < 1) m = 1 // a single merge is the sequential step itself
+          collisions
+        })
         val batch = cands.take(m)
         merges ++= batch
         val next = vocab
@@ -396,7 +390,82 @@ object TextAnalysis {
         }
       }
     }
+    // Track the final cut so the caller can free it: the returned vocab
+    // either IS the cut (roundsSinceCut == 0) or is a persisted frame
+    // whose eviction-recompute path still references the cut's RDD, so
+    // neither case may free it HERE — bpeReleaseVocab does, once the
+    // caller declares the frame dead (round-12 advice: each training
+    // run used to leak one vocab-sized block set for the session).
+    lastCutRdd.foreach(rdd => bpeCutRdds.put(rdd.id, rdd))
     (merges.toSeq, vocab)
+  }
+
+  /** Final-cut RDDs of completed training runs, keyed by RDD id —
+    * freed by bpeReleaseVocab when the owning vocab frame is released. */
+  private val bpeCutRdds =
+    new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.rdd.RDD[_]]
+
+  /** Release a vocab frame returned by bpeTrainMerges: unpersists the
+    * frame AND the final localCheckpoint cut behind it (when one
+    * exists — short trainings never cut and this degrades to a plain
+    * unpersist). Only call when the frame is truly dead: after this,
+    * an evicted downstream cache of the frame cannot recompute. */
+  def bpeReleaseVocab(v: DataFrame): Unit = {
+    v.unpersist()
+    checkpointRddOf(v).foreach { rdd =>
+      Option(bpeCutRdds.remove(rdd.id)).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Batch-size selection for one bpeTrainMerges round: the longest
+    * ranked prefix of `cands` satisfying order-equivalence rules
+    * (1)-(5) documented on bpeTrainMerges. `adjacentTokensNear(outs)`
+    * returns every token adjacent (as l or r of any current pair) to a
+    * row containing one of `outs` — including the outs themselves when
+    * they are corpus-adjacent — i.e. the rule-(4) probe. Factored out
+    * of the trainer so the selection rules are testable on engineered
+    * candidate lists the corpus-level random sweep cannot reach (the
+    * rule-(5) duplicate-output case is unreachable from character
+    * initialization — see the rule's note — so only a direct fixture
+    * can exercise it). Always returns >= 1: a single merge IS the
+    * sequential step. */
+  private[ops] def bpeSelectBatch(
+      cands: Seq[(String, String, Long)], want: Int,
+      adjacentTokensNear: Seq[String] => Set[String]): Int = {
+    val listExhausted = cands.length < want + 1
+    // (1) + (2) + (5): longest disjoint strict prefix; self-pair closes
+    // inclusively; a duplicate merged output closes EXCLUSIVELY (the
+    // same treatment as a rule-1 token overlap)
+    val used = scala.collection.mutable.Set.empty[String]
+    val outsSeen = scala.collection.mutable.Set.empty[String]
+    var m = 0
+    var open = true
+    while (open && m < math.min(want, cands.length)) {
+      val (l, r, _) = cands(m)
+      if (used.contains(l) || used.contains(r)) open = false
+      else if (outsSeen.contains(l + r)) open = false // rule (5)
+      else {
+        used += l; used += r; outsSeen += l + r; m += 1
+        if (l == r) open = false // rule (2)
+      }
+    }
+    // (4): merged outputs must not collide with any adjacent token.
+    // Probed only when a real batch formed — a single merge IS the
+    // sequential step, so tie/overlap-heavy rounds pay no extra job
+    // (and the probe stays an uncached aggregate: caching the pair
+    // table every round costs more than the probes it serves).
+    if (m >= 2) {
+      val outs = cands.take(m).map { case (l, r, _) => l + r }
+      val collisions = adjacentTokensNear(outs)
+      val firstCollision = cands.take(m).indexWhere { case (l, r, _) =>
+        collisions.contains(l + r) }
+      if (firstCollision >= 0) m = math.max(firstCollision, 1)
+    }
+    // (3): strict count gap to the first excluded candidate
+    if (!(listExhausted && m == cands.length))
+      while (m >= 2 && cands(m - 1)._3 == cands(m)._3) m -= 1
+    if (m < 1) m = 1 // a single merge is the sequential step itself
+    m
   }
 
   /** Plan-depth bound for the training loop (see the localCheckpoint

@@ -29,7 +29,7 @@ object BpeRounds {
       val (m, v) = graft.ops.TextAnalysis.bpeTrainMerges(docs, numMerges, maxBatch = b)
       val secs = (System.nanoTime() - t0) / 1e9
       val rounds = graft.ops.TextAnalysis.bpeMergeRounds.get() - r0
-      v.unpersist()
+      graft.ops.TextAnalysis.bpeReleaseVocab(v) // frees the final cut too
       println(f"maxBatch=$b%-4d merges=${m.size}%-5d rounds=$rounds%-5d seconds=$secs%.1f")
     }
     spark.stop()

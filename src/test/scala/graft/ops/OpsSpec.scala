@@ -113,19 +113,19 @@ class OpsSpec extends SparkSpec {
       Seq((0L, "aaa aaa")).toDF("doc_id", "text"), 1)
     assert(m1 === Seq(("a", "a", 4L)))
     assert(v1.select("syms").collect()(0).getSeq[String](0) === Seq("aa", "a"))
-    v1.unpersist()
+    TextAnalysis.bpeReleaseVocab(v1)
     // round 2 merges a pair that only exists because round 1 rewrote the
     // vocab; round 3 merges TWO merged tokens
     val (m3, v3) = TextAnalysis.bpeTrainMerges(
       Seq((0L, "aaab aaab aaab")).toDF("doc_id", "text"), 3)
     assert(m3 === Seq(("a", "a", 6L), ("a", "b", 3L), ("aa", "ab", 3L)))
     assert(v3.select("syms").collect()(0).getSeq[String](0) === Seq("aaab"))
-    v3.unpersist()
+    TextAnalysis.bpeReleaseVocab(v3)
     // exhaustion: stops early once every word is a single token
     val (mx, vx) = TextAnalysis.bpeTrainMerges(
       Seq((0L, "ab ab")).toDF("doc_id", "text"), 5)
     assert(mx === Seq(("a", "b", 2L)))
-    vx.unpersist()
+    TextAnalysis.bpeReleaseVocab(vx)
   }
 
   test("batched BPE rounds == sequential merge list (maxBatch=1 is the oracle)") {
@@ -134,7 +134,7 @@ class OpsSpec extends SparkSpec {
       val (m, v) = TextAnalysis.bpeTrainMerges(df, n, maxBatch = batch)
       val vocab = v.select("word", "syms").collect()
         .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
-      v.unpersist()
+      TextAnalysis.bpeReleaseVocab(v)
       (m, vocab)
     }
 
@@ -203,6 +203,63 @@ class OpsSpec extends SparkSpec {
       assert(mBat === mSeq, s"seed $seed: merge lists diverge")
       assert(vBat === vSeq, s"seed $seed: final vocab diverges")
     }
+  }
+
+  test("bpeReleaseVocab frees the final localCheckpoint cut (no session leak)") {
+    import spark.implicits._
+    // 12 disjoint strictly-ranked merges at maxBatch=1 -> 12 rounds,
+    // crossing the CutEvery=8 localCheckpoint boundary: the returned
+    // vocab is a persisted frame whose plan still references the cut
+    val words = (0 until 12).map(i =>
+      s"${('a' + 2 * i).toChar}${('a' + 2 * i + 1).toChar}")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(24 - i)(w) }.mkString(" ")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (m, v) = TextAnalysis.bpeTrainMerges(
+      Seq((0L, text)).toDF("doc_id", "text"), 12, maxBatch = 1)
+    assert(m.size === 12)
+    TextAnalysis.bpeReleaseVocab(v)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"release left persistent RDDs behind (the r12 cut leak): $leaked")
+  }
+
+  test("BPE batch selection: duplicate merged outputs close the batch (rule 5)") {
+    val noAdj: Seq[String] => Set[String] = _ => Set.empty
+    // the adversarial shape the corpus-level sweep cannot reach (see the
+    // rule-5 note on bpeTrainMerges): token-DISJOINT candidates whose
+    // merged outputs are the same string. Before the rule-5 truncation
+    // the selection admitted all four (disjoint tokens, no corpus
+    // collision, strict gaps) and the two "abc" rewrites would pool
+    // their newly created pairs past the strict-gap bound.
+    assert(TextAnalysis.bpeSelectBatch(Seq(
+      ("a", "bc", 10L), ("ab", "c", 9L), ("d", "e", 8L), ("f", "g", 7L)),
+      want = 4, noAdj) === 1,
+      "batch must close BEFORE the second equal-output candidate")
+    // same, with the colliding pair deeper in the prefix
+    assert(TextAnalysis.bpeSelectBatch(Seq(
+      ("x", "y", 10L), ("a", "bc", 9L), ("ab", "c", 8L), ("d", "e", 7L)),
+      want = 4, noAdj) === 2)
+    // the refactor preserves rules 1-4: disjoint strict-ranked prefix
+    assert(TextAnalysis.bpeSelectBatch(Seq(
+      ("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L), ("g", "h", 7L)),
+      want = 3, noAdj) === 3)
+    // (1) token overlap truncates exclusively
+    assert(TextAnalysis.bpeSelectBatch(Seq(
+      ("a", "b", 10L), ("b", "c", 9L), ("d", "e", 8L)),
+      want = 3, noAdj) === 1)
+    // (2) self-pair closes inclusively
+    assert(TextAnalysis.bpeSelectBatch(Seq(
+      ("a", "a", 10L), ("c", "d", 9L), ("e", "f", 8L)),
+      want = 3, noAdj) === 1)
+    // (3) tie at the boundary truncates
+    assert(TextAnalysis.bpeSelectBatch(Seq(
+      ("a", "b", 10L), ("c", "d", 9L), ("e", "f", 9L)),
+      want = 2, noAdj) === 1)
+    // (4) output colliding with a corpus-adjacent token truncates
+    assert(TextAnalysis.bpeSelectBatch(Seq(
+      ("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)),
+      want = 3, _ => Set("cd")) === 1)
   }
 
   test("BPE encode: token streams are lossless and consistent with the counts") {
