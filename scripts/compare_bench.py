@@ -85,6 +85,8 @@ FAMILY_FILES = {
     ("leakage_free_split", "dedup_keep_best"): [
         "ops/TextDedup.scala", "ops/TextHashing.scala", "ops/GraphOps.scala",
         "core/SessionCache.scala"],
+    # specific-before-generic: dict order resolves first match
+    ("media_curation_replay",): ["ops/CurationPipeline.scala", "ops/Multimodal.scala"],
     ("multimodal_", "media_"): ["ops/Multimodal.scala"],
     ("pipeline_",): ["ops/CurationPipeline.scala", "ops/TextAnalysis.scala",
                      "ops/TextDedup.scala"],

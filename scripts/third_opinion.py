@@ -659,6 +659,50 @@ def check_media_phash_dedup(sf_dir, out_dir, max_hamming=6):
     return len(mine)
 
 
+def check_media_curation_replay(sf_dir, out_dir, max_hamming=6):
+    """Sequential numpy replay of the incremental media (phash) gate:
+    3 batches by pmod(doc_id, 3); in-batch drop on any smaller-id doc
+    within the radius, cross-batch drop on any prior-batch SURVIVOR
+    within the radius. Direct hamming (banding is lossless at <= 6)."""
+    import hashlib
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    ph = {int(r.doc_id): int(hashlib.md5(r.text.encode()).hexdigest()[:15], 16)
+          for r in docs.itertuples()}
+    for g in range(4):
+        for j in range(3):
+            cells = []
+            for cell in range(64):
+                v = int(hashlib.md5(f"img:{g}:{cell}".encode())
+                        .hexdigest()[:15], 16) % 256
+                if j == 1 and cell == 0:
+                    v = (v + 64) % 256
+                cells.append(v)
+            mean = sum(cells) / 64.0
+            h = 0
+            for cell in range(60):
+                if cells[cell] > mean:
+                    h |= 1 << cell
+            ph[-1000000000 + g * 3 + j] = h
+    index = []   # (doc_id, phash) survivors of previous batches
+    out = []
+    for b in range(3):
+        batch = sorted(d for d in ph if d % 3 in (b, b - 3))
+        kept = []
+        for d in batch:
+            drop = any(bin(ph[d] ^ h).count("1") <= max_hamming
+                       for (i, h) in index if i != d)
+            drop = drop or any(bin(ph[d] ^ ph[y]).count("1") <= max_hamming
+                               for y in batch if y < d)
+            if not drop:
+                kept.append(d)
+        index.extend((d, ph[d]) for d in kept)
+        out.extend((d, b) for d in kept)
+    mine = pd.DataFrame(sorted(out), columns=["doc_id", "batch_id"])
+    got = spark(out_dir, "media_curation_replay").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_rendezvous_shards(sf_dir, out_dir, k=16):
     import hashlib
     import math
@@ -1520,6 +1564,8 @@ def main(sf_dir, out_dir):
                lambda: check_rendezvous_shards(sf_dir, out_dir)),
               ("media_phash_dedup",
                lambda: check_media_phash_dedup(sf_dir, out_dir)),
+              ("media_curation_replay",
+               lambda: check_media_curation_replay(sf_dir, out_dir)),
               ("embedding_outliers",
                lambda: check_embedding_outliers(sf_dir, out_dir)),
               ("zorder_key", lambda: check_zorder_key(sf_dir, out_dir)),

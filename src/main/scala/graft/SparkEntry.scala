@@ -351,7 +351,12 @@ object SparkEntry {
     // same replay with the benchmark gate on the chunk sink:
     // contaminated docs are curated yet never chunk
     "curation_replay_decontam" -> (CurationPipeline.curationReplayDecontam _),
-    "vector_curation_replay" -> (CurationPipeline.vectorCurationReplay _)
+    "vector_curation_replay" -> (CurationPipeline.vectorCurationReplay _),
+    // the MEDIA gate under the oracle: 3 sequential micro-batches of
+    // (corpus stand-ins + planted decodable PNGs) through
+    // processMediaBatch with a real persisted band index
+    "media_curation_replay" -> ((s: SparkSession, d: String) =>
+      CurationPipeline.mediaCurationReplay(s, d))
   )
 
   // ---------------------------------------------------------------------
@@ -2791,6 +2796,52 @@ object SparkEntry {
     "curation_replay" -> curationReplaySql(nBatches = 3, threshold = 0.2),
     "curation_replay_decontam" ->
       curationReplayDecontamSql(nBatches = 3, threshold = 0.2),
-    "vector_curation_replay" -> vectorReplaySql(nBatches = 3, threshold = 0.35)
+    "vector_curation_replay" -> vectorReplaySql(nBatches = 3, threshold = 0.35),
+
+    // mirrors CurationPipeline.mediaCurationReplay: the media-gate
+    // population (stub md5-60 phashes over text + planted aHashes
+    // recomputed from the shared pixel formula, as in media_phash_dedup)
+    // replayed as 3 sequential batches. DIRECT hamming joins stand in
+    // for the banded candidate generation — banding is lossless at
+    // hamming <= 6 (7-band pigeonhole), so this oracle independently
+    // checks the banding itself: a candidate set that missed a pair
+    // would hash-mismatch. In-batch rule: dropped if ANY smaller-id
+    // batch doc (survivor or not) is within the radius; cross-batch
+    // rule: dropped on any hit against prior batches' SURVIVOR index.
+    "media_curation_replay" ->
+      s"""WITH pc AS (SELECT g.g, j.j, c.cell,
+         |    ${md5LongSql("concat('img:', CAST(g.g AS VARCHAR), ':', CAST(c.cell AS VARCHAR))")} % 256 AS v0
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS g) g
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS cell) c),
+         |pv AS (SELECT -1000000000 + g * 3 + j AS doc_id, cell,
+         |    CASE WHEN j = 1 AND cell = 0 THEN (v0 + 64) % 256 ELSE v0 END AS v
+         |  FROM pc),
+         |pm AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 64.0 AS mean FROM pv GROUP BY 1),
+         |pp AS (SELECT pv.doc_id,
+         |    CAST(sum(CASE WHEN pv.cell < 60 AND CAST(pv.v AS DOUBLE) > pm.mean
+         |      THEN (CAST(1 AS BIGINT) << pv.cell) ELSE 0 END) AS BIGINT) AS phash
+         |  FROM pv JOIN pm USING (doc_id) GROUP BY 1),
+         |ph AS (SELECT doc_id, ${md5LongSql("text")} AS phash FROM documents
+         |  UNION ALL SELECT doc_id, phash FROM pp),
+         |b AS (SELECT doc_id, phash, ((doc_id % 3) + 3) % 3 AS bt FROM ph),
+         |s0 AS (SELECT doc_id, phash FROM b x WHERE bt = 0 AND NOT EXISTS (
+         |    SELECT 1 FROM b y WHERE y.bt = 0 AND y.doc_id < x.doc_id
+         |      AND bit_count(xor(x.phash, y.phash)) <= 6)),
+         |s1 AS (SELECT doc_id, phash FROM b x WHERE bt = 1
+         |  AND NOT EXISTS (SELECT 1 FROM s0 y
+         |      WHERE bit_count(xor(x.phash, y.phash)) <= 6)
+         |  AND NOT EXISTS (SELECT 1 FROM b y WHERE y.bt = 1 AND y.doc_id < x.doc_id
+         |      AND bit_count(xor(x.phash, y.phash)) <= 6)),
+         |s2 AS (SELECT doc_id, phash FROM b x WHERE bt = 2
+         |  AND NOT EXISTS (SELECT 1 FROM (SELECT phash FROM s0
+         |      UNION ALL SELECT phash FROM s1) y
+         |      WHERE bit_count(xor(x.phash, y.phash)) <= 6)
+         |  AND NOT EXISTS (SELECT 1 FROM b y WHERE y.bt = 2 AND y.doc_id < x.doc_id
+         |      AND bit_count(xor(x.phash, y.phash)) <= 6))
+         |SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM s0
+         |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM s1
+         |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch_id FROM s2
+         |ORDER BY doc_id""".stripMargin
   )
 }

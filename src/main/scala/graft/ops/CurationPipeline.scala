@@ -163,16 +163,19 @@ object CurationPipeline {
   }
 
   /** The media payload the phash gate hashes: the batch's `media`
-    * column when it carries one (per-row fallback to text bytes), else
-    * the text bytes — one definition shared by the gate and the
-    * post-snapshot index recomputation. Null payloads are excluded
-    * (pass un-indexed). */
+    * column when it carries one (per-row fallback to text bytes when a
+    * text column is also present — the fixture stand-in), else the text
+    * bytes — one definition shared by the gate and the post-snapshot
+    * index recomputation. Null payloads are excluded (pass
+    * un-indexed). */
   private def effectiveMedia(docs: DataFrame)
       : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
+    val hasMedia = docs.columns.contains("media")
     val mediaCol =
-      if (docs.columns.contains("media"))
+      if (hasMedia && docs.columns.contains("text"))
         coalesce(col("media"), col("text").cast("binary"))
+      else if (hasMedia) col("media")
       else col("text").cast("binary")
     docs.select(col("doc_id"), mediaCol.as("media"))
       .filter(col("media").isNotNull)
@@ -665,6 +668,102 @@ object CurationPipeline {
       // snapshot-then-delete, like curationReplay
       corpus.select(col("vec_id"), col("batch_id").cast("long").as("batch_id"))
         .orderBy("vec_id")
+        .localCheckpoint(true)
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
+  /** ONE micro-batch of the standalone MEDIA-curation pipeline — the
+    * phash gate driven directly over a (doc_id, media) batch, the
+    * multimodal sibling of `processVectorBatch`: band the batch's
+    * phashes ONCE (eager localCheckpoint — the gate references the
+    * frame on four paths and the index write below would invalidate a
+    * merely-persisted plan), gate against the persisted band index,
+    * write survivors to batch_id-partitioned parquet and append their
+    * band rows to the index. Same dynamic-overwrite replay idempotence
+    * and same-batch index exclusion as the text/vector gates. */
+  private[ops] def processMediaBatch(
+      batch: DataFrame, batchId: Long, corpusDir: String, phashDir: String,
+      maxHamming: Int): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    val phIdx = readBatchIndex(spark, phashDir, StructType(Seq(
+      StructField("doc_id", LongType), StructField("phash", LongType),
+      StructField("i", IntegerType), StructField("bb", LongType),
+      StructField("batch_id", LongType))), batchId)
+    val bands = Multimodal.phashBandsOf(
+      Multimodal.phashOf(effectiveMedia(batch))).localCheckpoint(true)
+    try {
+      val (survivors, _) =
+        incrementalPhashDedup(batch, phIdx, maxHamming, newBands = Some(bands))
+      val out = survivors.localCheckpoint(true)
+      try {
+        out.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusDir)
+        // index rows = the batch's band snapshot semi-joined to the
+        // survivor snapshot: no path deps, no second decode
+        bands.join(out.select("doc_id"), Seq("doc_id"), "left_semi")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(phashDir)
+      } finally releaseLocalCheckpoint(out)
+    } finally releaseLocalCheckpoint(bands)
+  }
+
+  /** `replayBatches`'s media-modality sibling: drive the exact batch
+    * body over an explicit batch partitioning of a static
+    * (doc_id, media) frame, against a REAL persisted
+    * batch_id-partitioned band index. */
+  def replayMediaBatches(docs: DataFrame, batchCol: org.apache.spark.sql.Column,
+                         corpusDir: String, phashDir: String,
+                         maxHamming: Int = 6): DataFrame = {
+    val withB = docs.withColumn("__replay_b", batchCol.cast("long"))
+    val ids = withB.select("__replay_b").distinct()
+      .collect().map(_.getLong(0)).sorted
+    ids.foreach { b =>
+      processMediaBatch(withB.filter(col("__replay_b") === b).drop("__replay_b"),
+        b, corpusDir, phashDir, maxHamming)
+    }
+    docs.sparkSession.read.parquet(corpusDir)
+  }
+
+  /** CORRECTNESS face of the streaming MEDIA gate (round-12 verdict #7:
+    * the text and vector gates had replay oracles, the phash gate had
+    * specs only): replay the corpus media column — text-byte stand-ins
+    * (all-stub phash) UNIONED with the planted decodable PNGs, exactly
+    * the `media_phash_dedup` population — as 3 deterministic
+    * micro-batches (pmod(doc_id, 3)) through `processMediaBatch` with a
+    * real persisted band index. The DuckDB oracle replays the same
+    * batches sequentially with DIRECT hamming joins, recomputing the
+    * planted aHashes from the shared pixel formula: banding is lossless
+    * at the default radius (pigeonhole, MultimodalSpec), so a banded
+    * candidate set that missed a pair would hash-mismatch here — the
+    * oracle independently checks the banding, not just the verify.
+    *
+    * The planted groups land edit -> re-encode -> base across the three
+    * batches (pmod of the negative ids), so the output proves BOTH gate
+    * arms: the re-encode and base are dropped by the INDEX (cross-batch
+    * hits through the real decode path), while corpus exact-dup text
+    * payloads exercise the in-batch smaller-id rule. */
+  def mediaCurationReplay(spark: SparkSession, dir: String,
+                          maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val planted = spark.createDataset(
+      Multimodal.plantedPngs().map { case (id, b) => Multimodal.MediaRow(id, b) })
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .unionByName(planted.toDF())
+    val tmp = java.nio.file.Files.createTempDirectory("media_replay").toString
+    try {
+      val corpus = replayMediaBatches(docs, pmod(col("doc_id"), lit(3)),
+        s"$tmp/corpus", s"$tmp/ph", maxHamming)
+      // snapshot-then-delete, like curationReplay
+      corpus.select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+        .orderBy("doc_id")
         .localCheckpoint(true)
     } finally deleteRecursively(new java.io.File(tmp))
   }
