@@ -1528,10 +1528,68 @@ def check_quantile_sketch(e, out_dir, b=256):
     return len(mine)
 
 
+def check_quantile_sketch_adaptive(e, out_dir, m=16):
+    """numpy mirror of the log-bucket (HDR-style) adaptive sketch: key
+    from math.frexp (exact exponent extraction, the getExponent/scalb
+    sibling), upper-edge readout, 1/16 relative contract."""
+    import math
+    def key(v):
+        if v == 0.0:
+            return 0
+        neg = v < 0
+        av = abs(v)
+        mant, ex = math.frexp(av)       # av = mant * 2^ex, mant in [0.5, 1)
+        e2 = ex - 1                     # floor(log2(av)) for normal av
+        e2 = max(-64, min(64, e2))
+        frac = av / (2.0 ** e2) if -1022 <= e2 <= 1023 else av * (2.0 ** -e2)
+        sub = math.floor((frac - 1.0) * m)
+        sub = max(0, min(m - 1, sub))
+        k = (e2 + 65) * m + sub + 1
+        return -k if neg else k
+    def upper(k):
+        i = k - 1
+        e2 = i // m - 65
+        sub = i % m
+        return (2.0 ** e2) * (1.0 + (sub + 1) / m)
+    rows = []
+    for et, g in e.groupby("event_type"):
+        vals = g["value"].sort_values().to_numpy()
+        n = len(vals)
+        cells = {}
+        for v in vals:
+            bk = key(float(v))
+            cells[bk] = cells.get(bk, 0) + 1
+        out = [et, n]
+        for q in (0.5, 0.9, 0.99):
+            t = math.ceil(q * n)
+            cum = 0
+            for bk in sorted(cells):
+                cum += cells[bk]
+                if cum >= t:
+                    est = upper(bk)
+                    break
+            out.append(math.floor(est * 1e6 + 0.5) / 1e6)
+            pos = q * (n - 1)
+            lo_i = int(math.floor(pos))
+            frac = pos - lo_i
+            exact = vals[lo_i] if frac == 0 else \
+                vals[lo_i] + frac * (vals[lo_i + 1] - vals[lo_i])
+            out.append(round(exact, 4))
+        rows.append(out)
+    mine = pd.DataFrame(sorted(rows), columns=[
+        "event_type", "tick_count", "p50_est", "p50_exact",
+        "p90_est", "p90_exact", "p99_est", "p99_exact"])
+    got = spark(out_dir, "quantile_sketch_adaptive").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def main(sf_dir, out_dir):
     e = load_events(sf_dir)
     checks = [("asof_join", lambda: check_asof_join(e, out_dir)),
               ("quantile_sketch", lambda: check_quantile_sketch(e, out_dir)),
+              ("quantile_sketch_adaptive",
+               lambda: check_quantile_sketch_adaptive(e, out_dir)),
               ("session_stats", lambda: check_session_stats(e, out_dir)),
               ("session_window_agg", lambda: check_session_window_agg(e, out_dir)),
               ("daily_ohlcv", lambda: check_daily_ohlcv(e, out_dir)),

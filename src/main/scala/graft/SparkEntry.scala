@@ -56,6 +56,10 @@ object SparkEntry {
     // beside the exact interpolated legs — the 100 TB percentile path
     "quantile_sketch" -> ((s: SparkSession, d: String) =>
       graft.ops.QuantileSketch.quantileSketch(s, d)),
+    // ONE-PASS adaptive sibling: log-bucket (HDR-style) histogram with
+    // no [lo, hi) pre-pass — the unknown-domain streaming face's key
+    "quantile_sketch_adaptive" -> ((s: SparkSession, d: String) =>
+      graft.ops.QuantileSketch.quantileSketchAdaptive(s, d)),
     "session_stats" -> (M.sessionStats _),
     // the engine's built-in session_window (batch face of the
     // streaming construct), vs an independent gap-recipe oracle
@@ -1976,6 +1980,57 @@ object SparkEntry {
         |  floor((m.lo + (b.b_p90 + 1) * m.width) * 1000000.0 + 0.5) / 1000000.0 AS p90_est, x.p90_exact,
         |  floor((m.lo + (b.b_p99 + 1) * m.width) * 1000000.0 + 0.5) / 1000000.0 AS p99_est, x.p99_exact
         |FROM mw m JOIN eb b USING (event_type) JOIN ex x USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // mirrors ops.QuantileSketch.quantileSketchAdaptive: the log-bucket
+    // key recomputed with EXACT IEEE arithmetic — the power-of-two table
+    // comes from a doubling/halving recursive CTE (products by 2.0/0.5
+    // are exact), the octave from a p <= v < 2p join, the subbucket from
+    // a power-of-two division (exact) — no transcendental log anywhere,
+    // so every key matches plans.Log2BucketExpr bit-for-bit. Corpus
+    // values are strictly positive; the sign mirror and saturation arms
+    // are Spark-side contract pinned by QuantileSketchSpec.
+    "quantile_sketch_adaptive" ->
+      """WITH RECURSIVE pup(e, p) AS (
+        |  SELECT 0, CAST(1.0 AS DOUBLE)
+        |  UNION ALL SELECT e + 1, p * CAST(2.0 AS DOUBLE) FROM pup WHERE e < 64),
+        |pdn(e, p) AS (
+        |  SELECT 0, CAST(1.0 AS DOUBLE)
+        |  UNION ALL SELECT e - 1, p * CAST(0.5 AS DOUBLE) FROM pdn WHERE e > -64),
+        |pw AS (SELECT e, p FROM pup UNION ALL SELECT e, p FROM pdn WHERE e < 0),
+        |bk AS (SELECT ev.event_type,
+        |  CASE
+        |    WHEN ev.value = CAST(0.0 AS DOUBLE) THEN CAST(0 AS BIGINT)
+        |    WHEN ev.value < (SELECT p FROM pw WHERE e = -64) THEN CAST(17 AS BIGINT)
+        |    WHEN ev.value >= CAST(2.0 AS DOUBLE) * (SELECT p FROM pw WHERE e = 64) THEN CAST(2080 AS BIGINT)
+        |    ELSE CAST((w.e + 65) * 16 AS BIGINT) + least(CAST(15 AS BIGINT), greatest(CAST(0 AS BIGINT),
+        |      CAST(floor((ev.value / w.p - CAST(1.0 AS DOUBLE)) * CAST(16.0 AS DOUBLE)) AS BIGINT))) + 1
+        |  END AS bucket
+        |  FROM events ev LEFT JOIN pw w
+        |    ON ev.value >= w.p AND ev.value < w.p * CAST(2.0 AS DOUBLE)),
+        |cl AS (SELECT event_type, bucket, count(*) AS cell FROM bk GROUP BY 1, 2),
+        |cm AS (SELECT event_type, bucket,
+        |  CAST(sum(cell) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+        |  CAST(sum(cell) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM cl),
+        |eb AS (SELECT event_type, n,
+        |  min(CASE WHEN cum >= CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN bucket END) AS b_p50,
+        |  min(CASE WHEN cum >= CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT) THEN bucket END) AS b_p90,
+        |  min(CASE WHEN cum >= CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT) THEN bucket END) AS b_p99
+        |  FROM cm GROUP BY 1, 2),
+        |ex AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(value, 0.9), 4) AS p90_exact,
+        |  round(quantile_cont(value, 0.99), 4) AS p99_exact FROM events GROUP BY 1)
+        |SELECT b.event_type, b.n AS tick_count,
+        |  floor((SELECT w.p FROM pw w WHERE w.e = CAST((b.b_p50 - 1) // 16 AS INTEGER) - 65)
+        |    * (CAST(1.0 AS DOUBLE) + (CAST((b.b_p50 - 1) % 16 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(16.0 AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p50_est, x.p50_exact,
+        |  floor((SELECT w.p FROM pw w WHERE w.e = CAST((b.b_p90 - 1) // 16 AS INTEGER) - 65)
+        |    * (CAST(1.0 AS DOUBLE) + (CAST((b.b_p90 - 1) % 16 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(16.0 AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p90_est, x.p90_exact,
+        |  floor((SELECT w.p FROM pw w WHERE w.e = CAST((b.b_p99 - 1) // 16 AS INTEGER) - 65)
+        |    * (CAST(1.0 AS DOUBLE) + (CAST((b.b_p99 - 1) % 16 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(16.0 AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p99_est, x.p99_exact
+        |FROM eb b JOIN ex x USING (event_type)
         |ORDER BY event_type""".stripMargin,
 
     "stratified_sample" ->

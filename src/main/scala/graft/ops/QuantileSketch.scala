@@ -105,4 +105,66 @@ object QuantileSketch {
       .select(col("event_type") +: col("n").as("tick_count") +: estCols: _*)
       .orderBy("event_type")
   }
+
+  // -- adaptive (one-pass, unknown-domain) face ------------------------
+
+  /** The log-bucket key of a double value — HDR-Histogram-style base-2
+    * octave + 16 linear subbuckets, sign-mirrored, zero its own bucket
+    * (plans.Log2BucketExpr: exact IEEE exponent-field arithmetic, so
+    * the DuckDB oracle reproduces every key bit-for-bit from a
+    * doubling-CTE power table). Relative bucket width <= 1/16: the
+    * upper-edge readout is within 6.25% RELATIVE error of the
+    * bracketed order statistic, with no domain pre-pass — state
+    * hard-bounded at 4129 keys per group regardless of volume or
+    * domain. One key definition for the batch AND streaming faces. */
+  def logBucketCol(value: Column): Column =
+    graft.plans.GraftExtensions.logBucket(value)
+
+  /** Value-domain upper edge of a log-bucket key — the readout point. */
+  def logBucketEdgeCol(key: Column): Column =
+    graft.plans.GraftExtensions.logBucketEdge(key)
+
+  /** ONE-PASS adaptive batch face: the same p50/p90/p99
+    * estimate-beside-exact panel as [[quantileSketch]], but from the
+    * log-bucket histogram — no min/max pre-pass over the data, so the
+    * plan is a single scan into a hash aggregate (vs the fixed face's
+    * two scans), and the SAME cells are a valid unknown-domain
+    * streaming aggregation (`streaming.Sketches.logHistogramCells`).
+    * Error contract: the estimate is the upper edge of the bucket
+    * holding the ceil(q*n)-th order statistic x_(k) — x_(k) <= est <=
+    * x_(k) * (1 + 1/16) for positive values (relative, vs the fixed
+    * face's absolute one-bucket-width bound; QuantileSketchSpec pins
+    * the sandwich). The exact interpolated legs ride beside as the
+    * observed-error reference, as in the fixed face. */
+  def quantileSketchAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.queries.MarketQueries.events(spark, dir)
+    val cells = e
+      .select(col("event_type"), logBucketCol(col("value")).as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("cell"))
+    val cum = cells
+      .withColumn("cum",
+        sum("cell").over(Window.partitionBy("event_type").orderBy("bucket")))
+      .withColumn("n",
+        sum("cell").over(Window.partitionBy("event_type")))
+    val estAggs = Quantiles.map { case (name, q) =>
+      min(when(col("cum") >= ceil(lit(q) * col("n")).cast("long"),
+        col("bucket"))).as(s"b_$name")
+    }
+    val estBuckets = cum.groupBy("event_type", "n")
+      .agg(estAggs.head, estAggs.tail: _*)
+    val exactAggs = Quantiles.map { case (name, q) =>
+      round(expr(s"percentile(value, $q)"), 4).as(s"${name}_exact")
+    }
+    val exact = e.groupBy("event_type")
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    val estCols = Quantiles.flatMap { case (name, _) =>
+      Seq(
+        TextAnalysis.round6Portable(logBucketEdgeCol(col(s"b_$name")))
+          .as(s"${name}_est"),
+        col(s"${name}_exact"))
+    }
+    estBuckets.join(exact, "event_type")
+      .select(col("event_type") +: col("n").as("tick_count") +: estCols: _*)
+      .orderBy("event_type")
+  }
 }

@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotDesc)
     ext.injectFunction(GraftExtensions.md5LongDesc)
     ext.injectFunction(GraftExtensions.decodeDesc)
+    ext.injectFunction(GraftExtensions.logBucketDesc)
+    ext.injectFunction(GraftExtensions.logBucketEdgeDesc)
   }
 }
 
@@ -58,10 +60,27 @@ object GraftExtensions {
       DecodeTickFrameExpr(children.head)
     })
 
+  private[plans] val logBucketDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_logbucket"),
+    new ExpressionInfo(classOf[Log2BucketExpr].getName, "graft_logbucket"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_logbucket(double) takes 1 argument")
+      Log2BucketExpr(children.head)
+    })
+
+  private[plans] val logBucketEdgeDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_logbucket_edge"),
+    new ExpressionInfo(classOf[Log2BucketEdgeExpr].getName, "graft_logbucket_edge"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_logbucket_edge(long) takes 1 argument")
+      Log2BucketEdgeExpr(children.head)
+    })
+
   /** Register the SQL functions on an already-running session (the
     * builder-time extensions path doesn't apply to reused sessions). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    for ((ident, info, builder) <- Seq(cosineDesc, dotDesc, md5LongDesc, decodeDesc))
+    for ((ident, info, builder) <- Seq(cosineDesc, dotDesc, md5LongDesc,
+        decodeDesc, logBucketDesc, logBucketEdgeDesc))
       Bridge.registerFunction(spark, ident, info, builder)
   }
 
@@ -77,4 +96,10 @@ object GraftExtensions {
 
   def decodeFrame(payload: Column): Column =
     Bridge.column(DecodeTickFrameExpr(Bridge.expression(payload)))
+
+  def logBucket(value: Column): Column =
+    Bridge.column(Log2BucketExpr(Bridge.expression(value)))
+
+  def logBucketEdge(key: Column): Column =
+    Bridge.column(Log2BucketEdgeExpr(Bridge.expression(key)))
 }

@@ -132,4 +132,51 @@ class SketchStreamSpec extends SparkSpec {
     assert(est >= trueP50 && est - trueP50 <= width,
       s"stream-state estimate $est must bracket $trueP50 within $width")
   }
+
+  test("ADAPTIVE streaming histogram: unknown-domain batches, readout within 1/16 relative") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the case the fixed-domain face cannot express: the first batch
+    // lives in milliseconds, the second NINE orders of magnitude up —
+    // no caller could have pinned [lo, hi) at stream start
+    val b1 = (1 to 50).map(i => ("lat", i * 0.001))
+    val b2 = (1 to 50).map(i => ("lat", i * 1000000.0))
+
+    val stream = MemoryStream[(String, Double)]
+    val cells = Sketches.logHistogramCells(
+      stream.toDF().toDF("event_type", "value"))
+    val q = cells.writeStream.format("memory").queryName("qh_log_test")
+      .outputMode("complete").start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qh_log_test").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // stream state == batch recompute (same key definition, no domain)
+    val batch = (b1 ++ b2).toDF("event_type", "value")
+      .select(col("event_type"),
+        graft.ops.QuantileSketch.logBucketCol(col("value")).as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("cell"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+
+    // cold-consumer readout for p50/p90/p99 against the exact order
+    // statistics of the union: within the proven 1/16 relative bound
+    val lat = streamed.collect { case (("lat", k), c) => k -> c }
+      .toSeq.sortBy(_._1)
+    val n = lat.map(_._2).sum
+    val cum = lat.scanLeft(0L)(_ + _._2).tail
+    val sortedVals = (b1 ++ b2).map(_._2).sorted
+    for (qv <- Seq(0.5, 0.9, 0.99)) {
+      val k = math.ceil(qv * n).toLong
+      val idx = cum.indexWhere(_ >= k)
+      val est = graft.plans.Log2BucketExpr.upperEdge(lat(idx)._1)
+      val xk = sortedVals(k.toInt - 1)
+      assert(est > xk && est <= xk * (17.0 / 16.0),
+        s"p$qv: readout $est must bracket $xk within 1/16 relative")
+    }
+  }
 }
