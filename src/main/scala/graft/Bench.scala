@@ -32,6 +32,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     graft.core.GraftConf.ensureLocalDirs() // stale SPARK_LOCAL_DIRS ⇒ mkdirs, not 143 dead queries
+    graft.core.GraftConf.checkBenchHeadroom(sfDir) // provably-short heap dies NOW, not 2h in
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -453,6 +453,37 @@ object Graft {
                      overlap: Int = 8): org.apache.spark.sql.DataFrame =
     ops.TextAnalysis.chunkDocuments(spark, dir, maxTokens, overlap)
 
+  /** Near-duplicate structure of the corpus under the LINEAR output
+    * contract — the facade's default dedup face: one row per document,
+    * (doc_id, cluster_rep, cluster_size), rep = min id, singletons
+    * included. Keep one doc per cluster_rep (or use [[dedupKeepBest]]
+    * for the quality keep-rule). `method`: "minhash" (banded word-
+    * shingle MinHash, exact-Jaccard-verified — the pipeline default),
+    * "simhash" (64-bit hamming), "ngram" (exact-Jaccard n-gram
+    * banding), "semantic" (embedding-cosine, [[semanticClusters]]).
+    *
+    * Why clusters and not pairs: the cluster output is CORPUS-sized
+    * (exactly one row per doc) and the component loop runs only over
+    * docs that appear in a verified near-dup pair — measured 9.1x per
+    * 10x data at the sf100 decade (docs/SCALING.md). The pair faces
+    * (`ops.TextDedup.minhashPairs` et al., the `dedup_*` oracle
+    * queries) carry the ALL-PAIRS output contract — a 1000-member
+    * duplicate family is 499,500 rows, 19.3x measured at the same
+    * decade — which makes them sample-scale DIAGNOSTICS for inspecting
+    * dup structure, not the operator a 100 TB pipeline should reach by
+    * default. GraftFacadeSpec pins the one-row-per-doc contract on
+    * this path. */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      method: String = "minhash"): org.apache.spark.sql.DataFrame =
+    method match {
+      case "minhash" => ops.TextDedup.minhashClusters(spark, dir)
+      case "simhash" => ops.TextDedup.simhashClusters(spark, dir)
+      case "ngram" => ops.TextDedup.ngramClusters(spark, dir)
+      case "semantic" => ops.TextDedup.semanticClusters(spark, dir)
+      case other => throw new IllegalArgumentException(
+        s"unknown dedup method '$other' (minhash|simhash|ngram|semantic)")
+    }
+
   /** Dedup survivors under the production keep-rule: the best-quality
     * doc per near-dup cluster (quality desc, id asc), not min-id. */
   def dedupKeepBest(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =

@@ -53,6 +53,38 @@ object GraftConf {
     }
   }
 
+  /** Fail fast when the heap is provably short for a timing run over
+    * `sfDir` (round-12 verdict #8: the sf100 disk-full crash took hours
+    * to surface because nothing checked headroom up front). Measured
+    * floors (docs/SCALING.md): the suite runs comfortably at ~6x the
+    * corpus's on-disk parquet bytes (sf100: 16 GB parquet -> 96 GB
+    * heap) and a run below ~2x is known-unviable (parquet decompresses
+    * 3-10x and the heavy plans persist intermediate frames) — so < 2x
+    * throws with the floor in the message, < 6x warns. Override with
+    * GRAFT_IGNORE_HEAP=1 for deliberate spill experiments. */
+  def checkBenchHeadroom(sfDir: String): Unit = {
+    val root = new java.io.File(sfDir)
+    if (!root.isDirectory) return
+    def bytesOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(bytesOf).sum).getOrElse(0L)
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    val bytes = bytesOf(root)
+    val heap = Runtime.getRuntime.maxMemory()
+    def gb(x: Long): String = f"${x / 1e9}%.1f GB"
+    if (heap < 2L * bytes && !sys.env.contains("GRAFT_IGNORE_HEAP"))
+      throw new IllegalStateException(
+        s"heap ${gb(heap)} is provably short for $sfDir (${gb(bytes)} " +
+          s"on-disk parquet; measured floor ~6x, hard floor 2x — see " +
+          s"docs/SCALING.md): set SPARK_DRIVER_MEM >= ${gb(6L * bytes)} " +
+          "or GRAFT_IGNORE_HEAP=1 for a deliberate spill experiment")
+    else if (heap < 6L * bytes)
+      System.err.println(
+        s"[graft] WARN heap ${gb(heap)} below the measured ~6x floor for " +
+          s"$sfDir (${gb(bytes)} parquet) — heavy queries may spill or die; " +
+          s"measured floors in docs/SCALING.md")
+  }
+
   /** Runtime SQL confs that must hold for the engine's readers, applied to
     * an already-built session (builder-time configs don't reach reused
     * sessions). `nanosAsLong`: the driver's events.parquet stores ts as

@@ -303,6 +303,34 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(Graft.keywordSearch(spark, tmp, Seq("spark", "window"), k = 5).count() > 0)
   }
 
+  test("nearDupClusters: the default dedup face is the LINEAR cluster contract") {
+    val spark = Graft.session(cores = 4)
+    val dir = "/root/testdata/sf0.001"
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    for (m <- Seq("minhash", "simhash", "ngram")) {
+      val c = Graft.nearDupClusters(spark, dir, m)
+      // dup-structure-sized output: exactly ONE row per document — the
+      // all-pairs contract (quadratic in family size) is never
+      // materialized on the facade's default path
+      assert(c.count() === nDocs, s"$m: one row per doc")
+      assert(c.columns.toSeq === Seq("doc_id", "cluster_rep", "cluster_size"),
+        s"$m: cluster contract columns")
+      assert(!c.columns.contains("doc_a"), s"$m must not be pair-shaped")
+      // rep is a member id and sizes are consistent
+      val bySize = c.groupBy("cluster_rep").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      c.collect().foreach { r =>
+        assert(bySize(r.getLong(1)) === r.getLong(2), "cluster_size consistent")
+      }
+    }
+    // semantic face has its own threshold domain but the same contract
+    val sem = Graft.nearDupClusters(spark, dir, "semantic")
+    assert(sem.columns.toSeq === Seq("doc_id", "cluster_rep", "cluster_size"))
+    intercept[IllegalArgumentException] {
+      Graft.nearDupClusters(spark, dir, "allpairs")
+    }
+  }
+
   test("curation keeps the text index: searchable survivors, append == rebuild, replay-clean") {
     val spark = Graft.session(cores = 4)
     val docsDir = Files.createTempDirectory("gtidx_in").toString
