@@ -659,6 +659,52 @@ def check_media_phash_dedup(sf_dir, out_dir, max_hamming=6):
     return len(mine)
 
 
+def check_media_phash_dedup_wide(sf_dir, out_dir, max_hamming=6):
+    """numpy replay of the WIDE 240-bit phash face: corpus limbs are
+    md5-60 over text+':k'; planted 16x16 aHashes from the shared pixel
+    formula (cell (r,c) -> pixel (r/2, c/2)); limb-aligned 7-band
+    (6x30 + 1x60) candidates; exact 4-limb hamming verify."""
+    import hashlib
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    def md560(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    ph = {int(r.doc_id): tuple(md560(r.text + f":{k}") for k in range(4))
+          for r in docs.itertuples()}
+    for g in range(4):
+        for j in range(3):
+            pix = [md560(f"img:{g}:{p}") % 256 for p in range(64)]
+            if j == 1:
+                pix[0] = (pix[0] + 64) % 256
+            cells = [pix[(c // 16 // 2) * 8 + (c % 16) // 2] for c in range(256)]
+            mean = sum(cells) / 256.0
+            limbs = [0, 0, 0, 0]
+            for i in range(240):
+                if cells[i] > mean:
+                    limbs[i // 60] |= 1 << (i % 60)
+            ph[-1000000000 + g * 3 + j] = tuple(limbs)
+    m30 = (1 << 30) - 1
+    def bands(h):
+        return [h[0] & m30, (h[0] >> 30) & m30, h[1] & m30, (h[1] >> 30) & m30,
+                h[2] & m30, (h[2] >> 30) & m30, h[3]]
+    buckets = {}
+    for d, h in ph.items():
+        for i, bb in enumerate(bands(h)):
+            buckets.setdefault((i, bb), []).append(d)
+    pairs = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                pairs.add((a, b))
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(ph[a], ph[b]))
+    rows = [(a, b, ham(a, b)) for a, b in sorted(pairs) if ham(a, b) <= max_hamming]
+    mine = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+    got = spark(out_dir, "media_phash_dedup_wide").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[mine.columns], mine, check_dtype=False)
+    return len(mine)
+
+
 def check_media_curation_replay(sf_dir, out_dir, max_hamming=6):
     """Sequential numpy replay of the incremental media (phash) gate:
     3 batches by pmod(doc_id, 3); in-batch drop on any smaller-id doc
@@ -1624,6 +1670,8 @@ def main(sf_dir, out_dir):
                lambda: check_media_phash_dedup(sf_dir, out_dir)),
               ("media_curation_replay",
                lambda: check_media_curation_replay(sf_dir, out_dir)),
+              ("media_phash_dedup_wide",
+               lambda: check_media_phash_dedup_wide(sf_dir, out_dir)),
               ("embedding_outliers",
                lambda: check_embedding_outliers(sf_dir, out_dir)),
               ("zorder_key", lambda: check_zorder_key(sf_dir, out_dir)),

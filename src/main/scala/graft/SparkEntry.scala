@@ -250,6 +250,10 @@ object SparkEntry {
     // banded perceptual-hash near-dup over the media column
     "media_phash_dedup" -> ((s: SparkSession, d: String) =>
       Multimodal.phashNearDup(s, d)),
+    // the WIDE (240-bit, 30-bit bands) scale face of the same candidate
+    // discipline — the fixed-selectivity fix measured at sf100
+    "media_phash_dedup_wide" -> ((s: SparkSession, d: String) =>
+      Multimodal.phashNearDupWide(s, d)),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
@@ -2724,6 +2728,56 @@ object SparkEntry {
          |  AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
          |FROM cp WHERE bit_count(xor(pa, pb)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors Multimodal.phashNearDupWide: 240-bit wide hash — corpus
+    // stubs are 4 md5-60 limbs over text ++ ":k"; planted PNGs get the
+    // 16x16 aHash recomputed from the shared pixel formula (cell (r,c)
+    // subdivides pixel (r/2, c/2), 256-cell mean == 64-pixel mean
+    // exactly); limb-aligned 7-band split (6x30 + 1x60 bits, lossless
+    // at hamming <= 6), exact 4-limb bit_count(xor) verify.
+    "media_phash_dedup_wide" ->
+      s"""WITH pg AS (SELECT g.g, p.pix,
+         |    ${md5LongSql("concat('img:', CAST(g.g AS VARCHAR), ':', CAST(p.pix AS VARCHAR))")} % 256 AS v0
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS g) g
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pix) p),
+         |pv2 AS (SELECT -1000000000 + c.g * 3 + j.j AS doc_id, c.cell,
+         |    CASE WHEN j.j = 1 AND c.pix = 0 THEN (c.v0 + 64) % 256 ELSE c.v0 END AS v
+         |  FROM (SELECT pg.g, pg.v0, pg.pix, cc.cell
+         |    FROM (SELECT unnest(generate_series(0, 255)) AS cell) cc
+         |    JOIN pg ON pg.pix = ((cc.cell // 16) // 2) * 8 + ((cc.cell % 16) // 2)) c
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j),
+         |pm2 AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 256.0 AS mean FROM pv2 GROUP BY 1),
+         |pp2 AS (SELECT pv2.doc_id,
+         |  CAST(sum(CASE WHEN pv2.cell < 60 AND CAST(pv2.v AS DOUBLE) > pm2.mean
+         |    THEN (CAST(1 AS BIGINT) << pv2.cell) ELSE 0 END) AS BIGINT) AS h0,
+         |  CAST(sum(CASE WHEN pv2.cell >= 60 AND pv2.cell < 120 AND CAST(pv2.v AS DOUBLE) > pm2.mean
+         |    THEN (CAST(1 AS BIGINT) << (pv2.cell - 60)) ELSE 0 END) AS BIGINT) AS h1,
+         |  CAST(sum(CASE WHEN pv2.cell >= 120 AND pv2.cell < 180 AND CAST(pv2.v AS DOUBLE) > pm2.mean
+         |    THEN (CAST(1 AS BIGINT) << (pv2.cell - 120)) ELSE 0 END) AS BIGINT) AS h2,
+         |  CAST(sum(CASE WHEN pv2.cell >= 180 AND pv2.cell < 240 AND CAST(pv2.v AS DOUBLE) > pm2.mean
+         |    THEN (CAST(1 AS BIGINT) << (pv2.cell - 180)) ELSE 0 END) AS BIGINT) AS h3
+         |  FROM pv2 JOIN pm2 USING (doc_id) GROUP BY 1),
+         |ph AS (SELECT doc_id,
+         |    ${md5LongSql("concat(text, ':0')")} AS h0, ${md5LongSql("concat(text, ':1')")} AS h1,
+         |    ${md5LongSql("concat(text, ':2')")} AS h2, ${md5LongSql("concat(text, ':3')")} AS h3
+         |  FROM documents
+         |  UNION ALL SELECT doc_id, h0, h1, h2, h3 FROM pp2),
+         |bnd AS (SELECT doc_id, h0, h1, h2, h3, r.i,
+         |  CASE r.i WHEN 0 THEN h0 & 1073741823 WHEN 1 THEN (h0 >> 30) & 1073741823
+         |    WHEN 2 THEN h1 & 1073741823 WHEN 3 THEN (h1 >> 30) & 1073741823
+         |    WHEN 4 THEN h2 & 1073741823 WHEN 5 THEN (h2 >> 30) & 1073741823
+         |    ELSE h3 END AS bb
+         |  FROM ph CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) r(i)),
+         |cp AS (SELECT DISTINCT a.doc_id AS doc_a, a.h0 AS a0, a.h1 AS a1, a.h2 AS a2, a.h3 AS a3,
+         |    b.doc_id AS doc_b, b.h0 AS b0, b.h1 AS b1, b.h2 AS b2, b.h3 AS b3
+         |  FROM bnd a JOIN bnd b ON a.i = b.i AND a.bb = b.bb AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+         |     + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS INT) AS hamming
+         |FROM cp
+         |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+         |    + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "multimodal_meta" ->

@@ -329,6 +329,130 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  // -- WIDE (240-bit) perceptual hash: the 100 TB candidate discipline --
+  // The 60-bit face's banded candidates are the round-13 sf100 finding:
+  // lossless hamming<=6 banding over 60 bits forces 7 bands of 8-9 bits,
+  // and an 8-9-bit band key is a FIXED-SELECTIVITY filter — candidate
+  // pairs grow as n^2/2^bits (measured ~4x per decade to sf10, ~100x/
+  // decade once the n^2 term dominates at sf100). Same defect class as
+  // r10's fixed 16 LSH buckets and r12's fixed 4-bit vector gate: a
+  // width constant chosen at fixture scale silently becomes the corpus-
+  // scale bottleneck. The fix is the SAME pigeonhole at a wider hash:
+  // 240 bits = 4 x 60-bit limbs (the engine's md5-60 integer space),
+  // split limb-aligned into 7 bands (6 x 30 bits + 1 x 60) — still
+  // LOSSLESS at hamming <= 6 (7 disjoint bands cover all 240 bits), but
+  // a 30-bit band key is ~2^22 more selective than a 9-bit one: at 5M
+  // docs, E[random candidates] drops from ~2.4e11 to ~70.
+  //
+  // Real images get a 16x16 block-average aHash (240 of 256 cells, the
+  // classic aHash at double grid resolution); everything else the
+  // labeled md5 stub (limb k = md5-60 of payload ++ ":k"). The planted
+  // 8x8 PNGs ride through the REAL arm: each 16x16 cell subdivides one
+  // source pixel (cell (r,c) -> pixel (r/2, c/2), every pixel counted
+  // 4x, so the 256-cell mean equals the 64-pixel mean exactly) — the
+  // DuckDB oracle recomputes the wide hashes from the same shared
+  // pixel formula.
+
+  /** 240-bit aHash of a real image: 16x16 block-average grid, bit i
+    * (i < 240) = cell i brighter than the 256-cell mean, packed into 4
+    * 60-bit limbs. */
+  private[ops] def aHash240(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cells = Array.ofDim[Double](256)
+    for (cy <- 0 until 16; cx <- 0 until 16) {
+      val x0 = cx * w / 16; val x1 = math.max(x0 + 1, (cx + 1) * w / 16)
+      val y0 = cy * h / 16; val y1 = math.max(y0 + 1, (cy + 1) * h / 16)
+      var sum = 0.0; var n = 0
+      for (y <- y0 until math.min(y1, h); x <- x0 until math.min(x1, w)) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3.0
+        n += 1
+      }
+      cells(cy * 16 + cx) = if (n == 0) 0.0 else sum / n
+    }
+    val mean = cells.sum / 256
+    val limbs = Array.ofDim[Long](4)
+    for (i <- 0 until 240)
+      if (cells(i) > mean) limbs(i / 60) |= 1L << (i % 60)
+    limbs
+  }
+
+  private def stubPhash240(md: MessageDigest, bytes: Array[Byte]): Array[Long] =
+    Array.tabulate(4) { k =>
+      md.reset()
+      md.update(bytes)
+      md.update(s":$k".getBytes("UTF-8"))
+      val hex = md.digest().map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+
+  /** (doc_id, h0..h3) wide-hash frame over a media frame — real decode
+    * for sniffed images, md5 stub otherwise (decode discipline and
+    * failure handling identical to `phashOf`). */
+  private[ops] def phash240Of(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val hs = sniffImage(r.media) match {
+          case Some(_) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) stubPhash240(md, r.media) else aHash240(img)
+          case None => stubPhash240(md, r.media)
+        }
+        (r.doc_id, hs(0), hs(1), hs(2), hs(3))
+      }
+    }.toDF("doc_id", "h0", "h1", "h2", "h3")
+  }
+
+  /** Limb-aligned 7-band split of the 240-bit hash: bands 2k/2k+1 are
+    * the low/high 30 bits of limb k (k < 3), band 6 the whole 60-bit
+    * limb 3. Disjoint cover of all 240 bits -> lossless at
+    * hamming <= 6 by the same pigeonhole as the 60-bit face. */
+  private[ops] def phash240BandsOf(ph: DataFrame): DataFrame = {
+    val m30 = lit((1L << 30) - 1)
+    ph.select(col("doc_id") +: Seq("h0", "h1", "h2", "h3").map(col) :+
+      posexplode(array(
+        col("h0").bitwiseAND(m30), shiftright(col("h0"), 30).bitwiseAND(m30),
+        col("h1").bitwiseAND(m30), shiftright(col("h1"), 30).bitwiseAND(m30),
+        col("h2").bitwiseAND(m30), shiftright(col("h2"), 30).bitwiseAND(m30),
+        col("h3"))).as(Seq("i", "bb")): _*)
+  }
+
+  /** Banded near-dup over the WIDE hash — the same candidate
+    * discipline as `phashNearDup` with the scale-safe band selectivity.
+    * Population identical to the 60-bit face (corpus stand-ins + the
+    * planted decodable PNGs); pair semantics finer (240-bit hamming
+    * counts a one-pixel edit ~4x, so radius 6 keeps only tighter
+    * near-dups — exact duplicates and re-encodes are hamming 0 in any
+    * width). */
+  def phashNearDupWide(spark: SparkSession, dir: String,
+                       maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val planted = spark.createDataset(
+      plantedPngs().map { case (id, b) => MediaRow(id, b) })
+    val bands = phash240BandsOf(
+      phash240Of(mediaTable(spark, dir).unionByName(planted)))
+    val ham = (0 to 3).map(k =>
+      bit_count(col(s"a_h$k").bitwiseXOR(col(s"b_h$k"))))
+      .reduce(_ + _).cast("int")
+    val a = bands.select(col("doc_id").as("doc_a") +:
+      (0 to 3).map(k => col(s"h$k").as(s"a_h$k")) :+ col("i") :+ col("bb"): _*)
+    val b = bands.select(col("doc_id").as("doc_b") +:
+      (0 to 3).map(k => col(s"h$k").as(s"b_h$k")) :+ col("i") :+ col("bb"): _*)
+    a.join(b, Seq("i", "bb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .drop("i", "bb").distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Aggregate media stats by fake format — the "how much of each modality
     * do we have" query every dataset card needs. */
   def formatStats(spark: SparkSession, dir: String): DataFrame =

@@ -161,4 +161,45 @@ class MultimodalSpec extends SparkSpec {
     assert(planted.forall { case (a, b, _) =>
       (a - Multimodal.PlantedBase) / 3 === (b - Multimodal.PlantedBase) / 3 })
   }
+
+  test("WIDE 240-bit phash: limb-aligned bands cover the bits; re-encodes at hamming 0") {
+    import spark.implicits._
+    // every one of the 240 bits lives in EXACTLY one band — flipping
+    // bit i changes exactly one of the 7 band values (the disjoint-
+    // cover precondition of the hamming<=6 pigeonhole)
+    def bands(h: Array[Long]): Seq[Long] = {
+      val m = (1L << 30) - 1
+      Seq(h(0) & m, (h(0) >>> 30) & m, h(1) & m, (h(1) >>> 30) & m,
+        h(2) & m, (h(2) >>> 30) & m, h(3))
+    }
+    val base = Array(0x0L, 0x0L, 0x0L, 0x0L)
+    for (i <- 0 until 240) {
+      val flipped = base.clone()
+      flipped(i / 60) ^= 1L << (i % 60)
+      val changed = bands(base).zip(bands(flipped)).count { case (a, b) => a != b }
+      assert(changed === 1, s"bit $i must live in exactly one band")
+    }
+    // the query face: a re-encoded copy (identical pixels, different
+    // bytes) is hamming 0 through the REAL 16x16 decode arm in ANY
+    // hash width; exact corpus duplicates pair at 0 through the stub
+    // arm. (The one-pixel edit is ~4x amplified in 240-bit space, so
+    // its pair may legitimately exceed radius 6 — not asserted.)
+    val pairs = Multimodal.phashNearDupWide(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (g <- 0 until Multimodal.PlantedGroups) {
+      val b0 = Multimodal.PlantedBase + g * 3
+      val recompress = pairs.find(p => p._1 == b0 && p._2 == b0 + 2)
+      assert(recompress.exists(_._3 == 0),
+        s"group $g re-encoded copy must pair at hamming 0 in the wide space")
+    }
+    // wide-space pairs are a SUBSET of what banded-60 discipline would
+    // verify: every reported pair is within the radius
+    assert(pairs.forall(_._3 <= 6))
+    // planted cross-group pairs never appear
+    val plantedIds = (0 until Multimodal.PlantedGroups * 3)
+      .map(Multimodal.PlantedBase + _).toSet
+    assert(pairs.filter(p => plantedIds(p._1) && plantedIds(p._2)).forall {
+      case (a, b, _) =>
+        (a - Multimodal.PlantedBase) / 3 === (b - Multimodal.PlantedBase) / 3 })
+  }
 }
