@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Merge the round-13 chunked sf100 runs into one Bench-shaped JSON:
+the salvaged single-JVM part-1 trace (34 queries) + every group JSON
+from scripts/r13_sf100_chain.sh. Group-reported failures and
+chain-level timeouts (missing JSON / missing query) surface in
+`errors` so exclusions are explicit, never silent.
+
+Usage: merge_sf100.py /tmp/sf100_part1.json /tmp/sf100_groups docs/BENCH_R13_SF100.json
+"""
+import json, os, sys
+
+HARNESS = ["bm25_incremental", "curation_replay", "curation_replay_decontam",
+           "media_curation_replay", "vector_curation_replay"]
+
+
+def main(part1_path, groups_dir, out_path):
+    queries, errors = {}, {}
+    part1 = json.load(open(part1_path))
+    queries.update(part1)
+    expected = set()
+    for f in sorted(os.listdir(groups_dir)):
+        if not f.endswith(".json"):
+            continue
+        d = json.load(open(os.path.join(groups_dir, f)))
+        for q, t in d["queries"].items():
+            if t >= 0:
+                queries[q] = t
+            else:
+                errors[q] = d.get("errors", {}).get(q, "failed")
+    # queries a group was supposed to run but whose JSON never landed
+    # (chain timeout kills the JVM before GRAFT_BENCH_OUT is written)
+    import re
+    chain = open(os.path.join(os.path.dirname(__file__), "r13_sf100_chain.sh")).read()
+    for m in re.finditer(r'run_group (\S+) "([^"]+)"(?: (\d+))?', chain):
+        name, csv = m.group(1), m.group(2)
+        if not os.path.exists(os.path.join(groups_dir, f"{name}.json")):
+            for q in csv.split(","):
+                if q not in queries and q not in errors:
+                    errors[q] = f"group {name} produced no JSON (timeout/crash) — see {name}.log"
+    total = sum(t for t in queries.values())
+    probe = sum(t for q, t in queries.items() if q not in HARNESS)
+    har = sum(t for q, t in queries.items() if q in HARNESS)
+    out = {
+        "metric": "total", "value": round(total, 3), "unit": "sec",
+        "queries": {q: round(t, 3) for q, t in sorted(queries.items())},
+        "total_probe": round(probe, 3), "total_harness": round(har, 3),
+        "harness": HARNESS, "reps": 1, "noisy": [],
+        "errors": errors, "n_failed": len(errors),
+        "sf": "/tmp/graft_sf100",
+        "note": ("chunked: 34 queries salvaged from the single-JVM part-1 "
+                 "trace, the rest one JVM per family group "
+                 "(scripts/r13_sf100_chain.sh) with spill dir wiped between "
+                 "groups — the single-JVM run accumulated 51 GB of shuffle "
+                 "files by query 35"),
+    }
+    json.dump(out, open(out_path, "w"), indent=1)
+    print(f"{len(queries)} measured, {len(errors)} failed/excluded -> {out_path}")
+    for q, e in errors.items():
+        print(f"  EXCLUDED {q}: {e}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:4])
