@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Merge the round-13 chunked sf100 runs into one Bench-shaped JSON:
-the salvaged single-JVM part-1 trace (34 queries) + every group JSON
-from scripts/r13_sf100_chain.sh. Group-reported failures and
-chain-level timeouts (missing JSON / missing query) surface in
-`errors` so exclusions are explicit, never silent.
+an optional salvaged single-JVM part-1 trace + every group JSON from
+scripts/r13_sf100_sweep.sh (the consolidated full-registry chain).
+Group-reported failures and chain-level timeouts (missing JSON /
+missing query) surface in `errors` so exclusions are explicit, never
+silent.
 
-Usage: merge_sf100.py /tmp/sf100_part1.json /tmp/sf100_groups docs/BENCH_R13_SF100.json
+Usage: merge_sf100.py {part1.json|-} /tmp/sf100_groups docs/BENCH_R13_SF100.json
 """
 import json, os, sys
 
@@ -15,8 +16,8 @@ HARNESS = ["bm25_incremental", "curation_replay", "curation_replay_decontam",
 
 def main(part1_path, groups_dir, out_path):
     queries, errors = {}, {}
-    part1 = json.load(open(part1_path))
-    queries.update(part1)
+    if part1_path != "-" and os.path.exists(part1_path):
+        queries.update(json.load(open(part1_path)))
     expected = set()
     for f in sorted(os.listdir(groups_dir)):
         if not f.endswith(".json"):
@@ -30,7 +31,7 @@ def main(part1_path, groups_dir, out_path):
     # queries a group was supposed to run but whose JSON never landed
     # (chain timeout kills the JVM before GRAFT_BENCH_OUT is written)
     import re
-    chain = open(os.path.join(os.path.dirname(__file__), "r13_sf100_chain.sh")).read()
+    chain = open(os.path.join(os.path.dirname(__file__), "r13_sf100_sweep.sh")).read()
     for m in re.finditer(r'run_group (\S+) "([^"]+)"(?: (\d+))?', chain):
         name, csv = m.group(1), m.group(2)
         if not os.path.exists(os.path.join(groups_dir, f"{name}.json")):
@@ -47,11 +48,12 @@ def main(part1_path, groups_dir, out_path):
         "harness": HARNESS, "reps": 1, "noisy": [],
         "errors": errors, "n_failed": len(errors),
         "sf": "/tmp/graft_sf100",
-        "note": ("chunked: 34 queries salvaged from the single-JVM part-1 "
-                 "trace, the rest one JVM per family group "
-                 "(scripts/r13_sf100_chain.sh) with spill dir wiped between "
-                 "groups — the single-JVM run accumulated 51 GB of shuffle "
-                 "files by query 35"),
+        "note": ("chunked: one JVM per family group "
+                 "(scripts/r13_sf100_sweep.sh, priority-ordered) with the "
+                 "spill dir wiped between groups — a single-JVM full-suite "
+                 "run accumulated 51 GB of shuffle files by query 35; "
+                 "queries in `errors` are explicit exclusions, and the "
+                 "SCALING.md ladder flags any r12-iso fallback numbers"),
     }
     json.dump(out, open(out_path, "w"), indent=1)
     print(f"{len(queries)} measured, {len(errors)} failed/excluded -> {out_path}")
