@@ -660,15 +660,19 @@ def check_media_phash_dedup(sf_dir, out_dir, max_hamming=6):
 
 
 def check_media_phash_dedup_wide(sf_dir, out_dir, max_hamming=6):
-    """numpy replay of the WIDE 240-bit phash face: corpus limbs are
-    md5-60 over text+':k'; planted 16x16 aHashes from the shared pixel
-    formula (cell (r,c) -> pixel (r/2, c/2)); limb-aligned 7-band
-    (6x30 + 1x60) candidates; exact 4-limb hamming verify."""
+    """numpy replay of the WIDE 240-bit phash face: corpus limbs derive
+    DIGEST-ONCE (md5-60 over md5hex(text)+':k' — the payload is hashed
+    one time, limbs expand the 32-char digest); planted 16x16 aHashes
+    from the shared pixel formula (cell (r,c) -> pixel (r/2, c/2));
+    limb-aligned 7-band (6x30 + 1x60) candidates; exact 4-limb hamming
+    verify."""
     import hashlib
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
     def md560(s):
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-    ph = {int(r.doc_id): tuple(md560(r.text + f":{k}") for k in range(4))
+    ph = {int(r.doc_id): tuple(
+            md560(hashlib.md5(r.text.encode()).hexdigest() + f":{k}")
+            for k in range(4))
           for r in docs.itertuples()}
     for g in range(4):
         for j in range(3):

@@ -2759,8 +2759,8 @@ object SparkEntry {
          |    THEN (CAST(1 AS BIGINT) << (pv2.cell - 180)) ELSE 0 END) AS BIGINT) AS h3
          |  FROM pv2 JOIN pm2 USING (doc_id) GROUP BY 1),
          |ph AS (SELECT doc_id,
-         |    ${md5LongSql("concat(text, ':0')")} AS h0, ${md5LongSql("concat(text, ':1')")} AS h1,
-         |    ${md5LongSql("concat(text, ':2')")} AS h2, ${md5LongSql("concat(text, ':3')")} AS h3
+         |    ${md5LongSql("concat(md5(text), ':0')")} AS h0, ${md5LongSql("concat(md5(text), ':1')")} AS h1,
+         |    ${md5LongSql("concat(md5(text), ':2')")} AS h2, ${md5LongSql("concat(md5(text), ':3')")} AS h3
          |  FROM documents
          |  UNION ALL SELECT doc_id, h0, h1, h2, h3 FROM pp2),
          |bnd AS (SELECT doc_id, h0, h1, h2, h3, r.i,
