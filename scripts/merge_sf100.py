@@ -28,6 +28,9 @@ def main(part1_path, groups_dir, out_path):
                 queries[q] = t
             else:
                 errors[q] = d.get("errors", {}).get(q, "failed")
+    # a later retry group (e.g. solo-JVM re-runs of queries that died on
+    # shared-group scratch disk) supersedes an earlier recorded failure
+    errors = {q: e for q, e in errors.items() if q not in queries}
     # queries a group was supposed to run but whose JSON never landed
     # (chain timeout kills the JVM before GRAFT_BENCH_OUT is written)
     import re
