@@ -23,11 +23,17 @@ def main(base_path, re_path):
             raise SystemExit(f"re-measurement of {q} itself failed; not merging")
         replaced[q] = {"was": base["queries"].get(q), "now": t}
         base["queries"][q] = t
-        if "queries_max" in base and "queries_max" in rer:
+        if "queries_max" in base and q in rer.get("queries_max", {}):
             base["queries_max"][q] = rer["queries_max"][q]
-        if "queries_runs" in base and "queries_runs" in rer:
+        if "queries_runs" in base and q in rer.get("queries_runs", {}):
             base["queries_runs"][q] = rer["queries_runs"][q]
     base["noisy"] = [q for q in base.get("noisy", []) if q not in replaced]
+    # a re-measured query is no longer a failure: drop it from errors
+    # and recompute n_failed, mirroring the `noisy` cleanup above
+    if "errors" in base:
+        base["errors"] = {q: m for q, m in base["errors"].items()
+                          if q not in replaced}
+        base["n_failed"] = len(base["errors"])
     harness = set(base.get("harness", []))
     vals = base["queries"]
     base["value"] = round(sum(t for t in vals.values() if t >= 0), 3)

@@ -31,7 +31,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    graft.core.GraftConf.ensureLocalDirs() // stale SPARK_LOCAL_DIRS ⇒ mkdirs, not 143 dead queries
+    graft.core.GraftConf.privateLocalDirs() // JVM-private spill dir: immune to stale env AND concurrent wipes
     graft.core.GraftConf.checkBenchHeadroom(sfDir) // provably-short heap dies NOW, not 2h in
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -23,7 +23,7 @@ object Graft {
   /** Tuned local session (cluster callers pass their own master via
     * spark-submit and only inherit the conf + extensions). */
   def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    core.GraftConf.ensureLocalDirs()
+    core.GraftConf.privateLocalDirs()
     val spark = core.GraftConf.tuned(
       SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
     core.GraftConf.runtime(spark)

@@ -10,7 +10,7 @@ object Verify {
     // driver's 2-arg invocation still dumps everything)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    graft.core.GraftConf.ensureLocalDirs() // stale SPARK_LOCAL_DIRS ⇒ mkdirs, not a dead dump
+    graft.core.GraftConf.privateLocalDirs() // JVM-private spill dir: immune to stale env AND concurrent wipes
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
