@@ -577,6 +577,30 @@ object Graft {
                  budget: Long): org.apache.spark.sql.DataFrame =
     ops.Mixing.packShards(df, idCol, tokenCol, budget)
 
+  /** Per-group approximate quantiles (p50/p90/p99 beside the exact
+    * interpolated reference). DEFAULTS to the one-pass ADAPTIVE
+    * log-bucket sketch (`ops.QuantileSketch.quantileSketchAdaptive`):
+    * no [lo, hi) pre-pass, state hard-bounded at 4129 keys per group
+    * for ANY double domain, single scan into a hash aggregate —
+    * measured 3x cheaper than the fixed-domain face at sf100 — and the
+    * SAME cells are a valid unknown-domain streaming aggregation
+    * (`streaming.Sketches.logHistogramCells`). Estimate error is
+    * RELATIVE (<= 1/16 above the bracketed order statistic). Use
+    * [[quantileSketchFixed]] only when the value domain is known and
+    * fixed up front (reference-shaped known-bucket metrics, absolute
+    * error bounds); use `queries.MarketQueries.percentiles` for the
+    * exact-only answer. */
+  def quantileSketch(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    ops.QuantileSketch.quantileSketchAdaptive(spark, dir)
+
+  /** The fixed-domain B-bucket sketch face: a min/max pre-pass sizes the
+    * buckets, estimates carry an ABSOLUTE one-bucket-width bound. Kept
+    * for known-domain metrics; the facade default is the adaptive face
+    * ([[quantileSketch]]). */
+  def quantileSketchFixed(spark: SparkSession, dir: String,
+                          buckets: Int = ops.QuantileSketch.Buckets): org.apache.spark.sql.DataFrame =
+    ops.QuantileSketch.quantileSketch(spark, dir, buckets)
+
   /** Start serving /metrics and /health for a running ingest; returns the
     * server (stop() when done) after registering the listeners (streaming
     * progress + per-worker task stats). */

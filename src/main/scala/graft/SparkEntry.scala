@@ -2731,7 +2731,8 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // mirrors Multimodal.phashNearDupWide: 240-bit wide hash — corpus
-    // stubs are 4 md5-60 limbs over text ++ ":k"; planted PNGs get the
+    // stubs derive DIGEST-ONCE (limb k = md5-60 of md5(text) ++ ':k',
+    // one full-payload digest then four tag digests); planted PNGs get the
     // 16x16 aHash recomputed from the shared pixel formula (cell (r,c)
     // subdivides pixel (r/2, c/2), 256-cell mean == 64-pixel mean
     // exactly); limb-aligned 7-band split (6x30 + 1x60 bits, lossless
@@ -2773,11 +2774,11 @@ object SparkEntry {
          |    b.doc_id AS doc_b, b.h0 AS b0, b.h1 AS b1, b.h2 AS b2, b.h3 AS b3
          |  FROM bnd a JOIN bnd b ON a.i = b.i AND a.bb = b.bb AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
-         |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
-         |     + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS INT) AS hamming
+         |  CAST(bit_count(xor(a0, b0)) AS INT) + CAST(bit_count(xor(a1, b1)) AS INT)
+         |     + CAST(bit_count(xor(a2, b2)) AS INT) + CAST(bit_count(xor(a3, b3)) AS INT) AS hamming
          |FROM cp
-         |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
-         |    + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 6
+         |WHERE CAST(bit_count(xor(a0, b0)) AS INT) + CAST(bit_count(xor(a1, b1)) AS INT)
+         |    + CAST(bit_count(xor(a2, b2)) AS INT) + CAST(bit_count(xor(a3, b3)) AS INT) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "multimodal_meta" ->
@@ -2907,47 +2908,67 @@ object SparkEntry {
       curationReplayDecontamSql(nBatches = 3, threshold = 0.2),
     "vector_curation_replay" -> vectorReplaySql(nBatches = 3, threshold = 0.35),
 
-    // mirrors CurationPipeline.mediaCurationReplay: the media-gate
-    // population (stub md5-60 phashes over text + planted aHashes
-    // recomputed from the shared pixel formula, as in media_phash_dedup)
-    // replayed as 3 sequential batches. DIRECT hamming joins stand in
-    // for the banded candidate generation — banding is lossless at
-    // hamming <= 6 (7-band pigeonhole), so this oracle independently
-    // checks the banding itself: a candidate set that missed a pair
-    // would hash-mismatch. In-batch rule: dropped if ANY smaller-id
-    // batch doc (survivor or not) is within the radius; cross-batch
-    // rule: dropped on any hit against prior batches' SURVIVOR index.
+    // mirrors CurationPipeline.mediaCurationReplay on the WIDE 240-bit
+    // hash (round 14: the incremental gate migrated off the measured-
+    // quadratic 60-bit banding onto the limb-aligned wide index — this
+    // oracle mirrors the wide population exactly as media_phash_dedup_
+    // wide does: digest-once md5-60 limb stubs over md5(text) ++ ':k',
+    // planted 16x16 aHashes recomputed from the shared pixel formula),
+    // replayed as 3 sequential batches. DIRECT 4-limb hamming joins
+    // stand in for the banded candidate generation — the 7-band limb
+    // split is lossless at hamming <= 6 (pigeonhole, MultimodalSpec),
+    // so this oracle independently checks the banding itself: a
+    // candidate set that missed a pair would hash-mismatch. In-batch
+    // rule: dropped if ANY smaller-id batch doc (survivor or not) is
+    // within the radius; cross-batch rule: dropped on any hit against
+    // prior batches' SURVIVOR index.
     "media_curation_replay" ->
-      s"""WITH pc AS (SELECT g.g, j.j, c.cell,
-         |    ${md5LongSql("concat('img:', CAST(g.g AS VARCHAR), ':', CAST(c.cell AS VARCHAR))")} % 256 AS v0
+      s"""WITH pg AS (SELECT g.g, p.pix,
+         |    ${md5LongSql("concat('img:', CAST(g.g AS VARCHAR), ':', CAST(p.pix AS VARCHAR))")} % 256 AS v0
          |  FROM (SELECT unnest(generate_series(0, 3)) AS g) g
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS cell) c),
-         |pv AS (SELECT -1000000000 + g * 3 + j AS doc_id, cell,
-         |    CASE WHEN j = 1 AND cell = 0 THEN (v0 + 64) % 256 ELSE v0 END AS v
-         |  FROM pc),
-         |pm AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 64.0 AS mean FROM pv GROUP BY 1),
-         |pp AS (SELECT pv.doc_id,
-         |    CAST(sum(CASE WHEN pv.cell < 60 AND CAST(pv.v AS DOUBLE) > pm.mean
-         |      THEN (CAST(1 AS BIGINT) << pv.cell) ELSE 0 END) AS BIGINT) AS phash
-         |  FROM pv JOIN pm USING (doc_id) GROUP BY 1),
-         |ph AS (SELECT doc_id, ${md5LongSql("text")} AS phash FROM documents
-         |  UNION ALL SELECT doc_id, phash FROM pp),
-         |b AS (SELECT doc_id, phash, ((doc_id % 3) + 3) % 3 AS bt FROM ph),
-         |s0 AS (SELECT doc_id, phash FROM b x WHERE bt = 0 AND NOT EXISTS (
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pix) p),
+         |pv2 AS (SELECT -1000000000 + c.g * 3 + j.j AS doc_id, c.cell,
+         |    CASE WHEN j.j = 1 AND c.pix = 0 THEN (c.v0 + 64) % 256 ELSE c.v0 END AS v
+         |  FROM (SELECT pg.g, pg.v0, pg.pix, cc.cell
+         |    FROM (SELECT unnest(generate_series(0, 255)) AS cell) cc
+         |    JOIN pg ON pg.pix = ((cc.cell // 16) // 2) * 8 + ((cc.cell % 16) // 2)) c
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j),
+         |pm2 AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 256.0 AS mean FROM pv2 GROUP BY 1),
+         |pp2 AS (SELECT pv2.doc_id,
+         |  CAST(sum(CASE WHEN pv2.cell < 60 AND CAST(pv2.v AS DOUBLE) > pm2.mean
+         |    THEN (CAST(1 AS BIGINT) << pv2.cell) ELSE 0 END) AS BIGINT) AS h0,
+         |  CAST(sum(CASE WHEN pv2.cell >= 60 AND pv2.cell < 120 AND CAST(pv2.v AS DOUBLE) > pm2.mean
+         |    THEN (CAST(1 AS BIGINT) << (pv2.cell - 60)) ELSE 0 END) AS BIGINT) AS h1,
+         |  CAST(sum(CASE WHEN pv2.cell >= 120 AND pv2.cell < 180 AND CAST(pv2.v AS DOUBLE) > pm2.mean
+         |    THEN (CAST(1 AS BIGINT) << (pv2.cell - 120)) ELSE 0 END) AS BIGINT) AS h2,
+         |  CAST(sum(CASE WHEN pv2.cell >= 180 AND pv2.cell < 240 AND CAST(pv2.v AS DOUBLE) > pm2.mean
+         |    THEN (CAST(1 AS BIGINT) << (pv2.cell - 180)) ELSE 0 END) AS BIGINT) AS h3
+         |  FROM pv2 JOIN pm2 USING (doc_id) GROUP BY 1),
+         |ph AS (SELECT doc_id,
+         |    ${md5LongSql("concat(md5(text), ':0')")} AS h0, ${md5LongSql("concat(md5(text), ':1')")} AS h1,
+         |    ${md5LongSql("concat(md5(text), ':2')")} AS h2, ${md5LongSql("concat(md5(text), ':3')")} AS h3
+         |  FROM documents
+         |  UNION ALL SELECT doc_id, h0, h1, h2, h3 FROM pp2),
+         |b AS (SELECT doc_id, h0, h1, h2, h3, ((doc_id % 3) + 3) % 3 AS bt FROM ph),
+         |s0 AS (SELECT * EXCLUDE (bt) FROM b x WHERE bt = 0 AND NOT EXISTS (
          |    SELECT 1 FROM b y WHERE y.bt = 0 AND y.doc_id < x.doc_id
-         |      AND bit_count(xor(x.phash, y.phash)) <= 6)),
-         |s1 AS (SELECT doc_id, phash FROM b x WHERE bt = 1
+         |      AND CAST(bit_count(xor(x.h0, y.h0)) AS INT) + CAST(bit_count(xor(x.h1, y.h1)) AS INT)
+         |        + CAST(bit_count(xor(x.h2, y.h2)) AS INT) + CAST(bit_count(xor(x.h3, y.h3)) AS INT) <= 6)),
+         |s1 AS (SELECT * EXCLUDE (bt) FROM b x WHERE bt = 1
          |  AND NOT EXISTS (SELECT 1 FROM s0 y
-         |      WHERE bit_count(xor(x.phash, y.phash)) <= 6)
+         |      WHERE CAST(bit_count(xor(x.h0, y.h0)) AS INT) + CAST(bit_count(xor(x.h1, y.h1)) AS INT)
+         |        + CAST(bit_count(xor(x.h2, y.h2)) AS INT) + CAST(bit_count(xor(x.h3, y.h3)) AS INT) <= 6)
          |  AND NOT EXISTS (SELECT 1 FROM b y WHERE y.bt = 1 AND y.doc_id < x.doc_id
-         |      AND bit_count(xor(x.phash, y.phash)) <= 6)),
-         |s2 AS (SELECT doc_id, phash FROM b x WHERE bt = 2
-         |  AND NOT EXISTS (SELECT 1 FROM (SELECT phash FROM s0
-         |      UNION ALL SELECT phash FROM s1) y
-         |      WHERE bit_count(xor(x.phash, y.phash)) <= 6)
+         |      AND CAST(bit_count(xor(x.h0, y.h0)) AS INT) + CAST(bit_count(xor(x.h1, y.h1)) AS INT)
+         |        + CAST(bit_count(xor(x.h2, y.h2)) AS INT) + CAST(bit_count(xor(x.h3, y.h3)) AS INT) <= 6)),
+         |s2 AS (SELECT * EXCLUDE (bt) FROM b x WHERE bt = 2
+         |  AND NOT EXISTS (SELECT 1 FROM (SELECT h0, h1, h2, h3 FROM s0
+         |      UNION ALL SELECT h0, h1, h2, h3 FROM s1) y
+         |      WHERE CAST(bit_count(xor(x.h0, y.h0)) AS INT) + CAST(bit_count(xor(x.h1, y.h1)) AS INT)
+         |        + CAST(bit_count(xor(x.h2, y.h2)) AS INT) + CAST(bit_count(xor(x.h3, y.h3)) AS INT) <= 6)
          |  AND NOT EXISTS (SELECT 1 FROM b y WHERE y.bt = 2 AND y.doc_id < x.doc_id
-         |      AND bit_count(xor(x.phash, y.phash)) <= 6))
+         |      AND CAST(bit_count(xor(x.h0, y.h0)) AS INT) + CAST(bit_count(xor(x.h1, y.h1)) AS INT)
+         |        + CAST(bit_count(xor(x.h2, y.h2)) AS INT) + CAST(bit_count(xor(x.h3, y.h3)) AS INT) <= 6))
          |SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM s0
          |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM s1
          |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch_id FROM s2

@@ -120,12 +120,22 @@ object CurationPipeline {
     * the gate un-indexed (nothing to hash; the upstream minWords gate
     * already dropped null-text docs).
     *
-    * State is ONE append-only table, `(doc_id, phash, i, bb)` — 7 rows
-    * per doc (the lossless-at-hamming<=6 band split), bucketable by
-    * (i, bb) at 100 TB; the phash rides in the band rows, so candidate
-    * verification is a bit_count on the joined row — the historical
-    * images' BYTES are never re-read or re-decoded. Same-doc_id index
-    * hits are ignored (crash-replay safety, as in the text gate).
+    * State is ONE append-only table, `(doc_id, h0..h3, i, bb)` — 7 rows
+    * per doc, the WIDE 240-bit limb-aligned band split
+    * (`Multimodal.phash240BandsOf`: 6x30 + 1x60 bits, lossless at
+    * hamming<=6 by pigeonhole), bucketable by (i, bb) at 100 TB; the
+    * limbs ride in the band rows, so candidate verification is four
+    * bit_counts on the joined row — the historical images' BYTES are
+    * never re-read or re-decoded. Same-doc_id index hits are ignored
+    * (crash-replay safety, as in the text gate).
+    *
+    * Width is part of the INDEX CONTRACT (round-13 verdict: the gate
+    * originally banded the 60-bit face, whose 8-9-bit band keys are a
+    * fixed-selectivity filter — candidates grow n^2/2^bits, measured
+    * 144 s/d3 58x at sf100 on the batch face; a 30-bit key is ~2^22
+    * more selective). A persisted index in the legacy 60-bit shape
+    * fails loudly at read time (`requireWidePhashIndex`) instead of
+    * silently band-joining mismatched widths.
     *
     * Returns (survivors, survivorBands) — the caller appends
     * survivorBands to the index.
@@ -143,18 +153,23 @@ object CurationPipeline {
       maxHamming: Int = 6,
       newBands: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val bands = newBands.getOrElse(
-      Multimodal.phashBandsOf(Multimodal.phashOf(effectiveMedia(newDocs))))
+      Multimodal.phash240BandsOf(Multimodal.phash240Of(effectiveMedia(newDocs))))
+    // 240-bit hamming = sum of the four limb popcounts
+    def ham(a: String, b: String) =
+      (0 to 3).map(k => bit_count(col(s"${a}h$k").bitwiseXOR(col(s"${b}h$k"))))
+        .reduce(_ + _)
     val dropOld = bands
       .join(phashBandIndex.select(col("i"), col("bb"),
-        col("doc_id").as("idx_doc"), col("phash").as("idx_ph")), Seq("i", "bb"))
+        col("doc_id").as("idx_doc"), col("h0").as("ih0"), col("h1").as("ih1"),
+        col("h2").as("ih2"), col("h3").as("ih3")), Seq("i", "bb"))
       .filter(col("doc_id") =!= col("idx_doc"))
-      .filter(bit_count(col("phash").bitwiseXOR(col("idx_ph"))) <= maxHamming)
+      .filter(ham("", "i") <= maxHamming)
       .select("doc_id").distinct()
     val dropNew = bands.as("x")
       .join(bands.as("y"),
         col("x.i") === col("y.i") && col("x.bb") === col("y.bb")
           && col("x.doc_id") > col("y.doc_id"))
-      .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming)
+      .filter(ham("x.", "y.") <= maxHamming)
       .select(col("x.doc_id").as("doc_id")).distinct()
     val dropped = dropOld.unionByName(dropNew).distinct()
     val survivors = newDocs.join(dropped, Seq("doc_id"), "left_anti")
@@ -195,6 +210,31 @@ object CurationPipeline {
     * `excludeBatchId` touches exactly the replayed attempt's output.
     * Schema convention: batch_id is the LAST field and is dropped from
     * the returned frame. */
+  /** The WIDTH side of the phash index contract: `readBatchIndex` reads
+    * with an explicit schema, so pointing the wide gate at a legacy
+    * 60-bit index (`(doc_id, phash, i, bb)` rows) would silently fill
+    * h0..h3 with nulls and band-join 30-bit keys against 8-9-bit ones —
+    * every historical hash would stop matching, without an error. A
+    * reader must fail LOUDLY on a width-mismatched index instead (the
+    * r12 `nBits`-in-the-contract pattern from the vector gate). Schema
+    * is checked from parquet footers only — no data scan; an absent or
+    * empty dir is a fresh index and passes. */
+  private def requireWidePhashIndex(spark: SparkSession, dir: String): Unit = {
+    if (!graft.core.Fs.exists(spark, dir)) return
+    val names =
+      try spark.read.parquet(dir).schema.fieldNames.toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => return } // empty dir
+    if (names.contains("phash") || !names.contains("h0"))
+      throw new IllegalStateException(
+        s"phash index at $dir is not the wide 240-bit limb format " +
+          s"(found columns ${names.toSeq.sorted.mkString(", ")}; expected " +
+          "doc_id, h0..h3, i, bb, batch_id). The 60-bit banding was " +
+          "retired from the incremental gate (n^2/2^bits candidates — " +
+          "round-13 sf100 measurement); rebuild the index by replaying " +
+          "the corpus through the gate, or keep the old engine version " +
+          "for this index.")
+  }
+
   private def readBatchIndex(
       spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -328,12 +368,15 @@ object CurationPipeline {
     val afterPhash = phashDir match {
       case None => afterNear
       case Some(pd) =>
+        requireWidePhashIndex(spark, s"$pd/bands")
         val phIdx = readBatchIndex(spark, s"$pd/bands", StructType(Seq(
-          StructField("doc_id", LongType), StructField("phash", LongType),
+          StructField("doc_id", LongType),
+          StructField("h0", LongType), StructField("h1", LongType),
+          StructField("h2", LongType), StructField("h3", LongType),
           StructField("i", IntegerType), StructField("bb", LongType),
           StructField("batch_id", LongType))), batchId)
-        val bands = Multimodal.phashBandsOf(
-          Multimodal.phashOf(effectiveMedia(afterNear))).localCheckpoint(true)
+        val bands = Multimodal.phash240BandsOf(
+          Multimodal.phash240Of(effectiveMedia(afterNear))).localCheckpoint(true)
         phashBatchBands = Some(bands)
         incrementalPhashDedup(afterNear, phIdx, phashMaxHamming,
           newBands = Some(bands))._1
@@ -421,7 +464,7 @@ object CurationPipeline {
           .parquet(s"$nd/sigs")
       }
       phashBandsOut.foreach { pb =>
-        pb.select("doc_id", "phash", "i", "bb")
+        pb.select("doc_id", "h0", "h1", "h2", "h3", "i", "bb")
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -686,12 +729,15 @@ object CurationPipeline {
       maxHamming: Int): Unit = {
     import org.apache.spark.sql.types._
     val spark = batch.sparkSession
+    requireWidePhashIndex(spark, phashDir)
     val phIdx = readBatchIndex(spark, phashDir, StructType(Seq(
-      StructField("doc_id", LongType), StructField("phash", LongType),
+      StructField("doc_id", LongType),
+      StructField("h0", LongType), StructField("h1", LongType),
+      StructField("h2", LongType), StructField("h3", LongType),
       StructField("i", IntegerType), StructField("bb", LongType),
       StructField("batch_id", LongType))), batchId)
-    val bands = Multimodal.phashBandsOf(
-      Multimodal.phashOf(effectiveMedia(batch))).localCheckpoint(true)
+    val bands = Multimodal.phash240BandsOf(
+      Multimodal.phash240Of(effectiveMedia(batch))).localCheckpoint(true)
     try {
       val (survivors, _) =
         incrementalPhashDedup(batch, phIdx, maxHamming, newBands = Some(bands))

@@ -87,7 +87,10 @@ object Sketches {
     * RELATIVE error of the bracketed order statistic
     * (SketchStreamSpec drives an unknown-domain MemoryStream whose
     * batches span nine orders of magnitude and pins stream == batch
-    * plus the error bound). */
+    * plus the error bound). This is the DEFAULT quantile path — the
+    * facade (`Graft.quantileSketch`) routes here / to the batch twin
+    * `quantileSketchAdaptive`; `histogramCells` above stays for
+    * known-domain metrics with absolute error bounds. */
   def logHistogramCells(eventsStream: DataFrame): DataFrame =
     eventsStream
       .select(col("event_type"),

@@ -589,6 +589,23 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(batchDirs.length === 2, s"one partition per run's batch (saw ${batchDirs.toSeq})")
   }
 
+  test("facade quantile default is the ADAPTIVE log-bucket sketch") {
+    // round-14 routing contract: Graft.quantileSketch must be the
+    // one-pass unknown-domain face (no [lo,hi) pre-pass, bounded state),
+    // not the fixed-domain B-bucket face — the two faces bucket
+    // differently, so estimate columns pin the routing
+    val spark = Graft.session(cores = 4)
+    val dir = "/root/testdata/sf0.001"
+    val got = Graft.quantileSketch(spark, dir).collect().map(_.toString).toSeq
+    val adaptive = graft.ops.QuantileSketch.quantileSketchAdaptive(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(got === adaptive, "facade default must route to the adaptive face")
+    val fixed = Graft.quantileSketchFixed(spark, dir).collect().map(_.toString).toSeq
+    assert(got !== fixed,
+      "the two faces bucket differently on this fixture — equal output " +
+        "would mean the routing (or the fixture) stopped discriminating")
+  }
+
   test("vector curation end-to-end: parquet stream -> near-dup gate -> curated vectors") {
     val spark = Graft.session(cores = 4)
     import spark.implicits._

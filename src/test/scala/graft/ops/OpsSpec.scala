@@ -1796,11 +1796,15 @@ class OpsSpec extends SparkSpec {
       assert(javax.imageio.ImageIO.write(img, "png", bos))
       bos.toByteArray
     }
+    // the WIDE index shape (round 14): doc_id, 4 limbs, band ordinal, band key
     val emptyIdx = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("phash", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h0", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h1", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h2", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h3", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("bb", org.apache.spark.sql.types.LongType))))
 
@@ -1814,7 +1818,7 @@ class OpsSpec extends SparkSpec {
     val (s1, bands1) = CurationPipeline.incrementalPhashDedup(run1, emptyIdx)
     assert(s1.select("doc_id").as[Long].collect().sorted === Array(10L, 12L),
       "the within-batch phash near-dup (11 ~ 10) must drop; min id and the unrelated image survive")
-    val idx1 = bands1.select("doc_id", "phash", "i", "bb")
+    val idx1 = bands1.select("doc_id", "h0", "h1", "h2", "h3", "i", "bb")
     assert(idx1.count() === 14, "7 band rows per survivor")
 
     // run 2: a RE-ENCODED copy of run 1's image (identical pixels,
@@ -1837,6 +1841,65 @@ class OpsSpec extends SparkSpec {
     val (s3, b3) = CurationPipeline.incrementalPhashDedup(nullMedia, idx1)
     assert(s3.count() === 1 && b3.count() === 7,
       "null media falls back to text bytes (the fixture stand-in)")
+  }
+
+  test("a legacy 60-bit phash index fails loudly, not silently-empty") {
+    // readBatchIndex reads with an explicit schema, so a legacy
+    // (doc_id, phash, i, bb) index under the wide gate would fill
+    // h0..h3 with nulls and quietly stop matching ALL history — the
+    // width is part of the index contract and must throw instead.
+    import spark.implicits._
+    val pd = Files.createTempDirectory("legacy_ph").toString + "/bands"
+    Seq((1L, 42L, 0, 7L)).toDF("doc_id", "phash", "i", "bb")
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(pd)
+    val batch = Seq((2L, "some doc text")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      CurationPipeline.processMediaBatch(
+        batch, 1L, pd + "_corpus", pd, maxHamming = 6)
+    }
+    assert(e.getMessage.contains("240-bit"),
+      s"error must name the expected format: ${e.getMessage}")
+  }
+
+  test("media gate replay == greedy filter from the batch wide face's pairs") {
+    // The round-14 gate/batch equivalence (the text gate's
+    // dedup_minhash_est pattern): the batch wide face enumerates ALL
+    // pairs at 240-bit hamming <= 6 (limb banding is lossless there by
+    // pigeonhole, MultimodalSpec), so a driver-side greedy replay of
+    // the gate's two rules over that pair set must reproduce the
+    // streaming gate's survivors exactly — if the gate's banded
+    // candidate join missed a pair the batch face sees, the outputs
+    // diverge here.
+    val sfDir = "/root/testdata/sf0.001"
+    val pairs = Multimodal.phashNearDupWide(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbr = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+    val corpusIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val plantedIds = (0 until Multimodal.PlantedGroups * 3)
+      .map(g => Multimodal.PlantedBase + g.toLong)
+    val all = (corpusIds ++ plantedIds).sorted
+    // greedy unroll of the gate's rules: batches by pmod(doc_id, 3) in
+    // order; in-batch = near-dup of ANY smaller-id batch doc (survivor
+    // or not) drops; cross-batch = near-dup of any prior SURVIVOR drops
+    val survivorIdx = scala.collection.mutable.Set[Long]()
+    val expected = scala.collection.mutable.Map[Long, Long]()
+    for (b <- 0 to 2) {
+      val batch = all.filter(id => math.floorMod(id, 3) == b)
+      val kept = batch.filter { id =>
+        val nb = nbr.getOrElse(id, Set.empty)
+        !nb.exists(n => math.floorMod(n, 3) == b.toLong && n < id) &&
+          !nb.exists(survivorIdx)
+      }
+      kept.foreach { id => expected(id) = b.toLong }
+      survivorIdx ++= kept
+    }
+    val got = CurationPipeline.mediaCurationReplay(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected.toMap,
+      "streaming media gate must equal the batch wide face's greedy unroll")
   }
 
   test("a JSONL corpus flows through the dedup operators unchanged") {
