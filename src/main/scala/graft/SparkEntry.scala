@@ -254,6 +254,11 @@ object SparkEntry {
     // discipline — the fixed-selectivity fix measured at sf100
     "media_phash_dedup_wide" -> ((s: SparkSession, d: String) =>
       Multimodal.phashNearDupWide(s, d)),
+    // the wide face over the MIXED population: every 100th doc is a
+    // REAL encoded PNG (shared md5-60 pixel formula, identical-pixel
+    // triplets) — the real decode arm at corpus-proportional mass
+    "media_phash_dedup_mixed" -> ((s: SparkSession, d: String) =>
+      Multimodal.phashNearDupMixed(s, d)),
     "stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // self-trained unigram-LM surprisal (the CCNet perplexity filter
@@ -364,7 +369,12 @@ object SparkEntry {
     // (corpus stand-ins + planted decodable PNGs) through
     // processMediaBatch with a real persisted band index
     "media_curation_replay" -> ((s: SparkSession, d: String) =>
-      CurationPipeline.mediaCurationReplay(s, d))
+      CurationPipeline.mediaCurationReplay(s, d)),
+    // the media gate replay over the MIXED population (1% real images):
+    // measures the gate's decode-once + wide-band candidate cost under
+    // a realistic image fraction, oracle-checked like the stub replay
+    "media_curation_replay_mixed" -> ((s: SparkSession, d: String) =>
+      CurationPipeline.mediaCurationReplayMixed(s, d))
   )
 
   // ---------------------------------------------------------------------
@@ -474,6 +484,63 @@ object SparkEntry {
   /** 60-bit md5 integer hash of an expression (mirrors TextHashing.md5Long). */
   private def md5LongSql(e: String) =
     s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  /** 240-bit hamming between two 4-limb prefixes — every bit_count cast
+    * before the addition (DuckDB bit_count returns TINYINT, max 127;
+    * four limbs sum to 240). */
+  private def wideHamSql(a: String, b: String): String =
+    (0 to 3).map(k => s"CAST(bit_count(xor($a$k, $b$k)) AS INT)").mkString(" + ")
+
+  /** The four CASE-summed limb columns of a (doc_id, cell, v) frame vs
+    * its per-doc 256-cell mean — limb k covers cells [60k, 60k+60). */
+  private def wideLimbSumsSql(cells: String, means: String): String =
+    (0 to 3).map { k =>
+      val lo = k * 60
+      s"CAST(sum(CASE WHEN $cells.cell >= $lo AND $cells.cell < ${lo + 60} " +
+        s"AND CAST($cells.v AS DOUBLE) > $means.mean " +
+        s"THEN (CAST(1 AS BIGINT) << ($cells.cell - $lo)) ELSE 0 END) AS BIGINT) AS h$k"
+    }.mkString(", ")
+
+  /** CTE chain of the MIXED wide-hash population (mirrors
+    * Multimodal.phash240MixedFrame): planted 16x16 aHashes from the
+    * shared pixel formula, every `den`-th corpus doc as a REAL image
+    * whose pixels derive from md5-60('mix:' || doc_id//(3*den) || ':' ||
+    * pix) — identical-pixel triplets — and digest-once limb stubs for
+    * the rest. Ends in ph(doc_id, h0..h3). */
+  private def mixedWidePhCtes(den: Int = 100): String = {
+    val grp = 3 * den
+    s"""pg AS (SELECT g.g, p.pix,
+       |    ${md5LongSql("concat('img:', CAST(g.g AS VARCHAR), ':', CAST(p.pix AS VARCHAR))")} % 256 AS v0
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS g) g
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pix) p),
+       |pv2 AS (SELECT -1000000000 + c.g * 3 + j.j AS doc_id, c.cell,
+       |    CASE WHEN j.j = 1 AND c.pix = 0 THEN (c.v0 + 64) % 256 ELSE c.v0 END AS v
+       |  FROM (SELECT pg.g, pg.v0, pg.pix, cc.cell
+       |    FROM (SELECT unnest(generate_series(0, 255)) AS cell) cc
+       |    JOIN pg ON pg.pix = ((cc.cell // 16) // 2) * 8 + ((cc.cell % 16) // 2)) c
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j),
+       |pm2 AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 256.0 AS mean FROM pv2 GROUP BY 1),
+       |pp2 AS (SELECT pv2.doc_id, ${wideLimbSumsSql("pv2", "pm2")}
+       |  FROM pv2 JOIN pm2 USING (doc_id) GROUP BY 1),
+       |mxp AS (SELECT g.grp, p.pix,
+       |    ${md5LongSql("concat('mix:', CAST(g.grp AS VARCHAR), ':', CAST(p.pix AS VARCHAR))")} % 256 AS v
+       |  FROM (SELECT DISTINCT doc_id // $grp AS grp FROM documents WHERE doc_id % $den = 0) g
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pix) p),
+       |mxc AS (SELECT d.doc_id, cc.cell, mp.v
+       |  FROM (SELECT doc_id, doc_id // $grp AS grp FROM documents WHERE doc_id % $den = 0) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS cell) cc
+       |  JOIN mxp mp ON mp.grp = d.grp
+       |    AND mp.pix = ((cc.cell // 16) // 2) * 8 + ((cc.cell % 16) // 2)),
+       |mxm AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / 256.0 AS mean FROM mxc GROUP BY 1),
+       |mxh AS (SELECT mxc.doc_id, ${wideLimbSumsSql("mxc", "mxm")}
+       |  FROM mxc JOIN mxm USING (doc_id) GROUP BY 1),
+       |ph AS (SELECT doc_id,
+       |    ${md5LongSql("concat(md5(text), ':0')")} AS h0, ${md5LongSql("concat(md5(text), ':1')")} AS h1,
+       |    ${md5LongSql("concat(md5(text), ':2')")} AS h2, ${md5LongSql("concat(md5(text), ':3')")} AS h3
+       |  FROM documents WHERE doc_id % $den <> 0
+       |  UNION ALL SELECT doc_id, h0, h1, h2, h3 FROM mxh
+       |  UNION ALL SELECT doc_id, h0, h1, h2, h3 FROM pp2)""".stripMargin
+  }
 
   /** The unrolled iterative-BPE training chain (mirrors
     * TextAnalysis.bpeTrainMerges round for round): wrd/wv/vz0 build the
@@ -2969,6 +3036,51 @@ object SparkEntry {
          |  AND NOT EXISTS (SELECT 1 FROM b y WHERE y.bt = 2 AND y.doc_id < x.doc_id
          |      AND CAST(bit_count(xor(x.h0, y.h0)) AS INT) + CAST(bit_count(xor(x.h1, y.h1)) AS INT)
          |        + CAST(bit_count(xor(x.h2, y.h2)) AS INT) + CAST(bit_count(xor(x.h3, y.h3)) AS INT) <= 6))
+         |SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM s0
+         |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM s1
+         |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch_id FROM s2
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Multimodal.phashNearDupMixed: the wide pair query over the
+    // MIXED population (every 100th doc a REAL formula-pixel PNG in
+    // identical-pixel triplets, digest-once stubs elsewhere, planted
+    // PNGs riding along) — the real decode arm at corpus-proportional
+    // mass, banding + verify identical to media_phash_dedup_wide.
+    "media_phash_dedup_mixed" ->
+      s"""WITH ${mixedWidePhCtes()},
+         |bnd AS (SELECT doc_id, h0, h1, h2, h3, r.i,
+         |  CASE r.i WHEN 0 THEN h0 & 1073741823 WHEN 1 THEN (h0 >> 30) & 1073741823
+         |    WHEN 2 THEN h1 & 1073741823 WHEN 3 THEN (h1 >> 30) & 1073741823
+         |    WHEN 4 THEN h2 & 1073741823 WHEN 5 THEN (h2 >> 30) & 1073741823
+         |    ELSE h3 END AS bb
+         |  FROM ph CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) r(i)),
+         |cp AS (SELECT DISTINCT a.doc_id AS doc_a, a.h0 AS a0, a.h1 AS a1, a.h2 AS a2, a.h3 AS a3,
+         |    b.doc_id AS doc_b, b.h0 AS b0, b.h1 AS b1, b.h2 AS b2, b.h3 AS b3
+         |  FROM bnd a JOIN bnd b ON a.i = b.i AND a.bb = b.bb AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, ${wideHamSql("a", "b")} AS hamming
+         |FROM cp WHERE ${wideHamSql("a", "b")} <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors CurationPipeline.mediaCurationReplayMixed: the media-gate
+    // replay over the mixed population — sequential direct-hamming
+    // unroll exactly as media_curation_replay, population as above.
+    "media_curation_replay_mixed" ->
+      s"""WITH ${mixedWidePhCtes()},
+         |b AS (SELECT doc_id, h0, h1, h2, h3, ((doc_id % 3) + 3) % 3 AS bt FROM ph),
+         |s0 AS (SELECT * EXCLUDE (bt) FROM b x WHERE bt = 0 AND NOT EXISTS (
+         |    SELECT 1 FROM b y WHERE y.bt = 0 AND y.doc_id < x.doc_id
+         |      AND ${wideHamSql("x.h", "y.h")} <= 6)),
+         |s1 AS (SELECT * EXCLUDE (bt) FROM b x WHERE bt = 1
+         |  AND NOT EXISTS (SELECT 1 FROM s0 y
+         |      WHERE ${wideHamSql("x.h", "y.h")} <= 6)
+         |  AND NOT EXISTS (SELECT 1 FROM b y WHERE y.bt = 1 AND y.doc_id < x.doc_id
+         |      AND ${wideHamSql("x.h", "y.h")} <= 6)),
+         |s2 AS (SELECT * EXCLUDE (bt) FROM b x WHERE bt = 2
+         |  AND NOT EXISTS (SELECT 1 FROM (SELECT h0, h1, h2, h3 FROM s0
+         |      UNION ALL SELECT h0, h1, h2, h3 FROM s1) y
+         |      WHERE ${wideHamSql("x.h", "y.h")} <= 6)
+         |  AND NOT EXISTS (SELECT 1 FROM b y WHERE y.bt = 2 AND y.doc_id < x.doc_id
+         |      AND ${wideHamSql("x.h", "y.h")} <= 6))
          |SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM s0
          |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM s1
          |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch_id FROM s2

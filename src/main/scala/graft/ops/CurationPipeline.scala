@@ -803,6 +803,30 @@ object CurationPipeline {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text").cast("binary").as("media"))
       .unionByName(planted.toDF())
+    mediaReplayOver(docs, maxHamming)
+  }
+
+  /** The media-gate replay over the MIXED population (a real decodable-
+    * image fraction, `Multimodal.mixedMediaTable`): the face that
+    * measures the gate's decode-once discipline and wide-band candidate
+    * cost when 1/den of the corpus actually decodes — under load, not on
+    * 12 fixture images. Oracle-checked like `mediaCurationReplay` (the
+    * mixed arm's hashes recompute from the shared md5-60 pixel
+    * formula). */
+  def mediaCurationReplayMixed(spark: SparkSession, dir: String,
+                               maxHamming: Int = 6, den: Int = 100): DataFrame = {
+    import spark.implicits._
+    val planted = spark.createDataset(
+      Multimodal.plantedPngs().map { case (id, b) => Multimodal.MediaRow(id, b) })
+    mediaReplayOver(
+      Multimodal.mixedMediaTable(spark, dir, den).toDF().unionByName(planted.toDF()),
+      maxHamming)
+  }
+
+  /** Shared replay body: 3 deterministic pmod batches through
+    * `processMediaBatch` against a real persisted wide-band index,
+    * snapshot-then-delete. */
+  private def mediaReplayOver(docs: DataFrame, maxHamming: Int): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("media_replay").toString
     try {
       val corpus = replayMediaBatches(docs, pmod(col("doc_id"), lit(3)),

@@ -472,8 +472,13 @@ object Multimodal {
     * near-dups — exact duplicates and re-encodes are hamming 0 in any
     * width). */
   def phashNearDupWide(spark: SparkSession, dir: String,
-                       maxHamming: Int = 6): DataFrame = {
-    val bands = phash240BandsOf(phash240Frame(spark, dir))
+                       maxHamming: Int = 6): DataFrame =
+    phash240PairsOf(phash240Frame(spark, dir), maxHamming)
+
+  /** Band + verify over an arbitrary wide-hash frame — the pair query
+    * shared by the all-stub and mixed-population faces. */
+  private[ops] def phash240PairsOf(ph: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = phash240BandsOf(ph)
     val ham = (0 to 3).map(k =>
       bit_count(col(s"a_h$k").bitwiseXOR(col(s"b_h$k"))))
       .reduce(_ + _).cast("int")
@@ -489,6 +494,75 @@ object Multimodal {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  // -- MIXED population: a real decodable-image FRACTION under load ----
+  // The corpus media column is ~all text-byte stand-ins, so the real
+  // decode arm only ever carried 12 tiny planted PNGs — the decode-once
+  // discipline and the wide-hash scan cost at a realistic image fraction
+  // were inferred, not measured (round-13 verdict #6). The mixed faces
+  // give every `den`-th doc a REAL 8x8 PNG whose pixels come from a
+  // shared md5-60 formula the DuckDB oracle recomputes exactly (the
+  // planted-PNG recipe at corpus-proportional mass: 1% at den=100).
+  // Pixels repeat in runs of three real-arm docs (group = doc_id/(3*den)),
+  // so the real arm contributes corpus-SCALE hamming-0 dup structure
+  // through the decode path, not just fixture-sized groups.
+
+  /** Deterministic gray value of mixed-arm image pixel (group, pix) —
+    * the same md5-60 convention as the oracle's md5LongSql. */
+  private[ops] def mixedGray(md: MessageDigest, group: Long, pix: Int): Int = {
+    md.reset()
+    val hex = md.digest(s"mix:$group:$pix".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256L).toInt
+  }
+
+  /** documents.media with every `den`-th doc carrying a REAL encoded
+    * PNG (identical-pixel triplets across groups of three real-arm
+    * docs), the rest the text-byte stand-in. Encode runs distributed in
+    * mapPartitions — at 100 TB the image fraction is produced where the
+    * rows live, never collected. */
+  def mixedMediaTable(spark: SparkSession, dir: String,
+                      den: Int = 100): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          if (r.doc_id >= 0 && r.doc_id % den == 0) {
+            val group = r.doc_id / (3L * den)
+            val img = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (pix <- 0 until 64) {
+              val v = mixedGray(md, group, pix)
+              img.setRGB(pix % 8, pix / 8, (v << 16) | (v << 8) | v)
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            MediaRow(r.doc_id, bos.toByteArray)
+          } else r
+        }
+      }
+  }
+
+  /** Hash-once for the mixed face (SessionCache'd per (session, dir,
+    * den) like the all-stub frames). */
+  private[ops] def phash240MixedFrame(spark: SparkSession, dir: String,
+                                      den: Int): DataFrame =
+    graft.core.SessionCache.getOrBuild(spark, s"phash240mix$den", dir) {
+      import spark.implicits._
+      val planted = spark.createDataset(
+        plantedPngs().map { case (id, b) => MediaRow(id, b) })
+      phash240Of(mixedMediaTable(spark, dir, den).unionByName(planted))
+    }
+
+  /** The wide near-dup query over the mixed population — the face that
+    * measures banding + decode cost with a real image fraction under
+    * corpus load. */
+  def phashNearDupMixed(spark: SparkSession, dir: String,
+                        maxHamming: Int = 6, den: Int = 100): DataFrame =
+    phash240PairsOf(phash240MixedFrame(spark, dir, den), maxHamming)
 
   /** Aggregate media stats by fake format — the "how much of each modality
     * do we have" query every dataset card needs. */

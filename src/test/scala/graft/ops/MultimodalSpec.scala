@@ -162,6 +162,29 @@ class MultimodalSpec extends SparkSpec {
       (a - Multimodal.PlantedBase) / 3 === (b - Multimodal.PlantedBase) / 3 })
   }
 
+  test("MIXED population: corpus-scale identical-pixel triplets pair at hamming 0 through the decode path") {
+    // every 100th doc is a REAL encoded PNG; pixels repeat in runs of
+    // three (group = doc_id/300), so at 500 docs the real arm must
+    // contribute exactly {0,100,200} and {300,400} as hamming-0 cliques
+    // — pairs that exist ONLY because the bytes decode (their texts all
+    // differ, so the stub arm would never pair them: the all-stub wide
+    // face is the control)
+    val dir = "/root/testdata/sf0.001"
+    val mixedPairs = Multimodal.phashNearDupMixed(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val realPairs = mixedPairs.filter(p => p._1 >= 0 && p._2 >= 0).toSet
+    assert(realPairs === Set((0L, 100L, 0), (0L, 200L, 0), (100L, 200L, 0),
+      (300L, 400L, 0)),
+      s"real-arm triplet structure must surface exactly: $realPairs")
+    val stubPairs = Multimodal.phashNearDupWide(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 >= 0).toSet
+    assert(realPairs.map(p => (p._1, p._2)).intersect(stubPairs).isEmpty,
+      "the control (all-stub) face must not contain the decode-path pairs")
+    // the planted groups ride through both faces identically
+    val planted = mixedPairs.filter(_._1 < 0)
+    assert(planted.length === 12, s"planted pairs unchanged: ${planted.toSeq}")
+  }
+
   test("WIDE 240-bit phash: limb-aligned bands cover the bits; re-encodes at hamming 0") {
     import spark.implicits._
     // every one of the 240 bits lives in EXACTLY one band — flipping
