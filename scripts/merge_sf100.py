@@ -1,17 +1,21 @@
 #!/usr/bin/env python3
-"""Merge the round-13 chunked sf100 runs into one Bench-shaped JSON:
-an optional salvaged single-JVM part-1 trace + every group JSON from
-scripts/r13_sf100_sweep.sh (the consolidated full-registry chain).
-Group-reported failures and chain-level timeouts (missing JSON /
-missing query) surface in `errors` so exclusions are explicit, never
-silent.
+"""Merge chunked sf100 runs into one Bench-shaped JSON: an optional
+seed dict (a salvaged trace, or a prior round's queries used as
+documented carry-forward) + every group JSON from the CHAINS scripts.
+Group JSONs overwrite the seed; group-reported failures and chain-level
+timeouts (missing JSON / missing query) surface in `errors` so
+exclusions are explicit, never silent.
 
-Usage: merge_sf100.py {part1.json|-} /tmp/sf100_groups docs/BENCH_R13_SF100.json
+Usage: merge_sf100.py {seed.json|-} /tmp/sf100_groups docs/BENCH_R14_SF100.json
 """
 import json, os, sys
 
 HARNESS = ["bm25_incremental", "curation_replay", "curation_replay_decontam",
-           "media_curation_replay", "vector_curation_replay"]
+           "media_curation_replay", "media_curation_replay_mixed",
+           "vector_curation_replay"]
+
+# chain scripts whose run_group/run_solo lines define the expected set
+CHAINS = ["r14_sf100_sweep.sh", "r14_sf100_followups.sh"]
 
 
 def main(part1_path, groups_dir, out_path):
@@ -34,8 +38,9 @@ def main(part1_path, groups_dir, out_path):
     # queries a group was supposed to run but whose JSON never landed
     # (chain timeout kills the JVM before GRAFT_BENCH_OUT is written)
     import re
-    chain = open(os.path.join(os.path.dirname(__file__), "r13_sf100_sweep.sh")).read()
-    for m in re.finditer(r'run_group (\S+) "([^"]+)"(?: (\d+))?', chain):
+    chain = "\n".join(
+        open(os.path.join(os.path.dirname(__file__), c)).read() for c in CHAINS)
+    for m in re.finditer(r'run_(?:group|solo) (\S+) "?([a-z0-9_,]+)"?(?: (\d+))?', chain):
         name, csv = m.group(1), m.group(2)
         if not os.path.exists(os.path.join(groups_dir, f"{name}.json")):
             for q in csv.split(","):
@@ -51,12 +56,13 @@ def main(part1_path, groups_dir, out_path):
         "harness": HARNESS, "reps": 1, "noisy": [],
         "errors": errors, "n_failed": len(errors),
         "sf": "/tmp/graft_sf100",
-        "note": ("chunked: one JVM per family group "
-                 "(scripts/r13_sf100_sweep.sh, priority-ordered) with the "
-                 "spill dir wiped between groups — a single-JVM full-suite "
-                 "run accumulated 51 GB of shuffle files by query 35; "
-                 "queries in `errors` are explicit exclusions, and the "
-                 "SCALING.md ladder flags any r12-iso fallback numbers"),
+        "note": ("chunked: one JVM per family group, heavy class solo "
+                 "(scripts/r14_sf100_sweep.sh + r14_sf100_followups.sh, "
+                 "priority-ordered) under JVM-private spill dirs — a "
+                 "single-JVM full-suite run accumulated 51 GB of shuffle "
+                 "files by query 35; queries in `errors` are explicit "
+                 "exclusions, and the SCALING.md ladder flags any "
+                 "carried-forward numbers"),
     }
     json.dump(out, open(out_path, "w"), indent=1)
     print(f"{len(queries)} measured, {len(errors)} failed/excluded -> {out_path}")

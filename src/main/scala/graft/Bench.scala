@@ -57,7 +57,8 @@ object Bench {
     // (total_probe/total_harness) and compare_bench.py verdicts them
     // separately.
     val harnessQueries = Set("curation_replay", "vector_curation_replay",
-      "bm25_incremental", "curation_replay_decontam", "media_curation_replay")
+      "bm25_incremental", "curation_replay_decontam", "media_curation_replay",
+      "media_curation_replay_mixed")
 
     // GRAFT_BENCH_ONLY: comma-separated query names — run just those
     // (scaling-ladder subsets at big SF; unknown names are an error,
