@@ -221,19 +221,27 @@ def main():
     # pool's signal. Older files without the tag fall back to the newer
     # file's list so round-over-round splits stay comparable.
     harness = set(new.get("harness", old.get("harness", [])))
-    if harness:
+    # diagnostic pool (r15): known-quadratic sample-scale faces, split
+    # out the same way so probe totals measure only scale paths
+    diagnostic = set(new.get("diagnostic", old.get("diagnostic", [])))
+    if harness or diagnostic:
         def pools(d):
             ok = {q: t for q, t in d["queries"].items() if t >= 0}
-            probe = sum(t for q, t in ok.items() if q not in harness)
+            probe = sum(t for q, t in ok.items()
+                        if q not in harness and q not in diagnostic)
             har = sum(t for q, t in ok.items() if q in harness)
-            return probe, har
-        op, oh = pools(old)
-        np_, nh = pools(new)
+            diag = sum(t for q, t in ok.items() if q in diagnostic)
+            return probe, har, diag
+        op, oh, od = pools(old)
+        np_, nh, nd = pools(new)
         print(f"probe pool:   old {op:7.3f}s -> new {np_:7.3f}s ({np_ / op:4.2f}x)"
               if op else f"probe pool:   new {np_:7.3f}s")
         print(f"harness pool: old {oh:7.3f}s -> new {nh:7.3f}s ({nh / oh:4.2f}x)"
               f"  [{', '.join(sorted(harness))}]"
               if oh else f"harness pool: new {nh:7.3f}s")
+        if diagnostic:
+            print(f"diagnostic pool: old {od:7.3f}s -> new {nd:7.3f}s"
+                  f"  [{', '.join(sorted(diagnostic))}]")
     if broken:
         print("\nBROKEN queries (healthy in old, error/missing in new):")
         for q in broken:

@@ -17,6 +17,13 @@ def main(p01, p1, p10, p100=None):
     b01, b1, b10 = load(p01), load(p1), load(p10)
     b100 = load(p100) if p100 else None
     harness = set(b10.get("harness", []))
+    # diagnostic pool (r15): known-quadratic sample-scale faces — kept in
+    # the ladder for visibility but flagged and excluded from the
+    # >2x-linear probe count exactly like harness rows
+    diagnostic = set()
+    for b in (b01, b1, b10, b100):
+        if b:
+            diagnostic |= set(b.get("diagnostic", []))
     noisy = set(b01.get("noisy", [])) | set(b1.get("noisy", [])) | set(b10.get("noisy", []))
     if b100:
         noisy |= set(b100.get("noisy", []))
@@ -30,6 +37,8 @@ def main(p01, p1, p10, p100=None):
         notes = []
         if q in harness:
             notes.append("harness")
+        if q in diagnostic:
+            notes.append("diagnostic")
         if q in noisy:
             notes.append("noisy")
         last = (t100 / t01) if (t100 is not None and t100 >= 0) else (t10 / t01)
@@ -50,7 +59,8 @@ def main(p01, p1, p10, p100=None):
         print("|---|---|---|---|---|---|---|")
         for q, t01, t1, t10, _, r10, r100, _, note in rows:
             print(f"| {q} | {t01:.3f} | {t1:.3f} | {t10:.3f} | {r10:.1f}x | {r100:.1f}x | {note} |")
-    n_super = sum(1 for r in rows if r[6] > 200 and "harness" not in r[8])
+    n_super = sum(1 for r in rows
+                  if r[6] > 200 and "harness" not in r[8] and "diagnostic" not in r[8])
     print(f"\n{len(rows)} queries; >2x-linear (100x ratio > 200) probe rows: {n_super}",
           file=sys.stderr)
 

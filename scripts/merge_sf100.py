@@ -13,15 +13,25 @@ import json, os, sys
 HARNESS = ["bm25_incremental", "curation_replay", "curation_replay_decontam",
            "media_curation_replay", "media_curation_replay_mixed",
            "vector_curation_replay"]
+# known-quadratic sample-scale faces, reported under total_diagnostic
+# (r15 pool split, mirrors Bench.scala's diagnosticQueries)
+DIAGNOSTIC = ["dedup_ngram_ppjoin", "media_phash_dedup"]
 
 # chain scripts whose run_group/run_solo lines define the expected set
-CHAINS = ["r14_sf100_sweep.sh", "r14_sf100_followups.sh"]
+CHAINS = ["r15_sf100_sweep.sh"]
 
 
 def main(part1_path, groups_dir, out_path):
     queries, errors = {}, {}
     if part1_path != "-" and os.path.exists(part1_path):
-        queries.update(json.load(open(part1_path)))
+        # a seed may be a bare {query: time} dict OR a full Bench
+        # artifact — take its `queries` and apply the same t >= 0 filter
+        # as group JSONs so a seed's -1 failure entries never sum into
+        # totals (ADVICE r14)
+        seed = json.load(open(part1_path))
+        seed_qs = seed.get("queries", seed)
+        queries.update({q: t for q, t in seed_qs.items()
+                        if isinstance(t, (int, float)) and t >= 0})
     expected = set()
     for f in sorted(os.listdir(groups_dir)):
         if not f.endswith(".json"):
@@ -47,13 +57,16 @@ def main(part1_path, groups_dir, out_path):
                 if q not in queries and q not in errors:
                     errors[q] = f"group {name} produced no JSON (timeout/crash) — see {name}.log"
     total = sum(t for t in queries.values())
-    probe = sum(t for q, t in queries.items() if q not in HARNESS)
+    probe = sum(t for q, t in queries.items()
+                if q not in HARNESS and q not in DIAGNOSTIC)
     har = sum(t for q, t in queries.items() if q in HARNESS)
+    diag = sum(t for q, t in queries.items() if q in DIAGNOSTIC)
     out = {
         "metric": "total", "value": round(total, 3), "unit": "sec",
         "queries": {q: round(t, 3) for q, t in sorted(queries.items())},
         "total_probe": round(probe, 3), "total_harness": round(har, 3),
-        "harness": HARNESS, "reps": 1, "noisy": [],
+        "total_diagnostic": round(diag, 3),
+        "harness": HARNESS, "diagnostic": DIAGNOSTIC, "reps": 1, "noisy": [],
         "errors": errors, "n_failed": len(errors),
         "sf": "/tmp/graft_sf100",
         "note": ("chunked: one JVM per family group, heavy class solo "

@@ -10,24 +10,34 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+# Skip flags key on EMBEDDINGS — the LAST table ScaleUpTestdata writes
+# (lineitem is first: a mid-generation crash used to leave a partial
+# corpus a rerun silently skipped, and sf100 could then build from a
+# partial sf10). A nonzero generator exit now ABORTS the chain for the
+# same reason: downstream decades must never see a partial upstream.
 gen() { # label outflag cmd...
   local label="$1" flag="$2"; shift 2
   if [ -e "$flag" ]; then echo "=== $label SKIP (exists)"; return; fi
   echo "=== $label start $(date +%H:%M:%S) df=$(df --output=avail -BG / | tail -1)"
   "$@" > "/tmp/gen_$label.log" 2>&1
-  echo "    exit=$? $(date +%H:%M:%S)"
+  local rc=$?
+  echo "    exit=$rc $(date +%H:%M:%S)"
+  if [ "$rc" -ne 0 ]; then
+    echo "ABORT: $label generator failed (rc=$rc) — downstream decades would build from a partial corpus. See /tmp/gen_$label.log" >&2
+    exit "$rc"
+  fi
 }
 
 gen zipf /tmp/graft_zipf/documents.parquet/_SUCCESS \
   env SPARK_DRIVER_MEM=16g scripts/run_main.sh graft.tools.ZipfCorpus \
     /tmp/graft_zipf 200000 100 30000 1.07 13
-gen sf1 /tmp/graft_sf1/lineitem.parquet/_SUCCESS \
+gen sf1 /tmp/graft_sf1/embeddings.parquet/_SUCCESS \
   env SPARK_DRIVER_MEM=24g scripts/run_main.sh graft.tools.ScaleUpTestdata \
     /tmp/graft_sf1 /root/testdata/sf0.1 10
-gen sf10 /tmp/graft_sf10/lineitem.parquet/_SUCCESS \
+gen sf10 /tmp/graft_sf10/embeddings.parquet/_SUCCESS \
   env SPARK_DRIVER_MEM=48g scripts/run_main.sh graft.tools.ScaleUpTestdata \
     /tmp/graft_sf10 /root/testdata/sf0.1 100
-gen sf100 /tmp/graft_sf100/lineitem.parquet/_SUCCESS \
+gen sf100 /tmp/graft_sf100/embeddings.parquet/_SUCCESS \
   env SPARK_DRIVER_MEM=80g scripts/run_main.sh graft.tools.ScaleUpTestdata \
     /tmp/graft_sf100 /tmp/graft_sf10 10 100
 sync

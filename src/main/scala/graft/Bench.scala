@@ -33,6 +33,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     graft.core.GraftConf.privateLocalDirs() // JVM-private spill dir: immune to stale env AND concurrent wipes
     graft.core.GraftConf.checkBenchHeadroom(sfDir) // provably-short heap dies NOW, not 2h in
+    graft.core.GraftConf.checkBenchContention() // loaded box refuses to measure (r14 verdict #2)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,6 +60,17 @@ object Bench {
     val harnessQueries = Set("curation_replay", "vector_curation_replay",
       "bm25_incremental", "curation_replay_decontam", "media_curation_replay",
       "media_curation_replay_mixed")
+
+    // DIAGNOSTIC pool (round-14 verdict #3): queries kept in the
+    // registry as documented sample-scale diagnostics whose cost law is
+    // known-quadratic by design — the 60-bit phash face (its n^2/2^bits
+    // candidate term is the reason the wide 240-bit face exists and is
+    // the production path, ops/Multimodal.scala) and the PPJoin
+    // all-pairs verifier (the linear ngramClusters contract is the
+    // production path, ops/TextDedup.scala). They stay oracle-checked
+    // but report under total_diagnostic so total_probe and the scaling
+    // ladder's >2x-linear count measure only scale paths.
+    val diagnosticQueries = Set("media_phash_dedup", "dedup_ngram_ppjoin")
 
     // GRAFT_BENCH_ONLY: comma-separated query names — run just those
     // (scaling-ladder subsets at big SF; unknown names are an error,
@@ -135,21 +147,37 @@ object Bench {
     val total = timings.values.filter(_ >= 0).sum
     val totalMax = maxes.values.filter(_ >= 0).sum
     val totalProbe = timings.collect {
-      case (k, v) if v >= 0 && !harnessQueries(k) => v }.sum
+      case (k, v) if v >= 0 && !harnessQueries(k) && !diagnosticQueries(k) => v }.sum
     val totalHarness = timings.collect {
       case (k, v) if v >= 0 && harnessQueries(k) => v }.sum
+    val totalDiagnostic = timings.collect {
+      case (k, v) if v >= 0 && diagnosticQueries(k) => v }.sum
     val harnessArr = harnessQueries.toSeq.sorted
       .map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
+    val diagArr = diagnosticQueries.toSeq.sorted
+      .map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
     val noisyArr = noisy.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")
+    val pools =
+      s""""total_probe":${num(totalProbe)},"total_harness":${num(totalHarness)},"total_diagnostic":${num(totalDiagnostic)},"harness":$harnessArr,"diagnostic":$diagArr"""
+    // the driver's stdout capture is BYTE-CAPPED (BENCH_r07/r08/r14 all
+    // shipped "parsed": null — r14's tail shows the 15 KB per-query line
+    // cut mid-token). Three-line protocol so SOMETHING always parses:
+    //   1. a compact totals-only line FIRST (survives a byte cap),
+    //   2. the full per-query line (queries + queries_max; queries_runs
+    //      goes only to the durable file — it alone was half the bytes),
+    //   3. the compact line again LAST (survives a last-line parser).
+    // GRAFT_BENCH_OUT keeps the complete line including queries_runs.
+    val compact =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","total_max":${num(totalMax)},$pools,"reps":$reps,"noisy":$noisyArr,"n_failed":${errors.size},"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"queries_runs":$qruns,"total_max":${num(totalMax)},"total_probe":${num(totalProbe)},"total_harness":${num(totalHarness)},"harness":$harnessArr,"reps":$reps,"noisy":$noisyArr,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"total_max":${num(totalMax)},$pools,"reps":$reps,"noisy":$noisyArr,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"queries_runs":$qruns,"total_max":${num(totalMax)},$pools,"reps":$reps,"noisy":$noisyArr,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(compact)
     println(line)
-    // stdout is the driver's channel and it TRUNCATES (BENCH_r07/r08
-    // both shipped "parsed": null with a 2 KB tail — per-query data for
-    // the first ~30 queries unrecoverable). A file copy makes the full
-    // line durable regardless of what the capture does to stdout.
+    println(compact)
     sys.env.get("GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
     }
     spark.stop()
   }

@@ -165,6 +165,32 @@ object GraftConf {
           s"measured floors in docs/SCALING.md")
   }
 
+  /** Fail fast when the box is already LOADED at bench start (round-14
+    * verdict #2: three rounds running, suite windows were polluted by
+    * concurrent JVMs and the official artifact needed post-hoc solo
+    * re-measures). A timing suite launched onto a busy box produces
+    * numbers that are environment, not engine — so refuse to start:
+    * 1-minute loadavg above `maxLoad` (default 4.0 on a 32-core box
+    * whose idle loadavg is ~0; override via GRAFT_MAX_LOADAVG) throws
+    * with the live value in the message. GRAFT_IGNORE_LOAD=1 bypasses
+    * for deliberate concurrent experiments. Linux-only best effort:
+    * no /proc/loadavg means no check. */
+  def checkBenchContention(): Unit = {
+    if (sys.env.contains("GRAFT_IGNORE_LOAD")) return
+    val f = new java.io.File("/proc/loadavg")
+    if (!f.isFile) return
+    val load1 =
+      try java.nio.file.Files.readString(f.toPath).split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => return }
+    val maxLoad = sys.env.get("GRAFT_MAX_LOADAVG").map(_.toDouble).getOrElse(4.0)
+    if (load1 > maxLoad)
+      throw new IllegalStateException(
+        f"1-min loadavg $load1%.1f exceeds $maxLoad%.1f at bench start — " +
+          "a timing run on a loaded box measures the neighbors, not the " +
+          "engine. Wait for the box to drain, or set GRAFT_IGNORE_LOAD=1 " +
+          "(numbers will need solo re-measures) or GRAFT_MAX_LOADAVG.")
+  }
+
   /** Runtime SQL confs that must hold for the engine's readers, applied to
     * an already-built session (builder-time configs don't reach reused
     * sessions). `nanosAsLong`: the driver's events.parquet stores ts as

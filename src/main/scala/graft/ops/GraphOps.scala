@@ -49,7 +49,15 @@ object GraphOps {
     * small graphs schedule a handful of tasks, while a billion-edge
     * graph at 100 TB still spreads across the cluster.
     *
-    * Fault tolerance: by default rounds persist MEMORY_AND_DISK and keep
+    * Storage: every loop persist is MEMORY_AND_DISK_SER (round 15) — a
+    * boxed (Long,Long) tuple is ~60 heap bytes where its Kryo form is
+    * ~16-20: on the sf100 simhash graph (634M directed edges before the
+    * forest sparsification) deserialized caching alone pinned tens of
+    * GB and OOM'd a 96 GB heap. Serialized blocks trade a cheap decode
+    * on access for a 3x smaller and GC-invisible footprint — the right
+    * trade for a loop that streams every block once per round.
+    *
+    * Fault tolerance: by default rounds persist serialized and keep
     * (cheap, plain-RDD) lineage — an executor loss recomputes through
     * the chain. A long-running cluster job passes `checkpointDir`
     * (HDFS/S3): each round's survivors then also write a RELIABLE
@@ -108,12 +116,12 @@ object GraphOps {
 
     // size the loop's partitioner from the materialized edge count
     val edgesRaw = pRdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val edgeCount = edgesRaw.count()
     val numParts = math.max(1, math.min(
       sc.defaultParallelism * 2, (edgeCount / 65536L).toInt + 1))
     val part = new HashPartitioner(numParts)
-    var edges = edgesRaw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var edges = edgesRaw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
     var remaining = edges.count()
     edgesRaw.unpersist(false)
     lap(s"edge setup ($edgeCount directed edges, $numParts partitions)")
@@ -132,7 +140,7 @@ object GraphOps {
       val m2 = m1.map { case (r, v) => (v, r) }.join(m1)
         .map { case (_, (r, v2)) => (r, v2) }
       val newMap = m1.union(m2).reduceByKey(part, lMin)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
       // newMap holds one entry per LIVE representative — it shrinks with
       // the contraction. While it fits on the driver, broadcast it and
       // rewrite the (much larger) edge set in one mapPartitions pass with
@@ -165,7 +173,7 @@ object GraphOps {
       val nextEdges = relabeled
         .reduceByKey(new HashPartitioner(numParts), (x, _) => x)
         .map(_._1)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
       // compose the cumulative map: ids already merged follow their rep's
       // move; ids merging for the FIRST time (still their own rep, so not
       // a comp key — values are always < their key) get a fresh entry
@@ -181,7 +189,7 @@ object GraphOps {
             .map { case (rep, (r0, o)) => (r0, o.getOrElse(rep)) }
       }
       val fresh = newMap.filter { case (k, v) => v != k }.subtractByKey(comp, part)
-      val nextComp = moved.union(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+      val nextComp = moved.union(fresh).persist(StorageLevel.MEMORY_AND_DISK_SER)
       if (checkpointDir.isDefined) { nextEdges.checkpoint(); nextComp.checkpoint() }
       remaining = nextEdges.count()
       nextComp.count()
@@ -229,7 +237,7 @@ object GraphOps {
           val v = o.getOrElse(rep)
           if (v != rep) acc.add(1L)
           (r0, v)
-        }.persist(StorageLevel.MEMORY_AND_DISK)
+        }.persist(StorageLevel.MEMORY_AND_DISK_SER)
       next.count()
       flattening = acc.value != 0L
       comp.unpersist(false)
@@ -252,7 +260,7 @@ object GraphOps {
         if (i == 0) { roundsAcc.add(finalIters); flattenAcc.add(finalFlaps) }
         it
       }, preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     labels.count()
     comp.unpersist(false)
     val out = sess.createDataFrame(
@@ -353,7 +361,7 @@ object GraphOps {
     // (which materializes its labels internally) has run.
     val dictRdd = allIds.sort("id").rdd.map(_.getString(0)).zipWithIndex()
       .map { case (s, i) => Row(s, i) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val dict = sess.createDataFrame(dictRdd,
       StructType(Seq(
         StructField("id", org.apache.spark.sql.types.StringType),

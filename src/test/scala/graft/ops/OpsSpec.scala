@@ -624,6 +624,38 @@ class OpsSpec extends SparkSpec {
     assert(clusters(4L) === ((4L, 1L)), "singleton keeps itself")
   }
 
+  test("simhash forest edges: subset of verified pairs, same components, forest-sized") {
+    // the r15 sparsification contract: sigForestEdges must (a) emit only
+    // hamming<=6 verified sig pairs, (b) preserve the components of the
+    // full verified pair graph, (c) stay <= bands * uniqueSigs edges
+    val sigs = TextDedup.simhashSigs(spark, dir)
+    val forest = TextDedup.sigForestEdges(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val full = TextDedup.sigPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    forest.foreach { case (a, b) =>
+      assert(a < b, s"forest edge ($a,$b) not in canonical orientation")
+      assert(java.lang.Long.bitCount(a ^ b) <= 6, s"unverified forest edge ($a,$b)")
+      assert(full.contains((a, b)), s"forest edge ($a,$b) not a verified pair")
+    }
+    val uniqueSigs = sigs.select("sig").distinct().collect().map(_.getLong(0))
+    assert(forest.length <= TextDedup.SimHashBands * uniqueSigs.length,
+      "forest must be linear in unique sigs")
+    // identical components: union-find over forest == union-find over full
+    def components(edges: Iterable[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(uniqueSigs.map(s => s -> s).toSeq: _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      uniqueSigs.map(s => s -> find(s)).toMap
+    }
+    assert(components(forest) === components(full),
+      "forest sparsification changed the components")
+  }
+
   test("contrastive pairs: positives are the verified near-dups, negatives leave the cluster") {
     val rows = TextDedup.contrastivePairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
