@@ -69,13 +69,12 @@ def main(part1_path, groups_dir, out_path):
         "harness": HARNESS, "diagnostic": DIAGNOSTIC, "reps": 1, "noisy": [],
         "errors": errors, "n_failed": len(errors),
         "sf": "/tmp/graft_sf100",
-        "note": ("chunked: one JVM per family group, heavy class solo "
-                 "(scripts/r14_sf100_sweep.sh + r14_sf100_followups.sh, "
-                 "priority-ordered) under JVM-private spill dirs — a "
-                 "single-JVM full-suite run accumulated 51 GB of shuffle "
-                 "files by query 35; queries in `errors` are explicit "
-                 "exclusions, and the SCALING.md ladder flags any "
-                 "carried-forward numbers"),
+        "note": ("chunked: one JVM per query/family group, heavy class "
+                 "solo, under JVM-private spill dirs — a single-JVM "
+                 "full-suite run accumulated 51 GB of shuffle files by "
+                 "query 35; queries in `errors` are explicit exclusions, "
+                 "and the SCALING.md ladder flags any carried-forward "
+                 "numbers"),
     }
     json.dump(out, open(out_path, "w"), indent=1)
     print(f"{len(queries)} measured, {len(errors)} failed/excluded -> {out_path}")
