@@ -49,6 +49,28 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // CANARY (r15): a fixed, corpus-independent workload timed before
+    // the suite — 200M-row hash/agg (CPU + memory bandwidth) — so
+    // round-over-round box drift is DATA instead of argument. Round 15
+    // measured same-code queries shifting BOTH directions between r14
+    // and r15 windows (SF1 improvements 0.4-0.6x beside FINAL/SF10
+    // risers 1.5-3.7x, risers reproducing under solo JVMs with every
+    // implementing file unchanged); a pinned canary in each artifact
+    // lets the next comparer normalize or discount before blaming code.
+    // min of 3 after one warm-up, same discipline as the queries.
+    val canarySec: Double = {
+      import org.apache.spark.sql.functions.{sum => fsum, xxhash64, col => fcol}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // % keeps the running sum far from Long overflow (ANSI mode throws)
+        spark.range(200000000L).select(fsum(xxhash64(fcol("id")) % 1000003L))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      (1 to 3).map(_ => once()).min
+    }
+
     // Queries that time index CONSTRUCTION end-to-end (multi-batch
     // builds, compactions, crash retries replayed inside the query to
     // prove append == rebuild) rather than probes. Legitimate, but their
@@ -168,11 +190,11 @@ object Bench {
     //   3. the compact line again LAST (survives a last-line parser).
     // GRAFT_BENCH_OUT keeps the complete line including queries_runs.
     val compact =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","total_max":${num(totalMax)},$pools,"reps":$reps,"noisy":$noisyArr,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","total_max":${num(totalMax)},$pools,"reps":$reps,"canary_sec":${num(canarySec)},"noisy":$noisyArr,"n_failed":${errors.size},"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"total_max":${num(totalMax)},$pools,"reps":$reps,"noisy":$noisyArr,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"total_max":${num(totalMax)},$pools,"reps":$reps,"canary_sec":${num(canarySec)},"noisy":$noisyArr,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"queries_runs":$qruns,"total_max":${num(totalMax)},$pools,"reps":$reps,"noisy":$noisyArr,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"queries_runs":$qruns,"total_max":${num(totalMax)},$pools,"reps":$reps,"canary_sec":${num(canarySec)},"noisy":$noisyArr,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(compact)
     println(line)
     println(compact)

@@ -165,30 +165,49 @@ object GraftConf {
           s"measured floors in docs/SCALING.md")
   }
 
-  /** Fail fast when the box is already LOADED at bench start (round-14
-    * verdict #2: three rounds running, suite windows were polluted by
+  /** Fail fast when the box is busy at bench start (round-14 verdict
+    * #2: three rounds running, suite windows were polluted by
     * concurrent JVMs and the official artifact needed post-hoc solo
     * re-measures). A timing suite launched onto a busy box produces
-    * numbers that are environment, not engine — so refuse to start:
-    * 1-minute loadavg above `maxLoad` (default 4.0 on a 32-core box
-    * whose idle loadavg is ~0; override via GRAFT_MAX_LOADAVG) throws
-    * with the live value in the message. GRAFT_IGNORE_LOAD=1 bypasses
-    * for deliberate concurrent experiments. Linux-only best effort:
-    * no /proc/loadavg means no check. */
+    * numbers that are environment, not engine — so refuse to start.
+    *
+    * The signal is LIVE CPU busy-fraction (/proc/stat sampled twice,
+    * 300 ms apart), NOT 1-minute loadavg: the first version of this
+    * gate used loadavg and promptly broke its own sequential chain —
+    * a just-exited heavy solo bench leaves loadavg above any sane
+    * threshold for minutes (exponential decay) while the CPUs are
+    * already idle, so back-to-back solos all refused to start. A live
+    * sample sees the truth instantly in both directions: idle box
+    * after a heavy exit -> pass; an active neighbor mid-burn -> fail.
+    * Busy fraction above maxBusy (default 0.25 of all cores; override
+    * GRAFT_MAX_BUSY) throws with the measured value. GRAFT_IGNORE_LOAD=1
+    * bypasses for deliberate concurrent experiments. Linux-only best
+    * effort: no /proc/stat means no check. */
   def checkBenchContention(): Unit = {
     if (sys.env.contains("GRAFT_IGNORE_LOAD")) return
-    val f = new java.io.File("/proc/loadavg")
+    val f = new java.io.File("/proc/stat")
     if (!f.isFile) return
-    val load1 =
-      try java.nio.file.Files.readString(f.toPath).split("\\s+")(0).toDouble
-      catch { case scala.util.control.NonFatal(_) => return }
-    val maxLoad = sys.env.get("GRAFT_MAX_LOADAVG").map(_.toDouble).getOrElse(4.0)
-    if (load1 > maxLoad)
-      throw new IllegalStateException(
-        f"1-min loadavg $load1%.1f exceeds $maxLoad%.1f at bench start — " +
-          "a timing run on a loaded box measures the neighbors, not the " +
-          "engine. Wait for the box to drain, or set GRAFT_IGNORE_LOAD=1 " +
-          "(numbers will need solo re-measures) or GRAFT_MAX_LOADAVG.")
+    // cpu line: user nice system idle iowait irq softirq steal ...
+    def sample(): Option[(Long, Long)] =
+      try {
+        val cols = java.nio.file.Files.readAllLines(f.toPath).get(0)
+          .split("\\s+").drop(1).map(_.toLong)
+        val idle = cols(3) + (if (cols.length > 4) cols(4) else 0L)
+        Some((cols.sum, idle))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    (sample(), { Thread.sleep(300); sample() }) match {
+      case (Some((t0, i0)), Some((t1, i1))) if t1 > t0 =>
+        val busy = 1.0 - (i1 - i0).toDouble / (t1 - t0).toDouble
+        val maxBusy = sys.env.get("GRAFT_MAX_BUSY").map(_.toDouble).getOrElse(0.25)
+        if (busy > maxBusy)
+          throw new IllegalStateException(
+            f"live CPU busy fraction $busy%.2f exceeds $maxBusy%.2f at bench " +
+              "start — a timing run on a busy box measures the neighbors, " +
+              "not the engine. Wait for the box to drain, or set " +
+              "GRAFT_IGNORE_LOAD=1 (numbers will need solo re-measures) " +
+              "or GRAFT_MAX_BUSY.")
+      case _ => ()
+    }
   }
 
   /** Runtime SQL confs that must hold for the engine's readers, applied to

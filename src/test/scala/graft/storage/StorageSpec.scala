@@ -39,6 +39,44 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch spreads a single-date batch across bounded writer tasks, each time-sorted") {
+    import spark.implicits._
+    // the r15 sustained-ingest finding: a LIVE stream's rows all carry
+    // today's date, so repartition-by-date-alone serialized every batch
+    // into one writer task. The spread must (a) produce >1 but
+    // <= WritersPerDate files for a hot date, (b) keep every file
+    // time-sorted (the MergeTree parts analog), (c) stay idempotent
+    // under batch replay.
+    val dir = java.nio.file.Files.createTempDirectory("abspread").toString
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val ticks = (1 to 4000).map { i =>
+      (s"tok${i % 97}", i.toLong,
+        new java.sql.Timestamp(ts0.getTime + (i * 7919) % 3600000))
+    }.toDF("token", "sequence_number", "exchange_timestamp")
+    TickTable.appendBatch(ticks, dir, batchId = 3L)
+    val part = new java.io.File(dir, "trade_date=2024-01-05/batch_id=3")
+    val files = part.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "a hot date must not serialize into one writer")
+    assert(files.length <= TickTable.WritersPerDate,
+      s"files per batch per date bounded by WritersPerDate: ${files.length}")
+    files.foreach { f =>
+      val ts = spark.read.parquet(f.getAbsolutePath)
+        .select("exchange_timestamp").as[java.sql.Timestamp].collect()
+      assert(ts.sameElements(ts.sorted),
+        s"each part file must be time-sorted: ${f.getName}")
+    }
+    // token rows cluster into one file (point-lookup locality)
+    val tokFiles = files.map { f =>
+      spark.read.parquet(f.getAbsolutePath)
+        .filter(col("token") === "tok7").count()
+    }
+    assert(tokFiles.count(_ > 0) === 1, "one token's rows live in one bucket file")
+    // replayed batch overwrites its own partition dir, no duplication
+    // (runs LAST: the overwrite replaces the files listed above)
+    TickTable.appendBatch(ticks, dir, batchId = 3L)
+    assert(spark.read.parquet(dir).count() === 4000L)
+  }
+
   test("compactBatchDirs merges cold batches, keeps the hot one, repeats safely") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cbd").toString
