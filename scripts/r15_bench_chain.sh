@@ -11,6 +11,7 @@
 # Prereqs: /tmp/graft_sf{1,10} exist (scripts/r14_gen_corpora.sh).
 set -uo pipefail
 cd "$(dirname "$0")/.."
+export GRAFT_STRICT_LOAD=1  # builder chains: busy box = hard failure
 
 sweep_leftovers() {
   if ! pgrep -x java > /dev/null; then

@@ -15,6 +15,7 @@
 # run on the box — Bench's loadavg gate enforces that at each start.
 set -uo pipefail
 cd "$(dirname "$0")/.."
+export GRAFT_STRICT_LOAD=1  # builder chains: busy box = hard failure
 OUT=/tmp/sf100_r15
 mkdir -p "$OUT"
 

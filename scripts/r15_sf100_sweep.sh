@@ -19,6 +19,7 @@ export SPARK_GRAFT_SF_DIR=/tmp/graft_sf100
 export SPARK_DRIVER_MEM=96g
 export GRAFT_BENCH_REPS=1
 export GRAFT_BENCH_TRACE=1
+export GRAFT_STRICT_LOAD=1
 
 sweep_leftovers() {
   if ! pgrep -x java > /dev/null; then

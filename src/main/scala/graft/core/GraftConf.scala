@@ -182,7 +182,15 @@ object GraftConf {
     * Busy fraction above maxBusy (default 0.25 of all cores; override
     * GRAFT_MAX_BUSY) throws with the measured value. GRAFT_IGNORE_LOAD=1
     * bypasses for deliberate concurrent experiments. Linux-only best
-    * effort: no /proc/stat means no check. */
+    * effort: no /proc/stat means no check.
+    *
+    * Default is WARN-and-proceed: an unattended launcher (the driver's
+    * official bench) must never lose its whole artifact because some
+    * straggler was burning CPU at its start — the per-query noisy-rep
+    * machinery still catches pollution query by query. The builder's
+    * own measurement chains export GRAFT_STRICT_LOAD=1 to make a busy
+    * box a hard failure instead (their operator is present to drain
+    * and re-run). */
   def checkBenchContention(): Unit = {
     if (sys.env.contains("GRAFT_IGNORE_LOAD")) return
     val f = new java.io.File("/proc/stat")
@@ -199,13 +207,20 @@ object GraftConf {
       case (Some((t0, i0)), Some((t1, i1))) if t1 > t0 =>
         val busy = 1.0 - (i1 - i0).toDouble / (t1 - t0).toDouble
         val maxBusy = sys.env.get("GRAFT_MAX_BUSY").map(_.toDouble).getOrElse(0.25)
-        if (busy > maxBusy)
-          throw new IllegalStateException(
+        if (busy > maxBusy) {
+          val msg =
             f"live CPU busy fraction $busy%.2f exceeds $maxBusy%.2f at bench " +
               "start — a timing run on a busy box measures the neighbors, " +
-              "not the engine. Wait for the box to drain, or set " +
-              "GRAFT_IGNORE_LOAD=1 (numbers will need solo re-measures) " +
-              "or GRAFT_MAX_BUSY.")
+              "not the engine."
+          if (sys.env.contains("GRAFT_STRICT_LOAD"))
+            throw new IllegalStateException(msg +
+              " Wait for the box to drain, or set GRAFT_IGNORE_LOAD=1 " +
+              "(numbers will need solo re-measures) or GRAFT_MAX_BUSY.")
+          else
+            System.err.println("[graft] WARN " + msg +
+              " Proceeding (set GRAFT_STRICT_LOAD=1 to fail fast); " +
+              "per-query noisy-rep detection still applies.")
+        }
       case _ => ()
     }
   }
