@@ -41,6 +41,12 @@ SPARK_DRIVER_MEM=48g GRAFT_BENCH_REPS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 \
 echo "exit=$?"
 merge docs/BENCH_R14_SF1.json /tmp/remeasure_sf1.json "$WHY"
 
+# PROVENANCE CAVEAT (r15, per ADVICE): this SF10 set re-ran at reps=2
+# while BENCH_R14_SF10 itself was measured at reps=1 — merged mins for
+# these four queries come from a deeper-sample basis than the rest of
+# the artifact, whose top-level `reps` field still reads 1. Recorded
+# here rather than re-run: the r15 protocol (contention gate + canary +
+# single-window chains) replaces post-hoc remeasure merges entirely.
 echo "== SF10 set (reps2)"
 SPARK_DRIVER_MEM=48g GRAFT_BENCH_REPS=2 SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 \
   GRAFT_BENCH_ONLY="except_tokens,distinct_ngram_diversity,contrastive_hard_negatives,dedup_simhash" \
