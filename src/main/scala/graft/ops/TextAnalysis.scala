@@ -675,10 +675,71 @@ object TextAnalysis {
 
   /** Apply a merge list in rank order to a 1-column `word` frame — the
     * canonical BPE APPLICATION to arbitrary (possibly out-of-training)
-    * words: chars first, then each merge's greedy left-to-right rewrite.
-    * numMerges nested folds in one projection; vocab-sized work. */
+    * words: chars first, then each merge's greedy left-to-right rewrite,
+    * each merge applied exactly once at its rank's turn.
+    *
+    * ONE projection regardless of merge count: the ranked table rides the
+    * UDF closure (task-broadcast, numMerges rows) and each word is encoded
+    * by a per-row loop. The per-merge `withColumn` fold this replaces
+    * (kept below as [[applyMergesFold]], the spec-pinned reference law)
+    * builds numMerges nested Projects — quadratic analyzer work and a
+    * StackOverflowError in `DeduplicateRelations` at production vocab
+    * sizes (16k-32k merges), i.e. it could never encode with the
+    * tokenizer the trainer itself produces.
+    *
+    * Equivalence with the fold (pinned by OpsSpec): applying merges one
+    * at a time in rank order is the same as repeatedly rewriting the
+    * minimum-rank adjacent pair whose rank is STRICTLY ABOVE the last
+    * rank applied — a pass at rank k leaves no (l,r) adjacency of rank k
+    * behind (the merged token l+r can equal neither operand), and any
+    * pair a later merge re-creates ranks above it, so the ascending-rank
+    * walk visits exactly the merges the fold applies, in fold order.
+    * O(len^2) map lookups per word, independent of numMerges. */
   def applyMerges(vocabWords: DataFrame,
-                  merges: Seq[(String, String, Long)]): DataFrame =
+                  merges: Seq[(String, String, Long)]): DataFrame = {
+    val table: Array[(String, String)] = merges.map(m => (m._1, m._2)).toArray
+    val rank: Map[(String, String), Int] =
+      table.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+    val enc = udf { (word: String) =>
+      // code points, matching the fold's substring(word, i, 1) char split
+      var syms: Array[String] =
+        word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      var last = -1
+      var done = syms.length < 2
+      while (!done) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (k > last && k < best) best = k
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (l, r) = table(best)
+          val out = Array.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+              out += (l + r); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+          last = best
+          done = syms.length < 2
+        }
+      }
+      syms
+    }
+    vocabWords.withColumn("syms", enc(col("word")))
+  }
+
+  /** The superseded per-merge fold — numMerges nested Projects, analyzer
+    * StackOverflow at production vocab sizes. Kept (package-private) as
+    * the reference law the OpsSpec equivalence pin trains [[applyMerges]]
+    * against at small merge counts. */
+  private[graft] def applyMergesFold(vocabWords: DataFrame,
+                                     merges: Seq[(String, String, Long)]): DataFrame =
     merges.foldLeft(
       vocabWords.withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))) {

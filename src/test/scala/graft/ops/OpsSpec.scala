@@ -332,6 +332,36 @@ class OpsSpec extends SparkSpec {
     assert(f.toSeq === Seq((0L, "aa"), (1L, "b"), (2L, "aaab")))
   }
 
+  test("applyMerges (one-projection UDF) equals the per-merge fold law") {
+    import spark.implicits._
+    // real corpus words + adversarial shapes: overlap chains ("aaa" must
+    // give [aa, a]), a later merge re-creating an earlier pair's operands
+    // (("b","c") after ("a","bc") — rank order must NOT re-fire the
+    // earlier rule), OOV symbols, and a word shorter than any pair
+    val words = TextAnalysis.docs(spark, dir)
+      .select(explode(TextHashing.words(col("text"))).as("word")).distinct()
+      .union(Seq("aaa", "abcbc", "aabcc", "x").toDF("word"))
+    val merges = Seq(
+      ("a", "bc", 9L), ("b", "c", 7L), ("a", "a", 5L),
+      ("aa", "a", 3L), ("ab", "c", 2L))
+    val got = TextAnalysis.applyMerges(words, merges)
+      .select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val want = TextAnalysis.applyMergesFold(words, merges)
+      .select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (w, syms) => assert(syms === want(w), s"word '$w'") }
+    // (a,a) gives [aa, a] (non-overlapping greedy), then (aa,a) -> [aaa]
+    assert(got("aaa") === Seq("aaa"))
+    // the empty word encodes to NO tokens (the old fold's sequence(1,0)
+    // quirk produced ["", ""]; words() never emits empty tokens, so the
+    // sensible law is the pin, not the quirk)
+    val empty = TextAnalysis.applyMerges(Seq("").toDF("word"), merges)
+      .select("syms").head().getSeq[String](0)
+    assert(empty === Seq.empty)
+  }
+
   test("BPE token counts match the trained vocab's symbol lengths") {
     val n = TextAnalysis.bpeTokenCounts(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
