@@ -1,5 +1,10 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// No "[success] Total time ..." epilogue: the per-round bench driver
+// parses the LAST stdout line of `sbt runMain graft.Bench` as JSON —
+// the banner after Bench's trailing compact line is why BENCH_r15.json
+// has parsed:null. Errors still print ([error] lines are unaffected).
+Global / showSuccess := false
 name := "angelone_clickhousespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -175,6 +175,24 @@ def main():
     git_range = sys.argv[3] if len(sys.argv) > 3 else None
     changed = changed_files(git_range) if git_range else None
 
+    # canary normalization (r15 verdict #5): both artifacts carry
+    # `canary_sec`, the wall of an identical fixed-work probe (200M-row
+    # hash/agg) run in the same JVM/window — their ratio measures the
+    # BOX-SPEED shift between the two windows, which r15 showed moves
+    # same-code queries both directions within one day. New times are
+    # divided by the ratio before the slowdown math so verdicts compare
+    # code, not environment. Missing canary on either side -> annotate
+    # and compare raw (pre-r15 artifacts predate the canary).
+    cal = 1.0
+    if isinstance(old.get("canary_sec"), (int, float)) and \
+       isinstance(new.get("canary_sec"), (int, float)) and old["canary_sec"] > 0:
+        cal = new["canary_sec"] / old["canary_sec"]
+        print(f"canary: old {old['canary_sec']:.3f}s -> new {new['canary_sec']:.3f}s "
+              f"(box-speed ratio {cal:.2f}x; new times normalized by it)")
+    else:
+        print("canary: absent on one side — comparing RAW times "
+              "(pre-canary artifact or canary disabled)")
+
     noisy = set(old.get("noisy", [])) | set(new.get("noisy", []))
     # a query that was healthy in OLD but now errors (t_new < 0) or is
     # gone entirely is the WORST regression — it must fail the verdict,
@@ -183,10 +201,11 @@ def main():
         q for q, t_old in old["queries"].items()
         if t_old >= 0 and new["queries"].get(q, -1.0) < 0)
     regressions, environmental, improved = [], [], []
-    for q, t_new in sorted(new["queries"].items()):
+    for q, t_raw in sorted(new["queries"].items()):
         t_old = old["queries"].get(q)
-        if t_old is None or t_old < 0 or t_new < 0:
+        if t_old is None or t_old < 0 or t_raw < 0:
             continue
+        t_new = t_raw / cal  # canary-adjusted (cal=1.0 when no canary)
         if t_new <= t_old / RATIO and t_old - t_new >= ABS_FLOOR:
             improved.append((q, t_old, t_new))
             continue
@@ -250,9 +269,10 @@ def main():
             err = new.get("errors", {}).get(q, "")
             print(f"  {q:32s} {old['queries'][q]:7.3f}s -> {state}"
                   + (f"  [{err}]" if err else ""))
-    show("CODE-ATTRIBUTABLE regressions", regressions)
-    show("environmental slowdowns (excluded from verdict)", environmental)
-    show("improvements", improved)
+    adj = " (canary-adjusted)" if cal != 1.0 else ""
+    show("CODE-ATTRIBUTABLE regressions" + adj, regressions)
+    show("environmental slowdowns (excluded from verdict)" + adj, environmental)
+    show("improvements" + adj, improved)
     if not regressions and not broken:
         print("\nverdict: no code-attributable regressions")
     sys.exit(1 if regressions or broken else 0)

@@ -14,15 +14,17 @@ HARNESS = ["bm25_incremental", "curation_replay", "curation_replay_decontam",
            "media_curation_replay", "media_curation_replay_mixed",
            "vector_curation_replay"]
 # known-quadratic sample-scale faces, reported under total_diagnostic
-# (r15 pool split, mirrors Bench.scala's diagnosticQueries)
-DIAGNOSTIC = ["dedup_ngram_ppjoin", "media_phash_dedup"]
+# (r15 pool split + r16 dedup_simhash demotion, mirrors Bench.scala's
+# diagnosticQueries)
+DIAGNOSTIC = ["dedup_ngram_ppjoin", "media_phash_dedup", "dedup_simhash"]
 
 # chain scripts whose run_group/run_solo lines define the expected set
-CHAINS = ["r15_sf100_sweep.sh"]
+CHAINS = ["r15_sf100_sweep.sh", "r16_sf100_sweep.sh"]
 
 
 def main(part1_path, groups_dir, out_path):
     queries, errors = {}, {}
+    seeded = set()
     if part1_path != "-" and os.path.exists(part1_path):
         # a seed may be a bare {query: time} dict OR a full Bench
         # artifact — take its `queries` and apply the same t >= 0 filter
@@ -32,19 +34,30 @@ def main(part1_path, groups_dir, out_path):
         seed_qs = seed.get("queries", seed)
         queries.update({q: t for q, t in seed_qs.items()
                         if isinstance(t, (int, float)) and t >= 0})
-    expected = set()
+        seeded = set(queries)
+    fresh, canaries = set(), []
     for f in sorted(os.listdir(groups_dir)):
         if not f.endswith(".json"):
             continue
         d = json.load(open(os.path.join(groups_dir, f)))
+        if isinstance(d.get("canary_sec"), (int, float)):
+            canaries.append(d["canary_sec"])
         for q, t in d["queries"].items():
             if t >= 0:
                 queries[q] = t
+                fresh.add(q)
             else:
                 errors[q] = d.get("errors", {}).get(q, "failed")
     # a later retry group (e.g. solo-JVM re-runs of queries that died on
-    # shared-group scratch disk) supersedes an earlier recorded failure
-    errors = {q: e for q, e in errors.items() if q not in queries}
+    # shared-group scratch disk) supersedes an earlier recorded failure —
+    # but ONLY a FRESH measurement suppresses the error (ADVICE r15 #1:
+    # a seed value must never mask a fresh-run failure for code that may
+    # have changed this round; such queries fall back to the error AND
+    # lose the stale seed number)
+    for q in list(errors):
+        if q in seeded and q not in fresh:
+            queries.pop(q, None)
+    errors = {q: e for q, e in errors.items() if q not in fresh}
     # queries a group was supposed to run but whose JSON never landed
     # (chain timeout kills the JVM before GRAFT_BENCH_OUT is written)
     import re
@@ -61,6 +74,7 @@ def main(part1_path, groups_dir, out_path):
                 if q not in HARNESS and q not in DIAGNOSTIC)
     har = sum(t for q, t in queries.items() if q in HARNESS)
     diag = sum(t for q, t in queries.items() if q in DIAGNOSTIC)
+    carried = sorted(q for q in queries if q in seeded and q not in fresh)
     out = {
         "metric": "total", "value": round(total, 3), "unit": "sec",
         "queries": {q: round(t, 3) for q, t in sorted(queries.items())},
@@ -68,6 +82,13 @@ def main(part1_path, groups_dir, out_path):
         "total_diagnostic": round(diag, 3),
         "harness": HARNESS, "diagnostic": DIAGNOSTIC, "reps": 1, "noisy": [],
         "errors": errors, "n_failed": len(errors),
+        # seed-sourced numbers NOT re-measured this round (ADVICE r15 #1:
+        # explicit, never silent) — readers must treat these as the
+        # prior round's measurements of then-current code
+        "carried_forward": carried,
+        # representative fixed-work canary for cross-round normalization
+        # (min across this run's group JVMs — the least-contended window)
+        **({"canary_sec": round(min(canaries), 3)} if canaries else {}),
         "sf": "/tmp/graft_sf100",
         "note": ("chunked: one JVM per query/family group, heavy class "
                  "solo, under JVM-private spill dirs — a single-JVM "

@@ -1,10 +1,12 @@
 #!/usr/bin/env bash
 # Round-15 suite chain: the three durable lower-decade ladder artifacts.
 # Round-14 verdict #2 made contention-PREVENTION the default instead of
-# post-hoc solo re-measures: Bench itself now refuses to start above
-# loadavg 4 (GraftConf.checkBenchContention), this chain is strictly
-# sequential, and NOTHING else (sbt, tests, generators) may run during
-# it — the goal is an artifact set with `"noisy":[]` and no remeasure
+# post-hoc solo re-measures: Bench samples the live /proc/stat CPU busy
+# fraction at start (GraftConf.checkBenchContention, default threshold
+# 0.25 via GRAFT_MAX_BUSY) and with GRAFT_STRICT_LOAD=1 — exported
+# below — a busy box is a hard failure, not a warning. This chain is
+# strictly sequential, and NOTHING else (sbt, tests, generators) may
+# run during it — the goal is an artifact set with `"noisy":[]` and no remeasure
 # merge. Spill discipline: JVM-private /tmp/graft-local.* dirs
 # (GraftConf.privateLocalDirs); leftovers swept only when no java
 # process is alive.

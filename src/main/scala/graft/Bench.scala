@@ -87,12 +87,18 @@ object Bench {
     // registry as documented sample-scale diagnostics whose cost law is
     // known-quadratic by design — the 60-bit phash face (its n^2/2^bits
     // candidate term is the reason the wide 240-bit face exists and is
-    // the production path, ops/Multimodal.scala) and the PPJoin
+    // the production path, ops/Multimodal.scala), the PPJoin
     // all-pairs verifier (the linear ngramClusters contract is the
-    // production path, ops/TextDedup.scala). They stay oracle-checked
-    // but report under total_diagnostic so total_probe and the scaling
-    // ladder's >2x-linear count measure only scale paths.
-    val diagnosticQueries = Set("media_phash_dedup", "dedup_ngram_ppjoin")
+    // production path, ops/TextDedup.scala), and — r15 verdict #3/#4 —
+    // the simhash ALL-PAIRS face dedup_simhash, whose output contract
+    // IS every verified pair (316.8M at sf100 vs ~30M at sf10, the same
+    // "a 1000-member family IS 499,500 rows" law that demoted ppjoin);
+    // simhashClusters (forest-sparsified, linear output) is the
+    // production contract. They stay oracle-checked but report under
+    // total_diagnostic so total_probe and the scaling ladder's
+    // >2x-linear count measure only scale paths.
+    val diagnosticQueries =
+      Set("media_phash_dedup", "dedup_ngram_ppjoin", "dedup_simhash")
 
     // GRAFT_BENCH_ONLY: comma-separated query names — run just those
     // (scaling-ladder subsets at big SF; unknown names are an error,

@@ -471,13 +471,17 @@ object Graft {
     * duplicate family is 499,500 rows, 19.3x measured at the same
     * decade — which makes them sample-scale DIAGNOSTICS for inspecting
     * dup structure, not the operator a 100 TB pipeline should reach by
-    * default. Two registry faces are formally in the bench's
-    * `diagnostic` pool for this reason (r15): `dedup_ngram_ppjoin`
-    * (its pair-stream verification is sum(df^2) over shared shingles —
+    * default. Three registry faces are formally in the bench's
+    * `diagnostic` pool for this reason: `dedup_ngram_ppjoin` (r15 —
+    * its pair-stream verification is sum(df^2) over shared shingles —
     * quadratic in dup-family size by construction; `ngramClusters` /
-    * `ngramClustersAt` is the linear production contract) and the
-    * 60-bit `media_phash_dedup` (the wide 240-bit face is the
-    * production path, see [[ops.Multimodal]]). GraftFacadeSpec pins
+    * `ngramClustersAt` is the linear production contract), the
+    * 60-bit `media_phash_dedup` (r15 — the wide 240-bit face is the
+    * production path, see [[ops.Multimodal]]), and `dedup_simhash`
+    * (r16 — the all-pairs simhash face; measured 316.8M verified pairs
+    * at sf100 vs ~30M at sf10, i.e. the quadratic output law above;
+    * `simhashClusters`, forest-sparsified and auto-banded, is the
+    * simhash production contract). GraftFacadeSpec pins
     * the one-row-per-doc contract on this path. */
   def nearDupClusters(spark: SparkSession, dir: String,
                       method: String = "minhash"): org.apache.spark.sql.DataFrame =

@@ -647,6 +647,20 @@ object SparkEntry {
       |  CAST(list_sum(list_transform(range(1, (SELECT nbits FROM nb) + 1),
       |    i -> CASE WHEN v[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS BIGINT) AS bkt FROM emb)""".stripMargin
 
+  /** AUTO-SIZED simhash band-width CTE (mirrors TextDedup.simhashBandBits
+    * digit for digit): w = max(12, min(32, ceil(log2(nUniqueSigs / 1024))))
+    * from the unique-signature count, band b reads bits
+    * [b*(48-w)/3, b*(48-w)/3 + w) — at w = 12 this is exactly the old
+    * fixed 0/12/24/36 4x12 layout. Assumes a CTE `sigs(doc_id, sig)` is
+    * already defined; emits `nw(w)`. Same LOG2-at-power-of-two caveat as
+    * [[EmbAutoBucketCte]]. */
+  private val SimhashNwCte =
+    s"""nw AS (SELECT GREATEST(12, LEAST(32, CAST(CEIL(LOG2(CAST(count(DISTINCT sig) AS DOUBLE) / ${graft.ops.TextDedup.SimHashTargetPop}.0)) AS INTEGER))) AS w FROM sigs)""".stripMargin
+
+  /** band_val of simhash band `b` for a column `sig`, at the nw width. */
+  private def simhashBandValSql(b: String, sig: String): String =
+    s"($sig >> (($b * (48 - (SELECT w FROM nw))) // 3)) & ((CAST(1 AS BIGINT) << (SELECT w FROM nw)) - 1)"
+
   private val centroidCols: String =
     (0 until 64).map(i =>
       s"round(CAST(sum(CAST(v[${i + 1}] AS DECIMAL(27,12))) AS DOUBLE),3) AS s${"%02d".format(i)}").mkString(", ")
@@ -1655,12 +1669,13 @@ object SparkEntry {
          |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0,47)) AS j) GROUP BY 1, 2),
          |sigs AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
          |  FROM votes GROUP BY 1),
-         |bands AS (SELECT doc_id, sig, b, (sig >> (b*12)) & 4095 AS band_val
+         |$SimhashNwCte,
+         |bands AS (SELECT doc_id, sig, b, ${simhashBandValSql("b", "sig")} AS band_val
          |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b)),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.sig AS sig_a, y.doc_id AS doc_b, y.sig AS sig_b
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6 ORDER BY doc_a, doc_b""".stripMargin,
+         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= ${graft.ops.TextDedup.SimHashHammingMax} ORDER BY doc_a, doc_b""".stripMargin,
 
     // connected components via recursive transitive closure — an
     // algorithm independent of the Spark side's min-label propagation
@@ -1673,11 +1688,12 @@ object SparkEntry {
          |sigs AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
          |  FROM votes GROUP BY 1),
          |usig AS (SELECT DISTINCT sig FROM sigs),
-         |bands AS (SELECT sig, b, (sig >> (b*12)) & 4095 AS band_val
+         |$SimhashNwCte,
+         |bands AS (SELECT sig, b, ${simhashBandValSql("b", "sig")} AS band_val
          |  FROM usig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b)),
          |ep AS (SELECT DISTINCT x.sig AS sa, y.sig AS sb
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.band_val = y.band_val AND x.sig < y.sig
-         |  WHERE bit_count(xor(x.sig, y.sig)) <= 6),
+         |  WHERE bit_count(xor(x.sig, y.sig)) <= ${graft.ops.TextDedup.SimHashHammingMax}),
          |edges AS (SELECT sa, sb FROM ep UNION ALL SELECT sb AS sa, sa AS sb FROM ep),
          |reach(src, dst) AS (SELECT sig, sig FROM usig
          |  UNION SELECT r.src, e.sb FROM reach r JOIN edges e ON r.dst = e.sa),

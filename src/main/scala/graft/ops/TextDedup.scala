@@ -21,7 +21,44 @@ object TextDedup {
   val NumHashes = 32
   val BandRows = 4 // 8 bands x 4 rows
   val SimHashBits = 48
-  val SimHashBands = 4 // x 12 bits
+  val SimHashBands = 4
+  /** Verified-pair cut: banded candidates survive iff their 48-bit
+    * signatures differ in at most this many bits. ONE constant shared by
+    * the all-pairs verification join ([[sigPairGraph]]) and the
+    * forest-sparsified cluster path ([[sigForestEdges]]) — drift between
+    * the two would silently change components vs the all-pairs face. */
+  val SimHashHammingMax = 6L
+  /** Target expected population of a (band, band_val) candidate bucket. */
+  val SimHashTargetPop = 1024L
+
+  /** AUTO-SIZED simhash band width (r15 verdict #2): the smallest
+    * w in [12, 32] with [[SimHashTargetPop]] * 2^w >= nUniqueSigs —
+    * the [[Similarity.autoNBits]] law applied to the simhash candidate
+    * stage. The old FIXED 4x12-bit banding held bucket count at 4096
+    * per band, so per-bucket population grew ~n/4096 and the candidate
+    * popcount work (sum of pop^2/2 over buckets) was quadratic per
+    * decade — 7.6B comparisons at sf100 and a single-task forest
+    * straggler one decade later. Deriving w from the unique-sig count
+    * holds E[population] <= TargetPop by construction: candidate work
+    * and the largest forest task stay ~flat per decade, the way
+    * `embeddingNearDup`'s buckets already do.
+    *
+    * Band b reads bits [b*(48-w)/3, b*(48-w)/3 + w) — evenly spread
+    * offsets so every band stays inside the 48-bit signature at any
+    * width; at w = 12 the offsets are 0/12/24/36, i.e. EXACTLY the old
+    * disjoint 4x12 layout, so every current-scale output (sf0.01
+    * through sf100, all under 4.2M unique sigs) is bit-identical to
+    * the fixed law. The formula is mirrored digit-for-digit in the
+    * DuckDB oracle (GREATEST(12, LEAST(32, CEIL(LOG2(n/1024.0)))))
+    * the way `vector_curation_replay` mirrors the nbits formula. */
+  def simhashBandBits(nUniqueSigs: Long): Int = {
+    var w = 0
+    while (w < 32 && (BigInt(SimHashTargetPop) << w) < BigInt(nUniqueSigs)) w += 1
+    math.max(12, w)
+  }
+
+  /** Bit offset of simhash band `b` at width `w` (see above). */
+  def simhashBandOffset(b: Int, w: Int): Int = b * (SimHashBits - w) / (SimHashBands - 1)
 
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -663,8 +700,10 @@ object TextDedup {
         .select(col("doc_id"), sigExpr.as("sig"))
     }
 
-  /** SimHash near-dup pairs: 4 bands x 12 bits; candidates share a band,
-    * survivors have Hamming distance <= 6 over the 48-bit signatures.
+  /** SimHash near-dup pairs: 4 bands at the auto-sized width
+    * ([[simhashBandBits]]); candidates share a band, survivors have
+    * Hamming distance <= [[SimHashHammingMax]] over the 48-bit
+    * signatures.
     *
     * The pairwise stage runs over UNIQUE signatures (similar docs often
     * share a sig exactly), then expands back to doc pairs — the
@@ -683,19 +722,30 @@ object TextDedup {
       sigPairGraph(simhashSigs(spark, dir))
     }
 
-  private def sigPairGraph(sigs: DataFrame): DataFrame = {
-    val usig = sigs.select("sig").distinct()
+  /** (sig, b, band_val) band table over the unique signatures, at the
+    * auto-sized width — the shared candidate stage of the all-pairs and
+    * forest paths. One count over the (session-cached) signature frame
+    * picks the width; at 100 TB that count is a footer-sized action. */
+  private def sigBands(usig: DataFrame): DataFrame = {
+    val w = simhashBandBits(usig.count())
+    val mask = (1L << w) - 1L
     val bandStructs = (0 until SimHashBands).map { b =>
-      struct(lit(b).as("b"), (expr(s"shiftright(sig, ${b * 12})") % 4096).as("band_val"))
+      struct(lit(b).as("b"),
+        (expr(s"shiftright(sig, ${simhashBandOffset(b, w)})")
+          .bitwiseAND(lit(mask))).as("band_val"))
     }
-    val bands = usig.select(col("sig"), explode(array(bandStructs: _*)).as("bb"))
+    usig.select(col("sig"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("sig"), col("bb.b").as("b"), col("bb.band_val").as("band_val"))
+  }
+
+  private def sigPairGraph(sigs: DataFrame): DataFrame = {
+    val bands = sigBands(sigs.select("sig").distinct())
     bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val")
           && col("x.sig") < col("y.sig"))
       .withColumn("hamming", bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimHashHammingMax)
       .select(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"), col("hamming"))
       .distinct()
   }
@@ -728,10 +778,7 @@ object TextDedup {
     * all-pairs face (`simhash`) keeps `sigPairs`: its output contract
     * IS every verified pair. */
   private[graft] def sigForestEdges(sigs: DataFrame): DataFrame = {
-    val usig = sigs.select("sig").distinct()
-    val bandStructs = (0 until SimHashBands).map { b =>
-      struct(lit(b).as("b"), (expr(s"shiftright(sig, ${b * 12})") % 4096).as("band_val"))
-    }
+    val hammingMax = SimHashHammingMax // hoisted into the closure once
     val forest = udf { (ss: Seq[Long]) =>
       val arr = ss.toArray
       java.util.Arrays.sort(arr)
@@ -750,7 +797,7 @@ object TextDedup {
         while (j < arr.length) {
           val ri = find(i); val rj = find(j)
           if (ri != rj &&
-              java.lang.Long.bitCount(arr(i) ^ arr(j)) <= 6) {
+              java.lang.Long.bitCount(arr(i) ^ arr(j)) <= hammingMax) {
             parent(rj) = ri
             out += ((arr(i), arr(j)))
           }
@@ -760,8 +807,12 @@ object TextDedup {
       }
       out.toSeq
     }
-    usig.select(col("sig"), explode(array(bandStructs: _*)).as("bb"))
-      .groupBy(col("bb.b"), col("bb.band_val"))
+    // auto-sized banding bounds each (b, band_val) bucket — the UDF's
+    // single task — at ~SimHashTargetPop expected members, so the
+    // per-bucket O(pop^2) loop stays ~flat per decade instead of
+    // growing n/4096 under the old fixed width
+    sigBands(sigs.select("sig").distinct())
+      .groupBy(col("b"), col("band_val"))
       .agg(collect_list("sig").as("ss"))
       .select(explode(forest(col("ss"))).as("e"))
       .select(col("e._1").as("sig_a"), col("e._2").as("sig_b"))

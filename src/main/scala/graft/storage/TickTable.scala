@@ -30,18 +30,37 @@ object TickTable {
   val PartitionCol = "trade_date"
 
   /** Writer tasks per date partition per batch (the parts-per-insert
-    * analog). 8 balances parallel write against files-per-batch; a
-    * 1000-executor deployment with much larger batches would raise it
-    * toward cores-per-date-of-data. */
-  val WritersPerDate = 8
+    * analog). The default 8 balances parallel write against
+    * files-per-batch; a 1000-executor deployment with much larger
+    * batches raises it toward cores-per-date-of-data via the
+    * GRAFT_WRITERS_PER_DATE conf key (r15 verdict #5 — was a
+    * compile-time constant). */
+  val WritersPerDate: Int =
+    sys.env.get("GRAFT_WRITERS_PER_DATE").map(_.trim.toInt).filter(_ > 0).getOrElse(8)
 
   private def dateSpread = pmod(hash(col("token")), lit(WritersPerDate))
 
-  /** Append a batch of ticks (tick schema, graft.core.Schemas.tickSchema). */
-  def append(ticks: DataFrame, path: String): Unit =
-    ticks
-      .withColumn(PartitionCol, to_date(col("exchange_timestamp")))
-      .repartition(col(PartitionCol), dateSpread)
+  /** Append a batch of ticks (tick schema, graft.core.Schemas.tickSchema).
+    *
+    * This is the BATCH face (loads, backfills): the explicit writer
+    * count scales with the batch's distinct dates so a multi-date
+    * backfill keeps ~WritersPerDate parallel writers per date — one
+    * cheap distinct-count action per batch load. The streaming face
+    * (appendBatch) runs per 5 s trigger and documents the
+    * single-hot-date assumption instead of paying that action. */
+  def append(ticks: DataFrame, path: String): Unit = {
+    val dated = ticks.withColumn(PartitionCol, to_date(col("exchange_timestamp")))
+    val nDates = math.max(1L, dated.select(PartitionCol).distinct().count())
+    // EXPLICIT partition count (r15 verdict #1): a column-only
+    // repartition here is eligible for AQE partition coalescing, which
+    // merges the small (date, bucket) shuffle outputs straight back
+    // into one writer task — exactly the serialization the spread
+    // exists to prevent (the bug appendBatch fixed in r15; this face
+    // had kept the column-only form). Capped so a year-long backfill
+    // cannot demand an unbounded shuffle-partition count.
+    val writers = math.min(nDates * WritersPerDate, 8192L).toInt
+    dated
+      .repartition(writers, col(PartitionCol), dateSpread)
       // partition cols LEAD the sort: the partitioned-file writer
       // requires rows ordered by partition expressions and re-sorts if
       // they are not — a bare time sort here is silently destroyed by
@@ -52,6 +71,7 @@ object TickTable {
       .write.mode("append")
       .partitionBy(PartitionCol)
       .parquet(path)
+  }
 
   /** Idempotent micro-batch append: the layout adds a batch_id partition
     * level and the write DYNAMICALLY OVERWRITES exactly the
@@ -69,6 +89,12 @@ object TickTable {
       // small (date, bucket) shuffle outputs straight back into one
       // task — exactly the serialization the spread exists to prevent
       // (caught by StorageSpec). An explicit count is AQE-immune.
+      // SINGLE-HOT-DATE ASSUMPTION: a live 5 s micro-batch carries
+      // today's date (midnight-crossing gives one 2-date batch a day,
+      // which briefly shares the 8 writers); counting distinct dates
+      // here would re-evaluate the micro-batch lineage every trigger.
+      // Multi-date REPLAYS/backfills belong on append(), which scales
+      // writers by the batch's distinct dates.
       .repartition(WritersPerDate, col(PartitionCol), dateSpread)
       // partition cols lead the sort — see append()
       .sortWithinPartitions(col(PartitionCol), col("batch_id"), col("exchange_timestamp"))

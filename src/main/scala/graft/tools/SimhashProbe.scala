@@ -52,11 +52,16 @@ object SimhashProbe {
       println("  unique sigs = " + sigs.select("sig").distinct().count())
     }
     if (stopAfter >= 3) timed("band_histogram") {
-      // population of each (band, band_val) bucket over unique sigs;
-      // candidate pairs ~ sum(pop^2)/2 — the join's true output size
+      // population of each (band, band_val) bucket over unique sigs at
+      // the AUTO-SIZED width (r16) — candidate pairs ~ sum(pop^2)/2, the
+      // join's true output size; this is the "per-bucket population
+      // ~flat per decade" measurement the auto law is graded on
       val usig = sigs.select("sig").distinct()
+      val w = graft.ops.TextDedup.simhashBandBits(usig.count())
+      println(s"  band width w=$w (auto)")
       val bands = (0 until 4).map { b =>
-        usig.select((expr(s"shiftright(sig, ${b * 12})") % 4096).as("bv"))
+        usig.select((expr(s"shiftright(sig, ${graft.ops.TextDedup.simhashBandOffset(b, w)})")
+            .bitwiseAND(lit((1L << w) - 1L))).as("bv"))
           .groupBy("bv").agg(count(lit(1)).as("pop"))
           .agg(max("pop").as("maxpop"), sum(col("pop") * col("pop")).as("sumsq"),
             count(lit(1)).as("nbuckets"))

@@ -686,6 +686,32 @@ class OpsSpec extends SparkSpec {
       "forest sparsification changed the components")
   }
 
+  test("simhash auto-band law: width from unique-sig count, old layout at small n") {
+    // the r16 banding law (mirrored digit-for-digit in the DuckDB
+    // oracle): w = max(12, min(32, ceil(log2(n / 1024)))) — population
+    // per (band, band_val) bucket ~TargetPop per decade by construction
+    import TextDedup.{simhashBandBits => w, simhashBandOffset => off}
+    assert(w(1) === 12 && w(1024) === 12)
+    assert(w(1024L << 12) === 12, "boundary: n = 1024*2^12 still fits w=12")
+    assert(w((1024L << 12) + 1) === 13, "one past the boundary widens")
+    assert(w(35_000_000L) === 16, "the next decade after sf100 gets w=16")
+    assert(w(Long.MaxValue) === 32, "cap at 32")
+    (12 to 32).foreach { width =>
+      val offs = (0 until TextDedup.SimHashBands).map(b => off(b, width))
+      assert(offs.head === 0 && offs.last + width <= TextDedup.SimHashBits,
+        s"bands at w=$width must stay inside the 48-bit signature")
+      assert(offs === offs.sorted && offs.distinct === offs,
+        s"band offsets at w=$width must be strictly increasing")
+    }
+    // w = 12 reproduces the old fixed 4x12 disjoint layout exactly
+    assert((0 until 4).map(b => off(b, 12)) === Seq(0, 12, 24, 36))
+    // per-bucket expected population stays <= TargetPop under the law
+    Seq(1L << 20, 1L << 26, 1L << 32, 1L << 38).foreach { n =>
+      assert(n.toDouble / (1L << w(n)) <= TextDedup.SimHashTargetPop,
+        s"expected population at n=$n exceeds the target")
+    }
+  }
+
   test("contrastive pairs: positives are the verified near-dups, negatives leave the cluster") {
     val rows = TextDedup.contrastivePairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
