@@ -62,6 +62,8 @@ solo /tmp/sf10_r16/epoch_repeat.json      /tmp/graft_sf10 48g epoch_repeat
 solo /tmp/sf10_r16/dataset_card.json      /tmp/graft_sf10 48g dataset_card
 solo /tmp/sf10_r16/text_fingerprints.json /tmp/graft_sf10 48g text_fingerprints
 
-suite sf10 /tmp/graft_sf10 48g 1 docs/BENCH_R16_SF10.json
+# the full sf10 suite lives in r16_sf10_suite.sh — it is the LOWEST
+# priority artifact (r15's is recent and canary normalization makes it
+# comparable), so the round-tail orchestrator runs it last
 
 echo "R16 SUITE CHAIN DONE $(date +%H:%M:%S)"
