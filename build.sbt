@@ -16,6 +16,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r16 verdict "What's missing" #3: dropping the [success] banner was
+// necessary but not sufficient — the forked run's stdout still went
+// through sbt's logger, so Bench's trailing compact JSON line reached
+// the driver wrapped in "[info] " and the last-line parse failed.
+// StdoutOutput makes the forked JVM inherit the real stdout:
+// unprefixed, unbuffered, and genuinely the last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
