@@ -22,7 +22,7 @@ run / fork := true
 // the driver wrapped in "[info] " and the last-line parse failed.
 // StdoutOutput makes the forked JVM inherit the real stdout:
 // unprefixed, unbuffered, and genuinely the last line.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

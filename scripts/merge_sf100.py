@@ -16,10 +16,18 @@ HARNESS = ["bm25_incremental", "curation_replay", "curation_replay_decontam",
 # known-quadratic sample-scale faces, reported under total_diagnostic
 # (r15 pool split + r16 dedup_simhash demotion, mirrors Bench.scala's
 # diagnosticQueries)
-DIAGNOSTIC = ["dedup_ngram_ppjoin", "media_phash_dedup", "dedup_simhash"]
+DIAGNOSTIC = ["dedup_ngram_ppjoin", "media_phash_dedup", "dedup_simhash",
+              "dedup_simhash_l1", "dedup_simhash_clusters_l1",
+              "dedup_simhash_clusters_l2"]
 
-# chain scripts whose run_group/run_solo lines define the expected set
-CHAINS = ["r15_sf100_sweep.sh", "r16_sf100_sweep.sh"]
+# chain scripts whose run_group/run_solo lines define the set the
+# CURRENT round expected to measure fresh. Current round ONLY: with the
+# r16-ADVICE rule (a seeded query the chain expected fresh loses its
+# seed when its group JSON never lands), listing prior rounds' chains
+# here would strip the seed from every legitimately carried-forward
+# query — prior chains defined prior rounds' expectations, and their
+# results are exactly what the seed artifact carries.
+CHAINS = ["r17_sf100_sweep.sh"]
 
 
 def main(part1_path, groups_dir, out_path):
@@ -67,7 +75,13 @@ def main(part1_path, groups_dir, out_path):
         name, csv = m.group(1), m.group(2)
         if not os.path.exists(os.path.join(groups_dir, f"{name}.json")):
             for q in csv.split(","):
-                if q not in queries and q not in errors:
+                # ADVICE r16 #2: a seeded query the chain EXPECTED to
+                # re-measure is treated like a group-reported failure
+                # when its group JSON never lands — drop the stale seed
+                # and record the error, instead of silently carrying a
+                # prior-round number for possibly-changed code
+                if q not in fresh and q not in errors:
+                    queries.pop(q, None)
                     errors[q] = f"group {name} produced no JSON (timeout/crash) — see {name}.log"
     total = sum(t for t in queries.values())
     probe = sum(t for q, t in queries.items()

@@ -97,8 +97,14 @@ object Bench {
     // production contract. They stay oracle-checked but report under
     // total_diagnostic so total_probe and the scaling ladder's
     // >2x-linear count measure only scale paths.
+    // r17: the three FORCED-LEVEL simhash faces are correctness-gate
+    // handles (they execute the level-1/2 block-combination band
+    // algebra that no natural corpus below 4.2M unique sigs reaches,
+    // r16 verdict #1) — never production paths at any SF, so they
+    // report as diagnostics too
     val diagnosticQueries =
-      Set("media_phash_dedup", "dedup_ngram_ppjoin", "dedup_simhash")
+      Set("media_phash_dedup", "dedup_ngram_ppjoin", "dedup_simhash",
+        "dedup_simhash_l1", "dedup_simhash_clusters_l1", "dedup_simhash_clusters_l2")
 
     // GRAFT_BENCH_ONLY: comma-separated query names — run just those
     // (scaling-ladder subsets at big SF; unknown names are an error,

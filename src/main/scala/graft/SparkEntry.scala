@@ -143,6 +143,13 @@ object SparkEntry {
     "simhash_sigs" -> ((s: SparkSession, d: String) => TextDedup.simhashSigs(s, d).orderBy("doc_id")),
     "dedup_simhash" -> (TextDedup.simhash _),
     "dedup_simhash_clusters" -> (TextDedup.simhashClusters _),
+    // FORCED banding levels (r16 verdict #1): every natural corpus at
+    // gate scale picks level 0, so these are the only executions of
+    // the level-1/2 block-combination band algebra under the DuckDB
+    // hash gate (15x16-bit pairs / 20x24-bit triples of 8-bit blocks)
+    "dedup_simhash_l1" -> ((s: SparkSession, d: String) => TextDedup.simhashAt(s, d, 1)),
+    "dedup_simhash_clusters_l1" -> ((s: SparkSession, d: String) => TextDedup.simhashClustersAt(s, d, 1)),
+    "dedup_simhash_clusters_l2" -> ((s: SparkSession, d: String) => TextDedup.simhashClustersAt(s, d, 2)),
     // -- similarity search --
     "similarity_topk" -> (Similarity.bruteForceTopK _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
@@ -647,19 +654,90 @@ object SparkEntry {
       |  CAST(list_sum(list_transform(range(1, (SELECT nbits FROM nb) + 1),
       |    i -> CASE WHEN v[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS BIGINT) AS bkt FROM emb)""".stripMargin
 
-  /** AUTO-SIZED simhash band-width CTE (mirrors TextDedup.simhashBandBits
-    * digit for digit): w = max(12, min(32, ceil(log2(nUniqueSigs / 1024))))
-    * from the unique-signature count, band b reads bits
-    * [b*(48-w)/3, b*(48-w)/3 + w) — at w = 12 this is exactly the old
-    * fixed 0/12/24/36 4x12 layout. Assumes a CTE `sigs(doc_id, sig)` is
-    * already defined; emits `nw(w)`. Same LOG2-at-power-of-two caveat as
-    * [[EmbAutoBucketCte]]. */
-  private val SimhashNwCte =
-    s"""nw AS (SELECT GREATEST(12, LEAST(32, CAST(CEIL(LOG2(CAST(count(DISTINCT sig) AS DOUBLE) / ${graft.ops.TextDedup.SimHashTargetPop}.0)) AS INTEGER))) AS w FROM sigs)""".stripMargin
+  /** Simhash block-combination banding, SQL side (mirrors
+    * TextDedup.simhashLevel + simhashBandSpecs — the band-spec VALUES
+    * rows are GENERATED from the Scala spec function, so the two sides
+    * cannot drift). Emits `nlvl(lvl)` (population-driven level over a
+    * previously defined `sigs(…, sig)` CTE — integer thresholds, no
+    * LOG2, so an empty corpus picks level 0 instead of erroring) and
+    * `bspec(lvl, b, s0, w0, s1, w1, s2, w2)` (three uniform
+    * shift/width limbs; unused limbs have width 0 and a zero mask).
+    * The caller joins `bspec` at `(SELECT lvl FROM nlvl)` — or at a
+    * literal level for the forced-level gate queries. */
+  private def simhashBandSpecSqlRows: String =
+    (0 to 2).flatMap { lvl =>
+      graft.ops.TextDedup.simhashBandSpecs(lvl).zipWithIndex.map { case (limbs, b) =>
+        val cells = limbs.padTo(3, (0, 0))
+          .map { case (sh, bits) => s"$sh, $bits" }.mkString(", ")
+        s"($lvl, $b, $cells)"
+      }
+    }.mkString(",\n|  ")
 
-  /** band_val of simhash band `b` for a column `sig`, at the nw width. */
-  private def simhashBandValSql(b: String, sig: String): String =
-    s"($sig >> (($b * (48 - (SELECT w FROM nw))) // 3)) & ((CAST(1 AS BIGINT) << (SELECT w FROM nw)) - 1)"
+  private val SimhashLvlCte =
+    s"""nlvl AS (SELECT CASE
+       |  WHEN count(DISTINCT sig) <= ${graft.ops.TextDedup.SimHashTargetPop << 12} THEN 0
+       |  WHEN count(DISTINCT sig) <= ${graft.ops.TextDedup.SimHashTargetPop << 16} THEN 1
+       |  ELSE 2 END AS lvl FROM sigs),
+       |bspec(lvl, b, s0, w0, s1, w1, s2, w2) AS (VALUES $simhashBandSpecSqlRows)""".stripMargin
+
+  /** Band key of one bspec row over a signature column: the three
+    * limbs extracted shift/mask and packed LSB-first (width-0 limbs
+    * mask to 0). Identical algebra to TextDedup.simhashBandValCol. */
+  private def simhashBandValSql(sig: String): String =
+    // single line: the enclosing oracle strings are stripMargin'd, and
+    // a leading SQL bitwise-OR would read as a margin marker
+    s"(($sig >> s0) & ((CAST(1 AS BIGINT) << w0) - 1)) | " +
+      s"((($sig >> s1) & ((CAST(1 AS BIGINT) << w1) - 1)) << w0) | " +
+      s"((($sig >> s2) & ((CAST(1 AS BIGINT) << w2) - 1)) << (w0 + w1))"
+
+  /** The all-pairs simhash oracle at a banding level (`lvlSql` is the
+    * population-driven `(SELECT lvl FROM nlvl)` for the production
+    * face, or a literal for the forced-level gate queries — mirrors
+    * TextDedup.simhashAt). */
+  private def simhashPairsOracleSql(lvlSql: String): String =
+    s"""WITH dw AS (SELECT DISTINCT doc_id, w FROM
+       |  (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
+       |wh AS (SELECT doc_id, ${md5LongSql("w")} AS wh FROM dw),
+       |votes AS (SELECT doc_id, j, sum(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0,47)) AS j) GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+       |  FROM votes GROUP BY 1),
+       |$SimhashLvlCte,
+       |bands AS (SELECT doc_id, sig, b, ${simhashBandValSql("sig")} AS band_val
+       |  FROM sigs CROSS JOIN bspec WHERE bspec.lvl = $lvlSql),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.sig AS sig_a, y.doc_id AS doc_b, y.sig AS sig_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= ${graft.ops.TextDedup.SimHashHammingMax} ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The cluster-contract simhash oracle at a banding level —
+    * connected components via recursive transitive closure, an
+    * algorithm independent of the Spark side's label propagation.
+    * Mirrors TextDedup.simhashClusters / simhashClustersAt. */
+  private def simhashClustersOracleSql(lvlSql: String): String =
+    s"""WITH RECURSIVE dw AS (SELECT DISTINCT doc_id, w FROM
+       |  (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
+       |wh AS (SELECT doc_id, ${md5LongSql("w")} AS wh FROM dw),
+       |votes AS (SELECT doc_id, j, sum(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0,47)) AS j) GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+       |  FROM votes GROUP BY 1),
+       |usig AS (SELECT DISTINCT sig FROM sigs),
+       |$SimhashLvlCte,
+       |bands AS (SELECT sig, b, ${simhashBandValSql("sig")} AS band_val
+       |  FROM usig CROSS JOIN bspec WHERE bspec.lvl = $lvlSql),
+       |ep AS (SELECT DISTINCT x.sig AS sa, y.sig AS sb
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.band_val = y.band_val AND x.sig < y.sig
+       |  WHERE bit_count(xor(x.sig, y.sig)) <= ${graft.ops.TextDedup.SimHashHammingMax}),
+       |edges AS (SELECT sa, sb FROM ep UNION ALL SELECT sb AS sa, sa AS sb FROM ep),
+       |reach(src, dst) AS (SELECT sig, sig FROM usig
+       |  UNION SELECT r.src, e.sb FROM reach r JOIN edges e ON r.dst = e.sa),
+       |comp AS (SELECT src AS sig, min(dst) AS comp FROM reach GROUP BY src),
+       |dc AS (SELECT doc_id, comp FROM sigs JOIN comp USING (sig)),
+       |rep AS (SELECT comp, min(doc_id) AS cluster_rep, count(*) AS cluster_size
+       |  FROM dc GROUP BY comp)
+       |SELECT doc_id, cluster_rep, cluster_size FROM dc JOIN rep USING (comp)
+       |ORDER BY doc_id""".stripMargin
 
   private val centroidCols: String =
     (0 until 64).map(i =>
@@ -1661,48 +1739,13 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
          |FROM votes GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
-    "dedup_simhash" ->
-      s"""WITH dw AS (SELECT DISTINCT doc_id, w FROM
-         |  (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
-         |wh AS (SELECT doc_id, ${md5LongSql("w")} AS wh FROM dw),
-         |votes AS (SELECT doc_id, j, sum(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0,47)) AS j) GROUP BY 1, 2),
-         |sigs AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
-         |  FROM votes GROUP BY 1),
-         |$SimhashNwCte,
-         |bands AS (SELECT doc_id, sig, b, ${simhashBandValSql("b", "sig")} AS band_val
-         |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.sig AS sig_a, y.doc_id AS doc_b, y.sig AS sig_b
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= ${graft.ops.TextDedup.SimHashHammingMax} ORDER BY doc_a, doc_b""".stripMargin,
-
-    // connected components via recursive transitive closure — an
-    // algorithm independent of the Spark side's min-label propagation
-    "dedup_simhash_clusters" ->
-      s"""WITH RECURSIVE dw AS (SELECT DISTINCT doc_id, w FROM
-         |  (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
-         |wh AS (SELECT doc_id, ${md5LongSql("w")} AS wh FROM dw),
-         |votes AS (SELECT doc_id, j, sum(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0,47)) AS j) GROUP BY 1, 2),
-         |sigs AS (SELECT doc_id, sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
-         |  FROM votes GROUP BY 1),
-         |usig AS (SELECT DISTINCT sig FROM sigs),
-         |$SimhashNwCte,
-         |bands AS (SELECT sig, b, ${simhashBandValSql("b", "sig")} AS band_val
-         |  FROM usig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b)),
-         |ep AS (SELECT DISTINCT x.sig AS sa, y.sig AS sb
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.band_val = y.band_val AND x.sig < y.sig
-         |  WHERE bit_count(xor(x.sig, y.sig)) <= ${graft.ops.TextDedup.SimHashHammingMax}),
-         |edges AS (SELECT sa, sb FROM ep UNION ALL SELECT sb AS sa, sa AS sb FROM ep),
-         |reach(src, dst) AS (SELECT sig, sig FROM usig
-         |  UNION SELECT r.src, e.sb FROM reach r JOIN edges e ON r.dst = e.sa),
-         |comp AS (SELECT src AS sig, min(dst) AS comp FROM reach GROUP BY src),
-         |dc AS (SELECT doc_id, comp FROM sigs JOIN comp USING (sig)),
-         |rep AS (SELECT comp, min(doc_id) AS cluster_rep, count(*) AS cluster_size
-         |  FROM dc GROUP BY comp)
-         |SELECT doc_id, cluster_rep, cluster_size FROM dc JOIN rep USING (comp)
-         |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" -> simhashPairsOracleSql("(SELECT lvl FROM nlvl)"),
+    "dedup_simhash_clusters" -> simhashClustersOracleSql("(SELECT lvl FROM nlvl)"),
+    // forced levels: the only hash-gate executions of the level-1/2
+    // block-combination band algebra (see the queries-map comment)
+    "dedup_simhash_l1" -> simhashPairsOracleSql("1"),
+    "dedup_simhash_clusters_l1" -> simhashClustersOracleSql("1"),
+    "dedup_simhash_clusters_l2" -> simhashClustersOracleSql("2"),
 
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -698,9 +698,17 @@ object TextAnalysis {
   def applyMerges(vocabWords: DataFrame,
                   merges: Seq[(String, String, Long)]): DataFrame = {
     val table: Array[(String, String)] = merges.map(m => (m._1, m._2)).toArray
+    // FIRST-wins on a duplicate (l,r) pair, matching the fold (which
+    // applies the first occurrence; toMap alone would keep the last) —
+    // outside the trainer-produced domain, but the pinned law says
+    // "equal to the fold", not "equal on trainer output" (r16 advice)
     val rank: Map[(String, String), Int] =
-      table.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+      table.zipWithIndex.reverse.map { case (p, i) => (p, i) }.toMap
     val enc = udf { (word: String) =>
+      // null propagates like the fold's substring() did (r16 advice:
+      // codePoints() on null NPE'd where the old fold returned null)
+      if (word == null) null
+      else {
       // code points, matching the fold's substring(word, i, 1) char split
       var syms: Array[String] =
         word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
@@ -730,6 +738,7 @@ object TextAnalysis {
         }
       }
       syms
+      }
     }
     vocabWords.withColumn("syms", enc(col("word")))
   }

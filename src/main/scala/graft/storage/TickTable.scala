@@ -36,7 +36,14 @@ object TickTable {
     * GRAFT_WRITERS_PER_DATE conf key (r15 verdict #5 — was a
     * compile-time constant). */
   val WritersPerDate: Int =
-    sys.env.get("GRAFT_WRITERS_PER_DATE").map(_.trim.toInt).filter(_ > 0).getOrElse(8)
+    sys.env.get("GRAFT_WRITERS_PER_DATE").flatMap(_.trim.toIntOption).filter(_ > 0)
+      .getOrElse {
+        // toIntOption, not toInt: a typo'd value must not surface as an
+        // ExceptionInInitializerError on first TickTable touch
+        if (sys.env.get("GRAFT_WRITERS_PER_DATE").exists(_.trim.toIntOption.isEmpty))
+          System.err.println("[graft] GRAFT_WRITERS_PER_DATE is not a number; using 8")
+        8
+      }
 
   private def dateSpread = pmod(hash(col("token")), lit(WritersPerDate))
 

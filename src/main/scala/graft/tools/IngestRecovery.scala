@@ -119,7 +119,12 @@ object IngestRecovery {
     println(f"[ingest-rec] steady: $steadyRows rows in ${elapsed()}%.1f s " +
       f"(${steadyRate}%.0f/s tracked); killing for $stallSec s ...")
     Thread.sleep(stallSec * 1000L)
-    val backlog = (rate * elapsed() - listener.rowsProcessed.get).toLong
+    // UPPER bound on queue depth (r16 verdict #3): rate*elapsed() counts
+    // the steady phase's startup seconds too, during which no frames
+    // were actually offered — the true stall backlog is ~rate*stallSec.
+    // The catch-up headline is unaffected (it is measured against the
+    // same production timeline the drain must reach).
+    val backlogUpper = (rate * elapsed() - listener.rowsProcessed.get).toLong
 
     // ---- phase 2: restart from the SAME checkpoint, catch-up cap ----
     val tRestart = elapsed()
@@ -144,7 +149,8 @@ object IngestRecovery {
     def num(v: Double) = f"$v%.3f"
     val line =
       s"""{"metric":"ingest_recovery","rate":$rate,"steady_sec":$steadySec,"stall_sec":$stallSec,""" +
-        s""""backlog_frames":$backlog,"catchup_admission":${rate.toLong * 5 * catchupFactor},""" +
+        s""""backlog_frames_upper":$backlogUpper,"nominal_stall_backlog":${rate.toLong * stallSec},""" +
+        s""""catchup_admission":${rate.toLong * 5 * catchupFactor},""" +
         s""""drain_ticks_per_sec":${num(drainRate)},"catch_up_sec":${num(if (caughtUpAt > 0) caughtUpAt - tRestart else -1.0)},""" +
         s""""caught_up":${caughtUpAt > 0},"rows_ingested":$ingested,"rows_in_sink":$sinkRows,""" +
         s""""drain_vs_offered":${num(drainRate / rate)}}"""

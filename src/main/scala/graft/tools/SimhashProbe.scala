@@ -57,11 +57,12 @@ object SimhashProbe {
       // join's true output size; this is the "per-bucket population
       // ~flat per decade" measurement the auto law is graded on
       val usig = sigs.select("sig").distinct()
-      val w = graft.ops.TextDedup.simhashBandBits(usig.count())
-      println(s"  band width w=$w (auto)")
-      val bands = (0 until 4).map { b =>
-        usig.select((expr(s"shiftright(sig, ${graft.ops.TextDedup.simhashBandOffset(b, w)})")
-            .bitwiseAND(lit((1L << w) - 1L))).as("bv"))
+      val lvl = graft.ops.TextDedup.simhashLevel(usig.count())
+      val specs = graft.ops.TextDedup.simhashBandSpecs(lvl)
+      println(s"  banding level=$lvl (auto), ${specs.length} bands x " +
+        s"${specs.head.map(_._2).sum} bits")
+      val bands = specs.zipWithIndex.map { case (limbs, b) =>
+        usig.select(graft.ops.TextDedup.simhashBandValCol(col("sig"), limbs).as("bv"))
           .groupBy("bv").agg(count(lit(1)).as("pop"))
           .agg(max("pop").as("maxpop"), sum(col("pop") * col("pop")).as("sumsq"),
             count(lit(1)).as("nbuckets"))

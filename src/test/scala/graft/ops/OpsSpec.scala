@@ -686,29 +686,63 @@ class OpsSpec extends SparkSpec {
       "forest sparsification changed the components")
   }
 
-  test("simhash auto-band law: width from unique-sig count, old layout at small n") {
-    // the r16 banding law (mirrored digit-for-digit in the DuckDB
-    // oracle): w = max(12, min(32, ceil(log2(n / 1024)))) — population
-    // per (band, band_val) bucket ~TargetPop per decade by construction
-    import TextDedup.{simhashBandBits => w, simhashBandOffset => off}
-    assert(w(1) === 12 && w(1024) === 12)
-    assert(w(1024L << 12) === 12, "boundary: n = 1024*2^12 still fits w=12")
-    assert(w((1024L << 12) + 1) === 13, "one past the boundary widens")
-    assert(w(35_000_000L) === 16, "the next decade after sf100 gets w=16")
-    assert(w(Long.MaxValue) === 32, "cap at 32")
-    (12 to 32).foreach { width =>
-      val offs = (0 until TextDedup.SimHashBands).map(b => off(b, width))
-      assert(offs.head === 0 && offs.last + width <= TextDedup.SimHashBits,
-        s"bands at w=$width must stay inside the 48-bit signature")
-      assert(offs === offs.sorted && offs.distinct === offs,
-        s"band offsets at w=$width must be strictly increasing")
+  test("simhash banding law: levels from unique-sig count, historical layout at level 0") {
+    // r17 block-combination law (Manku/Jain/Das Sarma WWW'07 §3): the
+    // level picks how many 8-bit blocks each band key concatenates;
+    // mirrored in the DuckDB oracle by a bspec VALUES table GENERATED
+    // from simhashBandSpecs, so these pins cover both engines
+    import TextDedup.{simhashLevel => lvl, simhashBandSpecs => specs}
+    assert(lvl(0) === 0 && lvl(1) === 0 && lvl(1024) === 0)
+    assert(lvl(1024L << 12) === 0, "boundary: n = 1024*2^12 stays level 0")
+    assert(lvl((1024L << 12) + 1) === 1, "one past the boundary flips to level 1")
+    assert(lvl(35_000_000L) === 1, "the next decade after sf100 is level 1")
+    assert(lvl(1024L << 16) === 1 && lvl((1024L << 16) + 1) === 2)
+    assert(lvl(Long.MaxValue) === 2, "level 2 is the ceiling")
+    // level 0 IS the historical disjoint 4x12 layout
+    assert(specs(0) === Seq(Seq((0, 12)), Seq((12, 12)), Seq((24, 12)), Seq((36, 12))))
+    // level 1: all C(6,2)=15 pairs of 8-bit blocks; level 2: all C(6,3)=20 triples
+    assert(specs(1).length === 15 && specs(2).length === 20)
+    for (l <- 0 to 2; band <- specs(l)) {
+      assert(band.forall { case (sh, bits) => sh >= 0 && sh + bits <= 48 },
+        s"level $l band $band must stay inside the 48-bit signature")
+      assert(band.map(_._1) === band.map(_._1).sorted, "limbs in ascending bit order")
     }
-    // w = 12 reproduces the old fixed 4x12 disjoint layout exactly
-    assert((0 until 4).map(b => off(b, 12)) === Seq(0, 12, 24, 36))
-    // per-bucket expected population stays <= TargetPop under the law
-    Seq(1L << 20, 1L << 26, 1L << 32, 1L << 38).foreach { n =>
-      assert(n.toDouble / (1L << w(n)) <= TextDedup.SimHashTargetPop,
+    assert(specs(1).distinct === specs(1) && specs(2).distinct === specs(2))
+    // per-bucket expected population stays <= TargetPop through exabyte
+    // scale: keyspace per band is 2^(sum of limb widths)
+    Seq(1L << 20, 1L << 26, 1L << 32, (1024L << 24)).foreach { n =>
+      val bits = specs(lvl(n)).head.map(_._2).sum
+      assert(n.toDouble / math.pow(2, bits) <= TextDedup.SimHashTargetPop,
         s"expected population at n=$n exceeds the target")
+    }
+  }
+
+  test("simhash banding recall: guaranteed radius >= 3 at every level (the r16 overlap law lost this)") {
+    // pigeonhole: a pair within the level's guaranteed radius (3/4/3
+    // dirty bits) must share at least one band key. The r16 ADVICE
+    // counter-example — bits 12 and 35 dirty, which the overlap law at
+    // w=13 silently dropped — is pinned explicitly, then the property
+    // is checked over deterministic pseudo-random pairs at each level.
+    def sharesBand(level: Int, a: Long, bb: Long): Boolean =
+      TextDedup.simhashBandSpecs(level).exists { limbs =>
+        limbs.forall { case (sh, bits) =>
+          ((a >> sh) & ((1L << bits) - 1)) === ((bb >> sh) & ((1L << bits) - 1))
+        }
+      }
+    val adv = (1L << 12) | (1L << 35) // the ADVICE adversarial pair vs 0
+    (0 to 2).foreach(l => assert(sharesBand(l, 0L, adv),
+      s"level $l must catch the bits-12+35 pair"))
+    val radius = Map(0 -> 3, 1 -> 4, 2 -> 3)
+    val rnd = new scala.util.Random(421L) // deterministic
+    for (l <- 0 to 2; _ <- 1 to 2000) {
+      val sig = rnd.nextLong() & ((1L << 48) - 1)
+      val nFlips = 1 + rnd.nextInt(radius(l))
+      // sample nFlips DISTINCT bit positions (worst case: all flips land
+      // in different blocks)
+      val positions = rnd.shuffle((0 until 48).toList).take(nFlips)
+      val other = positions.foldLeft(sig)((s, p) => s ^ (1L << p))
+      assert(sharesBand(l, sig, other),
+        s"level $l dropped a pair at hamming $nFlips (positions $positions)")
     }
   }
 
