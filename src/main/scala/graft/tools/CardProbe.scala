@@ -40,6 +40,19 @@ object CardProbe {
     timed("decontamination") { graft.ops.TextDedup.decontamination(spark, dir).count() }
     timed("datasetCard(warm)") { graft.ops.TextAnalysis.datasetCard(spark, dir).count() }
     timed("datasetCard(warm2)") { graft.ops.TextAnalysis.datasetCard(spark, dir).count() }
+    // bench-identical reps: a FRESH plan each time, materialized through
+    // the noop write exactly like Bench.runOnce — if these are slow
+    // while the counts above are fast, the cache works and the bench's
+    // action/plan shape is what recomputes
+    (1 to 3).foreach { i =>
+      timed(s"card-noop-rep$i") {
+        graft.ops.TextAnalysis.datasetCard(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println("    minhash_clusters cached = " +
+          graft.core.SessionCache.contains(spark, "minhash_clusters", dir))
+        0L
+      }
+    }
     spark.stop()
   }
 }
