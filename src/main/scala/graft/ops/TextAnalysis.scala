@@ -28,7 +28,9 @@ object TextAnalysis {
         round(avg("n_words"), 4).as("avg_words"))
       .orderBy("lang")
 
-  private val StopWords = Seq("the", "a", "of", "and", "or", "in", "to")
+  /** Canonical list lives on the fused expression (its StopMask bit
+    * order is part of that contract). */
+  private val StopWords: Seq[String] = graft.plans.TextStatsExpr.StopWords.toSeq
 
   /** Per-document quality score: length, word stats, stopword ratio,
     * punctuation ratio — the cheap heuristics a pretraining filter runs
@@ -42,38 +44,52 @@ object TextAnalysis {
   /** The quality metrics APPENDED to any docs-shaped frame (text kept) —
     * streaming-safe (no sort), so the curation pipeline's quality gate
     * runs inside foreachBatch on the same expressions the batch query
-    * (and its oracle) use. */
+    * (and its oracle) use.
+    *
+    * Computed by the fused single-pass native expression
+    * (plans/TextStatsExpr — r17 stage profiling measured the old
+    * three-regex + lower/split/filter formulation at ~1,050
+    * executor-CPU-seconds per 500k sf10 docs, the dominant cost of
+    * every quality-gate consumer); OpsSpec pins each stat against the
+    * declarative original, and the DuckDB oracles keep the independent
+    * regex formulation, so the hash gate cross-checks every row. */
   def withQuality(df: DataFrame): DataFrame = {
-    val ws = col("ws") // materialized below: referenced 3x, split must run once
-    val nWords = size(ws)
-    val stopHits = size(filter(ws, w => w.isin(StopWords.map(lit): _*)))
-    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
-    df.withColumn("ws", words(col("text")))
-      .withColumn("n_chars_actual", length(col("text")).cast("long"))
-      .withColumn("n_words", nWords.cast("long"))
+    import graft.plans.{GraftExtensions => gx, TextStatsExpr => ts}
+    val nWords = gx.textStat(col("text"), ts.NWords)
+    val stopHits = gx.textStat(col("text"), ts.StopHits)
+    val nonSpace = gx.textStat(col("text"), ts.NonSpace)
+    val nPunct = length(col("text")) - gx.textStat(col("text"), ts.AlnumSpace)
+    df.withColumn("n_chars_actual", length(col("text")).cast("long"))
+      .withColumn("n_words", nWords)
       .withColumn("avg_word_len",
-        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords, 4))
+        round(nonSpace.cast("double") / nWords, 4))
       .withColumn("stopword_ratio", round(stopHits.cast("double") / nWords, 4))
       .withColumn("punct_ratio",
         round(nPunct.cast("double") / length(col("text")), 4))
-      .drop("ws")
       .withColumn("quality_score",
         round(least(lit(1.0), col("n_words") / lit(50.0)) * (lit(1.0) - col("punct_ratio")), 4))
   }
 
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "en" -> Seq("the", "a", "of", "and", "is"),
-    "es" -> Seq("el", "la", "de", "y", "es"),
-    "fr" -> Seq("le", "la", "de", "et", "est"))
+  /** Canonical marker table lives on the fused expression (its
+    * MarkerMask bit layout is part of that contract). */
+  private val LangMarkers: Seq[(String, Seq[String])] =
+    graft.plans.TextStatsExpr.LangMarkers
 
   /** N-gram-heuristic language ID: count distinct marker-word hits per
     * language; predict the best-scoring language (ties broken by language
-    * code order), 'und' (undetermined) when nothing hits. */
+    * code order), 'und' (undetermined) when nothing hits.
+    *
+    * Scores come from ONE fused MarkerMask pass (plans/TextStatsExpr):
+    * score_lang = popcount of the language's 5-bit mask window ==
+    * the size(array_intersect(array_distinct(words), markers)) the
+    * declarative form computed (distinctness is free in a presence
+    * mask) — pinned in GraftExtensionsSpec, and the DuckDB oracle keeps
+    * the independent intersect formulation. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val ws = col("ws") // materialized below: referenced once per language
-    val scores = LangMarkers.map { case (code, markers) =>
-      size(array_intersect(ws, array(markers.map(lit): _*))).cast("long").as(s"score_$code")
+    import graft.plans.{GraftExtensions => gx, TextStatsExpr => ts}
+    val scores = LangMarkers.zipWithIndex.map { case ((code, _), li) =>
+      bit_count(shiftright(col("mm"), 5 * li).bitwiseAND(lit(31L)))
+        .cast("long").as(s"score_$code")
     }
     val best = greatest(LangMarkers.map { case (code, _) => col(s"score_$code") }: _*)
     val predicted = LangMarkers.foldRight(lit("und"): Column) { case ((code, _), other) =>
@@ -81,7 +97,7 @@ object TextAnalysis {
     }
     // foldRight gives de < en < es < fr precedence on ties — deterministic
     val withScores = docs(spark, dir)
-      .withColumn("ws", array_distinct(words(col("text"))))
+      .withColumn("mm", gx.textStat(col("text"), ts.MarkerMask))
       .select(col("doc_id") +: col("lang") +: scores: _*)
     withScores
       .withColumn("predicted_lang", predicted)
@@ -1065,9 +1081,11 @@ object TextAnalysis {
     * no joins beyond the per-doc repetition leg. */
   def qualityRules(spark: SparkSession, dir: String): DataFrame = {
     val q = withQuality(docs(spark, dir))
+      // popcount of the fused stop-mask == the distinct-stopword count
+      // the array_distinct formulation computed (OpsSpec-pinned)
       .withColumn("n_stop_distinct",
-        size(array_distinct(filter(words(col("text")),
-          w => w.isin(StopWords.map(lit): _*)))).cast("long"))
+        bit_count(graft.plans.GraftExtensions.textStat(
+          col("text"), graft.plans.TextStatsExpr.StopMask)).cast("long"))
     val rep = repetitionOf(docs(spark, dir)).select("doc_id", "top_bigram_frac")
     def flag(c: Column) = when(c, lit(1L)).otherwise(lit(0L))
     val rWc = col("n_words") >= 50 && col("n_words") <= 100000

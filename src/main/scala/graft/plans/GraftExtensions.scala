@@ -102,4 +102,9 @@ object GraftExtensions {
 
   def logBucketEdge(key: Column): Column =
     Bridge.column(Log2BucketEdgeExpr(Bridge.expression(key)))
+
+  /** Fused text statistics (TextStatsExpr) — the quality projection's
+    * single-pass replacements for the regex/split formulations. */
+  def textStat(text: Column, stat: Int): Column =
+    Bridge.column(TextStatsExpr(Bridge.expression(text), stat))
 }

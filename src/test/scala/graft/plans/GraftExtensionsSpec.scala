@@ -82,6 +82,66 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.toSeq === rows.map(_.getLong(0)).toSeq)
   }
 
+  test("graft_textstat: every fused stat is bit-identical to the declarative formulation") {
+    import spark.implicits._
+    import graft.plans.{GraftExtensions => gx, TextStatsExpr => ts}
+    val stops = ts.StopWords.toSeq
+    val strs = Seq(
+      "", " ", "   ", "tiny", "the quick brown fox jumps over the lazy dog",
+      "THE Quick BROWN of OF Of", "a A a", "to to to to",
+      "tabs\tand\nnewlinesvertical\ffeed\rreturn end",
+      "punct!!! 99 bottles-of-beer, §§§", "x" * 5000,
+      "unicode ✓ KK kelvin Kthe", // Kelvin sign: lowers to 'k'
+      "astral 😀 emoji the word", "word-with-hyphen and_under score",
+      "trailing space ", " leading", "double  space   runs",
+      "of and or in to the a") ++
+      (1 to 150).map(i => s"doc $i with the number ${i * 37} AND some of IT")
+    val df = strs.toDF("text")
+    val ws = filter(split(lower(col("text")), "\\s+"), w => w =!= "")
+    val rows = df.select(
+      gx.textStat(col("text"), ts.NWords).as("f_words"),
+      size(ws).cast("long").as("d_words"),
+      gx.textStat(col("text"), ts.StopHits).as("f_hits"),
+      size(filter(ws, w => w.isin(stops.map(lit): _*))).cast("long").as("d_hits"),
+      bit_count(gx.textStat(col("text"), ts.StopMask)).cast("long").as("f_dstop"),
+      size(array_distinct(filter(ws, w => w.isin(stops.map(lit): _*)))).cast("long").as("d_dstop"),
+      gx.textStat(col("text"), ts.AlnumSpace).as("f_alnum"),
+      length(regexp_replace(col("text"), "[^a-z0-9 ]", "")).cast("long").as("d_alnum"),
+      gx.textStat(col("text"), ts.NonSpace).as("f_nonsp"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("d_nonsp"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val t = r.getString(10)
+      assert(r.getLong(0) === r.getLong(1), s"n_words on '$t'")
+      assert(r.getLong(2) === r.getLong(3), s"stop_hits on '$t'")
+      assert(r.getLong(4) === r.getLong(5), s"n_stop_distinct on '$t'")
+      assert(r.getLong(6) === r.getLong(7), s"alnum_space on '$t'")
+      assert(r.getLong(8) === r.getLong(9), s"nonspace on '$t'")
+    }
+    // MarkerMask windows == the array_intersect(array_distinct(...))
+    // scores the declarative langId computed, language by language
+    // (extra marker-dense rows cover shared surface forms la/de)
+    val mdf = (strs ++ Seq("la de el y es", "le la de et est ist und DER",
+      "de de de la la")).toDF("text")
+    val dws = array_distinct(filter(split(lower(col("text")), "\\s+"), w => w =!= ""))
+    val mcols = ts.LangMarkers.zipWithIndex.flatMap { case ((code, markers), li) =>
+      Seq(
+        bit_count(shiftright(gx.textStat(col("text"), ts.MarkerMask), 5 * li)
+          .bitwiseAND(lit(31L))).cast("long").as(s"f_$code"),
+        size(array_intersect(dws, array(markers.map(lit): _*))).cast("long").as(s"d_$code"))
+    }
+    mdf.select(mcols :+ col("text"): _*).collect().foreach { r =>
+      ts.LangMarkers.indices.foreach { li =>
+        assert(r.getLong(2 * li) === r.getLong(2 * li + 1),
+          s"lang ${ts.LangMarkers(li)._1} score on '${r.getString(8)}'")
+      }
+    }
+    // null text null-propagates like the declarative chain
+    val nr = Seq(Option.empty[String]).toDF("text")
+      .select(gx.textStat(col("text"), ts.NWords)).head()
+    assert(nr.isNullAt(0))
+  }
+
   test("a 283-byte depth superset frame decodes through SQL (quote fields kept)") {
     import spark.implicits._
     val depth = Schemas.TickFrame(4, 1, "2885", 9L, 1704447000000L, 286550L,
