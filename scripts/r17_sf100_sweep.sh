@@ -30,6 +30,19 @@ run_solo() { # name queries [timeout]
 
 run_solo dedup_simhash_clusters dedup_simhash_clusters
 
+# second wave: every consumer of the quality/langId projections, whose
+# hot loop moved into the fused single-pass TextStatsExpr this round
+# (r17 CardProbe profiling: the old three-regex + lower/split
+# formulation was ~2 ms/doc and dominated these queries' sf100 cost)
+run_solo text_quality text_quality 3600
+run_solo quality_rules quality_rules 3600
+run_solo text_lang_id text_lang_id 3600
+run_solo dedup_keep_best dedup_keep_best 5400
+run_solo dataset_card dataset_card 5400
+run_solo pipeline_filtered_docs pipeline_filtered_docs 5400
+run_solo pipeline_training_manifest pipeline_training_manifest 5400
+run_solo pipeline_curriculum_manifest pipeline_curriculum_manifest 5400
+
 python3 scripts/merge_sf100.py docs/BENCH_R16_SF100.json \
   "$OUT" docs/BENCH_R17_SF100.json
 
