@@ -1179,19 +1179,20 @@ object TextAnalysis {
     * characters (tab/newline excluded), and U+FFFD replacement-char
     * occurrences (the classic double-decode fingerprint). Pure
     * regex/length arithmetic, embarrassingly parallel, round-4 shares. */
-  def charsetStats(spark: SparkSession, dir: String): DataFrame =
+  def charsetStats(spark: SparkSession, dir: String): DataFrame = {
+    // fused byte-pass stats (plans/TextStatsExpr NonAscii/ControlChars/
+    // ReplacementChars — r17 second fuse wave: the three regexp_replace
+    // passes were 73 s of the sf100 run). Pure byte algebra on the
+    // UTF-8 encoding, exact for arbitrary input (no ASCII gate needed);
+    // pinned against the regex originals in GraftExtensionsSpec, and
+    // the DuckDB oracle keeps the independent regex formulation.
+    import graft.plans.{GraftExtensions => gx, TextStatsExpr => ts}
     docs(spark, dir)
       .select(col("source"),
         length(col("text")).cast("long").as("n_chars"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))).cast("long")
-          .as("non_ascii"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
-          .cast("long").as("control_chars"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "�", ""))).cast("long")
-          .as("replacement_chars"))
+        gx.textStat(col("text"), ts.NonAscii).as("non_ascii"),
+        gx.textStat(col("text"), ts.ControlChars).as("control_chars"),
+        gx.textStat(col("text"), ts.ReplacementChars).as("replacement_chars"))
       .groupBy("source")
       .agg(sum("n_chars").as("n_chars"),
         sum("non_ascii").as("non_ascii"),
@@ -1202,6 +1203,7 @@ object TextAnalysis {
       .select("source", "n_chars", "non_ascii", "control_chars",
         "replacement_chars", "non_ascii_share")
       .orderBy("source")
+  }
 
   /** Difficulty-proportional DOMAIN REWEIGHTING (DoReMi-lite, after
     * Xie et al. 2023's domain-reweighting idea with a deterministic

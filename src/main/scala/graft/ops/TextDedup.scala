@@ -164,8 +164,21 @@ object TextDedup {
     * char outside [a-z0-9 whitespace], collapse whitespace runs, trim.
     * ASCII character classes only — Java regex, RE2 (DuckDB) and
     * Python `re` with re.ASCII agree on them codepoint-for-codepoint
-    * (an unanchored \\s would NOT: Python's default includes U+00A0). */
+    * (an unanchored \\s would NOT: Python's default includes U+00A0).
+    *
+    * Computed by the fused single-pass native expression
+    * (plans/NormTextExpr — r17 measured the two-regex chain at 280 s
+    * of the sf100 `dedup_exact_normalized` run; the fused pass emits
+    * each kept byte once). GraftExtensionsSpec pins it bit-identical
+    * to the declarative chain (kept there as `normalizedTextRef`), and
+    * the DuckDB oracle keeps the independent regex formulation. */
   private[ops] def normalizedText(c: Column): Column =
+    graft.plans.GraftExtensions.normText(c)
+
+  /** The declarative reference formulation — retained for the spec pin
+    * (GraftExtensionsSpec asserts fused == reference on adversarial
+    * strings, the same discipline as TextStatsExpr). */
+  private[graft] def normalizedTextRef(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
 

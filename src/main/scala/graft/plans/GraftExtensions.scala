@@ -107,4 +107,9 @@ object GraftExtensions {
     * single-pass replacements for the regex/split formulations. */
   def textStat(text: Column, stat: Int): Column =
     Bridge.column(TextStatsExpr(Bridge.expression(text), stat))
+
+  /** Fused CCNet-style normalization (NormTextExpr) — the single-pass
+    * replacement for the two-regex normalizedText chain. */
+  def normText(text: Column): Column =
+    Bridge.column(NormTextExpr(Bridge.expression(text)))
 }

@@ -69,6 +69,16 @@ object TextStatsExpr {
   val AlnumSpace = 3
   val NonSpace = 4
   val MarkerMask = 5
+  // charset-health stats (round-17 second fuse wave): pure BYTE algebra
+  // on the UTF-8 encoding — exact for arbitrary input, no slow path:
+  //   NonAscii     = code points matching [^\x00-\x7F] == non-continuation
+  //                  bytes with the high bit set (UTF-8 lead bytes)
+  //   ControlChars = code points in [\x00-\x08\x0B\x0C\x0E-\x1F]
+  //                  (single-byte code points, tab/LF/CR excluded)
+  //   Replacement  = occurrences of U+FFFD (the 3-byte sequence EF BF BD)
+  val NonAscii = 6
+  val ControlChars = 7
+  val ReplacementChars = 8
 
   /** THE stopword list (canonical home; TextAnalysis re-exports it) —
     * order is the StopMask bit assignment, so it is part of the mask
@@ -116,6 +126,37 @@ object TextStatsExpr {
         val b = s.getByte(i)
         if ((b & 0xC0) != 0x80 && !isSpace(b)) n += 1
         i += 1
+      }
+      n
+    case NonAscii =>
+      // lead bytes of multi-byte sequences: negative AND not 10xxxxxx
+      var i = 0; var n = 0L
+      val len = s.numBytes
+      while (i < len) {
+        val b = s.getByte(i)
+        if (b < 0 && (b & 0xC0) != 0x80) n += 1
+        i += 1
+      }
+      n
+    case ControlChars =>
+      var i = 0; var n = 0L
+      val len = s.numBytes
+      while (i < len) {
+        val b = s.getByte(i)
+        if ((b >= 0x00 && b <= 0x08) || b == 0x0B || b == 0x0C ||
+            (b >= 0x0E && b <= 0x1F)) n += 1
+        i += 1
+      }
+      n
+    case ReplacementChars =>
+      // U+FFFD = EF BF BD; matching at lead-byte positions only, so
+      // counts can never overlap
+      var i = 0; var n = 0L
+      val len = s.numBytes
+      while (i + 2 < len) {
+        if (s.getByte(i) == 0xEF.toByte && s.getByte(i + 1) == 0xBF.toByte &&
+            s.getByte(i + 2) == 0xBD.toByte) { n += 1; i += 3 }
+        else i += 1
       }
       n
     case _ => wordStat(s, stat)

@@ -142,6 +142,66 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nr.isNullAt(0))
   }
 
+  test("graft_norm_text is bit-identical to the declarative trim/regex chain") {
+    import spark.implicits._
+    import graft.plans.{GraftExtensions => gx}
+    val strs = Seq(
+      "", " ", "   ", "\t\n\r\f\u000B", "tiny", "Hello, World!",
+      "  leading and trailing  ", "double  spaces   inside",
+      "UPPER lower MiXeD 123", "punct!!! 99 bottles-of-beer, §§§",
+      "a.b", "a. b", "a .b", " .a", "a. ", ".,;:!?", "0", "z",
+      "tabs\tand\nnewlines\u000Bvertical\ffeed\rreturn end",
+      "unicode ✓ KK kelvin Kthe", // Kelvin sign: lowers to 'k' — slow path
+      "émigré café naïve", "astral 😀 emoji the word",
+      "\u00A0nbsp is NOT java \\s\u00A0", "x" * 5000, "A" * 100 + "!" * 100) ++
+      (1 to 150).map(i => s"Doc #$i, with THE number ${i * 37}...  and "
+        + ("pad " * (i % 7)))
+    val df = strs.toDF("text")
+    val rows = df.select(
+      gx.normText(col("text")).as("fused"),
+      graft.ops.TextDedup.normalizedTextRef(col("text")).as("ref"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1),
+        s"norm_text on '${r.getString(2).take(60)}'")
+    }
+    // null propagates like the declarative chain
+    val nr = Seq(Option.empty[String]).toDF("text")
+      .select(gx.normText(col("text"))).head()
+    assert(nr.isNullAt(0))
+  }
+
+  test("graft_textstat charset stats are bit-identical to the regex formulations") {
+    import spark.implicits._
+    import graft.plans.{GraftExtensions => gx, TextStatsExpr => ts}
+    val strs = Seq(
+      "", "plain ascii", "tab\tand\nnewline\rkept", // tab/LF/CR excluded from control
+      "ctl\u0001\u0002\u0003\u0008\u000B\u000C\u000E\u001F end",
+      "non-ascii é ü ✓ 😀 mixed", "\uFFFD", "a\uFFFD\uFFFDb",
+      "\u00A0\u00A0", "é" * 500, "x" * 5000,
+      "replacement \uFFFD inside é and \u0007 bell") ++
+      (1 to 100).map(i => s"doc $i " + ("é\uFFFD\u0001x " * (i % 5)))
+    val df = strs.toDF("text")
+    val rows = df.select(
+      gx.textStat(col("text"), ts.NonAscii).as("f_na"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))).cast("long").as("d_na"),
+      gx.textStat(col("text"), ts.ControlChars).as("f_cc"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+        .cast("long").as("d_cc"),
+      gx.textStat(col("text"), ts.ReplacementChars).as("f_rc"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "\uFFFD", ""))).cast("long").as("d_rc"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val t = r.getString(6).take(40)
+      assert(r.getLong(0) === r.getLong(1), s"non_ascii on '$t'")
+      assert(r.getLong(2) === r.getLong(3), s"control_chars on '$t'")
+      assert(r.getLong(4) === r.getLong(5), s"replacement_chars on '$t'")
+    }
+  }
+
   test("a 283-byte depth superset frame decodes through SQL (quote fields kept)") {
     import spark.implicits._
     val depth = Schemas.TickFrame(4, 1, "2885", 9L, 1704447000000L, 286550L,
